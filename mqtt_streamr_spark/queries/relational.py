@@ -1,0 +1,479 @@
+"""Batch relational layer: scans, projection/filter, all join types, hash/sort
+aggregation, grouping sets/rollup/cube, window functions, sorts/limits/top-k,
+and set operations over the driver's TPC-H-ish star schema.
+
+The reference implements none of these (it is a record-at-a-time bridge,
+`/root/reference/bin/mqtt-streamr.js:144-200`); SURVEY.md §2.3-2.5 maps them
+to Spark built-ins. The value here is the *verified* query set: every query
+below is hash-checked against a DuckDB oracle.
+
+Scale notes (100 TB posture):
+- nation/region joins are explicitly ``broadcast()`` — they are O(10^1..10^2)
+  rows at any scale factor, so the fact-table side never shuffles for them.
+- fact-fact joins (orders ⋈ lineitem, customer ⋈ orders) are plain equi-joins
+  on their keys: Catalyst picks shuffled hash / sort-merge and AQE re-plans
+  (incl. skew splitting) at runtime. No collect(), no driver-side loops.
+- every query filters and projects early so parquet scans prune columns and
+  push predicates (verified via .explain in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast, col
+
+from mqtt_streamr_spark.queries.registry import query
+from mqtt_streamr_spark.tables import load
+
+
+# --- TPC-H-style aggregation / join queries (adapted to the driver schema) ---
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                  AS sum_qty,
+           round(sum(l_extendedprice), 2)                             AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                  AS avg_qty,
+           round(avg(l_extendedprice), 4)                             AS avg_price,
+           round(avg(l_discount), 6)                                  AS avg_disc,
+           count(*)                                                   AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary. Single scan -> partial/final hash aggregate;
+    no shuffle beyond the final agg exchange. Filter + 7-column projection
+    push down to the parquet scan."""
+    li = load(spark, "lineitem", sf_dir)
+    disc_price = col("l_extendedprice") * (1 - col("l_discount"))
+    return (
+        li.filter(col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-way join + agg + top-k. customer is the small side at any
+    SF relative to lineitem; orders⋈lineitem is the big equi-join (AQE/SMJ).
+    Top-k = orderBy().limit() -> Spark TakeOrderedAndProject (no full sort)."""
+    cust = load(spark, "customer", sf_dir).filter(col("c_mktsegment") == "BUILDING")
+    orders = load(spark, "orders", sf_dir).filter(
+        col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, "lineitem", sf_dir).filter(
+        col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, col("c_custkey") == col("o_custkey"))
+        .join(li, col("l_orderkey") == col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc(), col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join. nation+region are broadcast (constant-size dims);
+    supplier is small; the only heavy shuffles are customer⋈orders⋈lineitem."""
+    cust = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir).filter(
+        (col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, "lineitem", sf_dir)
+    supp = load(spark, "supplier", sf_dir)
+    nation = broadcast(load(spark, "nation", sf_dir))
+    region = broadcast(load(spark, "region", sf_dir).filter(col("r_name") == "ASIA"))
+    return (
+        cust.join(orders, col("c_custkey") == col("o_custkey"))
+        .join(li, col("l_orderkey") == col("o_orderkey"))
+        .join(
+            supp,
+            (col("l_suppkey") == col("s_suppkey"))
+            & (col("c_nationkey") == col("s_nationkey")),
+        )
+        .join(nation, col("s_nationkey") == col("n_nationkey"))
+        .join(region, col("n_regionkey") == col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item report, broadcast nation, top-20."""
+    cust = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir).filter(
+        (col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, "lineitem", sf_dir).filter(col("l_returnflag") == "R")
+    nation = broadcast(load(spark, "nation", sf_dir))
+    return (
+        cust.join(orders, col("c_custkey") == col("o_custkey"))
+        .join(li, col("l_orderkey") == col("o_orderkey"))
+        .join(nation, col("c_nationkey") == col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round(col("c_acctbal"), 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(col("revenue").desc(), col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- join types -------------------------------------------------------------
+
+@query(
+    "join_semi_customers_with_big_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). Semi-join avoids materializing the probe side
+    twice; at scale this is a shuffled semi hash join with the orders side
+    pre-filtered before the exchange."""
+    cust = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir).filter(col("o_totalprice") > 200000)
+    return cust.join(
+        orders, col("c_custkey") == col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    cust = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir).select("o_custkey")
+    return cust.join(
+        orders, col("c_custkey") == col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_outer_order_counts",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           count(o_orderkey)                       AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders; count(col)
+    skips nulls exactly like SQL count(o_orderkey)."""
+    cust = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, col("c_custkey") == col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+# --- window functions -------------------------------------------------------
+
+@query(
+    "window_top2_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 2
+    """,
+)
+def window_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window. Partitioned by customer key ->
+    one shuffle on o_custkey; no global sort."""
+    orders = load(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        col("o_totalprice").desc(), col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(col("o_totalprice"), 2).alias("o_totalprice"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "window_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_spend,
+           lag(o_orderkey) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+           AS prev_orderkey
+    FROM orders
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag over an explicit ROWS frame."""
+    orders = load(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+# --- grouping sets / rollup / cube ------------------------------------------
+
+@query(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*)                  AS n_customers,
+           round(sum(c_acctbal), 2)  AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy region -> nation -> grand total; dims broadcast."""
+    cust = load(spark, "customer", sf_dir)
+    nation = broadcast(load(spark, "nation", sf_dir))
+    region = broadcast(load(spark, "region", sf_dir))
+    return (
+        cust.join(nation, col("c_nationkey") == col("n_nationkey"))
+        .join(region, col("n_regionkey") == col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                    AS n_orders,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims."""
+    orders = load(spark, "orders", sf_dir)
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT count(DISTINCT o_custkey)      AS n_active_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           count(*)                        AS n_orders
+    FROM orders
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg under the hood)."""
+    orders = load(spark, "orders", sf_dir)
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_active_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --- sorts / limits / set ops ----------------------------------------------
+
+@query(
+    "topk_expensive_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS p_retailprice
+    FROM part
+    ORDER BY p_retailprice DESC, p_partkey
+    LIMIT 15
+    """,
+)
+def topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject, not a full sort (each partition
+    keeps k rows, driver merges k*partitions)."""
+    part = load(spark, "part", sf_dir)
+    return (
+        part.select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.round(col("p_retailprice"), 2).alias("p_retailprice"),
+        )
+        .orderBy(col("p_retailprice").desc(), col("p_partkey"))
+        .limit(15)
+    )
+
+
+@query(
+    "set_ops_customer_segments",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    UNION
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+     EXCEPT
+     SELECT c_custkey FROM customer WHERE c_acctbal < 5000)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION (distinct) composition."""
+    cust = load(spark, "customer", sf_dir)
+    building = cust.filter(col("c_mktsegment") == "BUILDING").select("c_custkey")
+    positive = cust.filter(col("c_acctbal") > 0).select("c_custkey")
+    machinery = cust.filter(col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    lowbal = cust.filter(col("c_acctbal") < 5000).select("c_custkey")
+    return building.intersect(positive).union(machinery.exceptAll(lowbal).distinct()).distinct()
+
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 12 AND l_returnflag = 'A'
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushdown probe: both predicates and the 3-column projection reach the
+    parquet reader (PushedFilters / ReadSchema asserted in tests)."""
+    li = load(spark, "lineitem", sf_dir)
+    return li.filter(
+        col("l_quantity").between(10, 12) & (col("l_returnflag") == "A")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(col("l_extendedprice"), 2).alias("l_extendedprice"),
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for this engine.
+
+The reference has no session concept (one Node process, `bin/mqtt-streamr.js`
+whole file); this is the Spark-native analog of its startup path
+(`bin/mqtt-streamr.js:12-68` yargs config -> running pipeline).
+
+Scale posture: the defaults below are chosen so the same code runs on
+local[32] for tests and on a 1000-executor cluster unchanged —
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+shuffle partitions sized by cluster not hard-coded per query, and
+broadcast joins enabled for dimension tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "mqtt-streamr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    All settings are cluster-size-relative, never data-size-absolute:
+    - AQE handles post-shuffle coalescing and skew splitting at any scale.
+    - ``spark.sql.shuffle.partitions`` is an initial value only; AQE
+      re-plans it per-stage from runtime statistics.
+    - Arrow enabled for the Pandas-UDF paths (similarity, multimodal).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

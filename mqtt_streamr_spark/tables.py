@@ -1,0 +1,44 @@
+"""Catalog of the driver's deterministic test tables (see /root/repo/TESTDATA.md).
+
+The reference does no file I/O at all (absence: /root/reference repo tree has
+only bin/ + src/); the batch layer reads parquet with ``spark.read.parquet``,
+which gives column pruning + predicate pushdown for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor the schema
+# implies (region=5 rows, nation=25 rows regardless of SF; supplier/part grow
+# slowly). At 100 TB these stay broadcast-able; customer/orders/lineitem never.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so spark.sql() can reference it."""
+    for name in TABLES:
+        load(spark, name, sf_dir).createOrReplaceTempView(name)

@@ -1,0 +1,62 @@
+"""Driver-shaped correctness gate: run every registered query on Spark at
+sf0.01 AND its DuckDB oracle on the same parquet, compare order-insensitive
+values. This mirrors CORRECTNESS_r{N}.json before the driver does."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mqtt_streamr_spark.queries import ORACLES, QUERIES
+
+from tests.conftest import SF_CORRECT
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        dt = df[c].dtype
+        if dt == np.float32:
+            df[c] = df[c].astype(np.float64)
+        elif str(dt).startswith("datetime64") and str(dt) != "datetime64[us]":
+            df[c] = df[c].astype("datetime64[us]")
+        elif dt == object:
+            # normalize lists/arrays to tuples so sorting works
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(
+        drop=True
+    )
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    spark_df = normalize(QUERIES[name](spark, SF_CORRECT).toPandas())
+    duck_df = normalize(duck.execute(ORACLES[name]).df())
+    assert list(spark_df.columns) == list(duck_df.columns), (
+        f"{name}: column mismatch {spark_df.columns} vs {duck_df.columns}"
+    )
+    assert len(spark_df) == len(duck_df), (
+        f"{name}: row count {len(spark_df)} vs {len(duck_df)}"
+    )
+    pd.testing.assert_frame_equal(
+        spark_df, duck_df, check_dtype=False, check_exact=False,
+        rtol=1e-9, atol=1e-9, obj=name,
+    )
+
+
+def test_every_query_has_entry():
+    assert QUERIES, "registry must not be empty"
+    for name in ORACLES:
+        assert name in QUERIES
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
