@@ -1,0 +1,248 @@
+"""Events-table queries: the batch-checkable half of the reference's streaming
+pipeline — JSON parse with invalid-drop, variant extraction, topic routing
+(truncation + template), wildcard matching, tumbling windows, and the
+success/error stats contract. Each has a DuckDB oracle.
+
+Reference parity points:
+- invalid-JSON drop: /root/reference/bin/mqtt-streamr.js:149-155
+- topic truncation: bin:99-106; template first-occurrence: bin:166
+- success/error interval counts: /root/reference/src/Logger.js:17-21
+
+Scale notes: every query is scan -> narrow string/JSON ops -> single
+aggregation; the routing expressions are pure codegen'd Columns (no UDF),
+so the same plan holds at 100 TB with the agg as the only shuffle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col
+
+from mqtt_streamr_spark.operators.routing import (
+    mqtt_wildcard_to_regex,
+    stream_id_from_template,
+    topic_matches,
+    truncate_topic,
+)
+from mqtt_streamr_spark.queries.registry import query
+from mqtt_streamr_spark.tables import load
+
+# topic synthesized from the events table the same way in Spark and oracle:
+# /events/<event_type>/u<user_id % 10>
+_TOPIC_SQL = "'/events/' || event_type || '/u' || CAST(user_id % 10 AS VARCHAR)"
+
+
+def _with_topic(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "topic",
+        F.concat(
+            F.lit("/events/"),
+            col("event_type"),
+            F.lit("/u"),
+            (col("user_id") % 10).cast("string"),
+        ),
+    )
+
+
+@query(
+    "events_json_extract_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (get_json_object) + aggregation."""
+    ev = load(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("int")), 4).alias(
+            "avg_k"
+        ),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "events_variant_parse_drop",
+    oracle="""
+    WITH corrupted AS (
+        SELECT event_type,
+               CASE WHEN event_id % 7 = 0
+                    THEN substring(props, 1, length(props) - 1)
+                    ELSE props END AS payload
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_kept,
+           round(avg(CAST(json_extract_string(payload, '$.k') AS INTEGER)), 4) AS avg_k
+    FROM corrupted
+    WHERE json_valid(payload)
+    GROUP BY event_type
+    """,
+)
+def events_variant_parse_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invalid-JSON drop parity (bin:149-155) on the Spark-4 variant path:
+    payloads corrupted at a deterministic rate, ``try_parse_json`` nulls them,
+    the filter drops them — the PERMISSIVE-mode analog of the reference's
+    try/catch + early return."""
+    ev = load(spark, "events", sf_dir)
+    corrupted = ev.withColumn(
+        "payload",
+        F.when(
+            col("event_id") % 7 == 0,
+            F.expr("substring(props, 1, length(props) - 1)"),
+        ).otherwise(col("props")),
+    ).withColumn("v", F.try_parse_json("payload"))
+    return (
+        corrupted.filter(col("v").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(
+                F.avg(F.try_variant_get(col("v"), "$.k", "int")), 4
+            ).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "events_daily_windows",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows via Spark's native window() — the
+    batch twin of the streaming stats aggregation (Logger.js:6,17-21)."""
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(col("window.start").alias("day"), "n_events", "total_value", "n_users")
+    )
+
+
+@query(
+    "events_topic_routing",
+    oracle=f"""
+    WITH topics AS (SELECT {_TOPIC_SQL} AS topic FROM events),
+    routed AS (
+        SELECT '/streamr/' ||
+               array_to_string(list_slice(string_split(topic, '/'), 1, 3), '/')
+               AS stream_id
+        FROM topics
+    )
+    SELECT stream_id, count(*) AS n_messages
+    FROM routed GROUP BY stream_id
+    """,
+)
+def events_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full routing derivation: synthesize topic, truncate to 2 levels
+    (bin:99-106 — keeps levels+1 = 3 parts because of the leading '/'),
+    apply template '/streamr/$topic' (bin:166), count per stream."""
+    ev = _with_topic(load(spark, "events", sf_dir))
+    return (
+        ev.withColumn(
+            "stream_id",
+            stream_id_from_template("topic", "/streamr/$topic", topic_levels=2),
+        )
+        .groupBy("stream_id")
+        .agg(F.count(F.lit(1)).alias("n_messages"))
+    )
+
+
+@query(
+    "events_template_first_occurrence",
+    oracle=f"""
+    WITH topics AS (SELECT {_TOPIC_SQL} AS topic FROM events),
+    routed AS (
+        SELECT '/a/' ||
+               array_to_string(list_slice(string_split(topic, '/'), 1, 2), '/')
+               || '/b/$topic' AS stream_id
+        FROM topics
+    )
+    SELECT stream_id, count(*) AS n_messages
+    FROM routed GROUP BY stream_id
+    """,
+)
+def events_template_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS String.replace substitutes the FIRST '$topic' only (bin:166): with
+    template '/a/$topic/b/$topic' the second placeholder stays literal.
+    levels=1 truncation of '/events/...' collapses to '/events'."""
+    ev = _with_topic(load(spark, "events", sf_dir))
+    return (
+        ev.withColumn(
+            "stream_id",
+            stream_id_from_template("topic", "/a/$topic/b/$topic", topic_levels=1),
+        )
+        .groupBy("stream_id")
+        .agg(F.count(F.lit(1)).alias("n_messages"))
+    )
+
+
+_WILDCARD = "/events/+/u3"
+_WILDCARD_RE = mqtt_wildcard_to_regex(_WILDCARD)
+
+
+@query(
+    "events_wildcard_filter",
+    oracle=f"""
+    WITH topics AS (SELECT event_type, {_TOPIC_SQL} AS topic FROM events)
+    SELECT event_type, count(*) AS n_matched
+    FROM topics
+    WHERE regexp_matches(topic, '{_WILDCARD_RE}')
+    GROUP BY event_type
+    """,
+)
+def events_wildcard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MQTT '+' single-level wildcard matching, client-side (the reference
+    delegates this to the broker, bin:130-138; the engine needs it for
+    file-replay parity)."""
+    ev = _with_topic(load(spark, "events", sf_dir))
+    return (
+        ev.filter(topic_matches("topic", _WILDCARD))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+
+
+@query(
+    "events_success_error_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CASE WHEN event_type = 'error' THEN 'error' ELSE 'success' END AS outcome,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_success_error_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Logger contract (success/error counts per interval, counters reset
+    each window — Logger.js:17-21) as a tumbling event-time aggregate."""
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.withColumn(
+            "outcome",
+            F.when(col("event_type") == "error", F.lit("error")).otherwise(
+                F.lit("success")
+            ),
+        )
+        .groupBy(F.window("ts", "1 day"), "outcome")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(col("window.start").alias("day"), "outcome", "n")
+    )
