@@ -1,0 +1,1068 @@
+"""Tree-walking JSONata 1.6 evaluator — the full-semantics backend.
+
+This is the correctness reference for the Column compiler (differential
+tests run both and require agreement) and the runtime fallback for
+constructs the compiler can't express (recursion, closures, ``**``,
+group-by, order-by). It mirrors what the reference does per message at
+bin/mqtt-streamr.js:157-159, but batched behind Arrow when used inside
+``transform_udf`` (see streaming/transform.py).
+
+Original implementation from the public JSONata 1.6 docs; no code from the
+jsonata npm package.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import math
+import random
+import re as _re
+import time
+
+from mqtt_streamr_spark.jsonata.errors import JsonataError
+from mqtt_streamr_spark.jsonata.values import (
+    UNDEFINED,
+    ConsArray,
+    JSeq,
+    boolean,
+    is_number,
+    iter_items,
+    jstring,
+    normalize_num,
+    require_number,
+    seq_append,
+    to_json_value,
+    unwrap,
+)
+
+
+class Environment:
+    __slots__ = ("bindings", "parent")
+
+    def __init__(self, parent: "Environment | None" = None):
+        self.bindings: dict = {}
+        self.parent = parent
+
+    def lookup(self, name: str):
+        env = self
+        while env is not None:
+            if name in env.bindings:
+                return env.bindings[name]
+            env = env.parent
+        return UNDEFINED
+
+    def bind(self, name: str, value) -> None:
+        self.bindings[name] = value
+
+
+class Lambda:
+    __slots__ = ("params", "body", "env", "interp")
+
+    def __init__(self, params, body, env, interp):
+        self.params = params
+        self.body = body
+        self.env = env
+        self.interp = interp
+
+    def __call__(self, *args):
+        env = Environment(self.env)
+        for name, val in zip(self.params, args):
+            env.bind(name, val)
+        for name in self.params[len(args):]:
+            env.bind(name, UNDEFINED)
+        return self.interp._eval(self.body, env.lookup("__ctx__"), env)
+
+
+class Interpreter:
+    def __init__(self, ast):
+        self.ast = ast
+
+    # public API ------------------------------------------------------------
+    def evaluate(self, value):
+        env = Environment()
+        env.bind("$", value)  # $$ root
+        result = self._eval(self.ast, value, env)
+        return to_json_value(result)
+
+    # core ------------------------------------------------------------------
+    def _eval(self, node, ctx, env):
+        t = node["type"]
+        method = getattr(self, f"_eval_{t.replace('-', '_')}", None)
+        if method is None:
+            raise JsonataError(f"unsupported node type {t!r}")
+        return method(node, ctx, env)
+
+    def _eval_number(self, node, ctx, env):
+        return node["value"]
+
+    def _eval_string(self, node, ctx, env):
+        return node["value"]
+
+    def _eval_boolean(self, node, ctx, env):
+        return node["value"]
+
+    def _eval_null(self, node, ctx, env):
+        return None
+
+    def _eval_regex(self, node, ctx, env):
+        return _compile_regex(node["pattern"], node["flags"])
+
+    def _eval_variable(self, node, ctx, env):
+        name = node["value"]
+        if name == "":  # bare $ = context
+            return ctx
+        if name == "$":
+            return env.lookup("$")
+        builtin = BUILTINS.get(name)
+        found = env.lookup(name)
+        if found is not UNDEFINED:
+            return found
+        if builtin is not None:
+            return builtin
+        return UNDEFINED
+
+    def _eval_name(self, node, ctx, env):
+        return self._lookup_name(ctx, node["value"])
+
+    def _lookup_name(self, ctx, key):
+        if ctx is UNDEFINED or ctx is None:
+            return UNDEFINED
+        if isinstance(ctx, dict):
+            return ctx.get(key, UNDEFINED)
+        if isinstance(ctx, (JSeq, list)):
+            out = JSeq()
+            for item in ctx:
+                seq_append(out, self._lookup_name(item, key))
+            return out
+        return UNDEFINED
+
+    def _eval_wildcard(self, node, ctx, env):
+        out = JSeq()
+        if isinstance(ctx, dict):
+            for v in ctx.values():
+                seq_append(out, v)
+        elif isinstance(ctx, (JSeq, list)):
+            for item in ctx:
+                if isinstance(item, dict):
+                    for v in item.values():
+                        seq_append(out, v)
+        return out
+
+    def _eval_descendants(self, node, ctx, env):
+        out = JSeq()
+        if ctx is not UNDEFINED:
+            _descend(ctx, out)
+        return out
+
+    def _eval_path(self, node, ctx, env):
+        lhs = self._eval(node["lhs"], ctx, env)
+        rhs = node["rhs"]
+        out = JSeq()
+        for item in iter_items(lhs):
+            seq_append(out, self._eval(rhs, item, env))
+        if isinstance(lhs, JSeq) and lhs.keep:
+            out.keep = True
+        return out
+
+    def _eval_keeparray(self, node, ctx, env):
+        value = self._eval(node["expr"], ctx, env)
+        if isinstance(value, JSeq):
+            value.keep = True
+            return value
+        if value is UNDEFINED:
+            return JSeq(keep=True)
+        return JSeq(list(iter_items(value)), keep=True)
+
+    def _eval_predicate(self, node, ctx, env):
+        base = self._eval(node["expr"], ctx, env)
+        items = list(iter_items(base))
+        cond = node["cond"]
+        out = JSeq()
+        if isinstance(base, JSeq):
+            out.keep = base.keep
+        n = len(items)
+        for idx, item in enumerate(items):
+            res = unwrap(self._eval(cond, item, env))
+            if _is_index_result(res):
+                for num in iter_items(res):
+                    if math.floor(num) == idx or math.floor(num) + n == idx:
+                        seq_append(out, item)
+                        break
+            elif boolean(res):
+                seq_append(out, item)
+        return out
+
+    def _eval_array(self, node, ctx, env):
+        out = ConsArray()
+        for item_node in node["items"]:
+            v = self._eval(item_node, ctx, env)
+            if v is UNDEFINED:
+                continue
+            if isinstance(v, JSeq):
+                out.extend(v)
+            else:
+                out.append(v)
+        return out
+
+    def _eval_object(self, node, ctx, env):
+        if isinstance(ctx, (JSeq, list)) and not isinstance(ctx, ConsArray):
+            return self._group(list(iter_items(ctx)), node["pairs"], env)
+        out = {}
+        for key_node, val_node in node["pairs"]:
+            key = unwrap(self._eval(key_node, ctx, env))
+            if not isinstance(key, str):
+                raise JsonataError("object key must evaluate to a string")
+            val = unwrap(self._eval(val_node, ctx, env))
+            if val is not UNDEFINED:
+                out[key] = val
+        return out
+
+    def _eval_groupby(self, node, ctx, env):
+        base = self._eval(node["expr"], ctx, env)
+        return self._group(list(iter_items(base)), node["pairs"], env)
+
+    def _group(self, items, pairs, env):
+        groups: dict[str, JSeq] = {}
+        group_pair: dict[str, int] = {}
+        for item in items:
+            for pi, (key_node, _) in enumerate(pairs):
+                key = unwrap(self._eval(key_node, item, env))
+                if key is UNDEFINED:
+                    continue
+                if not isinstance(key, str):
+                    raise JsonataError("group-by key must evaluate to a string")
+                if key in groups and group_pair[key] != pi:
+                    raise JsonataError(f"duplicate group key {key!r} from "
+                                       "multiple key expressions")
+                groups.setdefault(key, JSeq()).append(item)
+                group_pair[key] = pi
+        out = {}
+        for key, group in groups.items():
+            _, val_node = pairs[group_pair[key]]
+            val = unwrap(self._eval(val_node, unwrap(group), env))
+            if val is not UNDEFINED:
+                out[key] = val
+        return out
+
+    def _eval_block(self, node, ctx, env):
+        child = Environment(env)
+        result = UNDEFINED
+        for expr in node["expressions"]:
+            result = self._eval(expr, ctx, child)
+        return result
+
+    def _eval_bind(self, node, ctx, env):
+        value = unwrap(self._eval(node["expr"], ctx, env))
+        env.bind(node["var"], value)
+        return value
+
+    def _eval_lambda(self, node, ctx, env):
+        closure_env = Environment(env)
+        closure_env.bind("__ctx__", ctx)
+        return Lambda(node["params"], node["body"], closure_env, self)
+
+    def _eval_condition(self, node, ctx, env):
+        if boolean(self._eval(node["cond"], ctx, env)):
+            return self._eval(node["then"], ctx, env)
+        if node["else"] is None:
+            return UNDEFINED
+        return self._eval(node["else"], ctx, env)
+
+    def _eval_unary_(self, node, ctx, env):  # unary minus
+        v = unwrap(self._eval(node["expr"], ctx, env))
+        if v is UNDEFINED:
+            return UNDEFINED
+        return -require_number(v, "unary -")
+
+    def _eval_range(self, node, ctx, env):
+        lo = unwrap(self._eval(node["lhs"], ctx, env))
+        hi = unwrap(self._eval(node["rhs"], ctx, env))
+        if lo is UNDEFINED or hi is UNDEFINED:
+            return UNDEFINED
+        for v in (lo, hi):
+            if not is_number(v) or math.floor(v) != v:
+                raise JsonataError("range bounds must be integers")
+        if lo > hi:
+            return JSeq()
+        return JSeq(range(int(lo), int(hi) + 1))
+
+    def _eval_binary(self, node, ctx, env):
+        op = node["op"]
+        if op == "and":
+            return boolean(self._eval(node["lhs"], ctx, env)) and boolean(
+                self._eval(node["rhs"], ctx, env)
+            )
+        if op == "or":
+            return boolean(self._eval(node["lhs"], ctx, env)) or boolean(
+                self._eval(node["rhs"], ctx, env)
+            )
+        lhs = unwrap(self._eval(node["lhs"], ctx, env))
+        rhs = unwrap(self._eval(node["rhs"], ctx, env))
+        if op == "&":
+            return jstring(lhs) + jstring(rhs)
+        if op in ("=", "!="):
+            if lhs is UNDEFINED or rhs is UNDEFINED:
+                return False
+            eq = _jeq(lhs, rhs)
+            return eq if op == "=" else not eq
+        if op == "in":
+            if lhs is UNDEFINED or rhs is UNDEFINED:
+                return False
+            members = rhs if isinstance(rhs, list) else [rhs]
+            return any(_jeq(lhs, m) for m in members)
+        if op in ("<", "<=", ">", ">="):
+            if lhs is UNDEFINED or rhs is UNDEFINED:
+                return UNDEFINED
+            if not (
+                (is_number(lhs) and is_number(rhs))
+                or (isinstance(lhs, str) and isinstance(rhs, str))
+            ):
+                raise JsonataError(
+                    f"{op}: operands must both be numbers or both strings"
+                )
+            return {"<": lhs < rhs, "<=": lhs <= rhs,
+                    ">": lhs > rhs, ">=": lhs >= rhs}[op]
+        # arithmetic
+        if lhs is UNDEFINED or rhs is UNDEFINED:
+            return UNDEFINED
+        a = require_number(lhs, op)
+        b = require_number(rhs, op)
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            if b == 0:
+                raise JsonataError("division by zero")
+            return a / b
+        if op == "%":
+            if b == 0:
+                raise JsonataError("modulo by zero")
+            return math.fmod(a, b)  # JS remainder: sign of dividend
+        raise JsonataError(f"unknown operator {op!r}")
+
+    def _eval_sort(self, node, ctx, env):
+        base = self._eval(node["expr"], ctx, env)
+        items = list(iter_items(base))
+        terms = node["terms"]
+
+        def key_tuple(item):
+            keys = []
+            for term in terms:
+                v = unwrap(self._eval(term["expr"], item, env))
+                if not (is_number(v) or isinstance(v, str)):
+                    raise JsonataError("sort term must be a number or string")
+                keys.append((term["descending"], v))
+            return keys
+
+        decorated = [(key_tuple(it), i, it) for i, it in enumerate(items)]
+
+        import functools
+
+        def cmp(a, b):
+            for (desc_a, va), (_, vb) in zip(a[0], b[0]):
+                if va == vb:
+                    continue
+                lt = va < vb
+                return (1 if lt else -1) if desc_a else (-1 if lt else 1)
+            return a[1] - b[1]  # stable
+
+        decorated.sort(key=functools.cmp_to_key(cmp))
+        return JSeq(it for _, _, it in decorated)
+
+    def _eval_call(self, node, ctx, env, extra_first_arg=None):
+        proc_node = node["proc"]
+        proc = self._eval(proc_node, ctx, env)
+        args = [unwrap(self._eval(a, ctx, env)) for a in node["args"]]
+        if extra_first_arg is not None:
+            args = [extra_first_arg] + args
+        name = proc_node.get("value", "<lambda>")
+        return self._call(proc, args, ctx, name)
+
+    def _call(self, proc, args, ctx, name):
+        if isinstance(proc, Lambda):
+            return unwrap(proc(*args))
+        if isinstance(proc, Builtin):
+            return proc.invoke(self, ctx, args)
+        if proc is UNDEFINED:
+            raise JsonataError(f"attempted to invoke non-function ${name}")
+        if callable(proc):
+            return proc(*args)
+        raise JsonataError(f"${name} is not a function")
+
+    def _eval_apply(self, node, ctx, env):
+        lhs = unwrap(self._eval(node["lhs"], ctx, env))
+        rhs = node["rhs"]
+        if rhs["type"] == "call":
+            return self._eval_call(rhs, ctx, env, extra_first_arg=lhs)
+        proc = unwrap(self._eval(rhs, ctx, env))
+        return self._call(proc, [lhs], ctx, "<chained>")
+
+
+def _descend(value, out: JSeq) -> None:
+    if isinstance(value, (JSeq, list)):
+        for item in value:
+            _descend(item, out)
+        return
+    out.append(value)
+    if isinstance(value, dict):
+        for v in value.values():
+            _descend(v, out)
+
+
+def _is_index_result(res) -> bool:
+    if is_number(res):
+        return True
+    if isinstance(res, list) and res and all(is_number(v) for v in res):
+        return True
+    return False
+
+
+def _jeq(a, b) -> bool:
+    """JSONata deep equality; cross-type comparisons are false (not errors)."""
+    if is_number(a) and is_number(b):
+        return float(a) == float(b)
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if type(a) is not type(b) and not (
+        isinstance(a, list) and isinstance(b, list)
+    ):
+        return False
+    if isinstance(a, list):
+        return len(a) == len(b) and all(_jeq(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict):
+        return a.keys() == b.keys() and all(_jeq(a[k], b[k]) for k in a)
+    return a == b
+
+
+# --- regex helpers -----------------------------------------------------------
+
+def _compile_regex(pattern: str, flags: str):
+    f = 0
+    if "i" in flags:
+        f |= _re.IGNORECASE
+    if "m" in flags:
+        f |= _re.MULTILINE
+    if "s" in flags:
+        f |= _re.DOTALL
+    if "x" in flags:
+        f |= _re.VERBOSE
+    return _re.compile(pattern, f)
+
+
+def _as_regex(pat):
+    if isinstance(pat, _re.Pattern):
+        return pat
+    return None
+
+
+# --- builtin function library (JSONata 1.6 surface, SURVEY.md §2.6) ----------
+
+class Builtin:
+    """A builtin with JSONata's context-injection rule: when called with one
+    argument fewer than the minimum, the evaluation context is inserted as
+    the first argument (enables ``a.$uppercase()``)."""
+
+    __slots__ = ("name", "fn", "min_args", "ctx_inject")
+
+    def __init__(self, name, fn, min_args, ctx_inject=True):
+        self.name = name
+        self.fn = fn
+        self.min_args = min_args
+        self.ctx_inject = ctx_inject
+
+    def invoke(self, interp, ctx, args):
+        if self.ctx_inject and len(args) == self.min_args - 1:
+            args = [unwrap(ctx)] + args
+        return self.fn(interp, *args)
+
+
+def _b(name, min_args, ctx_inject=True):
+    def deco(fn):
+        BUILTINS[name] = Builtin(name, fn, min_args, ctx_inject)
+        return fn
+
+    return deco
+
+
+BUILTINS: dict[str, Builtin] = {}
+
+
+# string ----------------------------------------------------------------------
+
+@_b("string", 1)
+def _f_string(interp, value=UNDEFINED, pretty=UNDEFINED):
+    if value is UNDEFINED:
+        return UNDEFINED
+    return jstring(value, pretty=boolean(pretty))
+
+
+@_b("length", 1)
+def _f_length(interp, s=UNDEFINED):
+    if s is UNDEFINED:
+        return UNDEFINED
+    if not isinstance(s, str):
+        raise JsonataError("$length expects a string")
+    return len(s)
+
+
+@_b("substring", 2)
+def _f_substring(interp, s=UNDEFINED, start=0, length=UNDEFINED):
+    if s is UNDEFINED:
+        return UNDEFINED
+    start = int(require_number(start, "$substring"))
+    if start < 0:
+        start = max(0, len(s) + start)
+    if length is UNDEFINED:
+        return s[start:]
+    return s[start:start + int(require_number(length, "$substring"))]
+
+
+@_b("substringBefore", 2)
+def _f_substring_before(interp, s=UNDEFINED, sep=""):
+    if s is UNDEFINED:
+        return UNDEFINED
+    idx = s.find(sep)
+    return s if idx < 0 else s[:idx]
+
+
+@_b("substringAfter", 2)
+def _f_substring_after(interp, s=UNDEFINED, sep=""):
+    if s is UNDEFINED:
+        return UNDEFINED
+    idx = s.find(sep)
+    return s if idx < 0 else s[idx + len(sep):]
+
+
+@_b("uppercase", 1)
+def _f_upper(interp, s=UNDEFINED):
+    return UNDEFINED if s is UNDEFINED else s.upper()
+
+
+@_b("lowercase", 1)
+def _f_lower(interp, s=UNDEFINED):
+    return UNDEFINED if s is UNDEFINED else s.lower()
+
+
+@_b("trim", 1)
+def _f_trim(interp, s=UNDEFINED):
+    if s is UNDEFINED:
+        return UNDEFINED
+    return _re.sub(r"\s+", " ", s).strip()
+
+
+@_b("pad", 2)
+def _f_pad(interp, s=UNDEFINED, width=0, char=" "):
+    if s is UNDEFINED:
+        return UNDEFINED
+    width = int(require_number(width, "$pad"))
+    if abs(width) <= len(s):
+        return s
+    pad = (char * (abs(width) - len(s)))[: abs(width) - len(s)]
+    return pad + s if width < 0 else s + pad
+
+
+@_b("contains", 2)
+def _f_contains(interp, s=UNDEFINED, pat=UNDEFINED):
+    if s is UNDEFINED:
+        return UNDEFINED
+    rx = _as_regex(pat)
+    if rx is not None:
+        return rx.search(s) is not None
+    return pat in s
+
+
+@_b("split", 2)
+def _f_split(interp, s=UNDEFINED, sep=UNDEFINED, limit=UNDEFINED):
+    if s is UNDEFINED:
+        return UNDEFINED
+    lim = None if limit is UNDEFINED else int(require_number(limit, "$split"))
+    rx = _as_regex(sep)
+    if rx is not None:
+        parts = rx.split(s)
+    elif sep == "":
+        parts = list(s)
+    else:
+        parts = s.split(sep)
+    if lim is not None:
+        parts = parts[:lim]
+    return ConsArray(parts)
+
+
+@_b("join", 1)
+def _f_join(interp, arr=UNDEFINED, sep=""):
+    if arr is UNDEFINED:
+        return UNDEFINED
+    items = [arr] if isinstance(arr, str) else list(iter_items(arr))
+    for it in items:
+        if not isinstance(it, str):
+            raise JsonataError("$join expects an array of strings")
+    return sep.join(items)
+
+
+def _js_replacement(template: str, m: _re.Match) -> str:
+    out = []
+    i = 0
+    while i < len(template):
+        ch = template[i]
+        if ch == "$" and i + 1 < len(template):
+            nxt = template[i + 1]
+            if nxt == "$":
+                out.append("$")
+                i += 2
+                continue
+            j = i + 1
+            num = ""
+            while j < len(template) and template[j].isdigit() and len(num) < 2:
+                cand = num + template[j]
+                if int(cand) <= len(m.groups()):
+                    num = cand
+                    j += 1
+                else:
+                    break
+            if num:
+                out.append(m.group(int(num)) or "")
+                i = j
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+@_b("replace", 3)
+def _f_replace(interp, s=UNDEFINED, pat=UNDEFINED, repl=UNDEFINED,
+               limit=UNDEFINED):
+    if s is UNDEFINED:
+        return UNDEFINED
+    count = 0 if limit is UNDEFINED else int(require_number(limit, "$replace"))
+    rx = _as_regex(pat)
+    if rx is None:
+        if pat == "":
+            raise JsonataError("$replace: empty pattern")
+        if callable(repl):
+            raise JsonataError("$replace: function replacement requires regex")
+        n = count if count else -1
+        return s.replace(pat, repl, n) if n >= 0 else s.replace(pat, repl)
+    if isinstance(repl, (Lambda, Builtin)) or callable(repl):
+        def subfn(m):
+            arg = {"match": m.group(0), "index": m.start(),
+                   "groups": ConsArray(g or "" for g in m.groups())}
+            res = interp._call(repl, [arg], None, "replace")
+            if not isinstance(res, str):
+                raise JsonataError("$replace function must return a string")
+            return res
+    else:
+        def subfn(m):
+            return _js_replacement(repl, m)
+    return rx.sub(subfn, s, count=count)
+
+
+@_b("match", 2)
+def _f_match(interp, s=UNDEFINED, pat=UNDEFINED, limit=UNDEFINED):
+    if s is UNDEFINED:
+        return UNDEFINED
+    rx = _as_regex(pat)
+    if rx is None:
+        raise JsonataError("$match expects a regex")
+    lim = math.inf if limit is UNDEFINED else require_number(limit, "$match")
+    out = ConsArray()
+    for m in rx.finditer(s):
+        if len(out) >= lim:
+            break
+        out.append({"match": m.group(0), "index": m.start(),
+                    "groups": ConsArray(g or "" for g in m.groups())})
+    return out
+
+
+@_b("base64encode", 1)
+def _f_b64e(interp, s=UNDEFINED):
+    if s is UNDEFINED:
+        return UNDEFINED
+    return base64.b64encode(s.encode()).decode()
+
+
+@_b("base64decode", 1)
+def _f_b64d(interp, s=UNDEFINED):
+    if s is UNDEFINED:
+        return UNDEFINED
+    return base64.b64decode(s.encode()).decode()
+
+
+# numeric ---------------------------------------------------------------------
+
+@_b("number", 1)
+def _f_number(interp, v=UNDEFINED):
+    if v is UNDEFINED:
+        return UNDEFINED
+    if is_number(v):
+        return v
+    if isinstance(v, bool):
+        raise JsonataError("$number: cannot cast boolean")
+    if isinstance(v, str):
+        try:
+            f = float(v)
+        except ValueError as exc:
+            raise JsonataError(f"$number: cannot cast {v!r}") from exc
+        return normalize_num(f)
+    raise JsonataError(f"$number: cannot cast {type(v).__name__}")
+
+
+@_b("abs", 1)
+def _f_abs(interp, v=UNDEFINED):
+    return UNDEFINED if v is UNDEFINED else abs(require_number(v, "$abs"))
+
+
+@_b("floor", 1)
+def _f_floor(interp, v=UNDEFINED):
+    return UNDEFINED if v is UNDEFINED else math.floor(require_number(v, "$floor"))
+
+
+@_b("ceil", 1)
+def _f_ceil(interp, v=UNDEFINED):
+    return UNDEFINED if v is UNDEFINED else math.ceil(require_number(v, "$ceil"))
+
+
+@_b("round", 1)
+def _f_round(interp, v=UNDEFINED, precision=0):
+    if v is UNDEFINED:
+        return UNDEFINED
+    v = require_number(v, "$round")
+    p = int(require_number(precision, "$round"))
+    return normalize_num(round(v, p) if p else float(round(v)))  # half-even
+
+
+@_b("power", 2)
+def _f_power(interp, base=UNDEFINED, exp=UNDEFINED):
+    if base is UNDEFINED:
+        return UNDEFINED
+    return normalize_num(
+        math.pow(require_number(base, "$power"), require_number(exp, "$power"))
+    )
+
+
+@_b("sqrt", 1)
+def _f_sqrt(interp, v=UNDEFINED):
+    if v is UNDEFINED:
+        return UNDEFINED
+    v = require_number(v, "$sqrt")
+    if v < 0:
+        raise JsonataError("$sqrt of negative number")
+    return normalize_num(math.sqrt(v))
+
+
+@_b("random", 0, ctx_inject=False)
+def _f_random(interp):
+    return random.random()
+
+
+@_b("formatBase", 1)
+def _f_format_base(interp, v=UNDEFINED, radix=10):
+    if v is UNDEFINED:
+        return UNDEFINED
+    v = int(round(require_number(v, "$formatBase")))
+    radix = int(require_number(radix, "$formatBase"))
+    if not 2 <= radix <= 36:
+        raise JsonataError("$formatBase radix must be in 2..36")
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    neg, v = v < 0, abs(v)
+    out = ""
+    while True:
+        out = digits[v % radix] + out
+        v //= radix
+        if v == 0:
+            break
+    return ("-" if neg else "") + out
+
+
+@_b("formatNumber", 2)
+def _f_format_number(interp, v=UNDEFINED, picture="0", options=UNDEFINED):
+    if v is UNDEFINED:
+        return UNDEFINED
+    v = require_number(v, "$formatNumber")
+    # minimal XPath picture support: grouping ',' and '0'/'#' decimals
+    if "." in picture:
+        intpic, fracpic = picture.split(".", 1)
+        decimals = len([c for c in fracpic if c in "0#"])
+    else:
+        intpic, decimals = picture, 0
+    grouped = "," in intpic
+    s = f"{v:,.{decimals}f}" if grouped else f"{v:.{decimals}f}"
+    return s
+
+
+# aggregation -----------------------------------------------------------------
+
+def _num_list(arr, name):
+    items = list(iter_items(arr))
+    for v in items:
+        if not is_number(v):
+            raise JsonataError(f"{name} expects numbers")
+    return items
+
+
+@_b("sum", 1)
+def _f_sum(interp, arr=UNDEFINED):
+    if arr is UNDEFINED:
+        return UNDEFINED
+    return normalize_num(math.fsum(_num_list(arr, "$sum")))
+
+
+@_b("max", 1)
+def _f_max(interp, arr=UNDEFINED):
+    if arr is UNDEFINED:
+        return UNDEFINED
+    items = _num_list(arr, "$max")
+    return max(items) if items else UNDEFINED
+
+
+@_b("min", 1)
+def _f_min(interp, arr=UNDEFINED):
+    if arr is UNDEFINED:
+        return UNDEFINED
+    items = _num_list(arr, "$min")
+    return min(items) if items else UNDEFINED
+
+
+@_b("average", 1)
+def _f_average(interp, arr=UNDEFINED):
+    if arr is UNDEFINED:
+        return UNDEFINED
+    items = _num_list(arr, "$average")
+    if not items:
+        return UNDEFINED
+    return normalize_num(math.fsum(items) / len(items))
+
+
+@_b("count", 1)
+def _f_count(interp, arr=UNDEFINED):
+    if arr is UNDEFINED:
+        return 0
+    return len(list(iter_items(arr)))
+
+
+# boolean ---------------------------------------------------------------------
+
+@_b("boolean", 1)
+def _f_boolean(interp, v=UNDEFINED):
+    if v is UNDEFINED:
+        return UNDEFINED
+    return boolean(v)
+
+
+@_b("not", 1)
+def _f_not(interp, v=UNDEFINED):
+    if v is UNDEFINED:
+        return UNDEFINED
+    return not boolean(v)
+
+
+@_b("exists", 1)
+def _f_exists(interp, v=UNDEFINED):
+    return v is not UNDEFINED
+
+
+# array -----------------------------------------------------------------------
+
+@_b("append", 2)
+def _f_append(interp, a=UNDEFINED, b=UNDEFINED):
+    if a is UNDEFINED:
+        return b
+    if b is UNDEFINED:
+        return a
+    out = ConsArray()
+    out.extend(iter_items(a))
+    out.extend(iter_items(b))
+    return out
+
+
+@_b("reverse", 1)
+def _f_reverse(interp, arr=UNDEFINED):
+    if arr is UNDEFINED:
+        return UNDEFINED
+    return ConsArray(reversed(list(iter_items(arr))))
+
+
+@_b("shuffle", 1)
+def _f_shuffle(interp, arr=UNDEFINED):
+    if arr is UNDEFINED:
+        return UNDEFINED
+    items = list(iter_items(arr))
+    random.shuffle(items)
+    return ConsArray(items)
+
+
+@_b("zip", 1, ctx_inject=False)
+def _f_zip(interp, *arrays):
+    lists = [list(iter_items(a)) if isinstance(a, list) else [a]
+             for a in arrays]
+    n = min((len(x) for x in lists), default=0)
+    return ConsArray(ConsArray(col[i] for col in lists) for i in range(n))
+
+
+@_b("sort", 1)
+def _f_sort(interp, arr=UNDEFINED, comparator=UNDEFINED):
+    if arr is UNDEFINED:
+        return UNDEFINED
+    items = list(iter_items(arr))
+    if comparator is UNDEFINED:
+        for v in items:
+            if not (is_number(v) or isinstance(v, str)):
+                raise JsonataError("$sort: default comparator needs "
+                                   "numbers or strings")
+        return ConsArray(sorted(items))
+    # merge sort with user comparator(a, b) -> true if a should come AFTER b
+    def merge(lo, hi):
+        out = []
+        i = j = 0
+        while i < len(lo) and j < len(hi):
+            swap = boolean(interp._call(comparator, [lo[i], hi[j]], None,
+                                        "sort"))
+            if swap:
+                out.append(hi[j]); j += 1
+            else:
+                out.append(lo[i]); i += 1
+        return out + lo[i:] + hi[j:]
+
+    def msort(xs):
+        if len(xs) <= 1:
+            return xs
+        mid = len(xs) // 2
+        return merge(msort(xs[:mid]), msort(xs[mid:]))
+
+    return ConsArray(msort(items))
+
+
+# object ----------------------------------------------------------------------
+
+@_b("keys", 1)
+def _f_keys(interp, obj=UNDEFINED):
+    if isinstance(obj, dict):
+        return ConsArray(obj.keys())
+    if isinstance(obj, list):
+        seen: dict = {}
+        for item in iter_items(obj):
+            if isinstance(item, dict):
+                for k in item:
+                    seen[k] = True
+        return ConsArray(seen.keys())
+    return UNDEFINED
+
+
+@_b("lookup", 2)
+def _f_lookup(interp, obj=UNDEFINED, key=UNDEFINED):
+    if isinstance(obj, dict):
+        return obj.get(key, UNDEFINED)
+    if isinstance(obj, list):
+        out = JSeq()
+        for item in iter_items(obj):
+            if isinstance(item, dict) and key in item:
+                seq_append(out, item[key])
+        return out
+    return UNDEFINED
+
+
+@_b("spread", 1)
+def _f_spread(interp, obj=UNDEFINED):
+    if isinstance(obj, dict):
+        return ConsArray({k: v} for k, v in obj.items())
+    if isinstance(obj, list):
+        out = ConsArray()
+        for item in iter_items(obj):
+            if isinstance(item, dict):
+                out.extend({k: v} for k, v in item.items())
+            else:
+                out.append(item)
+        return out
+    return obj if obj is not UNDEFINED else UNDEFINED
+
+
+@_b("merge", 1)
+def _f_merge(interp, objs=UNDEFINED):
+    if objs is UNDEFINED:
+        return UNDEFINED
+    out = {}
+    for item in iter_items(objs):
+        if not isinstance(item, dict):
+            raise JsonataError("$merge expects objects")
+        out.update(item)
+    return out
+
+
+@_b("each", 2)
+def _f_each(interp, obj=UNDEFINED, fn=UNDEFINED):
+    if not isinstance(obj, dict):
+        return UNDEFINED
+    out = JSeq()
+    for k, v in obj.items():
+        seq_append(out, interp._call(fn, [v, k], None, "each"))
+    return out
+
+
+@_b("sift", 2)
+def _f_sift(interp, obj=UNDEFINED, fn=UNDEFINED):
+    if not isinstance(obj, dict):
+        return UNDEFINED
+    out = {}
+    for k, v in obj.items():
+        if boolean(interp._call(fn, [v, k, obj], None, "sift")):
+            out[k] = v
+    return out
+
+
+# higher-order ----------------------------------------------------------------
+
+@_b("map", 2)
+def _f_map(interp, arr=UNDEFINED, fn=UNDEFINED):
+    if arr is UNDEFINED:
+        return UNDEFINED
+    items = list(iter_items(arr))
+    out = JSeq()
+    for i, item in enumerate(items):
+        seq_append(out, interp._call(fn, [item, i, items], None, "map"))
+    return out
+
+
+@_b("filter", 2)
+def _f_filter(interp, arr=UNDEFINED, fn=UNDEFINED):
+    if arr is UNDEFINED:
+        return UNDEFINED
+    items = list(iter_items(arr))
+    out = JSeq()
+    for i, item in enumerate(items):
+        if boolean(interp._call(fn, [item, i, items], None, "filter")):
+            seq_append(out, item)
+    return out
+
+
+@_b("reduce", 2)
+def _f_reduce(interp, arr=UNDEFINED, fn=UNDEFINED, init=UNDEFINED):
+    if arr is UNDEFINED:
+        return UNDEFINED
+    items = list(iter_items(arr))
+    if init is UNDEFINED:
+        if not items:
+            return UNDEFINED
+        acc, rest = items[0], items[1:]
+    else:
+        acc, rest = init, items
+    for item in rest:
+        acc = interp._call(fn, [acc, item], None, "reduce")
+    return unwrap(acc)
+
+
+# date/time -------------------------------------------------------------------
+
+@_b("now", 0, ctx_inject=False)
+def _f_now(interp):
+    return (
+        _dt.datetime.now(_dt.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+    )
+
+
+@_b("millis", 0, ctx_inject=False)
+def _f_millis(interp):
+    return int(time.time() * 1000)

@@ -1,0 +1,146 @@
+"""JSONata-transform queries: the reference's --transform path
+(bin/mqtt-streamr.js:48-51,108,157-159) exercised end-to-end on the events
+table via the COMPILED Column backend, hash-checked against DuckDB SQL that
+re-states the same transform relationally.
+
+The payload is built exactly like the streaming pipeline does: the events row
+serialized to JSON, parsed with try_parse_json, transformed by a compiled
+JSONata expression — all inside whole-stage codegen (no Python at run time).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col
+
+from mqtt_streamr_spark.jsonata.compiler import compile_column
+from mqtt_streamr_spark.queries.registry import query
+from mqtt_streamr_spark.tables import load
+
+
+def _payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events rows as JSON message payloads (the replay-source contract,
+    FIXTURES.md §1.1), parsed to a variant column."""
+    ev = load(spark, "events", sf_dir)
+    return ev.withColumn(
+        "payload",
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value", "props")),
+    ).withColumn("v", F.try_parse_json("payload"))
+
+
+_TRANSFORM = """
+{
+  "u": user_id,
+  "kind": $uppercase(event_type),
+  "v2": value * 2,
+  "tier": value > 50 ? 'high' : 'low',
+  "k": $number($substringAfter($substringBefore(props, '}'), ': '))
+}
+"""
+
+
+@query(
+    "jsonata_transform_compiled",
+    oracle="""
+    WITH msg AS (
+        SELECT user_id AS u,
+               upper(event_type) AS kind,
+               value * 2 AS v2,
+               CASE WHEN value > 50 THEN 'high' ELSE 'low' END AS tier,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+        FROM events
+    )
+    SELECT kind, tier,
+           count(*) AS n,
+           round(sum(v2), 2) AS total_v2,
+           round(avg(k), 4) AS avg_k,
+           count(DISTINCT u) AS n_users
+    FROM msg
+    GROUP BY kind, tier
+    """,
+)
+def jsonata_transform_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full message transform through the compiled JSONata backend: object
+    constructor, $uppercase, arithmetic, conditional, $number + string
+    functions — then a relational aggregate over the transformed fields."""
+    df = _payload_df(spark, sf_dir)
+    tc = compile_column(_TRANSFORM, col("v"))
+    # untransformed path fields stay VariantType; cast to concrete types
+    # before grouping (variant cannot be a shuffle key)
+    out = df.select(tc.col.alias("m")).select(
+        col("m.kind").alias("kind"),
+        col("m.tier").alias("tier"),
+        col("m.v2").alias("v2"),
+        col("m.k").alias("k"),
+        col("m.u").cast("long").alias("u"),
+    )
+    return out.groupBy("kind", "tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v2"), 2).alias("total_v2"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.countDistinct("u").alias("n_users"),
+    )
+
+
+@query(
+    "jsonata_filter_compiled",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+      AND value > 10
+    GROUP BY event_type
+    """,
+)
+def jsonata_filter_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A JSONata boolean expression compiled to a pushdown-friendly filter:
+    the predicate runs as a native Column, so Catalyst can reorder it with
+    the scan. props is parsed into the payload as a nested object so the
+    JSONata path ``props.k`` navigates it directly."""
+    ev = load(spark, "events", sf_dir)
+    df = ev.withColumn(
+        "payload",
+        F.to_json(
+            F.struct(
+                "event_type",
+                "value",
+                F.from_json("props", "k double").alias("props"),
+            )
+        ),
+    ).withColumn("v", F.try_parse_json("payload"))
+    pred = compile_column("$number(props.k) > 50 and value > 10", col("v"))
+    return (
+        df.filter(pred.col)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "jsonata_string_functions",
+    oracle="""
+    SELECT upper(substring(event_type, 1, 3)) AS prefix,
+           concat(event_type, ':', CAST(user_id % 5 AS VARCHAR)) AS tag,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def jsonata_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$uppercase/$substring/& string surface through the compiler."""
+    df = _payload_df(spark, sf_dir).withColumn(
+        "payload2",
+        F.to_json(
+            F.struct(
+                "event_type", (col("user_id") % 5).cast("long").alias("u5")
+            )
+        ),
+    ).withColumn("v2", F.try_parse_json("payload2"))
+    prefix = compile_column("$uppercase($substring(event_type, 0, 3))", col("v2"))
+    tag = compile_column("event_type & ':' & $string(u5)", col("v2"))
+    return (
+        df.select(prefix.col.alias("prefix"), tag.col.alias("tag"))
+        .groupBy("prefix", "tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,224 @@
+"""Differential tests: the Column compiler and the interpreter must agree.
+
+Each case evaluates one expression twice — interpreted over the Python value,
+and compiled to a Column over ``try_parse_json(payload)`` — and compares
+results. This is the §5.2 strategy from SURVEY.md: two independent backends,
+one semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from mqtt_streamr_spark.jsonata import jsonata
+from mqtt_streamr_spark.jsonata.compiler import (
+    NotCompilable,
+    compile_column,
+    compile_to_json,
+)
+from mqtt_streamr_spark.jsonata.values import UNDEFINED
+
+DOC = {
+    "user": "ada",
+    "kind": "sensor/temp",
+    "value": 21.5,
+    "count": 3,
+    "ok": True,
+    "tags": ["a", "b", "c"],
+    "nums": [1.5, 2.5, 3.0],
+    "nested": {"k": 42, "name": "x y z", "deep": {"leaf": "v"}},
+    "empty": None,
+}
+
+
+def run_compiled(spark, expr, data):
+    df = spark.createDataFrame([(json.dumps(data),)], "payload string")
+    tc = compile_column(expr, F.try_parse_json("payload"))
+    value = df.select(tc.col.alias("r")).collect()[0]["r"]
+    return _to_python(value)
+
+
+def _to_python(v):
+    from pyspark.sql import Row
+
+    if hasattr(v, "toPython"):  # VariantVal
+        return v.toPython()
+    if isinstance(v, Row):
+        return {k: _to_python(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_to_python(x) for x in v]
+    return v
+
+
+def assert_same(expected, actual, expr):
+    if expected is UNDEFINED:
+        assert actual is None, f"{expr}: expected undefined, got {actual!r}"
+        return
+    if isinstance(expected, bool):
+        assert actual is expected, f"{expr}: {actual!r} != {expected!r}"
+        return
+    if isinstance(expected, (int, float)):
+        assert actual is not None and math.isclose(
+            float(expected), float(actual), rel_tol=1e-12
+        ), f"{expr}: {actual!r} != {expected!r}"
+        return
+    if isinstance(expected, list):
+        assert isinstance(actual, list) and len(actual) == len(expected), \
+            f"{expr}: {actual!r} != {expected!r}"
+        for e, a in zip(expected, actual):
+            assert_same(e, a, expr)
+        return
+    if isinstance(expected, dict):
+        actual = {k: v for k, v in (actual or {}).items() if v is not None}
+        expected = {k: v for k, v in expected.items() if v is not None}
+        assert set(actual) == set(expected), f"{expr}: keys {actual} != {expected}"
+        for k in expected:
+            assert_same(expected[k], actual[k], expr)
+        return
+    assert actual == expected, f"{expr}: {actual!r} != {expected!r}"
+
+
+COMPILABLE = [
+    # paths
+    "user",
+    "nested.k",
+    "nested.deep.leaf",
+    "missing",
+    "nested.missing",
+    "tags[0]",
+    "tags[2]",
+    "$",
+    # arithmetic / comparison / boolean
+    "value * 2",
+    "value + count",
+    "nested.k - 40",
+    "value > 20",
+    "value > 100",
+    "count = 3",
+    "count != 3",
+    "user = 'ada'",
+    "kind = 'nope'",
+    "missing = 3",
+    "value > 20 and count = 3",
+    "value > 100 or ok",
+    "count % 2",
+    "-value",
+    "7 / 2",
+    # strings
+    "user & '-' & kind",
+    "'v=' & value",
+    "$uppercase(user)",
+    "$lowercase('ABC')",
+    "$trim('  a   b  ')",
+    "$length(kind)",
+    "$substring(kind, 0, 6)",
+    "$substring(kind, -4)",
+    "$substring(user, 1)",
+    "$substringBefore(kind, '/')",
+    "$substringAfter(kind, '/')",
+    "$pad(user, 6, '*')",
+    "$pad(user, -6)",
+    "$contains(kind, 'temp')",
+    "$contains(kind, /t.mp/)",
+    "$split(kind, '/')",
+    "$join($split(kind, '/'), '_')",
+    "$replace(kind, '/', ':')",
+    "$replace(nested.name, /\\s+/, '-')",
+    "$base64encode(user)",
+    "$base64decode($base64encode(user))",
+    # numerics
+    "$number('42') + 1",
+    "$abs(0 - value)",
+    "$floor(value)",
+    "$ceil(value)",
+    "$round(2.5)",
+    "$round(3.5)",
+    "$round(value, 0)",
+    "$power(count, 2)",
+    "$sqrt(16)",
+    "$formatBase(255, 16)",
+    # arrays
+    "$sum(nums)",
+    "$max(nums)",
+    "$min(nums)",
+    "$average(nums)",
+    "$count(nums)",
+    "$count(tags)",
+    "$count(missing)",
+    "$count(user)",
+    "$append([1,2],[3,4])",
+    "$reverse([1,2,3])",
+    "[1..4]",
+    "'b' in tags",
+    "2 in [1,2,3]",
+    # conditionals / blocks / binds
+    "value > 20 ? 'warm' : 'cold'",
+    "ok ? value : 0",
+    "($v := value * 2; $v + 1)",
+    "($a := 1; $b := 2; $a + $b)",
+    # chaining
+    "user ~> $uppercase",
+    "kind ~> $uppercase()",
+    "$split(kind, '/') ~> $join('.')",
+    # constructors
+    '{"u": user, "v2": value * 2, "k": nested.k}',
+    '{"a": {"b": value}}',
+    "[value, count]",
+    "[user, kind]",
+    # functions of paths
+    "$exists(missing)",
+    "$exists(user)",
+    "$exists(empty)",
+    "$string(value)",
+    "$string(count)",
+    "$number(nested.k) * 2",
+]
+
+
+@pytest.mark.parametrize("expr", COMPILABLE)
+def test_compiled_matches_interpreter(spark, expr):
+    expected = jsonata(expr).evaluate(DOC)
+    actual = run_compiled(spark, expr, DOC)
+    assert_same(expected, actual, expr)
+
+
+NOT_COMPILABLE = [
+    "Phone[type='mobile']",          # predicate filter
+    "**.leaf",                       # descendants
+    "tags^($)",                      # order-by
+    "nums{$string($): $}",           # group-by
+    "$map(nums, function($x){ $x * 2 })",  # lambdas (v0)
+    "$match(kind, /t.mp/)",          # regex match objects
+    "$each(nested, function($v,$k){ $v })",
+]
+
+
+@pytest.mark.parametrize("expr", NOT_COMPILABLE)
+def test_not_compilable_raises(spark, expr):
+    with pytest.raises(NotCompilable):
+        compile_column(expr, F.lit(None))
+
+
+def test_compile_to_json_object(spark):
+    df = spark.createDataFrame([(json.dumps(DOC),)], "payload string")
+    out = compile_to_json(
+        '{"u": user, "v2": value * 2, "gone": missing}',
+        F.try_parse_json("payload"),
+    )
+    got = json.loads(df.select(out.alias("j")).collect()[0]["j"])
+    # undefined-valued fields are dropped from JSON output, like JSONata
+    assert got == {"u": "ada", "v2": 43.0}
+
+
+def test_type_error_divergence_documented(spark):
+    """Interpreter raises on `1 + 'x'`; compiled path yields NULL. This is
+    the documented divergence — assert it stays that way."""
+    from mqtt_streamr_spark.jsonata.errors import JsonataError
+
+    with pytest.raises(JsonataError):
+        jsonata("1 + user").evaluate(DOC)
+    assert run_compiled(spark, "1 + user", DOC) is None

@@ -1,0 +1,330 @@
+"""Golden tests for the JSONata interpreter, derived from the public JSONata
+1.6 documentation examples and the reference's observable transform behavior
+(bin/mqtt-streamr.js:108,157-159). No Spark needed — pure Python."""
+
+from __future__ import annotations
+
+import pytest
+
+from mqtt_streamr_spark.jsonata import jsonata
+from mqtt_streamr_spark.jsonata.errors import JsonataError
+from mqtt_streamr_spark.jsonata.values import UNDEFINED
+
+DOC = {
+    "FirstName": "Fred",
+    "Surname": "Smith",
+    "Age": 28,
+    "Address": {"Street": "Hursley Park", "City": "Winchester",
+                "Postcode": "SO21 2JN"},
+    "Phone": [
+        {"type": "home", "number": "0203 544 1234"},
+        {"type": "office", "number": "01962 001234"},
+        {"type": "office", "number": "01962 001235"},
+        {"type": "mobile", "number": "077 7700 1234"},
+    ],
+    "Email": [
+        {"type": "office", "address": ["fred.smith@my-work.com",
+                                       "fsmith@my-work.com"]},
+        {"type": "home", "address": ["freddy@my-social.com",
+                                     "frederic.smith@very-serious.com"]},
+    ],
+    "Other": {
+        "Over 18 ?": True,
+        "Misc": None,
+        "Alternative.Address": {"Street": "Brick Lane", "City": "London",
+                                "Postcode": "E1 6RF"},
+    },
+}
+
+NUMS = {"Numbers": [1, 2.4, 3.5, 10, 20.9, 30]}
+
+
+def ev(expr, data=DOC):
+    return jsonata(expr).evaluate(data)
+
+
+# --- paths / navigation ---
+
+def test_simple_path():
+    assert ev("Surname") == "Smith"
+    assert ev("Age") == 28
+    assert ev("Address.City") == "Winchester"
+
+
+def test_missing_path_undefined():
+    assert ev("Other.Nothing") is UNDEFINED
+
+
+def test_quoted_name():
+    assert ev("Other.`Over 18 ?`") is True
+
+
+def test_array_index():
+    assert ev("Phone[0].number") == "0203 544 1234"
+    assert ev("Phone[-1].number") == "077 7700 1234"
+    assert ev("Phone[0]") == {"type": "home", "number": "0203 544 1234"}
+
+
+def test_array_flatten():
+    assert ev("Phone.number") == [
+        "0203 544 1234", "01962 001234", "01962 001235", "077 7700 1234"
+    ]
+    # nested arrays flatten in path results
+    assert ev("Email.address") == [
+        "fred.smith@my-work.com", "fsmith@my-work.com",
+        "freddy@my-social.com", "frederic.smith@very-serious.com",
+    ]
+
+
+def test_predicate_filter():
+    assert ev("Phone[type='mobile'].number") == "077 7700 1234"
+    assert ev("Phone[type='office'].number") == ["01962 001234", "01962 001235"]
+
+
+def test_keeparray():
+    assert ev("Phone[type='mobile'].number[]") == ["077 7700 1234"]
+
+
+def test_wildcard():
+    assert ev("Address.*") == ["Hursley Park", "Winchester", "SO21 2JN"]
+
+
+def test_descendants():
+    result = ev("**.Postcode")
+    assert result == ["SO21 2JN", "E1 6RF"]
+
+
+def test_singleton_array_equivalence():
+    assert ev("nest[0].x", {"nest": [{"x": 7}]}) == 7
+    assert ev("nest.x", {"nest": [{"x": 7}]}) == 7
+
+
+# --- operators ---
+
+@pytest.mark.parametrize("expr,expected", [
+    ("1 + 2", 3),
+    ("7 - 3.5", 3.5),
+    ("4 * 2.5", 10),
+    ("10 / 4", 2.5),
+    ("7 % 3", 1),
+    ("-7 % 3", -1),          # JS remainder keeps dividend sign
+    ("2 + 3 * 4", 14),
+    ("(2 + 3) * 4", 20),
+    ("'Hello' & ' ' & 'World'", "Hello World"),
+    ("1 & 2", "12"),          # & coerces via $string
+    ("5 > 3", True),
+    ("'a' < 'b'", True),
+    ("1 = 1.0", True),
+    ("1 != 2", True),
+    ("'x' = 1", False),        # cross-type equality is false, not error
+    ("2 in [1,2,3]", True),
+    ("5 in [1,2,3]", False),
+    ("true and false", False),
+    ("true or false", True),
+    ("[1..5]", [1, 2, 3, 4, 5]),
+    ("[1..3, 7..9]", [1, 2, 3, 7, 8, 9]),
+    ("[5..1]", []),
+])
+def test_operators(expr, expected):
+    assert ev(expr, {}) == expected
+
+
+def test_arithmetic_undefined_propagates():
+    assert ev("Age + missing") is UNDEFINED
+    assert ev("missing * 2") is UNDEFINED
+
+
+def test_equality_with_undefined_is_false():
+    assert ev("missing = 3") is False
+    assert ev("missing != 3") is False
+
+
+def test_conditional():
+    assert ev("Age > 18 ? 'adult' : 'minor'") == "adult"
+    assert ev("Age < 18 ? 'minor'") is UNDEFINED
+
+
+def test_string_concat_undefined_is_empty():
+    assert ev("'x' & missing") == "x"
+
+
+# --- constructors ---
+
+def test_object_constructor():
+    assert ev('{"name": FirstName & " " & Surname, "age": Age}') == {
+        "name": "Fred Smith", "age": 28
+    }
+
+
+def test_object_drops_undefined_values():
+    assert ev('{"a": 1, "b": missing}', DOC) == {"a": 1}
+
+
+def test_array_constructor():
+    assert ev("[Age, 1+1, 'x']") == [28, 2, "x"]
+
+
+def test_groupby():
+    result = ev("Phone{type: number}")
+    assert result == {
+        "home": "0203 544 1234",
+        "office": ["01962 001234", "01962 001235"],
+        "mobile": "077 7700 1234",
+    }
+
+
+def test_groupby_aggregate():
+    data = {"items": [
+        {"cat": "a", "price": 1}, {"cat": "b", "price": 2},
+        {"cat": "a", "price": 3},
+    ]}
+    assert ev("items{cat: $sum(price)}", data) == {"a": 4, "b": 2}
+
+
+# --- variables / blocks / lambdas ---
+
+def test_bind_and_block():
+    assert ev("($x := 5; $x * 2)", {}) == 10
+
+
+def test_context_variable():
+    assert ev("Phone[type='home'].($number(  $substring(number, 0, 4) ))") == 203
+
+
+def test_lambda():
+    assert ev("($f := function($x){ $x * $x }; $f(4))", {}) == 16
+
+
+def test_lambda_recursion():
+    expr = ("($fact := function($n){ $n <= 1 ? 1 : $n * $fact($n - 1) };"
+            " $fact(5))")
+    assert ev(expr, {}) == 120
+
+
+def test_higher_order():
+    assert ev("$map([1,2,3], function($v){ $v * 10 })", {}) == [10, 20, 30]
+    assert ev("$filter([1,2,3,4], function($v){ $v % 2 = 0 })", {}) == [2, 4]
+    assert ev("$reduce([1,2,3,4], function($a,$b){ $a + $b })", {}) == 10
+    assert ev("$reduce([1,2,3], function($a,$b){ $a + $b }, 10)", {}) == 16
+
+
+def test_chain_operator():
+    assert ev("'  hi  ' ~> $trim ~> $uppercase", {}) == "HI"
+    assert ev("[3,1,2] ~> $sort", {}) == [1, 2, 3]
+
+
+# --- sort ---
+
+def test_sort_operator():
+    data = {"xs": [{"a": 3, "b": "x"}, {"a": 1, "b": "y"}, {"a": 3, "b": "w"}]}
+    assert ev("xs^(a).b", data) == ["y", "x", "w"]
+    assert ev("xs^(>a, b).b", data) == ["w", "x", "y"]
+
+
+# --- function library ---
+
+@pytest.mark.parametrize("expr,expected", [
+    ("$string(5)", "5"),
+    ("$string(2.5)", "2.5"),
+    ('$string({"a": 1})', '{"a":1}'),
+    ("$length('hello')", 5),
+    ("$substring('hello world', 0, 5)", "hello"),
+    ("$substring('hello world', -5)", "world"),
+    ("$substringBefore('a-b', '-')", "a"),
+    ("$substringAfter('a-b', '-')", "b"),
+    ("$uppercase('abc')", "ABC"),
+    ("$lowercase('ABC')", "abc"),
+    ("$trim('  a   b  ')", "a b"),
+    ("$pad('x', 5, '-')", "x----"),
+    ("$pad('x', -5)", "    x"),
+    ("$contains('hello', 'ell')", True),
+    ("$contains('hello', /l+/)", True),
+    ("$split('a,b,c', ',')", ["a", "b", "c"]),
+    ("$split('a,b,c', ',', 2)", ["a", "b"]),
+    ("$join(['a','b'], '-')", "a-b"),
+    ("$replace('aaa', 'a', 'b', 2)", "bba"),
+    ("$replace('john smith', /(\\w+) (\\w+)/, '$2 $1')", "smith john"),
+    ("$match('ab12cd34', /\\d+/).match", ["12", "34"]),
+    ("$base64encode('abc')", "YWJj"),
+    ("$base64decode('YWJj')", "abc"),
+    ("$number('3.5')", 3.5),
+    ("$number('12')", 12),
+    ("$abs(-5)", 5),
+    ("$floor(3.7)", 3),
+    ("$ceil(3.2)", 4),
+    ("$round(2.5)", 2),       # half-even
+    ("$round(3.5)", 4),
+    ("$round(1.25, 1)", 1.2),
+    ("$power(2, 10)", 1024),
+    ("$sqrt(16)", 4),
+    ("$formatBase(255, 16)", "ff"),
+    ("$formatNumber(12345.678, '#,##0.00')", "12,345.68"),
+    ("$sum([1,2,3])", 6),
+    ("$max([1,5,3])", 5),
+    ("$min([1,5,3])", 1),
+    ("$average([1,2,3,4])", 2.5),
+    ("$count([1,2,3])", 3),
+    ("$count(missing)", 0),
+    ("$boolean(0)", False),
+    ("$boolean('a')", True),
+    ("$boolean([])", False),
+    ("$boolean([0,0,1])", True),
+    ("$boolean({})", False),
+    ("$not(0)", True),
+    ("$exists(missing)", False),
+    ("$append([1,2], [3])", [1, 2, 3]),
+    ("$append(1, 2)", [1, 2]),
+    ("$reverse([1,2,3])", [3, 2, 1]),
+    ("$zip([1,2],[3,4])", [[1, 3], [2, 4]]),
+    ("$zip([1,2],[3,4,5])", [[1, 3], [2, 4]]),
+    ("$sort([3,1,2])", [1, 2, 3]),
+    ("$sort(['b','a'], function($a,$b){ $a < $b })", ["b", "a"]),
+    ('$keys({"a":1,"b":2})', ["a", "b"]),
+    ('$lookup({"a":1}, "a")', 1),
+    ('$spread({"a":1,"b":2})', [{"a": 1}, {"b": 2}]),
+    ('$merge([{"a":1},{"b":2},{"a":3}])', {"a": 3, "b": 2}),
+    ('$each({"a":1}, function($v,$k){ {$k: $v*2} })', {"a": 2}),
+    ('$sift({"a":1,"b":10}, function($v){ $v > 5 })', {"b": 10}),
+])
+def test_functions(expr, expected):
+    assert ev(expr, {}) == expected
+
+
+def test_context_injection():
+    assert ev("FirstName.$uppercase()") == "FRED"
+    # path steps map per-item, so aggregation over a sequence uses ~>
+    assert ev("Numbers ~> $sum()", NUMS) == pytest.approx(67.8)
+    assert ev("Numbers.$string()", NUMS) == [
+        "1", "2.4", "3.5", "10", "20.9", "30"
+    ]
+
+
+def test_aggregates_on_paths():
+    assert ev("$sum(Numbers)", NUMS) == pytest.approx(67.8)
+    assert ev("$count(Phone)") == 4
+
+
+# --- errors ---
+
+@pytest.mark.parametrize("expr", [
+    "1 + 'x'",
+    "1 < 'x'",
+    "$sqrt(-1)",
+    "1 / 0",
+])
+def test_type_errors(expr):
+    with pytest.raises(JsonataError):
+        ev(expr, {})
+
+
+@pytest.mark.parametrize("bad", ["a.", "{", "function($x{1}", "1 +"])
+def test_parse_errors(bad):
+    with pytest.raises(JsonataError):
+        jsonata(bad)
+
+
+def test_now_and_millis():
+    import re
+    assert re.match(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z",
+                    ev("$now()", {}))
+    assert isinstance(ev("$millis()", {}), int)
