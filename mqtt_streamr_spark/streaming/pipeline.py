@@ -1,0 +1,273 @@
+"""The streaming bridge: the reference's whole runtime re-expressed as one
+Structured Streaming pipeline.
+
+Reference dataflow (bin/mqtt-streamr.js:144-200, SURVEY.md §3.2):
+    message -> JSON.parse (drop invalid) -> jsonata transform -> derive
+    stream id -> memoized stream creation -> publish -> success/error count.
+
+Engine dataflow (one micro-batch):
+    source df [topic, payload, arrival_ts]
+      -> try_parse_json + invalid-drop (dead-letter optional)
+      -> compiled/interpreted JSONata transform
+      -> stream_id Column (truncation + template / fixed id)
+      -> foreachBatch: per-key memoized sink init + partitioned write
+      -> IntervalLogger success/error counts.
+
+Scale notes: the hot path is pure Column work (codegen). The sink write is
+``partitionBy(stream_id)`` — Spark's dynamic partition write fans out to any
+number of streams in one job, instead of the reference's one-awaited-publish
+-per-message. The per-key creation memo is a driver-side dict exactly like
+the reference's ``streamCreateFutures`` (bin:10) — O(distinct streams), not
+O(messages); a TTL would bound it for unbounded key spaces (documented
+upgrade over the reference, which never evicts either).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import streaming as S
+
+from mqtt_streamr_spark.operators.routing import stream_id_from_template
+from mqtt_streamr_spark.streaming.stats import IntervalLogger
+from mqtt_streamr_spark.streaming.transform import transform_to_json
+
+
+@dataclass
+class PipelineSpec:
+    """CLI-options analog (bin/mqtt-streamr.js:12-68). Three required options
+    there (bin:67); here the source/sink take their place. Defaults mirror
+    the reference where one exists."""
+
+    topics: list[str] = field(default_factory=list)
+    transform: str | None = None                      # bin:48-51
+    transform_mode: str = "auto"
+    stream_id: str | None = None                      # bin:40-42 fixed bypass
+    stream_id_template: str = "/$topic"               # bin:36-39 default
+    topic_levels: int | None = None                   # bin:43-47
+    dry_run: bool = False                             # bin:62-66
+    verbose: bool = False                             # bin:26-30
+    log_interval: float = 60.0                        # bin:52-56
+    public: bool = False                              # bin:31-35 ACL analog
+    dead_letter_dir: str | None = None                # engine upgrade
+    sink_format: str = "parquet"
+    sink_dir: str | None = None
+
+    def validate(self) -> None:
+        if not self.dry_run and self.sink_dir is None:
+            raise ValueError("sink_dir is required unless dry_run")
+        if self.stream_id is None and "$topic" not in self.stream_id_template \
+                and self.topic_levels:
+            # harmless, but signals misconfiguration: truncation configured
+            # yet the template ignores the topic entirely
+            pass
+
+
+class StreamRegistry:
+    """Memoized per-stream sink initialization — the engine analog of
+    ``streamCreateFutures`` + ``getOrCreateStream`` (bin:10,168-184):
+    the first record routed to a stream id triggers creation exactly once,
+    concurrent batches await the same in-flight creation."""
+
+    def __init__(self, public_default: bool = False):
+        self._lock = threading.Lock()
+        self._streams: dict[str, dict] = {}
+
+        self.public_default = public_default
+
+    def get_or_create(self, stream_id: str) -> dict:
+        with self._lock:
+            meta = self._streams.get(stream_id)
+            if meta is None:
+                meta = {"id": stream_id, "public_read": False}
+                self._streams[stream_id] = meta
+        # ACL grant outside the lock, idempotent (bin:173-181 semantics)
+        if self.public_default and not meta["public_read"]:
+            meta["public_read"] = True
+        return meta
+
+    @property
+    def stream_ids(self) -> list[str]:
+        with self._lock:
+            return sorted(self._streams)
+
+
+class StreamingBridge:
+    """Build + run the pipeline. Source contract: a streaming DataFrame with
+    ``topic STRING, payload STRING`` (arrival_ts added if absent)."""
+
+    def __init__(self, spec: PipelineSpec, logger: IntervalLogger | None = None):
+        spec.validate()
+        self.spec = spec
+        self.logger = logger or IntervalLogger(spec.log_interval)
+        self.registry = StreamRegistry(public_default=spec.public)
+        self.transform_backend: str | None = None
+
+    # --- plan construction (all Column work; no Python in the hot path) ---
+
+    def plan(self, source: DataFrame) -> DataFrame:
+        df = source
+        if "arrival_ts" not in df.columns:
+            df = df.withColumn("arrival_ts", F.current_timestamp())
+
+        # parse + invalid-drop (bin:149-155): record both streams
+        df = df.withColumn("parsed", F.try_parse_json("payload"))
+        df = df.withColumn("is_valid", F.col("parsed").isNotNull())
+
+        # transform (bin:157-159)
+        if self.spec.transform:
+            out_col, backend = transform_to_json(
+                self.spec.transform, F.col("payload"),
+                mode=self.spec.transform_mode,
+            )
+            self.transform_backend = backend
+            df = df.withColumn("message", out_col)
+        else:
+            df = df.withColumn("message", F.col("payload"))
+
+        # routing (bin:161-166)
+        df = df.withColumn(
+            "stream_id",
+            stream_id_from_template(
+                F.col("topic"),
+                self.spec.stream_id_template,
+                topic_levels=self.spec.topic_levels,
+                fixed_stream_id=self.spec.stream_id,
+            ),
+        )
+        return df.select("topic", "payload", "arrival_ts", "is_valid",
+                         "stream_id", "message")
+
+    # --- sink -------------------------------------------------------------
+
+    def _write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spec = self.spec
+        batch = batch.persist()  # reused by count + write + dead-letter
+        try:
+            self._write_batch_inner(batch, batch_id)
+        finally:
+            batch.unpersist()
+
+    def _write_batch_inner(self, batch: DataFrame, batch_id: int) -> None:
+        spec = self.spec
+        valid = batch.filter(F.col("is_valid"))
+        invalid = batch.filter(~F.col("is_valid"))
+
+        # invalid-JSON drop is counted nowhere in the reference (only
+        # console-logged, bin:153); dead-letter is our upgrade
+        if spec.dead_letter_dir:
+            (invalid.select("topic", "payload", "arrival_ts")
+             .write.mode("append").format(spec.sink_format)
+             .save(spec.dead_letter_dir))
+
+        if spec.verbose:
+            for row in valid.select("topic", "stream_id").limit(20).collect():
+                prefix = "DRY-RUN: " if spec.dry_run else ""
+                print(f"{prefix}{row['topic']} -> {row['stream_id']}")
+
+        try:
+            n_valid = valid.count()
+            if not spec.dry_run:
+                # memoized per-key init (bin:168-184)
+                for row in valid.select("stream_id").distinct().collect():
+                    self.registry.get_or_create(row["stream_id"])
+                (valid.select("stream_id", "message", "arrival_ts")
+                 .write.mode("append").partitionBy("stream_id")
+                 .format(spec.sink_format).save(spec.sink_dir))
+            self.logger.success_increment(n_valid)
+        except Exception:
+            self.logger.error_increment(valid.count())
+            raise
+
+    # --- run --------------------------------------------------------------
+
+    def start(self, source: DataFrame, *, checkpoint_dir: str,
+              trigger_available_now: bool = True) -> S.StreamingQuery:
+        planned = self.plan(source)
+        writer = (
+            planned.writeStream.foreachBatch(self._write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_batch(self, source: DataFrame) -> None:
+        """Run the same plan in batch mode (replay testing / backfill)."""
+        self._write_batch(self.plan(source), -1)
+
+    # --- distributed stats (engine extension; Logger parity is driver-side)
+
+    def stats_stream(self, planned: DataFrame, interval: str = "60 seconds"
+                     ) -> DataFrame:
+        """Event/processing-time tumbling success-vs-error counts as a
+        streaming aggregation (update mode), the distributed twin of
+        IntervalLogger."""
+        return (
+            planned.withColumn(
+                "outcome",
+                F.when(F.col("is_valid"), "success").otherwise("error"),
+            )
+            .withWatermark("arrival_ts", "0 seconds")
+            .groupBy(F.window("arrival_ts", interval), F.col("outcome"))
+            .count()
+        )
+
+
+def replay_source(spark: SparkSession, events_path: str,
+                  streaming: bool = True,
+                  malformed_every: int | None = None) -> DataFrame:
+    """Deterministic test double for the MQTT source (SURVEY.md §5.3):
+    replays the events table as (topic, payload) messages with
+    ``topic = /events/<event_type>/u<user_id%10>``. ``malformed_every``
+    corrupts every Nth payload to exercise the invalid-drop path."""
+    # events.ts is parquet TIMESTAMP(NANOS); read as int64 (see tables.load)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if streaming:
+        # the file source needs a directory of its own; link the single
+        # parquet into a scratch dir (testdata itself is read-only)
+        if events_path.endswith(".parquet"):
+            # deterministic scratch dir so a checkpointed query can restart
+            # against the same recorded source path
+            import hashlib
+            import tempfile
+
+            tag = hashlib.sha1(events_path.encode()).hexdigest()[:12]
+            d = os.path.join(tempfile.gettempdir(), f"replay_{tag}")
+            os.makedirs(d, exist_ok=True)
+            link = os.path.join(d, "events.parquet")
+            if not os.path.exists(link):
+                os.symlink(events_path, link)
+            src_dir = d
+        else:
+            src_dir = events_path
+        schema = spark.read.parquet(events_path).schema
+        base = spark.readStream.schema(schema).parquet(src_dir)
+    else:
+        base = spark.read.parquet(events_path)
+    df = (
+        base.withColumn(
+            "topic",
+            F.concat(F.lit("/events/"), F.col("event_type"), F.lit("/u"),
+                     (F.col("user_id") % 10).cast("string")),
+        )
+        .withColumn(
+            "payload",
+            F.to_json(F.struct("event_id", "user_id", "event_type", "value",
+                               "props")),
+        )
+    )
+    if malformed_every:
+        df = df.withColumn(
+            "payload",
+            F.when(
+                F.col("event_id") % malformed_every == 0,
+                F.expr("substring(payload, 1, length(payload) - 1)"),
+            ).otherwise(F.col("payload")),
+        )
+    return df.select("topic", "payload")

@@ -1,0 +1,106 @@
+"""Interval success/error stats — semantic parity with the reference's
+Logger (/root/reference/src/Logger.js:1-21): two counters, reported and RESET
+every ``log_interval`` seconds, default 60 (bin/mqtt-streamr.js:52-56).
+
+In the engine the counters are fed per micro-batch from the sink
+(foreachBatch), so one driver-side object reproduces the contract exactly;
+the distributed analog (event-time tumbling windows) is the
+``events_success_error_daily`` query and the streaming aggregation in
+StreamingBridge.stats_stream()."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+
+class IntervalLogger:
+    def __init__(self, log_interval: float = 60.0, sink=print):
+        self.log_interval = log_interval
+        self._sink = sink
+        self._lock = threading.Lock()
+        self._success = 0
+        self._error = 0
+        self._timer: threading.Timer | None = None
+        self.reports: list[tuple[int, int]] = []
+
+    def success_increment(self, n: int = 1) -> None:
+        with self._lock:
+            self._success += n
+
+    def error_increment(self, n: int = 1) -> None:
+        with self._lock:
+            self._error += n
+
+    def report(self) -> tuple[int, int]:
+        """Emit and RESET the counters (Logger.js:17-21)."""
+        with self._lock:
+            counts = (self._success, self._error)
+            self._success = 0
+            self._error = 0
+        self.reports.append(counts)
+        self._sink(
+            f"Success: {counts[0]}, Errors: {counts[1]} "
+            f"(last {self.log_interval:g} s)"
+        )
+        return counts
+
+    def start(self) -> None:
+        def tick():
+            self.report()
+            with self._lock:
+                if self._timer is not None:
+                    self._timer = threading.Timer(self.log_interval, tick)
+                    self._timer.daemon = True
+                    self._timer.start()
+
+        self._timer = threading.Timer(self.log_interval, tick)
+        self._timer.daemon = True
+        self._timer.start()
+
+    def stop(self) -> None:
+        with self._lock:
+            t, self._timer = self._timer, None
+        if t is not None:
+            t.cancel()
+
+
+class DataTimeoutWatchdog:
+    """Resettable liveness timer — parity with
+    /root/reference/src/DataTimeoutUtil.js:1-17 + bin/mqtt-streamr.js:86-97:
+    if no data arrives for ``timeout`` seconds, invoke ``on_timeout`` (the
+    reference force-reconnects the MQTT client; our MQTT source does the
+    same inside its reader). timeout=0 disables (bin:57-61)."""
+
+    def __init__(self, timeout: float, on_timeout):
+        self.timeout = timeout
+        self.on_timeout = on_timeout
+        self._timer: threading.Timer | None = None
+        self._lock = threading.Lock()
+        self.fired = 0
+
+    def reset(self) -> None:
+        if not self.timeout:
+            return
+        with self._lock:
+            if self._timer is not None:
+                self._timer.cancel()
+
+            def fire():
+                self.fired += 1
+                self.on_timeout()
+                self.reset()
+
+            self._timer = threading.Timer(self.timeout, fire)
+            self._timer.daemon = True
+            self._timer.start()
+
+    def stop(self) -> None:
+        with self._lock:
+            if self._timer is not None:
+                self._timer.cancel()
+                self._timer = None
+
+
+def utcnow() -> float:
+    return time.time()

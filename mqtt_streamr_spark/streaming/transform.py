@@ -1,0 +1,75 @@
+"""Transform stage: compiled Column when possible, interpreter UDF otherwise.
+
+Mirrors the reference's single --transform option (bin/mqtt-streamr.js:48-51):
+the expression is parsed ONCE at pipeline build time (bin:108 parity); per
+record it runs either as a Catalyst expression (fast path) or as an
+Arrow-batched pandas UDF hosting the Python interpreter (fallback — still
+batched, never row-at-a-time Python)."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+from mqtt_streamr_spark.jsonata import jsonata
+from mqtt_streamr_spark.jsonata.compiler import compile_to_json
+from mqtt_streamr_spark.jsonata.errors import NotCompilable
+
+
+def transform_to_json(expr: str, payload_col: Column, *,
+                      mode: str = "auto") -> tuple[Column, str]:
+    """Build a Column mapping a JSON-string payload to the transformed
+    JSON-string output. Returns (column, backend) where backend is
+    'compiled' or 'interpreted'.
+
+    mode: 'auto' (try compiled, fall back), 'compiled' (raise if not
+    compilable), 'interpreted' (force the UDF).
+    """
+    parsed = jsonata(expr)  # parse errors surface at build time, like bin:108
+    if mode in ("auto", "compiled"):
+        try:
+            col = compile_to_json(parsed.ast, F.try_parse_json(payload_col))
+            return col, "compiled"
+        except NotCompilable:
+            if mode == "compiled":
+                raise
+    return _interpreted_udf(expr)(payload_col), "interpreted"
+
+
+def _interpreted_udf(expr: str):
+    """Arrow-batched fallback. The expression string (not the AST closure)
+    is captured so the UDF pickles cheaply to executors; each executor
+    parses once per python worker."""
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _transform(payloads):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        from mqtt_streamr_spark.jsonata import jsonata as _jsonata
+        from mqtt_streamr_spark.jsonata.values import UNDEFINED
+
+        compiled = _jsonata(expr)
+
+        def one(payload):
+            if payload is None:
+                return None
+            try:
+                value = json.loads(payload)
+            except (ValueError, TypeError):
+                return None
+            try:
+                result = compiled.evaluate(value)
+            except Exception:
+                return None
+            if result is UNDEFINED:
+                return None
+            return json.dumps(result, separators=(",", ":"),
+                              ensure_ascii=False)
+
+        return pd.Series([one(p) for p in payloads])
+
+    return _transform

@@ -1,0 +1,166 @@
+"""End-to-end pipeline tests (SURVEY.md §5.3): replay events as a simulated
+MQTT stream, run the full parse->transform->route->sink->stats pipeline,
+assert routed outputs and count conservation (success + dead-letter =
+input)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from mqtt_streamr_spark.streaming.pipeline import (
+    PipelineSpec,
+    StreamingBridge,
+    replay_source,
+)
+from mqtt_streamr_spark.streaming.stats import DataTimeoutWatchdog, IntervalLogger
+
+from tests.conftest import SF_SMOKE
+
+EVENTS = os.path.join(SF_SMOKE, "events.parquet")
+
+
+@pytest.fixture()
+def tmpdirs():
+    with tempfile.TemporaryDirectory() as d:
+        yield {
+            "sink": os.path.join(d, "sink"),
+            "dead": os.path.join(d, "dead"),
+            "ckpt": os.path.join(d, "ckpt"),
+        }
+
+
+TRANSFORM = '{"u": user_id, "kind": $uppercase(event_type), "v2": value * 2}'
+
+
+def test_streaming_end_to_end(spark, tmpdirs):
+    spec = PipelineSpec(
+        transform=TRANSFORM,
+        stream_id_template="/streamr/$topic",
+        topic_levels=2,
+        sink_dir=tmpdirs["sink"],
+        dead_letter_dir=tmpdirs["dead"],
+        log_interval=3600,
+    )
+    bridge = StreamingBridge(spec)
+    src = replay_source(spark, EVENTS, streaming=True, malformed_every=7)
+    q = bridge.start(src, checkpoint_dir=tmpdirs["ckpt"])
+    q.awaitTermination(timeout=120)
+    assert bridge.transform_backend == "compiled"
+
+    total = spark.read.parquet(EVENTS).count()
+    out = spark.read.parquet(tmpdirs["sink"])
+    dead = spark.read.parquet(tmpdirs["dead"])
+    n_invalid = spark.read.parquet(EVENTS).filter(
+        F.col("event_id") % 7 == 0
+    ).count()
+
+    # count conservation: success + dead-letter = input (bin:149-155,195)
+    assert out.count() == total - n_invalid
+    assert dead.count() == n_invalid
+    success, errors = bridge.logger.report()
+    assert success == total - n_invalid
+    assert errors == 0
+
+    # routing: one partition per truncated topic (5 event types)
+    stream_ids = {r["stream_id"] for r in out.select("stream_id").distinct().collect()}
+    assert stream_ids == {
+        f"/streamr//events/{t}"
+        for t in ("click", "error", "purchase", "signup", "view")
+    }
+    assert bridge.registry.stream_ids == sorted(stream_ids)
+
+    # transform applied: messages carry the transformed shape
+    msg = json.loads(out.limit(1).collect()[0]["message"])
+    assert set(msg) == {"u", "kind", "v2"} and msg["kind"].isupper()
+
+
+def test_batch_and_streaming_agree(spark, tmpdirs):
+    """The same plan in batch mode must produce identical routed counts."""
+    spec = PipelineSpec(
+        transform=TRANSFORM, stream_id_template="/s/$topic", topic_levels=1,
+        sink_dir=tmpdirs["sink"], log_interval=3600,
+    )
+    bridge = StreamingBridge(spec)
+    bridge.run_batch(replay_source(spark, EVENTS, streaming=False))
+    out = spark.read.parquet(tmpdirs["sink"])
+    assert out.count() == spark.read.parquet(EVENTS).count()
+    # levels=1 collapses every topic to /events -> a single stream
+    assert bridge.registry.stream_ids == ["/s//events"]
+
+
+def test_fixed_stream_id_and_dry_run(spark, tmpdirs):
+    spec = PipelineSpec(stream_id="/fixed", dry_run=True, log_interval=3600)
+    bridge = StreamingBridge(spec)
+    bridge.run_batch(replay_source(spark, EVENTS, streaming=False))
+    # dry run: nothing written, nothing registered, but counts still flow
+    assert bridge.registry.stream_ids == []
+    success, errors = bridge.logger.report()
+    assert success == spark.read.parquet(EVENTS).count()
+    assert errors == 0
+
+
+def test_interpreted_fallback(spark, tmpdirs):
+    """A transform the compiler can't express must still run (interpreter
+    UDF) and agree with direct interpretation."""
+    expr = "$merge([{'a': value}, {'b': $map([1,2], function($x){ $x * 2 })}])"
+    spec = PipelineSpec(
+        transform=expr, sink_dir=tmpdirs["sink"], log_interval=3600,
+    )
+    bridge = StreamingBridge(spec)
+    bridge.run_batch(replay_source(spark, EVENTS, streaming=False))
+    assert bridge.transform_backend == "interpreted"
+    out = spark.read.parquet(tmpdirs["sink"])
+    msg = json.loads(out.limit(1).collect()[0]["message"])
+    assert set(msg) == {"a", "b"} and msg["b"] == [2, 4]
+
+
+def test_stats_stream(spark, tmpdirs):
+    spec = PipelineSpec(dry_run=True, log_interval=3600)
+    bridge = StreamingBridge(spec)
+    planned = bridge.plan(
+        replay_source(spark, EVENTS, streaming=False, malformed_every=5)
+    )
+    stats = (
+        planned.withColumn(
+            "outcome",
+            F.when(F.col("is_valid"), "success").otherwise("error"),
+        )
+        .groupBy("outcome")
+        .count()
+    )
+    rows = {r["outcome"]: r["count"] for r in stats.collect()}
+    total = spark.read.parquet(EVENTS).count()
+    assert rows["success"] + rows["error"] == total
+    assert rows["error"] == spark.read.parquet(EVENTS).filter(
+        F.col("event_id") % 5 == 0
+    ).count()
+
+
+def test_interval_logger_reset():
+    logs = []
+    logger = IntervalLogger(log_interval=0.05, sink=logs.append)
+    logger.success_increment(3)
+    logger.error_increment()
+    assert logger.report() == (3, 1)
+    # counters reset after report (Logger.js:19-20)
+    assert logger.report() == (0, 0)
+
+
+def test_data_timeout_watchdog():
+    import time
+
+    fired = []
+    wd = DataTimeoutWatchdog(0.05, lambda: fired.append(1))
+    wd.reset()
+    time.sleep(0.2)
+    wd.stop()
+    assert len(fired) >= 1  # fired and re-armed (DataTimeoutUtil.js:8-13)
+
+    wd2 = DataTimeoutWatchdog(0, lambda: fired.append(2))
+    wd2.reset()  # timeout=0 disables (bin:57-61)
+    assert wd2._timer is None
