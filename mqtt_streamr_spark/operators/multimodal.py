@@ -1,0 +1,102 @@
+"""Multimodal column pattern: image/audio/video as opaque ``binary`` columns
+with a typed metadata struct, processed by Arrow-batched ``mapInPandas``.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): ``decode_image``/``decode_audio`` raise NotImplementedError, and
+``fake_feature_extractor`` is the deterministic stand-in used by tests and
+queries. The Spark-side plumbing — schema, batch iteration, partition
+behavior, UDF signature — is real and tested; swapping the stub for PIL /
+torchaudio is a one-function change.
+
+Scale notes: mapInPandas streams Arrow batches, so executor memory is
+bounded by batch size (spark.sql.execution.arrow.maxRecordsPerBatch), not
+partition size — the right shape for multi-MB media blobs. Keep blobs in
+their own column family / table and join on content id; never groupBy a
+binary column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "content_id bigint, media binary, mime string, n_bytes long"
+)
+
+FEATURE_SCHEMA = (
+    "content_id bigint, n_bytes long, sha_prefix string, "
+    "feature_vec array<double>"
+)
+
+
+def attach_media_metadata(df: DataFrame, binary_col: str = "media") -> DataFrame:
+    """Typed metadata companion columns for an opaque binary column."""
+    return df.withColumn("n_bytes", F.octet_length(F.col(binary_col)).cast("long"))
+
+
+def decode_image(media_bytes: bytes):  # pragma: no cover - stub
+    """Real image decode (PIL/libvips) — unavailable in this container."""
+    raise NotImplementedError(
+        "image decoding requires PIL/libvips; wire it here in production"
+    )
+
+
+def decode_audio(media_bytes: bytes):  # pragma: no cover - stub
+    raise NotImplementedError(
+        "audio decoding requires torchaudio/ffmpeg; wire it here in production"
+    )
+
+
+def fake_feature_extractor(media_bytes: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for an embedding model: md5-seeded pseudo
+    features. Same bytes -> same vector, any engine, no libraries."""
+    import hashlib
+
+    h = hashlib.md5(media_bytes).digest()
+    return [h[i] / 255.0 for i in range(dim)]
+
+
+def extract_features(df: DataFrame, binary_col: str = "media",
+                     id_col: str = "content_id", dim: int = 8) -> DataFrame:
+    """The mapInPandas feature-extraction stage. Batch shape: pandas
+    DataFrames with the binary column as bytes objects."""
+
+    def batches(it: Iterator) -> Iterator:
+        # self-contained closure: executors may not have this package on
+        # sys.path (the external harness imports the repo from a bare dir),
+        # so only stdlib + pandas are referenced
+        import hashlib
+
+        import pandas as pd
+
+        def fake_features(b: bytes) -> list[float]:
+            h = hashlib.md5(b).digest()
+            return [h[i] / 255.0 for i in range(dim)]
+
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "content_id": pdf[id_col],
+                    "n_bytes": pdf[binary_col].map(len).astype("int64"),
+                    "sha_prefix": pdf[binary_col].map(
+                        lambda b: hashlib.md5(b).hexdigest()[:8]
+                    ),
+                    "feature_vec": pdf[binary_col].map(fake_features),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Fixture adapter: treat document text bytes as the opaque media blob
+    (the testdata ships no real binaries)."""
+    return df.select(
+        F.col("doc_id").alias("content_id"),
+        F.encode(F.col("text"), "utf-8").alias("media"),
+        F.lit("text/plain").alias("mime"),
+    )

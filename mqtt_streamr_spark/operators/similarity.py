@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per SURVEY.md §7.8:
+- brute-force cosine top-k — the exact baseline: broadcast the query vector,
+  one pass, TakeOrderedAndProject. Correct at any scale; O(n·d) per query.
+- LSH-bucketed ANN — the scale path: random-hyperplane signatures partition
+  the corpus into 2^p buckets; a query probes only its own bucket. The
+  hyperplanes are derived from md5 bits (deterministic, data-independent, and
+  reproducible inside the DuckDB oracle), so bucket assignment is a pure
+  Column fold — at 100 TB the signature is computed once at ingest and the
+  probe is a partition-pruned scan on the bucket key.
+
+All dot products fold left-to-right over index order with double
+accumulation, so Spark and DuckDB produce bit-identical sums.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def hyperplane_coeffs(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane from md5 — reproducible in
+    any engine (the oracle embeds the same literals)."""
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"{plane}_{j}".encode()).hexdigest()
+        out.append(1.0 if int(h[0], 16) >= 8 else -1.0)
+    return out
+
+
+def lsh_bucket(vec: Column, planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane signature as a '0'/'1' string of length `planes`."""
+    bits = []
+    vd = _as_double(vec)
+    for p in range(planes):
+        coeffs = F.array(*[F.lit(c) for c in hyperplane_coeffs(p, dim)])
+        d = F.aggregate(
+            F.zip_with(vd, coeffs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def cosine_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id"
+                ) -> DataFrame:
+    """Exact top-k by cosine against a (broadcast) single-row query vector.
+    query_df: one row with columns (q_id, q_vec)."""
+    joined = df.crossJoin(F.broadcast(query_df))
+    return (
+        joined.filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def query_vector(df: DataFrame, query_id: int,
+                 vec_col: str = "embedding", id_col: str = "vec_id"
+                 ) -> DataFrame:
+    return df.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+
+
+def ann_topk_lsh(df: DataFrame, query_id: int, k: int = 10,
+                 planes: int = 8, dim: int = 64,
+                 vec_col: str = "embedding", id_col: str = "vec_id"
+                 ) -> DataFrame:
+    """ANN: probe only the query's hyperplane bucket, exact cosine within.
+    Recall < 1 by design; at scale the bucket column is precomputed and the
+    scan partition-prunes on it."""
+    bucketed = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes, dim))
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    return (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        block_col: str | None = "label") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. Blocked self-join (same
+    ``block_col``) bounds the pair count; at scale the block would be an LSH
+    bucket instead of a label — same shape, uniform keys."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+                  F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+                  F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

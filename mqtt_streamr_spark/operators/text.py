@@ -1,0 +1,159 @@
+"""Text-analysis operators for LLM-data pipelines: tokenization, language-ID,
+quality scoring, fingerprinting, shingling — all pure Column expressions
+(whole-stage codegen, no UDFs), designed so the identical computation is
+expressible in ANSI-ish SQL for the DuckDB oracle.
+
+These have no analog in the reference (it transforms individual JSON
+messages); they are the north-star extensions from BASELINE.json, built on
+the same engine core.
+
+Scale notes: every function here is embarrassingly parallel per row — at
+100 TB the only shuffles are whatever aggregation the caller adds. Hash
+choices (md5) are cross-engine deterministic for the correctness oracle;
+at production scale xxhash64 would be the cheaper choice (one-line swap).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# small per-language stopword sets for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "es": ["el", "la", "los", "de", "y", "es", "que"],
+    "fr": ["le", "les", "et", "est", "une", "dans", "que"],
+}
+_LANG_ORDER = ("en", "de", "es", "fr")  # deterministic tie-break order
+_CJK_RE = r"[\x{4e00}-\x{9fff}]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """A BPE-like proxy count: word-piece-ish segments produced by splitting
+    on non-alphanumerics AND counting ~4-char chunks of long words — a cheap,
+    deterministic stand-in for tokenizer-based counting at scale."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.lower(c), r"[^a-z0-9]+")
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.when(F.length(w) == 0, F.lit(0).cast("long"))
+        .otherwise(F.floor((F.length(w) + 3) / 4).cast("long")),
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash input set)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    toks = tokens(text)
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: CJK codepoints -> zh, else the language whose
+    stopword set scores the most hits (ties broken in _LANG_ORDER).
+    Deterministic and SQL-expressible (the oracle repeats the formula)."""
+    c = F.col(text) if isinstance(text, str) else text
+    hits = {lang: stopword_hits(c, lang) for lang in _LANG_ORDER}
+    # earlier language wins ties: en >= all later, else de >= later, ...
+    chain = F.lit(_LANG_ORDER[-1])
+    for i in range(len(_LANG_ORDER) - 2, -1, -1):
+        lang = _LANG_ORDER[i]
+        ge_all = F.lit(True)
+        for later in _LANG_ORDER[i + 1:]:
+            ge_all = ge_all & (hits[lang] >= hits[later])
+        chain = F.when(ge_all, F.lit(lang)).otherwise(chain)
+    return F.when(c.rlike(_CJK_RE), F.lit("zh")).otherwise(chain)
+
+
+def digit_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(c, r"[^0-9]", "")) / F.length(c)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(c, r"[^.,;:!?]", "")) / F.length(c)
+
+
+def avg_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    return total / F.size(toks)
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    words = F.array(*[F.lit(w) for w in all_stop])
+    return (
+        F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+        / F.size(toks)
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality score: stopword density + reasonable word
+    lengths + low digit noise. The exact formula matters less than that it
+    is deterministic, monotone in sensible signals, and cheap."""
+    return (
+        0.4 * F.least(stopword_ratio(text) * 5, F.lit(1.0))
+        + 0.3 * F.least(avg_token_length(text) / 8, F.lit(1.0))
+        + 0.3 * (1 - F.least(digit_ratio(text) * 10, F.lit(1.0)))
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+    Exact-dup detection key that survives formatting differences."""
+    return F.md5(F.array_join(tokens(text), " "))
+
+
+def simhash16(text: Column | str) -> Column:
+    """16-bit SimHash over distinct tokens, as a '0'/'1' string.
+
+    Bit j is the sign of sum_t (+1 if hex digit j of md5(t) >= 8 else -1)
+    over distinct tokens t — i.e. each md5 hex digit's high bit is one
+    hash-family member. String output keeps it cross-engine comparable;
+    the scale path is the same fold with xxhash64 into a BIGINT."""
+    toks = F.array_distinct(tokens(text))
+
+    def bit(j: int):
+        # j bound via function scope (not a lambda default — pyspark derives
+        # lambda arity from the signature and would mis-bind it)
+        s = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.substring(F.md5(t), j, 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                1,
+            ).otherwise(-1),
+        )
+        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit(j) for j in range(1, 17)])

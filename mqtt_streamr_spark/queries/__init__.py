@@ -4,6 +4,7 @@ registry. ``__spark_entry__`` re-exports QUERIES/ORACLES from here."""
 from mqtt_streamr_spark.queries import (  # noqa: F401
     events,
     jsonata_queries,
+    llm_pipeline,
     relational,
 )
 from mqtt_streamr_spark.queries.registry import ORACLES, QUERIES

@@ -1,0 +1,411 @@
+"""LLM-data-pipeline queries: dedup (exact / MinHash-LSH / SimHash / n-gram
+Jaccard / embedding-cosine), similarity search (brute-force + LSH ANN), text
+analysis (lang-ID, quality, token counts, fingerprints) and the multimodal
+mapInPandas stage — each hash-checked against a DuckDB oracle that restates
+the identical deterministic algorithm (same md5 hash family, same fold
+order, same tie-breaks).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col
+
+from mqtt_streamr_spark.operators import dedup as D
+from mqtt_streamr_spark.operators import multimodal as M
+from mqtt_streamr_spark.operators import similarity as S
+from mqtt_streamr_spark.operators import text as T
+from mqtt_streamr_spark.queries.registry import query
+from mqtt_streamr_spark.tables import load
+
+# --- shared SQL fragments (must mirror operators/text.py exactly) -----------
+
+_TOKS = "string_split_regex(lower(text), '\\s+')"
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 2, 1)), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
+)
+_ALL_STOP = sorted({w for ws in T.STOPWORDS.values() for w in ws})
+_ALL_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _ALL_STOP) + "]"
+
+
+def _hits_sql(lang: str) -> str:
+    words = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS[lang]) + "]"
+    return f"len(list_filter(toks, t -> list_contains({words}, t)))"
+
+
+# --- text analysis -----------------------------------------------------------
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH d AS (SELECT source, n_chars, {_TOKS} AS toks,
+                      string_split_regex(lower(text), '[^a-z0-9]+') AS words
+               FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(toks)) AS total_tokens,
+           round(avg(len(toks)), 4) AS avg_tokens,
+           round(avg(n_chars), 2) AS avg_chars,
+           sum(list_sum(list_transform(words,
+               w -> CASE WHEN length(w) = 0 THEN 0
+                    ELSE CAST(FLOOR((length(w) + 3) / 4) AS BIGINT) END)))
+           AS total_bpe_ish
+    FROM d GROUP BY source
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish) per source."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+        F.round(F.avg(T.token_count("text")), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum(T.bpe_ish_token_count("text")).alias("total_bpe_ish"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH d AS (SELECT lang, text, {_TOKS} AS toks FROM documents),
+    scored AS (
+        SELECT lang,
+               CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]')
+                    THEN 'zh'
+                    WHEN {_hits_sql('en')} >= {_hits_sql('de')}
+                     AND {_hits_sql('en')} >= {_hits_sql('es')}
+                     AND {_hits_sql('en')} >= {_hits_sql('fr')} THEN 'en'
+                    WHEN {_hits_sql('de')} >= {_hits_sql('es')}
+                     AND {_hits_sql('de')} >= {_hits_sql('fr')} THEN 'de'
+                    WHEN {_hits_sql('es')} >= {_hits_sql('fr')} THEN 'es'
+                    ELSE 'fr' END AS predicted
+        FROM d)
+    SELECT lang, predicted, count(*) AS n
+    FROM scored GROUP BY lang, predicted
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column (confusion counts).
+    Note: the synthetic corpus is one shared vocabulary, so the heuristic's
+    *accuracy* is meaningless here — the query verifies the operator's
+    determinism, not linguistics."""
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.withColumn("predicted", T.lang_id("text"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH d AS (SELECT source, text, {_TOKS} AS toks FROM documents),
+    q AS (
+        SELECT source,
+               0.4 * least((len(list_filter(toks,
+                     t -> list_contains({_ALL_STOP_SQL}, t)))
+                     / len(toks)) * 5, 1.0)
+             + 0.3 * least((list_sum(list_transform(toks, t -> length(t)))
+                     / len(toks)) / 8, 1.0)
+             + 0.3 * (1 - least((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     / length(text)) * 10, 1.0)) AS score
+        FROM d)
+    SELECT source, round(avg(score), 6) AS avg_quality,
+           round(min(score), 6) AS min_quality,
+           round(max(score), 6) AS max_quality
+    FROM q GROUP BY source
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (stopword density, word lengths, digit noise)."""
+    docs = load(spark, "documents", sf_dir)
+    scored = docs.withColumn("score", T.quality_score("text"))
+    return scored.groupBy("source").agg(
+        F.round(F.avg("score"), 6).alias("avg_quality"),
+        F.round(F.min("score"), 6).alias("min_quality"),
+        F.round(F.max("score"), 6).alias("max_quality"),
+    )
+
+
+@query(
+    "text_fingerprints",
+    oracle=f"""
+    WITH d AS (SELECT source, text, {_TOKS} AS toks FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(array_to_string(toks, ' '))) AS n_distinct
+    FROM d GROUP BY source
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized-content md5 per source."""
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.withColumn("fp", T.fingerprint("text"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+        )
+    )
+
+
+# --- dedup -------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM d),
+    g AS (SELECT fp, min(doc_id) AS keeper_id, count(*) AS n_docs
+          FROM fp GROUP BY fp)
+    SELECT count(*) AS n_groups,
+           sum(n_docs) AS n_docs_total,
+           sum(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END) AS n_removable,
+           min(keeper_id) AS first_keeper
+    FROM g
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via fingerprint hash-groupBy (one uniform-key shuffle)."""
+    docs = load(spark, "documents", sf_dir)
+    groups = D.exact_duplicates(docs)
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_docs").alias("n_docs_total"),
+        F.sum(
+            F.when(col("n_docs") > 1, col("n_docs") - 1).otherwise(0)
+        ).alias("n_removable"),
+        F.min("keeper_id").alias("first_keeper"),
+    )
+
+
+def _minhash_sql(i: int) -> str:
+    return f"list_min(list_transform(shingles, s -> md5('{i}|' || s)))"
+
+
+_MH8 = "[" + ", ".join(_minhash_sql(i) for i in range(8)) + "]"
+_BANDS_SQL = (
+    "['b0|' || mh[1] || '|' || mh[2], 'b1|' || mh[3] || '|' || mh[4], "
+    "'b2|' || mh[5] || '|' || mh[6], 'b3|' || mh[7] || '|' || mh[8]]"
+)
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d),
+    sig AS (SELECT doc_id, shingles, {_MH8} AS mh FROM sh),
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band_key)
+             WHERE a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT id_a, id_b,
+               len(list_filter(sa.shingles,
+                   s -> list_contains(sb.shingles, s))) * 1.0 /
+               (len(sa.shingles) + len(sb.shingles) -
+                len(list_filter(sa.shingles,
+                    s -> list_contains(sb.shingles, s)))) AS j
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b)
+    SELECT id_a, id_b, round(j, 6) AS jaccard_sim
+    FROM pairs WHERE j >= 0.5
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands x 2 rows) candidates verified with exact
+    3-gram Jaccard >= 0.5 — the full near-dup pipeline."""
+    docs = load(spark, "documents", sf_dir)
+    return D.near_dup_pairs(docs, threshold=0.5, bands=4, rows=2)
+
+
+@query(
+    "dedup_lsh_bucket_stats",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d),
+    sig AS (SELECT doc_id, {_MH8} AS mh FROM sh),
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sig),
+    buckets AS (SELECT band_key, count(*) AS n FROM bands GROUP BY band_key)
+    SELECT count(*) AS n_buckets,
+           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_candidate_buckets,
+           max(n) AS max_bucket,
+           sum(n) AS n_entries
+    FROM buckets
+    """,
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket distribution — the skew diagnostic for the candidate join
+    (max_bucket bounds the worst self-join fan-out)."""
+    docs = load(spark, "documents", sf_dir)
+    keys = D.lsh_band_keys("text", bands=4, rows=2)
+    bands = docs.select(F.explode(F.array(*keys)).alias("band_key"))
+    buckets = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("n"))
+    return buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(col("n") > 1, 1).otherwise(0)).alias("n_candidate_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum("n").alias("n_entries"),
+    )
+
+
+_SIMHASH_BIT_SQL = (
+    "CASE WHEN list_sum(list_transform(dtoks, t -> "
+    "CASE WHEN substring(md5(t), {j}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0 "
+    "THEN '1' ELSE '0' END"
+)
+_SIMHASH_SQL = " || ".join(_SIMHASH_BIT_SQL.format(j=j) for j in range(1, 17))
+
+
+@query(
+    "dedup_simhash_groups",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, list_distinct({_TOKS}) AS dtoks FROM documents),
+    sig AS (SELECT doc_id, {_SIMHASH_SQL} AS simhash FROM d),
+    g AS (SELECT simhash, count(*) AS n, min(doc_id) AS keeper
+          FROM sig GROUP BY simhash)
+    SELECT simhash, n, keeper FROM g WHERE n > 1
+    """,
+)
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-16 collision groups (hamming-0 near-dup blocking)."""
+    docs = load(spark, "documents", sf_dir)
+    sig = docs.select("doc_id", T.simhash16("text").alias("simhash"))
+    return (
+        sig.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+        .filter(col("n") > 1)
+    )
+
+
+# --- similarity search -------------------------------------------------------
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+@query(
+    "sim_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_cos_sql('e.embedding', 'q.q_vec')}, 6) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 to query vector vec_id=0 (broadcast
+    query + TakeOrderedAndProject; the correctness baseline for ANN)."""
+    emb = load(spark, "embeddings", sf_dir)
+    return S.cosine_topk(emb, S.query_vector(emb, 0), k=10)
+
+
+def _coeff_sql(p: int) -> str:
+    coeffs = S.hyperplane_coeffs(p, 64)
+    lit = "[" + ", ".join(str(c) for c in coeffs) + "]"
+    return (
+        f"CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+        f"i -> embedding[i]::DOUBLE * ({lit})[i])) >= 0 "
+        f"THEN '1' ELSE '0' END"
+    )
+
+
+_BUCKET_SQL = " || ".join(_coeff_sql(p) for p in range(8))
+
+
+@query(
+    "sim_ann_lsh_bucket",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket
+               FROM embeddings),
+    q AS (SELECT embedding AS q_vec, bucket AS q_bucket
+          FROM b WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_cos_sql('e.embedding', 'q.q_vec')}, 6) AS cos_sim
+    FROM b e, q
+    WHERE e.bucket = q.q_bucket AND e.vec_id != 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: probe only the query's bucket. At
+    scale the bucket is a precomputed partition column — the probe becomes
+    a partition-pruned scan instead of a full pass."""
+    emb = load(spark, "embeddings", sf_dir)
+    return S.ann_topk_lsh(emb, query_id=0, k=10)
+
+
+@query(
+    "sim_embedding_near_dups",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.label = b.label
+    WHERE a.vec_id < b.vec_id
+      AND {_cos_sql('a.embedding', 'b.embedding')} >= 0.9
+    """,
+)
+def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the scale
+    path swaps the label block for an LSH bucket — same join shape)."""
+    emb = load(spark, "embeddings", sf_dir)
+    return S.embedding_near_dups(emb, threshold=0.9)
+
+
+# --- multimodal --------------------------------------------------------------
+
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id AS content_id,
+               octet_length(encode(text)) AS n_bytes,
+               substring(md5(text), 1, 8) AS sha_prefix,
+               (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1)
+               * 16.0 / 255
+               + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1)
+               / 255.0 AS feat0
+        FROM documents)
+    SELECT count(*) AS n_media,
+           sum(n_bytes) AS total_bytes,
+           count(DISTINCT sha_prefix) AS n_distinct_content,
+           round(avg(feat0), 6) AS avg_feat0
+    FROM f
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal mapInPandas stage end-to-end: documents as opaque
+    binary blobs -> Arrow-batched feature extraction (deterministic fake
+    model) -> aggregate. Verifies the real plumbing (schema, batching,
+    binary handling); only the decode model itself is stubbed."""
+    docs = load(spark, "documents", sf_dir)
+    media = M.documents_as_media(docs)
+    feats = M.extract_features(media)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("sha_prefix").alias("n_distinct_content"),
+        F.round(F.avg(F.element_at("feature_vec", 1)), 6).alias("avg_feat0"),
+    )

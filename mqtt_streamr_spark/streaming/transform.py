@@ -43,7 +43,17 @@ def _interpreted_udf(expr: str):
     is captured so the UDF pickles cheaply to executors; each executor
     parses once per python worker."""
 
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
+
+    # Workers must be able to import this package (the harness loads the
+    # repo from a bare directory). MUST happen before the UDF object is
+    # built: pyspark snapshots the python-includes list at creation time.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        from mqtt_streamr_spark.shipping import ensure_shipped
+
+        ensure_shipped(active)
 
     @pandas_udf("string")
     def _transform(payloads):  # type: ignore[no-untyped-def]

@@ -1,0 +1,153 @@
+"""Ground-truth unit tests for the LLM-pipeline operators: Spark results
+checked against plain-Python (hashlib) reimplementations on small inputs —
+independent of the DuckDB oracles, so a cross-engine coincidence can't mask
+a broken hash family (which bit us once via pyspark lambda-arity
+inference)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from mqtt_streamr_spark.operators import dedup as D
+from mqtt_streamr_spark.operators import similarity as S
+from mqtt_streamr_spark.operators import text as T
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "completely different content here entirely now"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def py_tokens(text):
+    import re
+
+    return re.split(r"\s+", text.lower())
+
+
+def py_shingles(text, n=3):
+    toks = py_tokens(text)
+    out = []
+    for i in range(max(len(toks) - (n - 1), 1)):
+        s = " ".join(toks[i:i + n])
+        if s not in out:
+            out.append(s)
+    return out
+
+
+def py_minhash(text, i):
+    return min(
+        hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in py_shingles(text)
+    )
+
+
+def test_minhash_matches_hashlib(spark):
+    rows = _df(spark).select(
+        "doc_id", *[c.alias(f"h{i}") for i, c in
+                    enumerate(D.minhash_signature("text", num_hashes=4))]
+    ).collect()
+    for row in rows:
+        text = dict(DOCS)[row["doc_id"]]
+        for i in range(4):
+            assert row[f"h{i}"] == py_minhash(text, i), (row["doc_id"], i)
+
+
+def test_minhash_families_differ(spark):
+    """Regression: each hash family must actually differ (the lambda-arity
+    bug made them all identical)."""
+    row = _df(spark).select(
+        *[c.alias(f"h{i}") for i, c in
+          enumerate(D.minhash_signature("text", num_hashes=8))]
+    ).limit(1).collect()[0]
+    assert len({row[f"h{i}"] for i in range(8)}) > 4
+
+
+def test_simhash_matches_hashlib(spark):
+    def py_simhash(text):
+        toks = list(dict.fromkeys(py_tokens(text)))
+        bits = ""
+        for j in range(16):
+            s = sum(
+                1 if hashlib.md5(t.encode()).hexdigest()[j] in "89abcdef"
+                else -1
+                for t in toks
+            )
+            bits += "1" if s >= 0 else "0"
+        return bits
+
+    rows = _df(spark).select(
+        "doc_id", T.simhash16("text").alias("sh")
+    ).collect()
+    for row in rows:
+        assert row["sh"] == py_simhash(dict(DOCS)[row["doc_id"]])
+
+
+def test_near_dup_pairs_finds_planted_pair(spark):
+    pairs = D.near_dup_pairs(_df(spark), threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert 0.6 < pairs[0]["jaccard_sim"] < 0.9
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Same  Text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    groups = {r["keeper_id"]: r["n_docs"]
+              for r in D.exact_duplicates(df).collect()}
+    # normalization (lowercase + whitespace) makes 1 and 2 identical
+    assert groups == {1: 2, 3: 1}
+
+
+def test_cosine_identity(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    top = S.cosine_topk(df, S.query_vector(df, 0), k=3).collect()
+    assert [r["vec_id"] for r in top] == [1, 2, 3]
+    assert top[0]["cos_sim"] == 1.0
+    assert abs(top[1]["cos_sim"]) < 1e-9
+    assert top[2]["cos_sim"] == -1.0
+
+
+def test_hyperplane_deterministic():
+    a = S.hyperplane_coeffs(3, 16)
+    assert a == S.hyperplane_coeffs(3, 16)
+    assert set(a) <= {1.0, -1.0}
+    assert a != S.hyperplane_coeffs(4, 16)
+
+
+def test_lang_id_stopword_sensitivity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist hier"),
+            (3, "el perro y la casa de los gatos es"),
+            (4, "你好世界"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["lang"] for r in
+            df.select("doc_id", T.lang_id("text").alias("lang")).collect()}
+    assert rows == {1: "en", 2: "de", 3: "es", 4: "zh"}
+
+
+def test_multimodal_feature_plumbing(spark):
+    from mqtt_streamr_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    feats = M.extract_features(M.documents_as_media(df)).collect()
+    assert len(feats) == 3
+    by_id = {r["content_id"]: r for r in feats}
+    text = dict(DOCS)[1]
+    assert by_id[1]["n_bytes"] == len(text.encode())
+    assert by_id[1]["sha_prefix"] == hashlib.md5(text.encode()).hexdigest()[:8]
+    expected_vec = M.fake_feature_extractor(text.encode())
+    assert list(by_id[1]["feature_vec"]) == expected_vec
