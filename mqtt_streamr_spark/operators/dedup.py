@@ -9,9 +9,12 @@ Designed for 100 TB from the start:
 - signatures are computed as pure Column folds over shingle arrays — no
   UDFs, no driver-side loops, no collect().
 
-Hash family: minhash_i(doc) = lexicographic MIN of md5(i || '|' || shingle).
-md5 hex is uniform and identical in Spark and DuckDB, which makes every
-stage oracle-checkable; swap to xxhash64 for cheaper production hashing.
+Hash family: one md5 per shingle -> 60-bit int h; minhash_i(doc) =
+MIN over shingles of (A[i]*h + B[i]) mod P (P = 2^31-1). One expensive
+hash pass, num_hashes cheap affine rehashes — the classic a*x+b universal
+family. md5 is uniform and identical in Spark and DuckDB, keeping every
+stage oracle-checkable; swap md5 for xxhash64 for cheaper production
+hashing (same affine family on top).
 """
 
 from __future__ import annotations
@@ -22,33 +25,82 @@ from pyspark.sql import Column, DataFrame
 from mqtt_streamr_spark.operators.text import fingerprint, shingles
 
 
-def minhash_signature(text: Column | str, num_hashes: int = 8,
-                      shingle_n: int = 3) -> list[Column]:
-    """num_hashes independent MinHash values (hex-string min per family)."""
-    sh = shingles(text, shingle_n)
+MINHASH_PRIME = 2147483647  # 2^31 - 1, Mersenne prime
+# Fixed affine-family coefficients, shared verbatim with the DuckDB oracle
+# and the hashlib ground-truth tests.
+MINHASH_A = [1299721, 15485863, 32452843, 49979687,
+             67867967, 86028121, 104395301, 122949823]
+MINHASH_B = [373587883, 533000389, 613651349, 694847533,
+             776531401, 858599503, 940800361, 1020379013]
 
-    def family(i: int) -> Column:
-        # bind i via function scope: pyspark infers lambda arity from the
-        # signature, so a `lambda s, i=i` default would receive the array
-        # INDEX as i, silently corrupting the hash family
-        prefix = F.lit(f"{i}|")
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(prefix, s)))
+
+def shingle_hashes(text: Column | str, shingle_n: int = 3) -> Column:
+    """array<long>: md5-derived 60-bit hash of each shingle, mod P."""
+    return F.transform(
+        shingles(text, shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("long") % MINHASH_PRIME,
+    )
+
+
+def _let(bound: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``bound`` once and feed
+    it to ``body`` as a lambda variable. A repeated Column subtree is
+    re-evaluated at every use site (HOF lambda bodies are re-executed per
+    element, and CollapseProject can re-inline projections), while a lambda
+    variable is bound exactly once — this makes the expensive md5 pass
+    shared across all hash families instead of recomputed per family."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 8,
+                      shingle_n: int = 3) -> Column:
+    """array<long> signature: sig[i] = MIN over shingles of
+    (A[i]*h + B[i]) mod P. One md5 pass per shingle (via the let-binding),
+    num_hashes cheap affine rehashes."""
+    assert num_hashes <= len(MINHASH_A)
+    hs = shingle_hashes(text, shingle_n)
+    a = F.array(*[F.lit(x) for x in MINHASH_A[:num_hashes]])
+    b = F.array(*[F.lit(x) for x in MINHASH_B[:num_hashes]])
+
+    def sig(xs: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(num_hashes)),
+            lambda i: F.array_min(
+                F.transform(
+                    xs,
+                    lambda h: (F.element_at(a, i) * h + F.element_at(b, i))
+                    % MINHASH_PRIME,
+                )
+            ),
         )
 
-    return [family(i) for i in range(num_hashes)]
+    return _let(hs, sig)
 
 
 def lsh_band_keys(text: Column | str, bands: int = 4, rows: int = 2,
-                  shingle_n: int = 3) -> list[Column]:
-    """bands band keys (each the concat of `rows` minhash values). Two docs
-    sharing any band key are near-dup candidates; P[candidate] follows the
-    (1 - (1 - j^rows)^bands) S-curve."""
+                  shingle_n: int = 3) -> Column:
+    """array<string> of band keys (each the concat of `rows` minhash
+    values). Two docs sharing any band key are near-dup candidates;
+    P[candidate] follows the (1 - (1 - j^rows)^bands) S-curve. The
+    signature is let-bound so it is computed once, not once per band."""
     sig = minhash_signature(text, bands * rows, shingle_n)
-    return [
-        F.concat_ws("|", F.lit(f"b{b}"), *sig[b * rows:(b + 1) * rows])
-        for b in range(bands)
-    ]
+
+    def keys(s: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bb: F.concat_ws(
+                "|",
+                F.concat(F.lit("b"), bb.cast("string")),
+                *[
+                    F.element_at(s, (bb * rows + r + 1).cast("int"))
+                    .cast("string")
+                    for r in range(rows)
+                ],
+            ),
+        )
+
+    return _let(sig, keys)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -79,9 +131,9 @@ def near_dup_candidates(df: DataFrame, text_col: str = "text",
     uniform md5-derived, so no inherent skew; a pathological bucket (many
     identical docs) is bounded by exact-dedup running first in a real
     pipeline."""
-    keys = lsh_band_keys(text_col, bands, rows)
     keyed = df.select(
-        F.col(id_col), F.explode(F.array(*keys)).alias("band_key")
+        F.col(id_col),
+        F.explode(lsh_band_keys(text_col, bands, rows)).alias("band_key"),
     )
     a = keyed.alias("a")
     b = keyed.alias("b")

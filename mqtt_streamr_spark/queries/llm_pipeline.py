@@ -17,7 +17,7 @@ from mqtt_streamr_spark.operators import multimodal as M
 from mqtt_streamr_spark.operators import similarity as S
 from mqtt_streamr_spark.operators import text as T
 from mqtt_streamr_spark.queries.registry import query
-from mqtt_streamr_spark.tables import load
+from mqtt_streamr_spark.tables import load, spread
 
 # --- shared SQL fragments (must mirror operators/text.py exactly) -----------
 
@@ -185,14 +185,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same affine MinHash family as operators/dedup.py: one md5 per shingle,
+# h = first 60 bits mod P, sig[i] = min (A[i]*h + B[i]) mod P.
+_HS = (
+    "list_transform(shingles, s -> "
+    f"('0x' || substring(md5(s), 1, 15))::BIGINT % {D.MINHASH_PRIME})"
+)
+
+
 def _minhash_sql(i: int) -> str:
-    return f"list_min(list_transform(shingles, s -> md5('{i}|' || s)))"
+    return (
+        f"list_min(list_transform(hs, h -> "
+        f"({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % {D.MINHASH_PRIME}))"
+    )
 
 
 _MH8 = "[" + ", ".join(_minhash_sql(i) for i in range(8)) + "]"
 _BANDS_SQL = (
-    "['b0|' || mh[1] || '|' || mh[2], 'b1|' || mh[3] || '|' || mh[4], "
-    "'b2|' || mh[5] || '|' || mh[6], 'b3|' || mh[7] || '|' || mh[8]]"
+    "['b0|' || mh[1]::VARCHAR || '|' || mh[2]::VARCHAR, "
+    " 'b1|' || mh[3]::VARCHAR || '|' || mh[4]::VARCHAR, "
+    " 'b2|' || mh[5]::VARCHAR || '|' || mh[6]::VARCHAR, "
+    " 'b3|' || mh[7]::VARCHAR || '|' || mh[8]::VARCHAR]"
 )
 
 
@@ -201,7 +214,8 @@ _BANDS_SQL = (
     oracle=f"""
     WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d),
-    sig AS (SELECT doc_id, shingles, {_MH8} AS mh FROM sh),
+    hsx AS (SELECT doc_id, shingles, {_HS} AS hs FROM sh),
+    sig AS (SELECT doc_id, shingles, {_MH8} AS mh FROM hsx),
     bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sig),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b USING (band_key)
@@ -223,7 +237,7 @@ _BANDS_SQL = (
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands x 2 rows) candidates verified with exact
     3-gram Jaccard >= 0.5 — the full near-dup pipeline."""
-    docs = load(spark, "documents", sf_dir)
+    docs = spread(load(spark, "documents", sf_dir))
     return D.near_dup_pairs(docs, threshold=0.5, bands=4, rows=2)
 
 
@@ -232,7 +246,8 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d),
-    sig AS (SELECT doc_id, {_MH8} AS mh FROM sh),
+    hsx AS (SELECT doc_id, {_HS} AS hs FROM sh),
+    sig AS (SELECT doc_id, {_MH8} AS mh FROM hsx),
     bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sig),
     buckets AS (SELECT band_key, count(*) AS n FROM bands GROUP BY band_key)
     SELECT count(*) AS n_buckets,
@@ -245,9 +260,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket distribution — the skew diagnostic for the candidate join
     (max_bucket bounds the worst self-join fan-out)."""
-    docs = load(spark, "documents", sf_dir)
+    docs = spread(load(spark, "documents", sf_dir))
     keys = D.lsh_band_keys("text", bands=4, rows=2)
-    bands = docs.select(F.explode(F.array(*keys)).alias("band_key"))
+    bands = docs.select(F.explode(keys).alias("band_key"))
     buckets = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("n"))
     return buckets.agg(
         F.count(F.lit(1)).alias("n_buckets"),
@@ -278,7 +293,7 @@ _SIMHASH_SQL = " || ".join(_SIMHASH_BIT_SQL.format(j=j) for j in range(1, 17))
 )
 def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-16 collision groups (hamming-0 near-dup blocking)."""
-    docs = load(spark, "documents", sf_dir)
+    docs = spread(load(spark, "documents", sf_dir))
     sig = docs.select("doc_id", T.simhash16("text").alias("simhash"))
     return (
         sig.groupBy("simhash")

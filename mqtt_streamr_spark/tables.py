@@ -49,6 +49,21 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure at least ``min_partitions`` (default: cluster parallelism)
+    partitions before a CPU-bound per-row stage (hashing, signatures).
+
+    A small file scans as ONE partition, serializing the compute onto one
+    core; at real scale the scan already has >= parallelism partitions and
+    this is a no-op — so the round-robin shuffle is only ever paid on
+    inputs small enough for it to be free."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view so spark.sql() can reference it."""
     for name in TABLES:

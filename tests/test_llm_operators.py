@@ -42,30 +42,32 @@ def py_shingles(text, n=3):
 
 
 def py_minhash(text, i):
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % D.MINHASH_PRIME
+        for s in py_shingles(text)
+    ]
     return min(
-        hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in py_shingles(text)
+        (D.MINHASH_A[i] * h + D.MINHASH_B[i]) % D.MINHASH_PRIME for h in hs
     )
 
 
 def test_minhash_matches_hashlib(spark):
     rows = _df(spark).select(
-        "doc_id", *[c.alias(f"h{i}") for i, c in
-                    enumerate(D.minhash_signature("text", num_hashes=4))]
+        "doc_id", D.minhash_signature("text", num_hashes=4).alias("sig")
     ).collect()
     for row in rows:
         text = dict(DOCS)[row["doc_id"]]
         for i in range(4):
-            assert row[f"h{i}"] == py_minhash(text, i), (row["doc_id"], i)
+            assert row["sig"][i] == py_minhash(text, i), (row["doc_id"], i)
 
 
 def test_minhash_families_differ(spark):
     """Regression: each hash family must actually differ (the lambda-arity
     bug made them all identical)."""
     row = _df(spark).select(
-        *[c.alias(f"h{i}") for i, c in
-          enumerate(D.minhash_signature("text", num_hashes=8))]
+        D.minhash_signature("text", num_hashes=8).alias("sig")
     ).limit(1).collect()[0]
-    assert len({row[f"h{i}"] for i in range(8)}) > 4
+    assert len(set(row["sig"])) > 4
 
 
 def test_simhash_matches_hashlib(spark):
