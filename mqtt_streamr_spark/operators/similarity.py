@@ -42,6 +42,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def l2_normalize(vec: Column) -> Column:
+    """vec / |vec| as array<double>, computing the norm ONCE per row: the
+    norm is let-bound via a 1-element-array transform, because an inline
+    subtree in the per-element lambda would re-run the O(d) norm fold for
+    every element (O(d^2) per row). Pre-normalized vectors make cosine a
+    single dot fold per PAIR instead of three — the big win in pairwise
+    similarity joins."""
+    vd = _as_double(vec)
+    return F.element_at(
+        F.transform(
+            F.array(F.sqrt(dot(vec, vec))),
+            lambda n: F.transform(vd, lambda x: x / n),
+        ),
+        1,
+    )
+
+
 def hyperplane_coeffs(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random ±1 hyperplane from md5 — reproducible in
     any engine (the oracle embeds the same literals)."""
@@ -71,13 +88,18 @@ def cosine_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id"
                 ) -> DataFrame:
     """Exact top-k by cosine against a (broadcast) single-row query vector.
-    query_df: one row with columns (q_id, q_vec)."""
-    joined = df.crossJoin(F.broadcast(query_df))
+    query_df: one row with columns (q_id, q_vec). Both sides pre-normalized
+    (corpus once per row, query once) so the per-row cost is one dot fold."""
+    nq = query_df.select("q_id", l2_normalize(F.col("q_vec")).alias("q_nv"))
+    joined = (
+        df.select(F.col(id_col), l2_normalize(F.col(vec_col)).alias("nv"))
+        .crossJoin(F.broadcast(nq))
+    )
     return (
         joined.filter(F.col(id_col) != F.col("q_id"))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+            F.round(dot(F.col("nv"), F.col("q_nv")), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -99,9 +121,13 @@ def ann_topk_lsh(df: DataFrame, query_id: int, k: int = 10,
     """ANN: probe only the query's hyperplane bucket, exact cosine within.
     Recall < 1 by design; at scale the bucket column is precomputed and the
     scan partition-prunes on it."""
-    bucketed = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes, dim))
+    bucketed = df.select(
+        F.col(id_col),
+        l2_normalize(F.col(vec_col)).alias("nv"),
+        lsh_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+    )
     q = bucketed.filter(F.col(id_col) == query_id).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.col(id_col).alias("q_id"), F.col("nv").alias("q_nv"),
         F.col("bucket").alias("q_bucket"),
     )
     return (
@@ -109,7 +135,7 @@ def ann_topk_lsh(df: DataFrame, query_id: int, k: int = 10,
         .filter(F.col(id_col) != F.col("q_id"))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+            F.round(dot(F.col("nv"), F.col("q_nv")), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -122,14 +148,15 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     """Embedding-cosine near-duplicate pairs. Blocked self-join (same
     ``block_col``) bounds the pair count; at scale the block would be an LSH
     bucket instead of a label — same shape, uniform keys."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
-                  F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
-                  F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
+    blk = (F.col(block_col) if block_col else F.lit(0)).alias("blk")
+    a = df.select(F.col(id_col).alias("id_a"),
+                  l2_normalize(F.col(vec_col)).alias("n_a"), blk)
+    b = df.select(F.col(id_col).alias("id_b"),
+                  l2_normalize(F.col(vec_col)).alias("n_b"), blk)
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .withColumn("cos_sim", F.round(dot(F.col("n_a"), F.col("n_b")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

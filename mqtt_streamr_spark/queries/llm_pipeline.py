@@ -310,20 +310,23 @@ _DOT = (
 )
 
 
-def _cos_sql(a: str, b: str) -> str:
+def _norm_sql(a: str) -> str:
+    # mirrors similarity.l2_normalize: per-element x / sqrt(dot(a, a))
     return (
-        f"{_DOT.format(a=a, b=b)} / "
-        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+        f"list_transform({a}, x -> x::DOUBLE / "
+        f"sqrt({_DOT.format(a=a, b=a)}))"
     )
 
 
 @query(
     "sim_topk_cosine",
     oracle=f"""
-    WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+    WITH e AS (SELECT vec_id, {_norm_sql('embedding')} AS nv
+               FROM embeddings),
+    q AS (SELECT nv AS q_nv FROM e WHERE vec_id = 0)
     SELECT e.vec_id,
-           round({_cos_sql('e.embedding', 'q.q_vec')}, 6) AS cos_sim
-    FROM embeddings e, q
+           round({_DOT.format(a='e.nv', b='q.q_nv')}, 6) AS cos_sim
+    FROM e, q
     WHERE e.vec_id != 0
     ORDER BY cos_sim DESC, e.vec_id
     LIMIT 10
@@ -352,12 +355,13 @@ _BUCKET_SQL = " || ".join(_coeff_sql(p) for p in range(8))
 @query(
     "sim_ann_lsh_bucket",
     oracle=f"""
-    WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket
+    WITH b AS (SELECT vec_id, {_norm_sql('embedding')} AS nv,
+                      {_BUCKET_SQL} AS bucket
                FROM embeddings),
-    q AS (SELECT embedding AS q_vec, bucket AS q_bucket
+    q AS (SELECT nv AS q_nv, bucket AS q_bucket
           FROM b WHERE vec_id = 0)
     SELECT e.vec_id,
-           round({_cos_sql('e.embedding', 'q.q_vec')}, 6) AS cos_sim
+           round({_DOT.format(a='e.nv', b='q.q_nv')}, 6) AS cos_sim
     FROM b e, q
     WHERE e.bucket = q.q_bucket AND e.vec_id != 0
     ORDER BY cos_sim DESC, e.vec_id
@@ -375,17 +379,19 @@ def sim_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_embedding_near_dups",
     oracle=f"""
+    WITH n AS (SELECT vec_id, label, {_norm_sql('embedding')} AS nv
+               FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.label = b.label
+           round({_DOT.format(a='a.nv', b='b.nv')}, 6) AS cos_sim
+    FROM n a JOIN n b ON a.label = b.label
     WHERE a.vec_id < b.vec_id
-      AND {_cos_sql('a.embedding', 'b.embedding')} >= 0.9
+      AND round({_DOT.format(a='a.nv', b='b.nv')}, 6) >= 0.9
     """,
 )
 def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (the scale
     path swaps the label block for an LSH bucket — same join shape)."""
-    emb = load(spark, "embeddings", sf_dir)
+    emb = spread(load(spark, "embeddings", sf_dir))
     return S.embedding_near_dups(emb, threshold=0.9)
 
 
