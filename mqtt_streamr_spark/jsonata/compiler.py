@@ -451,14 +451,89 @@ def _c_call(node, ctx):
         raise NotCompilable(f"function ${name} not compilable")
     args = [
         TypedCol(F.lit(None), "regex") if a["type"] == "regex"
+        else TypedCol(F.lit(None), "lambda") if a["type"] == "lambda"
         else _compile(a, ctx)
         for a in node["args"]
     ]
     return fn(args, node, ctx)
 
 
+def _hof_array(tc: TypedCol) -> tuple[Column, str]:
+    """Coerce a compiled value to (array Column, element kind) for HOFs."""
+    if tc.kind == "variant":
+        return F.try_variant_get(tc.col, "$", "array<variant>"), "variant"
+    if tc.kind.startswith("array"):
+        return tc.col, tc.elem or "variant"
+    raise NotCompilable(f"kind {tc.kind} is not an array")
+
+
+def _lambda_arg(node, i, max_params, what):
+    args = node["args"]
+    if i >= len(args) or args[i]["type"] != "lambda":
+        raise NotCompilable(f"{what} needs an inline lambda")
+    lam = args[i]
+    if not 1 <= len(lam["params"]) <= max_params:
+        raise NotCompilable(f"{what} lambda takes 1..{max_params} params")
+    return lam
+
+
+def _bind_lambda(lam, bindings: list[TypedCol], ctx: Ctx) -> TypedCol:
+    """Compile a lambda body with its params bound to HOF lambda variables.
+    Spark invokes the Python callback once at expression-build time, so the
+    body is compiled exactly once — no per-row Python."""
+    child = Ctx(root=ctx.root, bindings=dict(ctx.bindings))
+    for name, tc in zip(lam["params"], bindings):
+        child.bindings[name] = tc
+    return _compile(lam["body"], child)
+
+
+def _c_sort(node, ctx):
+    """Order-by ``expr ^ (key1, >key2)`` — record-scoped multi-key array
+    sort (SURVEY.md §2.5; reference semantics via the JSONata dep at
+    bin/mqtt-streamr.js:158). Maps to ``array_sort`` with a comparator;
+    later terms are tie-breakers. Sort keys must compile to numbers or
+    strings; ties on every term compare equal (stable order not
+    guaranteed, unlike JSONata's stable merge sort — differential tests
+    use distinct keys)."""
+    base = _compile(node["expr"], ctx)
+    arr, elem = _hof_array(base)
+    terms = node["terms"]
+    identity = (
+        len(terms) == 1
+        and terms[0]["expr"]["type"] == "variable"
+        and terms[0]["expr"]["value"] == ""
+    )
+    if identity and elem in ("number", "string"):
+        col = F.sort_array(arr, asc=not terms[0]["descending"])
+        return TypedCol(col, f"array<{elem}>", elem=elem)
+    if elem != "variant":
+        raise NotCompilable("order-by terms need variant elements (paths)")
+
+    def key_of(term, x: Column) -> Column:
+        tc = _compile(term["expr"], Ctx(root=x, bindings=dict(ctx.bindings)))
+        if tc.kind in ("number", "string"):
+            return tc.col
+        if tc.kind == "variant":
+            # JSONata sorts numbers or strings; numeric keys are by far the
+            # common case and the only statically safe coercion here
+            return as_number(tc)
+        raise NotCompilable(f"order-by key of kind {tc.kind}")
+
+    def comp(le: Column, r: Column) -> Column:
+        out = F.lit(0)
+        for term in reversed(terms):
+            lk, rk = key_of(term, le), key_of(term, r)
+            lt, gt = (1, -1) if term["descending"] else (-1, 1)
+            out = F.when(lk < rk, F.lit(lt)).when(lk > rk, F.lit(gt)) \
+                .otherwise(out)
+        return out
+
+    return TypedCol(F.array_sort(arr, comp), f"array<{elem}>", elem=elem)
+
+
 _NODES = {
     "number": _c_number,
+    "sort": _c_sort,
     "string": _c_string,
     "boolean": _c_boolean,
     "null": _c_null,
@@ -771,3 +846,168 @@ def _fc_reverse(args, node, ctx):
     if not args[0].kind.startswith("array"):
         raise NotCompilable("$reverse needs a compiled array")
     return TypedCol(F.reverse(args[0].col), args[0].kind, elem=args[0].elem)
+
+
+# --- higher-order functions (§2.6 array HOFs -> transform/filter/aggregate) --
+
+@_fn("map")
+def _fc_map(args, node, ctx):
+    lam = _lambda_arg(node, 1, 2, "$map")
+    arr, elem = _hof_array(args[0])
+    out: list[TypedCol] = []
+
+    def body(*cols: Column) -> Column:
+        binds = [TypedCol(cols[0], elem)]
+        if len(cols) == 2:
+            binds.append(TypedCol(cols[1].cast("double"), "number"))
+        tc = _bind_lambda(lam, binds, ctx)
+        out.append(tc)
+        return tc.col
+
+    if len(lam["params"]) == 1:
+        col = F.transform(arr, lambda x: body(x))
+    else:
+        col = F.transform(arr, lambda x, i: body(x, i))
+    return TypedCol(col, f"array<{out[0].kind}>", elem=out[0].kind)
+
+
+@_fn("filter")
+def _fc_filter(args, node, ctx):
+    lam = _lambda_arg(node, 1, 2, "$filter")
+    arr, elem = _hof_array(args[0])
+
+    def body(*cols: Column) -> Column:
+        binds = [TypedCol(cols[0], elem)]
+        if len(cols) == 2:
+            binds.append(TypedCol(cols[1].cast("double"), "number"))
+        return as_boolean(_bind_lambda(lam, binds, ctx))
+
+    if len(lam["params"]) == 1:
+        col = F.filter(arr, lambda x: body(x))
+    else:
+        col = F.filter(arr, lambda x, i: body(x, i))
+    return TypedCol(col, f"array<{elem}>", elem=elem)
+
+
+@_fn("reduce")
+def _fc_reduce(args, node, ctx):
+    """$reduce(arr, fn[, init]) -> aggregate(). Without init, JSONata seeds
+    with the first element and folds the rest."""
+    lam = _lambda_arg(node, 1, 2, "$reduce")
+    if len(lam["params"]) != 2:
+        raise NotCompilable("$reduce lambda must take ($acc, $v)")
+    arr, elem = _hof_array(args[0])
+    if len(args) >= 3:
+        init = args[2]
+        if init.kind == "variant":
+            init = TypedCol(as_number(init), "number")
+        rest = arr
+    else:
+        first = TypedCol(F.element_at(arr, 1), elem)
+        init = TypedCol(as_number(first), "number") if elem == "variant" \
+            else first
+        rest = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    acc_kind = init.kind
+
+    def merge(acc: Column, x: Column) -> Column:
+        tc = _bind_lambda(
+            lam, [TypedCol(acc, acc_kind), TypedCol(x, elem)], ctx
+        )
+        if tc.kind == acc_kind:
+            return tc.col
+        if acc_kind == "number":
+            return as_number(tc)
+        if acc_kind == "string":
+            return as_string(tc)
+        raise NotCompilable(
+            f"$reduce body kind {tc.kind} != accumulator {acc_kind}"
+        )
+
+    return TypedCol(F.aggregate(rest, init.col, merge), acc_kind)
+
+
+def _dyn_compare(le: Column, r: Column) -> Column:
+    """-1/0/1 comparator for variant elements: numeric when both sides are
+    numeric, else string — the dynamic dispatch JSONata's sort does."""
+    ln = F.try_variant_get(le, "$", "double")
+    rn = F.try_variant_get(r, "$", "double")
+    ls = F.try_variant_get(le, "$", "string")
+    rs = F.try_variant_get(r, "$", "string")
+    num = F.when(ln < rn, -1).when(ln > rn, 1).otherwise(0)
+    s = F.when(ls < rs, -1).when(ls > rs, 1).otherwise(0)
+    return F.when(ln.isNotNull() & rn.isNotNull(), num).otherwise(s)
+
+
+@_fn("sort")
+def _fc_sort(args, node, ctx):
+    """$sort(arr[, fn]) — fn($a,$b) returns true when a sorts AFTER b
+    (JSONata swap contract), mapped to a ±1 comparator."""
+    arr, elem = _hof_array(args[0])
+    if len(node["args"]) == 1:
+        if elem in ("number", "string"):
+            return TypedCol(F.sort_array(arr), f"array<{elem}>", elem=elem)
+        return TypedCol(
+            F.array_sort(arr, _dyn_compare), f"array<{elem}>", elem=elem
+        )
+    lam = _lambda_arg(node, 1, 2, "$sort")
+    if len(lam["params"]) != 2:
+        raise NotCompilable("$sort comparator must take ($a, $b)")
+
+    def comp_with(kind: str):
+        def comp(a: Column, b: Column) -> Column:
+            ta = TypedCol(a, elem) if elem != "variant" else TypedCol(
+                F.try_variant_get(a, "$", "double" if kind == "number"
+                                  else "string"), kind)
+            tb = TypedCol(b, elem) if elem != "variant" else TypedCol(
+                F.try_variant_get(b, "$", "double" if kind == "number"
+                                  else "string"), kind)
+            swap = as_boolean(_bind_lambda(lam, [ta, tb], ctx))
+            return F.when(swap, F.lit(1)).otherwise(F.lit(-1))
+
+        return comp
+
+    # variant elements: compile the comparator with numeric bindings first
+    # (the common case); if the body needs strings, retry with strings
+    try:
+        col = F.array_sort(arr, comp_with("number"))
+    except NotCompilable:
+        col = F.array_sort(arr, comp_with("string"))
+    return TypedCol(col, f"array<{elem}>", elem=elem)
+
+
+@_fn("zip")
+def _fc_zip(args, node, ctx):
+    """$zip(a, b) -> array of [a[i], b[i]] pairs, truncated to the shorter
+    input (JSONata truncates; Spark's zip_with pads with null, so both
+    sides are sliced to the common length first)."""
+    if len(args) != 2:
+        raise NotCompilable("$zip compiles for exactly 2 arrays")
+    a, ae = _hof_array(args[0])
+    b, be = _hof_array(args[1])
+    if ae != be:
+        raise NotCompilable("$zip needs same-kind arrays")
+    n = F.least(F.size(a), F.size(b))
+    col = F.zip_with(
+        F.slice(a, 1, n), F.slice(b, 1, n), lambda x, y: F.array(x, y)
+    )
+    return TypedCol(col, f"array<array<{ae}>>", elem=f"array<{ae}>")
+
+
+# NOTE: $keys is deliberately NOT compiled — the variant encoding stores
+# object keys sorted, while JSONata preserves insertion order; the
+# interpreter fallback keeps the correct order.
+
+
+@_fn("lookup")
+def _fc_lookup(args, node, ctx):
+    """$lookup(obj, key) with a literal key -> variant path extraction."""
+    key_node = node["args"][1] if len(node["args"]) > 1 else None
+    if key_node is None or key_node["type"] != "string":
+        raise NotCompilable("$lookup needs a literal string key")
+    obj = args[0]
+    if obj.kind != "variant":
+        raise NotCompilable("$lookup compiles for variant objects")
+    return TypedCol(
+        F.try_variant_get(obj.col, _json_path([key_node["value"]]), "variant"),
+        "variant",
+    )

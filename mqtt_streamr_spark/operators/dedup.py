@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from mqtt_streamr_spark.operators.text import fingerprint, shingles
+from mqtt_streamr_spark.operators.text import fingerprint, shingles, tokens
 
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1, Mersenne prime
@@ -117,6 +117,17 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
+def char_ngrams(text: Column | str, n: int = 4) -> Column:
+    """Distinct character n-grams of whitespace-normalized lowercase text —
+    the classic n-gram-Jaccard dedup representation (finer-grained than word
+    shingles; robust to word-boundary edits)."""
+    norm = F.array_join(tokens(text), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
+    )
+
+
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
     """Exact Jaccard similarity of two shingle arrays."""
     inter = F.size(F.array_intersect(sh_a, sh_b))
@@ -148,18 +159,15 @@ def near_dup_candidates(df: DataFrame, text_col: str = "text",
     )
 
 
-def near_dup_pairs(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id", threshold: float = 0.5,
-                   bands: int = 4, rows: int = 2,
-                   shingle_n: int = 3) -> DataFrame:
-    """LSH candidates verified with exact Jaccard >= threshold. Returns
-    (id_a, id_b, jaccard_sim). Shingles are recomputed only for candidate
-    ids (semi-joined), keeping the verify stage proportional to candidates,
-    not corpus size."""
+def _verified_pairs(df: DataFrame, set_col: Column, text_col: str,
+                    id_col: str, threshold: float, bands: int,
+                    rows: int) -> DataFrame:
+    """LSH candidates verified with exact Jaccard >= threshold over
+    ``set_col`` (an array-of-elements representation of each doc). Sets are
+    recomputed only for candidate ids (joined), keeping the verify stage
+    proportional to candidates, not corpus size."""
     cands = near_dup_candidates(df, text_col, id_col, bands, rows)
-    sh = df.select(
-        F.col(id_col).alias("sid"), shingles(text_col, shingle_n).alias("sh")
-    )
+    sh = df.select(F.col(id_col).alias("sid"), set_col.alias("sh"))
     return (
         cands.join(sh.withColumnRenamed("sid", "id_a")
                    .withColumnRenamed("sh", "sh_a"), "id_a")
@@ -169,3 +177,26 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
     )
+
+
+def near_dup_pairs(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", threshold: float = 0.5,
+                   bands: int = 4, rows: int = 2,
+                   shingle_n: int = 3) -> DataFrame:
+    """LSH candidates verified with exact word-shingle Jaccard >= threshold.
+    Returns (id_a, id_b, jaccard_sim)."""
+    return _verified_pairs(df, shingles(text_col, shingle_n), text_col,
+                           id_col, threshold, bands, rows)
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.6,
+                        n: int = 4, bands: int = 4,
+                        rows: int = 2) -> DataFrame:
+    """n-gram Jaccard dedup: MinHash-band candidate generation (cheap,
+    recall-tuned) + exact character-n-gram Jaccard verification. Character
+    n-grams catch near-dups that word shingles miss (intra-word edits);
+    the candidate stage is shared with the MinHash pipeline so the extra
+    cost is only the verify join."""
+    return _verified_pairs(df, char_ngrams(text_col, n), text_col,
+                           id_col, threshold, bands, rows)

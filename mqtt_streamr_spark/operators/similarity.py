@@ -142,6 +142,57 @@ def ann_topk_lsh(df: DataFrame, query_id: int, k: int = 10,
     )
 
 
+def ivf_assign(df: DataFrame, centroid_ids: list[int],
+               vec_col: str = "embedding", id_col: str = "vec_id"
+               ) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    (max cosine = max dot over normalized vectors; ties broken by centroid
+    id). Centroids here are K seed vectors chosen by id — a stand-in for
+    k-means centroids, which would be model parameters at scale. Returns
+    (id, nv, cid). K is small, so the K-way scoring is a broadcast
+    crossJoin + per-vector top-1 (one shuffle on the vector id)."""
+    from pyspark.sql import Window
+
+    n = df.select(F.col(id_col), l2_normalize(F.col(vec_col)).alias("nv"))
+    cents = n.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cid"), F.col("nv").alias("cv")
+    )
+    scored = n.crossJoin(F.broadcast(cents)).withColumn(
+        "dotc", dot(F.col("nv"), F.col("cv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("dotc"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), "nv", "cid")
+    )
+
+
+def ann_topk_ivf(df: DataFrame, query_id: int, centroid_ids: list[int],
+                 k: int = 10, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN: probe only the query's coarse cluster with exact cosine.
+    At scale the assignment is precomputed at ingest and the cluster id is
+    a partition column — the probe becomes a partition-pruned scan (same
+    shape as the LSH path, but data-adaptive cells instead of random
+    hyperplanes)."""
+    assigned = ivf_assign(df, centroid_ids, vec_col, id_col)
+    q = assigned.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("q_id"), F.col("nv").alias("q_nv"),
+        F.col("cid").alias("q_cid"),
+    )
+    return (
+        assigned.join(F.broadcast(q), F.col("cid") == F.col("q_cid"))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            F.col(id_col),
+            F.round(dot(F.col("nv"), F.col("q_nv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         vec_col: str = "embedding", id_col: str = "vec_id",
                         block_col: str | None = "label") -> DataFrame:

@@ -117,6 +117,72 @@ def jsonata_filter_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOF_TRANSFORM = """
+{
+  "kind": event_type,
+  "total": $reduce($map(vals, function($x){ $x * 2 }),
+                   function($a, $x){ $a + $x }, 0),
+  "nbig": $count($filter(vals, function($x){ $x > 10 })),
+  "mx": $reduce(vals, function($a, $x){ $a > $x ? $a : $x })
+}
+"""
+
+
+@query(
+    "jsonata_hof_compiled",
+    oracle="""
+    WITH msg AS (
+        SELECT event_type AS kind,
+               [value, value * 2, CAST(user_id % 7 AS DOUBLE)] AS vals
+        FROM events),
+    t AS (
+        SELECT kind,
+               list_sum(list_transform(vals, x -> x * 2)) AS total,
+               len(list_filter(vals, x -> x > 10)) AS nbig,
+               list_max(vals) AS mx
+        FROM msg)
+    SELECT kind, count(*) AS n,
+           round(sum(total), 2) AS sum_total,
+           sum(nbig) AS sum_nbig,
+           round(avg(mx), 4) AS avg_mx
+    FROM t GROUP BY kind
+    """,
+)
+def jsonata_hof_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array HOFs on the compiled path: $map/$filter/$reduce (with and
+    without init) over a per-message array, entirely as native Columns
+    (transform/filter/aggregate — SURVEY.md §2.6 'Array HOFs' row)."""
+    ev = load(spark, "events", sf_dir)
+    df = ev.withColumn(
+        "payload",
+        F.to_json(
+            F.struct(
+                "event_type",
+                F.array(
+                    col("value"),
+                    col("value") * 2,
+                    (col("user_id") % 7).cast("double"),
+                ).alias("vals"),
+            )
+        ),
+    ).withColumn("v", F.try_parse_json("payload"))
+    tc = compile_column(_HOF_TRANSFORM, col("v"))
+    # kind stays VariantType through the transform; variant cannot be a
+    # shuffle key, so cast before grouping
+    out = df.select(tc.col.alias("m")).select(
+        col("m.kind").cast("string").alias("kind"),
+        col("m.total").alias("total"),
+        col("m.nbig").alias("nbig"),
+        col("m.mx").alias("mx"),
+    )
+    return out.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("total"), 2).alias("sum_total"),
+        F.sum("nbig").alias("sum_nbig"),
+        F.round(F.avg("mx"), 4).alias("avg_mx"),
+    )
+
+
 @query(
     "jsonata_string_functions",
     oracle="""

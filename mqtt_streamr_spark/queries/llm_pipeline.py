@@ -272,6 +272,43 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d),
+    hsx AS (SELECT doc_id, shingles, {_HS} AS hs FROM sh),
+    sig AS (SELECT doc_id, {_MH8} AS mh FROM hsx),
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band_key)
+             WHERE a.doc_id < b.doc_id),
+    ng AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                      generate_series(1, greatest(length(s) - 3, 1)),
+                      i -> substring(s, i, 4))) AS grams
+           FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM d)),
+    pairs AS (
+        SELECT id_a, id_b,
+               len(list_filter(ga.grams,
+                   g -> list_contains(gb.grams, g))) * 1.0 /
+               (len(ga.grams) + len(gb.grams) -
+                len(list_filter(ga.grams,
+                    g -> list_contains(gb.grams, g)))) AS j
+        FROM cand
+        JOIN ng ga ON ga.doc_id = cand.id_a
+        JOIN ng gb ON gb.doc_id = cand.id_b)
+    SELECT id_a, id_b, round(j, 6) AS jaccard_sim
+    FROM pairs WHERE j >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard near-dup pairs: MinHash-band candidates
+    (shared with the LSH pipeline) verified with exact n-gram Jaccard."""
+    docs = spread(load(spark, "documents", sf_dir))
+    return D.ngram_jaccard_pairs(docs, threshold=0.6, n=4)
+
+
 _SIMHASH_BIT_SQL = (
     "CASE WHEN list_sum(list_transform(dtoks, t -> "
     "CASE WHEN substring(md5(t), {j}, 1) IN "
@@ -393,6 +430,41 @@ def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     path swaps the label block for an LSH bucket — same join shape)."""
     emb = spread(load(spark, "embeddings", sf_dir))
     return S.embedding_near_dups(emb, threshold=0.9)
+
+
+_IVF_SEEDS = [1, 2, 3, 4, 5, 6, 7, 8]
+_IVF_SEEDS_SQL = ", ".join(str(s) for s in _IVF_SEEDS)
+
+
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, {_norm_sql('embedding')} AS nv
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, nv AS cv FROM n
+          WHERE vec_id IN ({_IVF_SEEDS_SQL})),
+    scored AS (SELECT n.vec_id, n.nv, c.cid,
+                      {_DOT.format(a='n.nv', b='c.cv')} AS dotc
+               FROM n CROSS JOIN c),
+    assigned AS (SELECT vec_id, nv, cid FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dotc DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    q AS (SELECT nv AS q_nv, cid AS q_cid FROM assigned WHERE vec_id = 0)
+    SELECT a.vec_id,
+           round({_DOT.format(a='a.nv', b='q.q_nv')}, 6) AS cos_sim
+    FROM assigned a, q
+    WHERE a.cid = q.q_cid AND a.vec_id != 0
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize to the nearest of 8 seed centroids, probe
+    only the query's cell — the data-adaptive counterpart to the
+    random-hyperplane LSH path."""
+    emb = load(spark, "embeddings", sf_dir)
+    return S.ann_topk_ivf(emb, query_id=0, centroid_ids=_IVF_SEEDS, k=10)
 
 
 # --- multimodal --------------------------------------------------------------

@@ -459,6 +459,28 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube, SURVEY.md
+    §2.4 'grouping sets' row) — one aggregation pass expanded by Catalyst,
+    not three scans with a union."""
+    load(spark, "orders", sf_dir).createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+@query(
     "scan_filter_project",
     oracle="""
     SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice

@@ -31,6 +31,7 @@ DOC = {
     "tags": ["a", "b", "c"],
     "nums": [1.5, 2.5, 3.0],
     "nested": {"k": 42, "name": "x y z", "deep": {"leaf": "v"}},
+    "items": [{"p": 3, "q": "c"}, {"p": 1, "q": "a"}, {"p": 2, "q": "b"}],
     "empty": None,
 }
 
@@ -169,6 +170,28 @@ COMPILABLE = [
     '{"a": {"b": value}}',
     "[value, count]",
     "[user, kind]",
+    # higher-order functions
+    "$map(nums, function($x){ $x * 2 })",
+    "$map(nums, function($x, $i){ $x + $i })",
+    "$map(tags, function($t){ $uppercase($t) })",
+    "$filter(nums, function($x){ $x > 2 })",
+    "$filter(nums, function($x, $i){ $i != 1 })",
+    "$reduce(nums, function($a, $x){ $a + $x })",
+    "$reduce(nums, function($a, $x){ $a + $x }, 100)",
+    "$reduce(nums, function($a, $x){ $a * $x }, 1)",
+    "$sum($map(nums, function($x){ $x * $x }))",
+    "$sort(nums)",
+    "$sort(tags)",
+    "$sort(nums, function($a, $b){ $a > $b })",
+    "$sort(nums, function($a, $b){ $a < $b })",
+    "$zip(nums, nums)",
+    "$zip(tags, tags)",
+    "$lookup(nested, 'k')",
+    # order-by
+    "nums^($)",
+    "nums^(>$)",
+    "items^(p)",
+    "items^(>p)",
     # functions of paths
     "$exists(missing)",
     "$exists(user)",
@@ -189,9 +212,7 @@ def test_compiled_matches_interpreter(spark, expr):
 NOT_COMPILABLE = [
     "Phone[type='mobile']",          # predicate filter
     "**.leaf",                       # descendants
-    "tags^($)",                      # order-by
     "nums{$string($): $}",           # group-by
-    "$map(nums, function($x){ $x * 2 })",  # lambdas (v0)
     "$match(kind, /t.mp/)",          # regex match objects
     "$each(nested, function($v,$k){ $v })",
 ]
