@@ -47,10 +47,13 @@ class TypedCol:
 
 @dataclass
 class Ctx:
-    """Compile-time environment: the input variant column plus let-bindings."""
+    """Compile-time environment: the input context column plus let-bindings.
+    root_kind tracks the context value's kind ('variant' for the input
+    message; the element kind inside predicate filters over typed arrays)."""
 
     root: Column
     bindings: dict[str, TypedCol] = field(default_factory=dict)
+    root_kind: str = "variant"
 
 
 def compile_column(source_or_ast, input_col: Column) -> TypedCol:
@@ -151,6 +154,10 @@ def _as_array(tc: TypedCol, elem_type: str) -> Column:
     if tc.kind == "variant":
         return F.try_variant_get(tc.col, "$", f"array<{elem_type}>")
     if tc.kind.startswith("array"):
+        if (tc.elem or "variant") == "variant" and elem_type != "variant":
+            return F.transform(
+                tc.col, lambda x: F.try_variant_get(x, "$", elem_type)
+            )
         return tc.col
     raise NotCompilable(f"cannot use kind {tc.kind} as array")
 
@@ -232,8 +239,27 @@ def _c_path(node, ctx):
         return TypedCol(
             F.try_variant_get(ctx.root, _json_path(steps), "variant"), "variant"
         )
-    # a.b.c where lhs compiles but rhs needs mapping/filtering -> fallback
-    raise NotCompilable("non-trivial path (array mapping/filtering)")
+    rhs_steps = _path_steps(node["rhs"])
+    if rhs_steps is None:
+        raise NotCompilable("non-trivial path rhs")
+    lhs = _compile(node["lhs"], ctx)
+    path = _json_path(rhs_steps)
+    if lhs.kind == "variant":
+        # navigation within a bound variant value (e.g. a lambda var $x.f);
+        # NOTE compiled paths NAVIGATE objects — JSONata's map-over-array
+        # step on a dynamically-array value stays on the interpreter path
+        return TypedCol(F.try_variant_get(lhs.col, path, "variant"), "variant")
+    if lhs.kind.startswith("array") and (lhs.elem or "variant") == "variant":
+        # statically-known array (predicate/HOF result): name step maps over
+        # elements and drops undefined, per JSONata sequence semantics
+        mapped = F.transform(
+            lhs.col, lambda x: F.try_variant_get(x, path, "variant")
+        )
+        kept = F.filter(
+            mapped, lambda v: v.isNotNull() & ~F.is_variant_null(v)
+        )
+        return TypedCol(kept, "array<variant>", elem="variant")
+    raise NotCompilable(f"path over kind {lhs.kind}")
 
 
 def _c_predicate(node, ctx):
@@ -242,15 +268,37 @@ def _c_predicate(node, ctx):
         return TypedCol(
             F.try_variant_get(ctx.root, _json_path(steps), "variant"), "variant"
         )
-    raise NotCompilable("predicate filters not compilable (v0)")
+    cond = node["cond"]
+    base = _compile(node["expr"], ctx)
+    arr, elem = _hof_array(base)
+    idx_node, sign = cond, 1
+    if cond["type"] == "unary-" and cond["expr"]["type"] == "number":
+        idx_node, sign = cond["expr"], -1
+    if idx_node["type"] == "number" and float(idx_node["value"]).is_integer():
+        # positional index; negative counts from the end (JSONata arr[-1]
+        # = element_at(-1)). Non-negative on a pure path is handled by the
+        # fast steps path above; this covers computed bases and negatives.
+        idx = sign * int(idx_node["value"])
+        return TypedCol(
+            F.element_at(arr, idx + 1 if idx >= 0 else idx),
+            elem if elem != "variant" else "variant",
+        )
+    # filter predicate: evaluate cond with each element as context.
+    # NOTE: applies to arrays; JSONata's scalar-as-singleton-sequence rule
+    # is not reproducible in a statically-typed column (documented
+    # divergence — the interpreter path covers scalars).
+
+    def pred(x: Column) -> Column:
+        child = Ctx(root=x, bindings=dict(ctx.bindings), root_kind=elem)
+        return as_boolean(_compile(cond, child))
+
+    return TypedCol(F.filter(arr, pred), f"array<{elem}>", elem=elem)
 
 
 def _c_variable(node, ctx):
     name = node["value"]
-    if name == "":
-        return TypedCol(ctx.root, "variant")
-    if name == "$":
-        return TypedCol(ctx.root, "variant")
+    if name in ("", "$"):
+        return TypedCol(ctx.root, ctx.root_kind)
     if name in ctx.bindings:
         return ctx.bindings[name]
     raise NotCompilable(f"unbound variable ${name}")

@@ -1,0 +1,65 @@
+"""Cross-row join extensions: the as-of (nearest-earlier-event) join.
+
+The reference implements no relational joins at all (SURVEY.md §2.3 —
+single-stream, record-at-a-time; /root/reference/bin/mqtt-streamr.js has
+only a memoized registry lookup). Standard equi/semi/anti/outer joins are
+Spark built-ins exercised by the relational query set; the as-of join is
+the one join shape worth a custom operator for time-series work.
+
+Scale design: implemented with the union + partitioned-window pattern —
+tag both sides, union, one shuffle on the key, sort by (ts, side) within
+the partition, and carry the right side's values forward with
+``last(ignorenulls)``. This is O(n log n) per key group with ONE shuffle;
+the naive alternative (theta join on ``l.key = r.key AND r.ts <= l.ts``
++ max) is a range explosion that degenerates to broadcast-nested-loop at
+scale. Skewed keys: the window is per key, so AQE skew handling does not
+split it — pre-salt hot keys if a key's history exceeds one executor's
+memory.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              ts_col: str = "ts",
+              right_value_cols: list[str] | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """For each left row, attach the right row with the greatest ts <=
+    left.ts for the same ``on`` key (backward as-of, ties include the
+    equal-ts right row — DuckDB/pandas ``merge_asof`` semantics). Right
+    value columns appear with ``suffix``; unmatched left rows get NULLs
+    (left-outer semantics)."""
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in (on, ts_col)
+    ]
+    r = right.select(
+        on, ts_col,
+        *[F.col(c).alias(c + suffix) for c in right_value_cols],
+    )
+    l_tagged = left.withColumn("__side", F.lit(1))
+    for c in right_value_cols:
+        l_tagged = l_tagged.withColumn(
+            c + suffix, F.lit(None).cast(dict(right.dtypes)[c])
+        )
+    r_tagged = r.withColumn("__side", F.lit(0))
+    for c in left.columns:
+        if c not in (on, ts_col):
+            r_tagged = r_tagged.withColumn(
+                c, F.lit(None).cast(dict(left.dtypes)[c])
+            )
+    u = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+    # side=0 sorts before side=1 at equal ts, so an equal-ts right row is
+    # visible to the left row (>= match)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_value_cols:
+        u = u.withColumn(
+            c + suffix, F.last(c + suffix, ignorenulls=True).over(w)
+        )
+    return u.filter(F.col("__side") == 1).drop("__side")

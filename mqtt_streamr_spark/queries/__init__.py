@@ -6,6 +6,7 @@ from mqtt_streamr_spark.queries import (  # noqa: F401
     jsonata_queries,
     llm_pipeline,
     relational,
+    streaming_queries,
 )
 from mqtt_streamr_spark.queries.registry import ORACLES, QUERIES
 

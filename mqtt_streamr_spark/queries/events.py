@@ -246,3 +246,39 @@ def events_success_error_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(col("window.start").alias("day"), "outcome", "n")
     )
+
+
+@query(
+    "join_asof_purchase_view",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value AS p_value
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, value AS v_value
+          FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           round(p.p_value, 2) AS p_value,
+           round(v.v_value, 2) AS v_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def join_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine extension, SURVEY.md §2.3): each purchase joined
+    to the same user's most recent earlier-or-equal view. Implemented with
+    the union + partitioned-window pattern (one shuffle on user_id) — the
+    DuckDB oracle uses its native ASOF LEFT JOIN."""
+    from mqtt_streamr_spark.operators.joins import asof_join
+
+    ev = load(spark, "events", sf_dir)
+    p = ev.filter(col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", col("value").alias("p_value")
+    )
+    v = ev.filter(col("event_type") == "view").select(
+        "user_id", "ts", col("value").alias("v_value")
+    )
+    out = asof_join(p, v, on="user_id", ts_col="ts")
+    return out.select(
+        "event_id", "user_id",
+        F.round("p_value", 2).alias("p_value"),
+        F.round("v_value_asof", 2).alias("v_value"),
+    )

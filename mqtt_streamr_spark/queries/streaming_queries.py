@@ -1,0 +1,66 @@
+"""Streaming queries (rows-only checks — no SQL oracle can express a
+Structured Streaming run; the driver records the weaker rows/schema check).
+
+These run the REAL streaming runtime end-to-end — replay source ->
+try_parse_json invalid-drop -> compiled JSONata transform -> routing ->
+foreachBatch partitioned sink — with trigger(availableNow) so the query
+drains deterministically and returns a batch summary of what was routed.
+Reference dataflow: /root/reference/bin/mqtt-streamr.js:144-200.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mqtt_streamr_spark.queries.registry import query
+
+
+@query("streaming_replay_pipeline")
+def streaming_replay_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline over the events replay: every 50th payload corrupted
+    (exercises the invalid-drop path, bin:149-155), JSONata transform
+    compiled to Columns, stream ids derived via truncation + template
+    (bin:99-106,166), dynamic-partition parquet sink. Returns per-stream
+    routed counts plus the success/error totals the Logger contract
+    reports (Logger.js:17-21)."""
+    from mqtt_streamr_spark.streaming import PipelineSpec, StreamingBridge
+    from mqtt_streamr_spark.streaming.pipeline import replay_source
+
+    d = tempfile.mkdtemp(prefix="streaming_replay_q_")
+    try:
+        spec = PipelineSpec(
+            transform='{"u": user_id, "kind": event_type, "v2": value * 2}',
+            stream_id_template="/s$topic",
+            topic_levels=2,
+            sink_dir=os.path.join(d, "sink"),
+            dead_letter_dir=os.path.join(d, "dead"),
+            log_interval=3600.0,
+        )
+        bridge = StreamingBridge(spec)
+        src = replay_source(
+            spark, os.path.join(sf_dir, "events.parquet"),
+            streaming=True, malformed_every=50,
+        )
+        q = bridge.start(src, checkpoint_dir=os.path.join(d, "ckpt"))
+        q.awaitTermination()
+        out = spark.read.parquet(os.path.join(d, "sink"))
+        success, errors = bridge.logger.report()
+        per_stream = (
+            out.groupBy("stream_id")
+            .agg(F.count(F.lit(1)).alias("n_routed"))
+        )
+        return (
+            per_stream.withColumn("success_total", F.lit(success))
+            .withColumn("error_total", F.lit(errors))
+            .withColumn("backend", F.lit(bridge.transform_backend))
+            .orderBy("stream_id")
+            # materialize before the finally-block deletes the sink dir
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -187,6 +187,18 @@ COMPILABLE = [
     "$zip(nums, nums)",
     "$zip(tags, tags)",
     "$lookup(nested, 'k')",
+    # predicate filters / indexing / array paths
+    "nums[$ > 2]",
+    "items[p >= 2]",
+    "items[p >= 2].q",
+    "items[q = 'a' or q = 'b'].p",
+    "items[-1]",
+    "items[-1].q",
+    "$filter(items, function($it){ $it.p >= 2 })",
+    "$map(items, function($it){ $it.p })",
+    "$sum($map(items, function($it){ $it.p }))",
+    "$count(items[p > 0])",
+    "Phone[type='mobile']",    # absent field -> empty (undefined)
     # order-by
     "nums^($)",
     "nums^(>$)",
@@ -210,7 +222,6 @@ def test_compiled_matches_interpreter(spark, expr):
 
 
 NOT_COMPILABLE = [
-    "Phone[type='mobile']",          # predicate filter
     "**.leaf",                       # descendants
     "nums{$string($): $}",           # group-by
     "$match(kind, /t.mp/)",          # regex match objects
