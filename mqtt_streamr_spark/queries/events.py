@@ -282,3 +282,67 @@ def join_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_value", 2).alias("p_value"),
         F.round("v_value_asof", 2).alias("v_value"),
     )
+
+
+@query(
+    "events_sliding_windows",
+    oracle="""
+    WITH e AS (SELECT ts, value,
+                      time_bucket(INTERVAL '12 hours', ts) AS b
+               FROM events),
+    w AS (SELECT ts, value,
+                 unnest([b, b - INTERVAL '12 hours']) AS w_start
+          FROM e)
+    SELECT w_start, count(*) AS n, round(sum(value), 2) AS total
+    FROM w
+    WHERE ts >= w_start AND ts < w_start + INTERVAL '24 hours'
+    GROUP BY w_start
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 day, sliding every 12 h) — each event
+    lands in exactly 2 windows; the oracle expands the same windows with
+    time_bucket + unnest. Engine extension beyond the reference's
+    processing-time-only stats (SURVEY.md §2.7 'Time semantics')."""
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total"))
+        .select(col("window.start").alias("w_start"), "n", "total")
+    )
+
+
+@query(
+    "events_session_windows",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        FROM events),
+    s AS (SELECT user_id, ts, value,
+                 sum(new_s) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user via
+    ``session_window`` — the streaming-native gap-session operator, checked
+    against a gaps-and-islands SQL oracle. A new session starts when the
+    gap is >= the timeout (session windows are half-open [start, last+gap))."""
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select("user_id",
+                col("session_window.start").alias("session_start"),
+                "n_events", "total_value")
+    )

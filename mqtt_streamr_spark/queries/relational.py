@@ -211,6 +211,135 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- join types -------------------------------------------------------------
 
 @query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — every predicate pushes to the
+    parquet reader; the plan is one scan + one single-row agg, no join, no
+    wide shuffle."""
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & col("l_discount").between(0.05, 0.07)
+            & (col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(col("l_extendedprice") * col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (adapted: p_type is a plain enum here): lineitem filtered
+    to one month joined to part. part is small relative to lineitem at any
+    SF — broadcast the part side so the month of lineitem never shuffles."""
+    li = load(spark, "lineitem", sf_dir)
+    pt = load(spark, "part", sf_dir)
+    disc = col("l_extendedprice") * (1 - col("l_discount"))
+    return (
+        li.filter(
+            (col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+            & (col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pt), col("l_partkey") == col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(l_quantity) > 150
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-quantity orders). The aggregation keys on
+    o_orderkey, so the lineitem->orders join and the agg share the orderkey
+    shuffle; the HAVING filter runs after the final aggregate."""
+    cust = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(cust, col("o_custkey") == col("c_custkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(col("total_qty") > 150)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+        )
+    )
+
+
+@query(
+    "q4_late_orders_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL '90 days')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (no commit/receipt dates in this schema): orders
+    with any lineitem shipped > 90 days after the order date, counted by
+    priority — a left-semi join on the order key."""
+    orders = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late,
+            (col("o_orderkey") == col("l_orderkey"))
+            & (col("l_shipdate")
+               > col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
     "join_semi_customers_with_big_orders",
     oracle="""
     SELECT c_custkey, c_name
