@@ -2,9 +2,11 @@
 
 The reference evaluates JSONata by tree-walking per message
 (bin/mqtt-streamr.js:158); this compiler instead emits a Catalyst expression
-tree over a VariantType input column, so the transform runs entirely inside
-whole-stage codegen — no Python in the hot path, ~100x the throughput of an
-interpreted UDF at scale.
+tree over a VariantType input column, so the transform runs entirely
+JVM-side (vectorized parquet scan + Catalyst expression eval; variant
+expressions are not whole-stage-codegen'd but never leave the JVM) — no
+Python in the hot path, ~100x the throughput of an interpreted UDF at
+scale. Asserted in tests/test_plans.py.
 
 Coverage (v0): paths over objects (incl. [n] index), literals, arithmetic,
 comparisons, and/or/not, string concat, conditionals with boolean conditions,
