@@ -64,3 +64,44 @@ def streaming_replay_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query("streaming_stateful_dedup")
+def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the replay stream unioned with itself
+    (every event delivered twice) is exactly-once'd by streaming
+    ``dropDuplicates`` keyed on event_id — state lives in the state store
+    across micro-batches. Returns (n_rows, n_distinct); equal counts prove
+    the duplicates were eliminated by state, not by batch-local luck."""
+    from mqtt_streamr_spark.streaming.pipeline import replay_source
+
+    d = tempfile.mkdtemp(prefix="streaming_dedup_q_")
+    try:
+        src = replay_source(
+            spark, os.path.join(sf_dir, "events.parquet"), streaming=True
+        )
+        doubled = src.union(src)
+        deduped = (
+            doubled.withColumn(
+                "event_id",
+                F.get_json_object("payload", "$.event_id").cast("long"),
+            )
+            .dropDuplicates(["event_id"])
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", os.path.join(d, "out"))
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(os.path.join(d, "out"))
+        return (
+            out.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("event_id").alias("n_distinct"),
+            ).localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
