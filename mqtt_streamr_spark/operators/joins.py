@@ -23,6 +23,31 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
+                n_salts: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join with manual skew salting: the big (skewed) side gets a
+    deterministic salt in [0, n_salts) from a hash of its rows, the small
+    side is replicated n_salts times, and the join key becomes
+    (on..., salt) — a hot key's rows spread over n_salts reducers.
+
+    AQE's skew-join splitting (on by default in session.py) handles most
+    skew for sort-merge joins at runtime; this operator is the explicit
+    fallback for when a single key exceeds what one task can hold even
+    after AQE splitting, or for shuffle-hash paths AQE won't split. Cost:
+    the small side is materialized n_salts times — only use when the small
+    side is broadcast-size anyway."""
+    on = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                  F.lit(n_salts)).cast("int")
+    big_s = big.withColumn("__salt", salt)
+    salts = (
+        small.sparkSession.range(n_salts)
+        .select(F.col("id").cast("int").alias("__salt"))
+    )
+    small_s = small.crossJoin(F.broadcast(salts))
+    return big_s.join(small_s, on + ["__salt"], how).drop("__salt")
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               ts_col: str = "ts",
               right_value_cols: list[str] | None = None,

@@ -1,0 +1,151 @@
+"""Property-based tests (SURVEY.md §5.5): randomized messages through
+parse -> transform -> route, with the invariants the reference guarantees:
+no crash on any payload, drop-or-route totality (valid + invalid = input),
+stream ids always derivable, and compiled/interpreted JSONata agreement.
+
+Each hypothesis example builds ONE DataFrame for the whole generated batch
+(Spark jobs are too slow for per-row examples), so max_examples stays low
+while each example still covers dozens of random rows.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mqtt_streamr_spark.operators.routing import (
+    stream_id_from_template,
+    truncate_topic,
+)
+from mqtt_streamr_spark.streaming import PipelineSpec, StreamingBridge
+
+SLOW = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+json_scalars = st.one_of(
+    st.none(), st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.integers(min_value=-2**31, max_value=2**31),
+    st.text(max_size=20),
+)
+json_values = st.recursive(
+    json_scalars,
+    lambda child: st.one_of(
+        st.lists(child, max_size=4),
+        st.dictionaries(st.text(min_size=1, max_size=8), child, max_size=4),
+    ),
+    max_leaves=10,
+)
+payloads = st.one_of(
+    json_values.map(json.dumps),          # valid JSON of any shape
+    st.text(max_size=40),                 # mostly-invalid junk
+)
+topics = st.lists(
+    st.text(
+        alphabet="abcdefghij/",
+        min_size=1, max_size=20,
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@SLOW
+@given(rows=st.lists(st.tuples(st.sampled_from(
+    ["a/b", "/a/b/c", "x", "/", "deep/nested/topic/level"]
+), payloads), min_size=1, max_size=30))
+def test_parse_route_totality(spark, rows):
+    """Every record either parses or is flagged invalid — none vanish, none
+    crash — and every record gets a non-null stream id (bin:149-155,161-166
+    semantics)."""
+    df = spark.createDataFrame(rows, "topic string, payload string")
+    spec = PipelineSpec(stream_id_template="/s/$topic", topic_levels=1,
+                        dry_run=True)
+    planned = StreamingBridge(spec).plan(df)
+    out = planned.select("is_valid", "stream_id").collect()
+    assert len(out) == len(rows)
+    n_valid_expected = 0
+    for _, payload in rows:
+        try:
+            json.loads(payload)
+            n_valid_expected += 1
+        except (ValueError, TypeError):
+            pass
+    assert sum(1 for r in out if r["is_valid"]) == n_valid_expected
+    assert all(r["stream_id"] is not None for r in out)
+
+
+@SLOW
+@given(topic_list=topics, levels=st.integers(min_value=0, max_value=6))
+def test_truncation_invariants(spark, topic_list, levels):
+    """truncate_topic keeps at most levels+1 '/'-parts and is always a
+    prefix of the input (bin:99-106)."""
+    df = spark.createDataFrame([(t,) for t in topic_list], "topic string")
+    out = df.select(
+        "topic", truncate_topic(F.col("topic"), levels).alias("trunc")
+    ).collect()
+    for r in out:
+        if not levels:
+            assert r["trunc"] == r["topic"]
+            continue
+        assert r["topic"].startswith(r["trunc"])
+        assert len(r["trunc"].split("/")) <= levels + 1
+
+
+@SLOW
+@given(topic_list=topics)
+def test_template_substitution_first_occurrence(spark, topic_list):
+    """$topic substitutes the FIRST occurrence only (JS String.replace with
+    a string pattern — bin:166)."""
+    df = spark.createDataFrame([(t,) for t in topic_list], "topic string")
+    out = df.select(
+        "topic",
+        stream_id_from_template(
+            F.col("topic"), "$topic-mid-$topic", topic_levels=None,
+        ).alias("sid"),
+    ).collect()
+    for r in out:
+        assert r["sid"] == "$topic-mid-$topic".replace("$topic", r["topic"], 1)
+
+
+@SLOW
+@given(vals=st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1,
+    max_size=8,
+))
+def test_compiled_interpreter_agree_on_random_docs(spark, vals):
+    """Differential property: a fixed transform over random numeric docs
+    produces identical results from both backends."""
+    from mqtt_streamr_spark.jsonata import jsonata
+    from mqtt_streamr_spark.jsonata.compiler import compile_column
+
+    expr = "$sum($map(vals, function($x){ $x * 2 })) + $count(vals)"
+    doc = {"vals": vals}
+    expected = jsonata(expr).evaluate(doc)
+    df = spark.createDataFrame([(json.dumps(doc),)], "payload string")
+    tc = compile_column(expr, F.try_parse_json("payload"))
+    actual = df.select(tc.col.alias("r")).collect()[0]["r"]
+    assert actual is not None and math.isclose(
+        float(expected), float(actual), rel_tol=1e-9
+    ), (vals, expected, actual)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join produces exactly the plain join's rows on skewed data
+    (one key holding 90% of the big side)."""
+    from mqtt_streamr_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, f"v{i}") for i in range(1000)], "k int, v string"
+    )
+    small = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 100)], "k int, d string"
+    )
+    plain = {tuple(r) for r in big.join(small, "k").collect()}
+    salted = {tuple(r) for r in salted_join(big, small, "k", n_salts=8).collect()}
+    assert salted == plain and len(plain) > 0
