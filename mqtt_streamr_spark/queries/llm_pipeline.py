@@ -467,6 +467,73 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_ivf(emb, query_id=0, centroid_ids=_IVF_SEEDS, k=10)
 
 
+# --- grouped Pandas-UDF surface (§2.8) ---------------------------------------
+
+@query(
+    "grouped_quality_zscores",
+    oracle=f"""
+    WITH d AS (SELECT source, text, {_TOKS} AS toks FROM documents),
+    q AS (
+        SELECT source,
+               0.4 * least((len(list_filter(toks,
+                     t -> list_contains({_ALL_STOP_SQL}, t)))
+                     / len(toks)) * 5, 1.0)
+             + 0.3 * least((list_sum(list_transform(toks, t -> length(t)))
+                     / len(toks)) / 8, 1.0)
+             + 0.3 * (1 - least((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     / length(text)) * 10, 1.0)) AS score
+        FROM d),
+    z AS (SELECT source,
+                 (score - avg(score) OVER (PARTITION BY source))
+                 / stddev_samp(score) OVER (PARTITION BY source) AS z
+          FROM q)
+    SELECT source, count(*) AS n,
+           round(min(z), 4) AS min_z, round(max(z), 4) AS max_z,
+           round(avg(abs(z)), 4) AS avg_abs_z
+    FROM z GROUP BY source
+    """,
+)
+def grouped_quality_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-source z-score normalization of the
+    quality score (the UDF sees the whole group — not expressible as a
+    per-row Column without a window). Oracle restates it with window
+    functions."""
+    from mqtt_streamr_spark.operators.grouped import zscore_per_group
+
+    docs = load(spark, "documents", sf_dir)
+    scored = docs.select(
+        "source", T.quality_score("text").alias("score")
+    )
+    z = zscore_per_group(scored, "source", "score")
+    return z.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("z"), 4).alias("min_z"),
+        F.round(F.max("z"), 4).alias("max_z"),
+        F.round(F.avg(F.abs(F.col("z"))), 4).alias("avg_abs_z"),
+    )
+
+
+@query(
+    "grouped_geomean_values",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(value))), 6) AS geo_mean
+    FROM events WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def grouped_geomean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF (vectorized custom aggregate): geometric
+    mean of event values per type. The escape hatch for aggregates
+    Catalyst lacks — no partial aggregation, so each group ships whole."""
+    from mqtt_streamr_spark.operators.grouped import geometric_mean
+
+    ev = load(spark, "events", sf_dir).filter(col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        F.round(geometric_mean("value"), 6).alias("geo_mean")
+    )
+
+
 # --- multimodal --------------------------------------------------------------
 
 @query(
