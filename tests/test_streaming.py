@@ -164,3 +164,60 @@ def test_data_timeout_watchdog():
     wd2 = DataTimeoutWatchdog(0, lambda: fired.append(2))
     wd2.reset()  # timeout=0 disables (bin:57-61)
     assert wd2._timer is None
+
+
+def test_watermark_drops_late_data(spark):
+    """Event-time windows with a 10-minute watermark (SURVEY.md §2.7 engine
+    extension): a row arriving after the watermark passed its window is
+    dropped; append mode emits each window exactly once, finalized."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_file(dirpath, name, rows):
+        t = pa.table({
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "v": pa.array([r[1] for r in rows], pa.float64()),
+        })
+        pq.write_table(t, os.path.join(dirpath, name))
+
+    ts = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    with tempfile.TemporaryDirectory() as d:
+        src, sink, ckpt = (os.path.join(d, x) for x in ("src", "out", "ck"))
+        os.makedirs(src)
+        write_file(src, "f1.parquet", [(ts(10, 0), 1.0), (ts(10, 5), 2.0),
+                                       (ts(11, 0), 4.0)])
+        agg = (
+            spark.readStream.schema("ts timestamp, v double").parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+            .select(F.col("window.start").alias("w"), "n", "total")
+        )
+        q = (
+            agg.writeStream.outputMode("append").format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1: watermark still at epoch
+            # late row: 10:02 belongs to the 10:00 window, which the
+            # watermark (10:50 after batch 1) has already closed -> dropped
+            write_file(src, "f2.parquet", [(ts(10, 2), 100.0),
+                                           (ts(12, 0), 8.0)])
+            q.processAllAvailable()
+            # advance watermark past 11:10 to finalize the 11:00 window
+            write_file(src, "f3.parquet", [(ts(13, 0), 16.0)])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = {r["w"].hour: (r["n"], r["total"])
+               for r in spark.read.parquet(sink).collect()}
+        # 10:00 window: the two on-time rows only — late 100.0 excluded
+        assert out[10] == (2, 3.0)
+        assert out[11] == (1, 4.0)
+        # 12:00 finalizes too (watermark 12:50 after f3; the engine runs a
+        # finalization batch once the watermark passes a window's end)
+        assert out.get(12) == (1, 8.0)
+        assert 13 not in out  # watermark has not passed 13:10
