@@ -45,6 +45,7 @@ class TypedCol:
     col: Column
     kind: str
     elem: str | None = None  # element kind for arrays
+    fields: list[str] | None = None  # field names for constructed objects
 
 
 @dataclass
@@ -461,12 +462,14 @@ def _c_array(node, ctx):
 
 def _c_object(node, ctx):
     fields = []
+    names = []
     for key_node, val_node in node["pairs"]:
         if key_node["type"] != "string":
             raise NotCompilable("object constructor with computed key")
         val = _compile(val_node, ctx)
         fields.append(val.col.alias(key_node["value"]))
-    return TypedCol(F.struct(*fields), "object")
+        names.append(key_node["value"])
+    return TypedCol(F.struct(*fields), "object", fields=names)
 
 
 def _c_range(node, ctx):
@@ -499,6 +502,8 @@ def _c_call(node, ctx):
     fn = _FUNCTIONS.get(name)
     if fn is None:
         raise NotCompilable(f"function ${name} not compilable")
+    if name in _RAW_ARG_FNS:  # handler walks node["args"] itself
+        return fn([], node, ctx)
     args = [
         TypedCol(F.lit(None), "regex") if a["type"] == "regex"
         else TypedCol(F.lit(None), "lambda") if a["type"] == "lambda"
@@ -623,6 +628,11 @@ def _arg_regex(node_args, i):
     if a["type"] == "regex":
         return _js_regex_to_java(a["pattern"], a["flags"])
     return None
+
+
+# functions whose arguments cannot be pre-compiled as values (e.g. an array
+# literal of heterogeneous objects) — their handlers walk the AST directly
+_RAW_ARG_FNS = {"merge"}
 
 
 def _fn(name):
@@ -1046,6 +1056,46 @@ def _fc_zip(args, node, ctx):
 # NOTE: $keys is deliberately NOT compiled — the variant encoding stores
 # object keys sorted, while JSONata preserves insertion order; the
 # interpreter fallback keeps the correct order.
+
+
+@_fn("now")
+def _fc_now(args, node, ctx):
+    """ISO-8601 UTC timestamp string (JSONata $now)."""
+    return TypedCol(
+        F.date_format(
+            F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+        ),
+        "string",
+    )
+
+
+@_fn("millis")
+def _fc_millis(args, node, ctx):
+    return TypedCol(
+        F.unix_millis(F.current_timestamp()).cast("double"), "number"
+    )
+
+
+@_fn("merge")
+def _fc_merge(args, node, ctx):
+    """$merge([o1, o2, ...]) for statically-constructed objects: later
+    fields override earlier ones at compile time (struct field merge)."""
+    arr_node = node["args"][0] if node["args"] else None
+    if arr_node is None or arr_node["type"] != "array":
+        raise NotCompilable("$merge compiles for literal object arrays")
+    merged: dict[str, Column] = {}
+    for item in arr_node["items"]:
+        tc = _compile(item, ctx)
+        if tc.kind != "object" or tc.fields is None:
+            raise NotCompilable(
+                "$merge items must be statically-constructed objects"
+            )
+        for f_name in tc.fields:
+            merged[f_name] = tc.col.getField(f_name)
+    return TypedCol(
+        F.struct(*[c.alias(n) for n, c in merged.items()]), "object",
+        fields=list(merged),
+    )
 
 
 @_fn("lookup")

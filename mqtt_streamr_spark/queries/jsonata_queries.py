@@ -184,6 +184,43 @@ def jsonata_hof_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jsonata_interpreted_fallback",
+    oracle="""
+    SELECT event_type AS kind, count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def jsonata_interpreted_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interpreter fallback end-to-end (SURVEY.md §2.8 path 2): ``**``
+    descendants are not compilable, so transform_to_json transparently
+    drops to the Arrow-batched interpreter pandas UDF — same semantics,
+    slower path, still fully distributed."""
+    from mqtt_streamr_spark.streaming.transform import transform_to_json
+
+    ev = load(spark, "events", sf_dir)
+    df = ev.withColumn(
+        "payload",
+        F.to_json(F.struct(
+            "event_type", F.from_json("props", "k long").alias("props"),
+        )),
+    )
+    out_col, backend = transform_to_json(
+        '{"kind": event_type, "k": $sum(**.k)}', F.col("payload")
+    )
+    assert backend == "interpreted", backend
+    m = df.withColumn("m", out_col)
+    return (
+        m.select(
+            F.get_json_object("m", "$.kind").alias("kind"),
+            F.get_json_object("m", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+@query(
     "jsonata_string_functions",
     oracle="""
     SELECT upper(substring(event_type, 1, 3)) AS prefix,

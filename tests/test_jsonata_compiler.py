@@ -166,6 +166,7 @@ COMPILABLE = [
     "kind ~> $uppercase()",
     "$split(kind, '/') ~> $join('.')",
     # constructors
+    '$merge([{"a": 1, "b": 2}, {"b": value, "c": user}])',
     '{"u": user, "v2": value * 2, "k": nested.k}',
     '{"a": {"b": value}}',
     "[value, count]",
@@ -254,3 +255,18 @@ def test_type_error_divergence_documented(spark):
     with pytest.raises(JsonataError):
         jsonata("1 + user").evaluate(DOC)
     assert run_compiled(spark, "1 + user", DOC) is None
+
+
+def test_now_millis_compiled(spark):
+    """$now/$millis compile to current_timestamp expressions (no exact
+    differential possible — time moves between evaluations)."""
+    import re
+    import time
+
+    df = spark.createDataFrame([("{}",)], "payload string")
+    tc = compile_column("$millis()", F.try_parse_json("payload"))
+    got = df.select(tc.col.alias("r")).collect()[0]["r"]
+    assert abs(got / 1000.0 - time.time()) < 300, got
+    tc2 = compile_column("$now()", F.try_parse_json("payload"))
+    s = df.select(tc2.col.alias("r")).collect()[0]["r"]
+    assert re.fullmatch(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z", s), s

@@ -106,8 +106,10 @@ def test_fixed_stream_id_and_dry_run(spark, tmpdirs):
 
 def test_interpreted_fallback(spark, tmpdirs):
     """A transform the compiler can't express must still run (interpreter
-    UDF) and agree with direct interpretation."""
-    expr = "$merge([{'a': value}, {'b': $map([1,2], function($x){ $x * 2 })}])"
+    UDF) and agree with direct interpretation. ($merge/$map used to be the
+    uncompilable example until the compiler learned them — ``**``
+    descendants remain interpreter-only by design.)"""
+    expr = "{'a': value, 'n': $count(**), 'b': $map([1,2], function($x){ $x * 2 })}"
     spec = PipelineSpec(
         transform=expr, sink_dir=tmpdirs["sink"], log_interval=3600,
     )
@@ -116,7 +118,8 @@ def test_interpreted_fallback(spark, tmpdirs):
     assert bridge.transform_backend == "interpreted"
     out = spark.read.parquet(tmpdirs["sink"])
     msg = json.loads(out.limit(1).collect()[0]["message"])
-    assert set(msg) == {"a", "b"} and msg["b"] == [2, 4]
+    assert set(msg) == {"a", "n", "b"} and msg["b"] == [2, 4]
+    assert msg["n"] >= 5  # every leaf of the parsed message
 
 
 def test_stats_stream(spark, tmpdirs):
