@@ -38,7 +38,12 @@ import time
 from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from mqtt_streamr_spark.operators.routing import mqtt_wildcard_to_regex
@@ -242,8 +247,95 @@ class MqttDataSource(DataSource):
         return MqttStreamReader(self.options)
 
 
+# --- executor-parallel spool reader ------------------------------------------
+#
+# The "mqtt" source above buffers on the driver (SimpleDataSourceStreamReader
+# prefetch) — correct, but single-threaded ingest, and MQTT itself has no
+# replay. When the transport is DURABLE (the loopback spool here; in
+# production a persistent bridge — e.g. broker-to-object-store or a
+# Kafka-backed MQTT topic), a full DataSourceStreamReader can do better:
+# offsets are spool positions, planInputPartitions splits the file range
+# across executors, and a planned-but-uncommitted batch replays EXACTLY,
+# upgrading delivery to genuine at-least-once.
+
+class SpoolPartition(InputPartition):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class MqttSpoolStreamReader(DataSourceStreamReader):
+    """Partitioned streaming reader over a spool directory. Offsets are the
+    lexicographically-sorted spool filenames (zero-padded time_ns prefixes,
+    so name order = publish order); a batch is the half-open filename range
+    (start, end]."""
+
+    def __init__(self, options: dict):
+        url = options.get("url", "broker://default")
+        if not url.startswith("broker://"):
+            raise ValueError("mqtt_spool requires a broker:// (spool) url")
+        self._dir = LoopbackBroker.get(url[len("broker://"):]).spool_dir
+        topics = options.get("topics", "#")
+        self._patterns = [
+            mqtt_wildcard_to_regex(t.strip())
+            for t in topics.split(",") if t.strip()
+        ]
+        self._n_parts = int(options.get("numPartitions", "4"))
+
+    def _list(self) -> list[str]:
+        try:
+            return sorted(
+                f for f in os.listdir(self._dir) if not f.startswith(".")
+            )
+        except FileNotFoundError:
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        files = self._list()
+        return {"last": files[-1] if files else ""}
+
+    def partitions(self, start: dict, end: dict):
+        names = [f for f in self._list()
+                 if start["last"] < f <= end["last"]]
+        if not names:
+            return [SpoolPartition([])]
+        slices = [names[i::self._n_parts] for i in range(self._n_parts)]
+        return [SpoolPartition(s) for s in slices if s]
+
+    def read(self, partition: SpoolPartition):
+        # runs on EXECUTORS — self was pickled there; patterns are strings
+        rx = [re.compile(p) for p in self._patterns]
+        for fname in partition.files:
+            try:
+                with open(os.path.join(self._dir, fname)) as f:
+                    msg = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if any(p.match(msg["topic"]) for p in rx):
+                yield (msg["topic"], msg["payload"],
+                       datetime.now(timezone.utc))
+
+    def commit(self, end: dict) -> None:
+        pass  # spool retention is the broker's concern (cf. Kafka)
+
+
+class MqttSpoolDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "mqtt_spool"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def streamReader(self, schema: StructType):
+        return MqttSpoolStreamReader(self.options)
+
+
 def register_mqtt_source(spark: SparkSession) -> None:
     spark.dataSource.register(MqttDataSource)
+    spark.dataSource.register(MqttSpoolDataSource)
 
 
 def wait_for_rows(query, predicate, timeout: float = 30.0,

@@ -116,3 +116,57 @@ def test_paho_gated_error():
     reader = MqttStreamReader({"url": "mqtt://localhost:1883", "topics": "#"})
     with pytest.raises(ImportError, match="paho-mqtt is not installed"):
         reader._ensure_client()
+
+
+def test_spool_reader_partitioned_delivery(spark):
+    """The executor-parallel spool reader delivers every matching message
+    exactly once across partitioned micro-batches."""
+    register_mqtt_source(spark)
+    broker = LoopbackBroker.get("spool_e2e")
+    broker.purge()
+    with tempfile.TemporaryDirectory() as d:
+        q = (
+            spark.readStream.format("mqtt_spool")
+            .option("url", "broker://spool_e2e")
+            .option("topics", "sensors/#")
+            .option("numPartitions", "4")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", os.path.join(d, "out"))
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
+        )
+        try:
+            for i in range(20):
+                broker.publish(f"sensors/room{i % 3}", json.dumps({"i": i}))
+            broker.publish("other/topic", "excluded")
+            q.processAllAvailable()
+            for i in range(20, 30):
+                broker.publish(f"sensors/room{i % 3}", json.dumps({"i": i}))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(os.path.join(d, "out"))
+        ids = sorted(json.loads(r["payload"])["i"] for r in out.collect())
+        assert ids == list(range(30))  # exactly once, no gaps, no dups
+
+
+def test_spool_reader_offsets():
+    broker = LoopbackBroker.get("spool_unit")
+    broker.purge()
+    from mqtt_streamr_spark.sources.mqtt import MqttSpoolStreamReader
+
+    r = MqttSpoolStreamReader({"url": "broker://spool_unit", "topics": "#",
+                               "numPartitions": "3"})
+    assert r.latestOffset() == {"last": ""}
+    for i in range(7):
+        broker.publish("t", str(i))
+    end = r.latestOffset()
+    parts = r.partitions({"last": ""}, end)
+    assert sum(len(p.files) for p in parts) == 7
+    assert 1 <= len(parts) <= 3
+    rows = [row for p in parts for row in r.read(p)]
+    assert sorted(r[1] for r in rows) == [str(i) for i in range(7)]
+    # replaying the same range is deterministic (at-least-once upgrade)
+    rows2 = [row for p in r.partitions({"last": ""}, end) for row in r.read(p)]
+    assert sorted(r[1] for r in rows2) == sorted(r[1] for r in rows)
