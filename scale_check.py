@@ -1,0 +1,119 @@
+"""Empirical scaling check: run representative operators at 1x/4x/16x the
+sf0.1 input and report wall-clock scaling.
+
+The point: a plan that holds at scale grows ~linearly in input size (until
+cores saturate); a plan with a hidden quadratic (unblocked self-join,
+driver collect, per-row recompute) blows up visibly at 16x. Keys/timestamps
+are offset per replica so replication multiplies the real key space instead
+of creating degenerate duplicates.
+
+Usage: python scale_check.py   (prints one JSON line per operator)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import reduce
+
+import pyspark.sql.functions as F
+
+from mqtt_streamr_spark.operators import dedup as D
+from mqtt_streamr_spark.operators.joins import asof_join
+from mqtt_streamr_spark.session import get_spark
+from mqtt_streamr_spark.tables import load, spread
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MULTIPLES = (1, 4, 16)
+
+
+def replicate(df, k, id_cols=(), ts_col=None, tag_text_col=None):
+    parts = []
+    for i in range(k):
+        p = df
+        for c in id_cols:
+            p = p.withColumn(c, F.col(c) + F.lit(i * 1_000_000_000))
+        if ts_col:
+            p = p.withColumn(
+                ts_col, F.col(ts_col) + F.expr(f"INTERVAL {i} SECONDS")
+            )
+        if tag_text_col and i:
+            # perturb text so replicas are genuinely distinct documents,
+            # not exact/near duplicates of each other
+            p = p.withColumn(
+                tag_text_col,
+                F.concat(F.col(tag_text_col), F.lit(f" replica{i} " * 3)),
+            )
+        parts.append(p)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def scan_agg(spark, k):
+    li = replicate(load(spark, "lineitem", SF_DIR), k)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
+    )
+
+
+def minhash_buckets(spark, k):
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k,
+        id_cols=("doc_id",), tag_text_col="text",
+    )
+    bands = docs.select(F.explode(D.lsh_band_keys("text", 4, 2)).alias("bk"))
+    return bands.groupBy("bk").count().agg(
+        F.count(F.lit(1)), F.max("count")
+    )
+
+
+def asof(spark, k):
+    ev = replicate(load(spark, "events", SF_DIR), k,
+                   id_cols=("event_id", "user_id"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("p_value"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("v_value"))
+    return asof_join(p, v, on="user_id").agg(
+        F.count(F.lit(1)), F.sum("v_value_asof")
+    )
+
+
+def sessions(spark, k):
+    ev = replicate(load(spark, "events", SF_DIR), k, id_cols=("user_id",))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)), F.sum("n"))
+    )
+
+
+OPS = {
+    "scan_agg_lineitem": scan_agg,
+    "minhash_lsh_buckets": minhash_buckets,
+    "asof_join_events": asof,
+    "session_windows_events": sessions,
+}
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name, fn in OPS.items():
+        times = {}
+        for k in MULTIPLES:
+            fn(spark, k).collect()  # warm plan once per (op, k)? no: once overall
+            t0 = time.time()
+            fn(spark, k).collect()
+            times[f"x{k}"] = round(time.time() - t0, 2)
+        lo, hi = times[f"x{MULTIPLES[0]}"], times[f"x{MULTIPLES[-1]}"]
+        ratio = round(hi / lo, 2) if lo else None
+        print(json.dumps({
+            "op": name, "times_sec": times,
+            "input_ratio": MULTIPLES[-1] // MULTIPLES[0],
+            "time_ratio": ratio,
+        }))
+
+
+if __name__ == "__main__":
+    main()
