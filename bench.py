@@ -44,11 +44,19 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    from mqtt_streamr_spark.streaming.stats import MetricsListener
+
+    listener = MetricsListener.attach(spark)  # captures the streaming queries
+
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    time.sleep(1.0)  # listener bus is async; let progress events drain
+    streaming = listener.summary()  # rec/s + p50/p99 batch ms (BASELINE.md)
+    listener.detach()
 
     print(
         json.dumps(
@@ -58,6 +66,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_from_dir(SF_DIR),
+                "streaming": streaming,
             }
         )
     )

@@ -104,3 +104,78 @@ class DataTimeoutWatchdog:
 
 def utcnow() -> float:
     return time.time()
+
+
+class MetricsListener:
+    """Operational metrics via Spark's StreamingQueryListener bus — the
+    distributed analog of the reference's only performance instrumentation
+    (success/error msgs per interval, src/Logger.js:17-21): per-batch input
+    rows, processed rows/sec, and batch duration, collected engine-side
+    with no hot-path cost.
+
+    Use: ``lst = MetricsListener.attach(spark)`` ... run queries ...
+    ``lst.summary()`` -> {n_batches, total_rows, rows_per_sec_avg,
+    batch_ms_p50, batch_ms_p99}. Implemented as a lazy subclass factory
+    because StreamingQueryListener needs a running SparkSession to
+    subclass safely in tests.
+    """
+
+    def __init__(self) -> None:
+        self.progress: list[dict] = []
+
+    @classmethod
+    def attach(cls, spark) -> "MetricsListener":
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        holder = cls()
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                holder.progress.append({
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "rows_per_sec": p.processedRowsPerSecond,
+                    "batch_ms": (p.durationMs or {}).get("triggerExecution"),
+                })
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+        holder._listener = _Listener()
+        holder._spark = spark
+        spark.streams.addListener(holder._listener)
+        return holder
+
+    def detach(self) -> None:
+        self._spark.streams.removeListener(self._listener)
+
+    def summary(self) -> dict:
+        rows = [p for p in self.progress if p["num_input_rows"]]
+        if not rows:
+            return {"n_batches": 0, "total_rows": 0}
+        durs = sorted(p["batch_ms"] for p in rows if p["batch_ms"] is not None)
+
+        def pct(q: float) -> float:
+            if not durs:
+                return float("nan")
+            i = min(int(q * (len(durs) - 1) + 0.5), len(durs) - 1)
+            return float(durs[i])
+
+        total_rows = sum(p["num_input_rows"] for p in rows)
+        total_ms = sum(p["batch_ms"] or 0 for p in rows)
+        return {
+            "n_batches": len(rows),
+            "total_rows": total_rows,
+            "rows_per_sec_avg": round(
+                total_rows / (total_ms / 1000.0), 1
+            ) if total_ms else None,
+            "batch_ms_p50": pct(0.50),
+            "batch_ms_p99": pct(0.99),
+        }

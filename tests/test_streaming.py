@@ -224,3 +224,33 @@ def test_watermark_drops_late_data(spark):
         # finalization batch once the watermark passes a window's end)
         assert out.get(12) == (1, 8.0)
         assert 13 not in out  # watermark has not passed 13:10
+
+
+def test_metrics_listener(spark, tmpdirs):
+    """StreamingQueryListener metrics: per-batch rows + durations captured
+    engine-side; totals match the records actually streamed."""
+    import time as _time
+
+    from mqtt_streamr_spark.streaming.stats import MetricsListener
+
+    lst = MetricsListener.attach(spark)
+    try:
+        spec = PipelineSpec(sink_dir=tmpdirs["sink"], log_interval=3600)
+        bridge = StreamingBridge(spec)
+        q = bridge.start(replay_source(spark, EVENTS, streaming=True),
+                         checkpoint_dir=tmpdirs["ckpt"])
+        q.awaitTermination()
+        # listener events are delivered async on the engine's bus
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            s = lst.summary()
+            if s.get("total_rows"):
+                break
+            _time.sleep(0.25)
+        s = lst.summary()
+        assert s["n_batches"] >= 1
+        n_events = spark.read.parquet(EVENTS).count()
+        assert s["total_rows"] == n_events
+        assert s["batch_ms_p50"] > 0 and s["batch_ms_p99"] >= s["batch_ms_p50"]
+    finally:
+        lst.detach()
