@@ -467,6 +467,58 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_ivf(emb, query_id=0, centroid_ids=_IVF_SEEDS, k=10)
 
 
+@query(
+    "dedup_pipeline_survivors",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM d),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    kd AS (SELECT d.doc_id, d.toks FROM d JOIN keep USING (doc_id)),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM kd),
+    hsx AS (SELECT doc_id, shingles, {_HS} AS hs FROM sh),
+    sig AS (SELECT doc_id, shingles, {_MH8} AS mh FROM hsx),
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band_key)
+             WHERE a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE len(list_filter(sa.shingles,
+                  s -> list_contains(sb.shingles, s))) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles) -
+               len(list_filter(sa.shingles,
+                   s -> list_contains(sb.shingles, s)))) >= 0.5),
+    surv AS (SELECT doc_id, toks FROM kd
+             WHERE doc_id NOT IN (SELECT id_b FROM pairs))
+    SELECT count(*) AS n_docs, sum(len(toks)) AS total_tokens,
+           min(doc_id) AS first_id, max(doc_id) AS last_id
+    FROM surv
+    """,
+)
+def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cleaning pipeline composed end-to-end: exact dedup keeps
+    min-id per fingerprint, then MinHash-LSH near-dup removal drops the
+    higher id of each verified pair; output is the surviving corpus size +
+    token budget — the number a training-data pipeline actually needs."""
+    docs = spread(load(spark, "documents", sf_dir))
+    keepers = D.exact_duplicates(docs).select(
+        col("keeper_id").alias("doc_id")
+    )
+    kept = docs.join(keepers, "doc_id")
+    pairs = D.near_dup_pairs(kept, threshold=0.5, bands=4, rows=2)
+    removed = pairs.select(col("id_b").alias("doc_id")).distinct()
+    surv = kept.join(removed, "doc_id", "left_anti")
+    return surv.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+        F.min("doc_id").alias("first_id"),
+        F.max("doc_id").alias("last_id"),
+    )
+
+
 # --- grouped Pandas-UDF surface (§2.8) ---------------------------------------
 
 @query(
