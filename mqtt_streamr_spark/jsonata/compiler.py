@@ -78,7 +78,18 @@ def to_json_string(tc: TypedCol) -> Column:
     if tc.kind == "variant":
         return F.cast("string", tc.col)
     if tc.kind == "string":
-        return F.to_json(F.struct(tc.col.alias("v"))).substr(F.lit(6), F.length(F.to_json(F.struct(tc.col.alias("v")))) - 6)
+        # JSON-escape by serializing {"v": s} and stripping the 5-char
+        # prefix + trailing brace; j is let-bound so it is built once, and
+        # a NULL string yields NULL (to_json drops null fields, which
+        # would otherwise substr('{}') into a bogus empty payload)
+        j = F.to_json(F.struct(tc.col.alias("v")))
+        stripped = F.element_at(
+            F.transform(
+                F.array(j), lambda s: s.substr(F.lit(6), F.length(s) - 6)
+            ),
+            1,
+        )
+        return F.when(tc.col.isNull(), F.lit(None)).otherwise(stripped)
     # numbers / booleans serialize as their SQL string form
     return as_string(tc)
 

@@ -35,7 +35,13 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
     fallback for when a single key exceeds what one task can hold even
     after AQE splitting, or for shuffle-hash paths AQE won't split. Cost:
     the small side is materialized n_salts times — only use when the small
-    side is broadcast-size anyway."""
+    side is broadcast-size anyway. Only inner/left are valid: an outer
+    join on the small side would emit each unmatched small row once per
+    salt replica."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}"
+        )
     on = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
                   F.lit(n_salts)).cast("int")
@@ -60,16 +66,23 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in (on, ts_col)
     ]
-    r = right.select(
-        on, ts_col,
-        *[F.col(c).alias(c + suffix) for c in right_value_cols],
+    # the matched right row travels as ONE struct: last(ignorenulls) then
+    # skips only left rows (whose struct is NULL), never a right row some
+    # of whose values are genuinely NULL — per-column carry would smear
+    # values from different right rows together and resurrect stale values
+    right_struct_type = (
+        "struct<"
+        + ", ".join(f"{c}: {dict(right.dtypes)[c]}" for c in right_value_cols)
+        + ">"
     )
-    l_tagged = left.withColumn("__side", F.lit(1))
-    for c in right_value_cols:
-        l_tagged = l_tagged.withColumn(
-            c + suffix, F.lit(None).cast(dict(right.dtypes)[c])
-        )
-    r_tagged = r.withColumn("__side", F.lit(0))
+    r_tagged = right.select(
+        on, ts_col,
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("__r"),
+        F.lit(0).alias("__side"),
+    )
+    l_tagged = left.withColumn(
+        "__r", F.lit(None).cast(right_struct_type)
+    ).withColumn("__side", F.lit(1))
     for c in left.columns:
         if c not in (on, ts_col):
             r_tagged = r_tagged.withColumn(
@@ -83,8 +96,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    out = u.filter(F.col("__side") == 1).drop("__side")
     for c in right_value_cols:
-        u = u.withColumn(
-            c + suffix, F.last(c + suffix, ignorenulls=True).over(w)
-        )
-    return u.filter(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(c + suffix, F.col("__r").getField(c))
+    return out.drop("__r")

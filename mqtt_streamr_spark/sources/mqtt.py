@@ -154,7 +154,10 @@ class PahoClient:  # pragma: no cover - needs a real broker + paho
         self._buffer: list[tuple[str, str, datetime]] = []
         self._topics = topics
         self._qos = qos
-        self._client = mqtt.Client()
+        try:  # paho-mqtt >= 2.0 requires an explicit callback API version
+            self._client = mqtt.Client(mqtt.CallbackAPIVersion.VERSION1)
+        except AttributeError:  # paho-mqtt 1.x
+            self._client = mqtt.Client()
         self._client.on_message = self._on_message
         host, _, port = url.replace("mqtt://", "").partition(":")
         self._client.connect(host, int(port or 1883))
@@ -293,7 +296,20 @@ class MqttSpoolStreamReader(DataSourceStreamReader):
         return {"last": ""}
 
     def latestOffset(self) -> dict:
-        files = self._list()
+        # Publish protocol: write dot-prefixed temp file, then atomic
+        # rename. A publisher that picked name T1 but has not renamed yet
+        # while a later T2 is already visible would be skipped forever if
+        # the offset advanced past T1 — so cap the offset below the
+        # earliest in-flight temp file. (Residual window: between time_ns()
+        # and the temp file's open(); nanosecond-scale.)
+        try:
+            names = os.listdir(self._dir)
+        except FileNotFoundError:
+            return {"last": ""}
+        pending = sorted(n[1:] for n in names if n.startswith("."))
+        files = sorted(n for n in names if not n.startswith("."))
+        if pending:
+            files = [f for f in files if f < pending[0]]
         return {"last": files[-1] if files else ""}
 
     def partitions(self, start: dict, end: dict):

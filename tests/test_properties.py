@@ -149,3 +149,34 @@ def test_salted_join_matches_plain_join(spark):
     plain = {tuple(r) for r in big.join(small, "k").collect()}
     salted = {tuple(r) for r in salted_join(big, small, "k", n_salts=8).collect()}
     assert salted == plain and len(plain) > 0
+
+
+def test_asof_join_carries_whole_row_not_stale_values(spark):
+    """A right row with a genuinely NULL value must be attached AS-IS —
+    not skipped in favor of an older non-null value, and never mixed with
+    fields of a different right row (merge_asof semantics)."""
+    from mqtt_streamr_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, "a"), (1, 2, None, "b")],
+        "k int, ts int, v double, tag string",
+    )
+    left = spark.createDataFrame([(1, 3, "L")], "k int, ts int, who string")
+    row = asof_join(left, right, on="k", ts_col="ts").collect()[0]
+    # nearest right row is ts=2: v NULL, tag 'b' — atomically
+    assert row["v_asof"] is None and row["tag_asof"] == "b"
+
+    # left row earlier than any right row -> all-NULL match (left outer)
+    left2 = spark.createDataFrame([(1, 0, "E")], "k int, ts int, who string")
+    row2 = asof_join(left2, right, on="k", ts_col="ts").collect()[0]
+    assert row2["v_asof"] is None and row2["tag_asof"] is None
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from mqtt_streamr_spark.operators.joins import salted_join
+
+    df = spark.range(2).selectExpr("id as k")
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", how="full")
