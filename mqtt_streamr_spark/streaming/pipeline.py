@@ -176,9 +176,15 @@ class StreamingBridge:
                 # memoized per-key init (bin:168-184)
                 for row in valid.select("stream_id").distinct().collect():
                     self.registry.get_or_create(row["stream_id"])
+                # idempotent per-batch write: each micro-batch owns the
+                # batch_id=N partition and OVERWRITES it, so a batch
+                # replayed after a crash lands on the same data instead of
+                # appending duplicates -> effectively-once end-to-end
+                # (upgrade over the reference's at-most-once, bin:132)
                 (valid.select("stream_id", "message", "arrival_ts")
-                 .write.mode("append").partitionBy("stream_id")
-                 .format(spec.sink_format).save(spec.sink_dir))
+                 .write.mode("overwrite").partitionBy("stream_id")
+                 .format(spec.sink_format)
+                 .save(os.path.join(spec.sink_dir, f"batch_id={batch_id}")))
             self.logger.success_increment(n_valid)
         except Exception:
             self.logger.error_increment(valid.count())

@@ -254,3 +254,16 @@ def test_metrics_listener(spark, tmpdirs):
         assert s["batch_ms_p50"] > 0 and s["batch_ms_p99"] >= s["batch_ms_p50"]
     finally:
         lst.detach()
+
+
+def test_sink_idempotent_on_batch_replay(spark, tmpdirs):
+    """Replaying the same micro-batch overwrites its batch_id partition
+    instead of appending duplicates — effectively-once sink semantics."""
+    spec = PipelineSpec(sink_dir=tmpdirs["sink"], log_interval=3600)
+    bridge = StreamingBridge(spec)
+    src = replay_source(spark, EVENTS, streaming=False)
+    bridge.run_batch(src)
+    total = spark.read.parquet(EVENTS).count()
+    assert spark.read.parquet(tmpdirs["sink"]).count() == total
+    bridge.run_batch(src)  # same batch id -> replay, not duplication
+    assert spark.read.parquet(tmpdirs["sink"]).count() == total
