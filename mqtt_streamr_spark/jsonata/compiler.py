@@ -46,23 +46,92 @@ class TypedCol:
     kind: str
     elem: str | None = None  # element kind for arrays
     fields: list[str] | None = None  # field names for constructed objects
+    dtype: object | None = None  # Spark DataType on the TYPED path (schema
+    #                              known statically; enables codegen)
 
 
 @dataclass
 class Ctx:
     """Compile-time environment: the input context column plus let-bindings.
     root_kind tracks the context value's kind ('variant' for the input
-    message; the element kind inside predicate filters over typed arrays)."""
+    message; the element kind inside predicate filters over typed arrays).
+    root_schema is the Spark DataType of the context on the TYPED path."""
 
     root: Column
     bindings: dict[str, TypedCol] = field(default_factory=dict)
     root_kind: str = "variant"
+    root_schema: object | None = None
 
 
 def compile_column(source_or_ast, input_col: Column) -> TypedCol:
     """Compile a JSONata expression to a typed Column over a variant input."""
     ast = parse(source_or_ast) if isinstance(source_or_ast, str) else source_or_ast
     return _compile(ast, Ctx(root=input_col))
+
+
+def compile_typed(source_or_ast, input_col: Column, schema) -> TypedCol:
+    """TYPED fast path: compile over a struct column with a known schema
+    (``from_json(payload, schema)``) instead of a variant. Field access
+    becomes plain struct navigation, arithmetic gets concrete types, and
+    the whole transform stays inside whole-stage codegen — the path to use
+    at 100 TB when the message schema is declared. Schema-absent fields
+    compile to NULL (JSONata undefined), matching schemaless semantics."""
+    from pyspark.sql.types import StructType
+
+    ast = parse(source_or_ast) if isinstance(source_or_ast, str) else source_or_ast
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    return _compile(
+        ast,
+        Ctx(root=input_col, root_kind="object", root_schema=schema),
+    )
+
+
+def _typed_from(col: Column, dt) -> TypedCol:
+    """Map a Spark DataType to the compiler's kind lattice."""
+    import pyspark.sql.types as T
+
+    if isinstance(dt, T.StringType):
+        return TypedCol(col, "string")
+    if isinstance(dt, (T.DoubleType,)):
+        return TypedCol(col, "number")
+    if isinstance(dt, (T.FloatType, T.LongType, T.IntegerType, T.ShortType,
+                       T.ByteType, T.DecimalType)):
+        return TypedCol(col.cast("double"), "number")
+    if isinstance(dt, T.BooleanType):
+        return TypedCol(col, "boolean")
+    if isinstance(dt, T.NullType):
+        return TypedCol(col, "null")
+    if isinstance(dt, T.ArrayType):
+        et = dt.elementType
+        if isinstance(et, (T.FloatType, T.LongType, T.IntegerType,
+                           T.ShortType, T.ByteType, T.DecimalType)):
+            col = F.transform(col, lambda x: x.cast("double"))
+            et = T.DoubleType()
+        elem = _typed_from(F.lit(None), et)
+        return TypedCol(col, f"array<{elem.kind}>", elem=elem.kind, dtype=et)
+    if isinstance(dt, T.StructType):
+        return TypedCol(col, "object", fields=dt.fieldNames(), dtype=dt)
+    raise NotCompilable(f"no typed mapping for Spark type {dt}")
+
+
+def _typed_navigate(col: Column, dt, steps: list) -> TypedCol:
+    """Walk name/index steps through a known schema; absent names are
+    JSONata undefined (NULL)."""
+    import pyspark.sql.types as T
+
+    for i, s in enumerate(steps):
+        if isinstance(s, int):
+            if not isinstance(dt, T.ArrayType):
+                raise NotCompilable("index step on non-array typed value")
+            col, dt = F.element_at(col, s + 1), dt.elementType
+        else:
+            if not isinstance(dt, T.StructType):
+                raise NotCompilable("name step on non-struct typed value")
+            if s not in dt.fieldNames():
+                return TypedCol(F.lit(None), "null")
+            col, dt = col.getField(s), dt[s].dataType
+    return _typed_from(col, dt)
 
 
 def compile_to_json(source_or_ast, input_col: Column) -> Column:
@@ -241,6 +310,8 @@ def _json_path(steps: list) -> str:
 
 
 def _c_name(node, ctx):
+    if ctx.root_schema is not None:
+        return _typed_navigate(ctx.root, ctx.root_schema, [node["value"]])
     return TypedCol(
         F.try_variant_get(ctx.root, _json_path([node["value"]]), "variant"),
         "variant",
@@ -250,6 +321,8 @@ def _c_name(node, ctx):
 def _c_path(node, ctx):
     steps = _path_steps(node)
     if steps is not None:
+        if ctx.root_schema is not None:
+            return _typed_navigate(ctx.root, ctx.root_schema, steps)
         return TypedCol(
             F.try_variant_get(ctx.root, _json_path(steps), "variant"), "variant"
         )
@@ -257,6 +330,22 @@ def _c_path(node, ctx):
     if rhs_steps is None:
         raise NotCompilable("non-trivial path rhs")
     lhs = _compile(node["lhs"], ctx)
+    if lhs.kind == "object" and lhs.dtype is not None:
+        # typed struct navigation (e.g. lambda var $x.f on the typed path)
+        return _typed_navigate(lhs.col, lhs.dtype, rhs_steps)
+    if lhs.kind.startswith("array") and lhs.elem == "object" \
+            and lhs.dtype is not None:
+        # typed array of structs: map the name step over elements
+        out = _typed_navigate(
+            F.lit(None), lhs.dtype, rhs_steps
+        )  # resolve result kind from the ELEMENT schema
+        mapped = F.transform(
+            lhs.col,
+            lambda x: _typed_navigate(x, lhs.dtype, rhs_steps).col,
+        )
+        kept = F.filter(mapped, lambda v: v.isNotNull())
+        return TypedCol(kept, f"array<{out.kind}>", elem=out.kind,
+                        dtype=out.dtype)
     path = _json_path(rhs_steps)
     if lhs.kind == "variant":
         # navigation within a bound variant value (e.g. a lambda var $x.f);
@@ -279,12 +368,16 @@ def _c_path(node, ctx):
 def _c_predicate(node, ctx):
     steps = _path_steps(node)
     if steps is not None:
+        if ctx.root_schema is not None:
+            return _typed_navigate(ctx.root, ctx.root_schema, steps)
         return TypedCol(
             F.try_variant_get(ctx.root, _json_path(steps), "variant"), "variant"
         )
     cond = node["cond"]
     base = _compile(node["expr"], ctx)
-    arr, elem = _hof_array(base)
+    if base.kind == "null":  # predicate over undefined -> undefined
+        return base
+    arr, elem, elem_dt = _hof_array(base)
     idx_node, sign = cond, 1
     if cond["type"] == "unary-" and cond["expr"]["type"] == "number":
         idx_node, sign = cond["expr"], -1
@@ -293,9 +386,8 @@ def _c_predicate(node, ctx):
         # = element_at(-1)). Non-negative on a pure path is handled by the
         # fast steps path above; this covers computed bases and negatives.
         idx = sign * int(idx_node["value"])
-        return TypedCol(
-            F.element_at(arr, idx + 1 if idx >= 0 else idx),
-            elem if elem != "variant" else "variant",
+        return _elem_tc(
+            F.element_at(arr, idx + 1 if idx >= 0 else idx), elem, elem_dt
         )
     # filter predicate: evaluate cond with each element as context.
     # NOTE: applies to arrays; JSONata's scalar-as-singleton-sequence rule
@@ -303,23 +395,26 @@ def _c_predicate(node, ctx):
     # divergence — the interpreter path covers scalars).
 
     def pred(x: Column) -> Column:
-        child = Ctx(root=x, bindings=dict(ctx.bindings), root_kind=elem)
+        child = Ctx(root=x, bindings=dict(ctx.bindings), root_kind=elem,
+                    root_schema=elem_dt)
         return as_boolean(_compile(cond, child))
 
-    return TypedCol(F.filter(arr, pred), f"array<{elem}>", elem=elem)
+    return TypedCol(F.filter(arr, pred), f"array<{elem}>", elem=elem,
+                    dtype=elem_dt)
 
 
 def _c_variable(node, ctx):
     name = node["value"]
     if name in ("", "$"):
-        return TypedCol(ctx.root, ctx.root_kind)
+        return TypedCol(ctx.root, ctx.root_kind, dtype=ctx.root_schema)
     if name in ctx.bindings:
         return ctx.bindings[name]
     raise NotCompilable(f"unbound variable ${name}")
 
 
 def _c_block(node, ctx):
-    child = Ctx(root=ctx.root, bindings=dict(ctx.bindings))
+    child = Ctx(root=ctx.root, bindings=dict(ctx.bindings),
+                root_kind=ctx.root_kind, root_schema=ctx.root_schema)
     result: TypedCol | None = None
     for expr in node["expressions"]:
         result = _compile(expr, child)
@@ -524,13 +619,22 @@ def _c_call(node, ctx):
     return fn(args, node, ctx)
 
 
-def _hof_array(tc: TypedCol) -> tuple[Column, str]:
-    """Coerce a compiled value to (array Column, element kind) for HOFs."""
+def _hof_array(tc: TypedCol) -> tuple[Column, str, object | None]:
+    """Coerce a compiled value to (array Column, element kind, element
+    Spark dtype — typed path only) for HOFs."""
     if tc.kind == "variant":
-        return F.try_variant_get(tc.col, "$", "array<variant>"), "variant"
+        return F.try_variant_get(tc.col, "$", "array<variant>"), "variant", None
     if tc.kind.startswith("array"):
-        return tc.col, tc.elem or "variant"
+        return tc.col, tc.elem or "variant", tc.dtype
     raise NotCompilable(f"kind {tc.kind} is not an array")
+
+
+def _elem_tc(col: Column, elem: str, elem_dt) -> TypedCol:
+    """TypedCol for one HOF lambda element."""
+    if elem == "object" and elem_dt is not None:
+        return TypedCol(col, "object", fields=elem_dt.fieldNames(),
+                        dtype=elem_dt)
+    return TypedCol(col, elem, dtype=elem_dt)
 
 
 def _lambda_arg(node, i, max_params, what):
@@ -547,7 +651,8 @@ def _bind_lambda(lam, bindings: list[TypedCol], ctx: Ctx) -> TypedCol:
     """Compile a lambda body with its params bound to HOF lambda variables.
     Spark invokes the Python callback once at expression-build time, so the
     body is compiled exactly once — no per-row Python."""
-    child = Ctx(root=ctx.root, bindings=dict(ctx.bindings))
+    child = Ctx(root=ctx.root, bindings=dict(ctx.bindings),
+                root_kind=ctx.root_kind, root_schema=ctx.root_schema)
     for name, tc in zip(lam["params"], bindings):
         child.bindings[name] = tc
     return _compile(lam["body"], child)
@@ -562,7 +667,7 @@ def _c_sort(node, ctx):
     guaranteed, unlike JSONata's stable merge sort — differential tests
     use distinct keys)."""
     base = _compile(node["expr"], ctx)
-    arr, elem = _hof_array(base)
+    arr, elem, elem_dt = _hof_array(base)
     terms = node["terms"]
     identity = (
         len(terms) == 1
@@ -572,11 +677,15 @@ def _c_sort(node, ctx):
     if identity and elem in ("number", "string"):
         col = F.sort_array(arr, asc=not terms[0]["descending"])
         return TypedCol(col, f"array<{elem}>", elem=elem)
-    if elem != "variant":
-        raise NotCompilable("order-by terms need variant elements (paths)")
+    if elem == "variant":
+        elem_dt = None
+    elif not (elem == "object" and elem_dt is not None):
+        raise NotCompilable("order-by terms need variant/struct elements")
 
     def key_of(term, x: Column) -> Column:
-        tc = _compile(term["expr"], Ctx(root=x, bindings=dict(ctx.bindings)))
+        tc = _compile(term["expr"], Ctx(root=x, bindings=dict(ctx.bindings),
+                                        root_kind=elem,
+                                        root_schema=elem_dt))
         if tc.kind in ("number", "string"):
             return tc.col
         if tc.kind == "variant":
@@ -594,7 +703,8 @@ def _c_sort(node, ctx):
                 .otherwise(out)
         return out
 
-    return TypedCol(F.array_sort(arr, comp), f"array<{elem}>", elem=elem)
+    return TypedCol(F.array_sort(arr, comp), f"array<{elem}>", elem=elem,
+                    dtype=elem_dt)
 
 
 _NODES = {
@@ -924,11 +1034,11 @@ def _fc_reverse(args, node, ctx):
 @_fn("map")
 def _fc_map(args, node, ctx):
     lam = _lambda_arg(node, 1, 2, "$map")
-    arr, elem = _hof_array(args[0])
+    arr, elem, elem_dt = _hof_array(args[0])
     out: list[TypedCol] = []
 
     def body(*cols: Column) -> Column:
-        binds = [TypedCol(cols[0], elem)]
+        binds = [_elem_tc(cols[0], elem, elem_dt)]
         if len(cols) == 2:
             binds.append(TypedCol(cols[1].cast("double"), "number"))
         tc = _bind_lambda(lam, binds, ctx)
@@ -939,16 +1049,17 @@ def _fc_map(args, node, ctx):
         col = F.transform(arr, lambda x: body(x))
     else:
         col = F.transform(arr, lambda x, i: body(x, i))
-    return TypedCol(col, f"array<{out[0].kind}>", elem=out[0].kind)
+    return TypedCol(col, f"array<{out[0].kind}>", elem=out[0].kind,
+                    dtype=out[0].dtype)
 
 
 @_fn("filter")
 def _fc_filter(args, node, ctx):
     lam = _lambda_arg(node, 1, 2, "$filter")
-    arr, elem = _hof_array(args[0])
+    arr, elem, elem_dt = _hof_array(args[0])
 
     def body(*cols: Column) -> Column:
-        binds = [TypedCol(cols[0], elem)]
+        binds = [_elem_tc(cols[0], elem, elem_dt)]
         if len(cols) == 2:
             binds.append(TypedCol(cols[1].cast("double"), "number"))
         return as_boolean(_bind_lambda(lam, binds, ctx))
@@ -957,7 +1068,7 @@ def _fc_filter(args, node, ctx):
         col = F.filter(arr, lambda x: body(x))
     else:
         col = F.filter(arr, lambda x, i: body(x, i))
-    return TypedCol(col, f"array<{elem}>", elem=elem)
+    return TypedCol(col, f"array<{elem}>", elem=elem, dtype=elem_dt)
 
 
 @_fn("reduce")
@@ -967,14 +1078,14 @@ def _fc_reduce(args, node, ctx):
     lam = _lambda_arg(node, 1, 2, "$reduce")
     if len(lam["params"]) != 2:
         raise NotCompilable("$reduce lambda must take ($acc, $v)")
-    arr, elem = _hof_array(args[0])
+    arr, elem, elem_dt = _hof_array(args[0])
     if len(args) >= 3:
         init = args[2]
         if init.kind == "variant":
             init = TypedCol(as_number(init), "number")
         rest = arr
     else:
-        first = TypedCol(F.element_at(arr, 1), elem)
+        first = _elem_tc(F.element_at(arr, 1), elem, elem_dt)
         init = TypedCol(as_number(first), "number") if elem == "variant" \
             else first
         rest = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
@@ -982,7 +1093,7 @@ def _fc_reduce(args, node, ctx):
 
     def merge(acc: Column, x: Column) -> Column:
         tc = _bind_lambda(
-            lam, [TypedCol(acc, acc_kind), TypedCol(x, elem)], ctx
+            lam, [TypedCol(acc, acc_kind), _elem_tc(x, elem, elem_dt)], ctx
         )
         if tc.kind == acc_kind:
             return tc.col
@@ -1013,7 +1124,7 @@ def _dyn_compare(le: Column, r: Column) -> Column:
 def _fc_sort(args, node, ctx):
     """$sort(arr[, fn]) — fn($a,$b) returns true when a sorts AFTER b
     (JSONata swap contract), mapped to a ±1 comparator."""
-    arr, elem = _hof_array(args[0])
+    arr, elem, elem_dt = _hof_array(args[0])
     if len(node["args"]) == 1:
         if elem in ("number", "string"):
             return TypedCol(F.sort_array(arr), f"array<{elem}>", elem=elem)
@@ -1026,10 +1137,12 @@ def _fc_sort(args, node, ctx):
 
     def comp_with(kind: str):
         def comp(a: Column, b: Column) -> Column:
-            ta = TypedCol(a, elem) if elem != "variant" else TypedCol(
+            ta = _elem_tc(a, elem, elem_dt) if elem != "variant" \
+                else TypedCol(
                 F.try_variant_get(a, "$", "double" if kind == "number"
                                   else "string"), kind)
-            tb = TypedCol(b, elem) if elem != "variant" else TypedCol(
+            tb = _elem_tc(b, elem, elem_dt) if elem != "variant" \
+                else TypedCol(
                 F.try_variant_get(b, "$", "double" if kind == "number"
                                   else "string"), kind)
             swap = as_boolean(_bind_lambda(lam, [ta, tb], ctx))
@@ -1053,8 +1166,8 @@ def _fc_zip(args, node, ctx):
     sides are sliced to the common length first)."""
     if len(args) != 2:
         raise NotCompilable("$zip compiles for exactly 2 arrays")
-    a, ae = _hof_array(args[0])
-    b, be = _hof_array(args[1])
+    a, ae, _adt = _hof_array(args[0])
+    b, be, _bdt = _hof_array(args[1])
     if ae != be:
         raise NotCompilable("$zip needs same-kind arrays")
     n = F.least(F.size(a), F.size(b))
@@ -1116,6 +1229,8 @@ def _fc_lookup(args, node, ctx):
     if key_node is None or key_node["type"] != "string":
         raise NotCompilable("$lookup needs a literal string key")
     obj = args[0]
+    if obj.kind == "object" and obj.dtype is not None:
+        return _typed_navigate(obj.col, obj.dtype, [key_node["value"]])
     if obj.kind != "variant":
         raise NotCompilable("$lookup compiles for variant objects")
     return TypedCol(

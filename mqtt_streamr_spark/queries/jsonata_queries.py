@@ -117,6 +117,59 @@ def jsonata_filter_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "jsonata_transform_typed",
+    oracle="""
+    WITH msg AS (
+        SELECT user_id AS u,
+               upper(event_type) AS kind,
+               value * 2 AS v2,
+               CASE WHEN value > 50 THEN 'high' ELSE 'low' END AS tier,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+        FROM events
+    )
+    SELECT kind, tier,
+           count(*) AS n,
+           round(sum(v2), 2) AS total_v2,
+           round(avg(k), 4) AS avg_k,
+           count(DISTINCT u) AS n_users
+    FROM msg
+    GROUP BY kind, tier
+    """,
+)
+def jsonata_transform_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TYPED fast path: the same transform as
+    jsonata_transform_compiled, but compiled against a declared message
+    schema (from_json struct) instead of a variant — struct navigation +
+    concrete types keep the whole stage inside codegen (asserted in
+    tests/test_plans.py). This is the 100 TB path when the schema is
+    known."""
+    from mqtt_streamr_spark.jsonata.compiler import compile_typed
+
+    schema = ("event_id long, user_id long, event_type string, "
+              "value double, props string")
+    ev = load(spark, "events", sf_dir)
+    df = ev.withColumn(
+        "payload",
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value",
+                           "props")),
+    ).withColumn("m", F.from_json(F.col("payload"), schema))
+    tc = compile_typed(_TRANSFORM, col("m"), schema)
+    out = df.select(tc.col.alias("t")).select(
+        col("t.kind").alias("kind"),
+        col("t.tier").alias("tier"),
+        col("t.v2").alias("v2"),
+        col("t.k").alias("k"),
+        col("t.u").cast("long").alias("u"),
+    )
+    return out.groupBy("kind", "tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v2"), 2).alias("total_v2"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.countDistinct("u").alias("n_users"),
+    )
+
+
 _HOF_TRANSFORM = """
 {
   "kind": event_type,

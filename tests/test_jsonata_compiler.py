@@ -270,3 +270,52 @@ def test_now_millis_compiled(spark):
     tc2 = compile_column("$now()", F.try_parse_json("payload"))
     s = df.select(tc2.col.alias("r")).collect()[0]["r"]
     assert re.fullmatch(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z", s), s
+
+
+# --- typed fast path: same expressions over from_json struct ----------------
+
+DOC_SCHEMA = (
+    "user string, kind string, value double, count long, ok boolean, "
+    "tags array<string>, nums array<double>, "
+    "nested struct<k: long, name: string, deep: struct<leaf: string>>, "
+    "items array<struct<p: long, q: string>>, empty string"
+)
+
+# typed path cannot distinguish a JSON null from an absent field after
+# from_json (both are SQL NULL); JSONata's $exists sees them differently
+TYPED_DIVERGENT = {"$exists(empty)"}
+
+
+@pytest.mark.parametrize("expr", COMPILABLE)
+def test_typed_matches_interpreter(spark, expr):
+    from mqtt_streamr_spark.jsonata.compiler import compile_typed
+
+    if expr in TYPED_DIVERGENT:
+        pytest.skip("typed path: JSON null indistinguishable from absent")
+    try:
+        tc = compile_typed(
+            expr, F.from_json(F.col("payload"), DOC_SCHEMA), DOC_SCHEMA
+        )
+    except NotCompilable:
+        pytest.skip("not typed-compilable (falls back to variant path)")
+    df = spark.createDataFrame([(json.dumps(DOC),)], "payload string")
+    actual = _to_python(df.select(tc.col.alias("r")).collect()[0]["r"])
+    expected = jsonata(expr).evaluate(DOC)
+    assert_same(expected, actual, expr)
+
+
+def test_typed_coverage_is_substantial(spark):
+    """Most of the compiled surface must also compile typed — guard against
+    the typed path silently regressing to NotCompilable everywhere."""
+    from mqtt_streamr_spark.jsonata.compiler import compile_typed
+
+    ok = 0
+    for expr in COMPILABLE:
+        try:
+            compile_typed(
+                expr, F.from_json(F.col("payload"), DOC_SCHEMA), DOC_SCHEMA
+            )
+            ok += 1
+        except NotCompilable:
+            pass
+    assert ok >= int(0.8 * len(COMPILABLE)), f"only {ok}/{len(COMPILABLE)}"

@@ -81,6 +81,23 @@ def test_compiled_jsonata_stays_jvm_side(spark):
         assert "Batched: true" in p, (name, p)
 
 
+def test_typed_jsonata_whole_stage_codegen(spark):
+    """The typed path's payoff: struct navigation + concrete types keep the
+    transform inside whole-stage codegen with no variant expressions.
+    (Codegen markers only appear on the EXECUTED plan under AQE.)"""
+    df = QUERIES["jsonata_transform_typed"](spark, SF)
+    p = plan_str(df)
+    assert "variant" not in p.lower(), p
+    assert "EvalPython" not in p, p
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # "*(N)" prefixes mark whole-stage-codegen'd operators; the transform
+    # Project must carry one (from_json itself is CodegenFallback)
+    import re
+
+    assert re.search(r"\*\(\d+\) Project \[struct", executed), executed
+
+
 def test_minhash_pipeline_no_python(spark):
     p = plan_str(QUERIES["dedup_minhash_lsh_pairs"](spark, SF))
     assert "EvalPython" not in p, p
