@@ -47,6 +47,9 @@ class PipelineSpec:
     topics: list[str] = field(default_factory=list)
     transform: str | None = None                      # bin:48-51
     transform_mode: str = "auto"
+    # optional declared message schema (DDL) -> typed fast path (engine
+    # extension; the reference is schemaless-only)
+    message_schema: str | None = None
     stream_id: str | None = None                      # bin:40-42 fixed bypass
     stream_id_template: str = "/$topic"               # bin:36-39 default
     topic_levels: int | None = None                   # bin:43-47
@@ -124,6 +127,7 @@ class StreamingBridge:
             out_col, backend = transform_to_json(
                 self.spec.transform, F.col("payload"),
                 mode=self.spec.transform_mode,
+                schema=self.spec.message_schema,
             )
             self.transform_backend = backend
             df = df.withColumn("message", out_col)

@@ -14,20 +14,37 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column
 
 from mqtt_streamr_spark.jsonata import jsonata
-from mqtt_streamr_spark.jsonata.compiler import compile_to_json
+from mqtt_streamr_spark.jsonata.compiler import (
+    compile_to_json,
+    compile_typed,
+    to_json_string,
+)
 from mqtt_streamr_spark.jsonata.errors import NotCompilable
 
 
 def transform_to_json(expr: str, payload_col: Column, *,
-                      mode: str = "auto") -> tuple[Column, str]:
+                      mode: str = "auto",
+                      schema: str | None = None) -> tuple[Column, str]:
     """Build a Column mapping a JSON-string payload to the transformed
     JSON-string output. Returns (column, backend) where backend is
-    'compiled' or 'interpreted'.
+    'typed', 'compiled' or 'interpreted'.
 
-    mode: 'auto' (try compiled, fall back), 'compiled' (raise if not
+    mode: 'auto' (try typed/compiled, fall back), 'compiled' (raise if not
     compilable), 'interpreted' (force the UDF).
+    schema: optional declared message schema (DDL string). When set, the
+    typed fast path compiles over from_json(payload, schema) — struct
+    navigation inside whole-stage codegen instead of variant expression
+    eval. Fields outside the schema read as undefined.
     """
     parsed = jsonata(expr)  # parse errors surface at build time, like bin:108
+    if schema is not None and mode in ("auto", "compiled"):
+        try:
+            tc = compile_typed(
+                parsed.ast, F.from_json(payload_col, schema), schema
+            )
+            return to_json_string(tc), "typed"
+        except NotCompilable:
+            pass  # fall through to the variant path, then the interpreter
     if mode in ("auto", "compiled"):
         try:
             col = compile_to_json(parsed.ast, F.try_parse_json(payload_col))

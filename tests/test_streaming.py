@@ -267,3 +267,22 @@ def test_sink_idempotent_on_batch_replay(spark, tmpdirs):
     assert spark.read.parquet(tmpdirs["sink"]).count() == total
     bridge.run_batch(src)  # same batch id -> replay, not duplication
     assert spark.read.parquet(tmpdirs["sink"]).count() == total
+
+
+def test_typed_schema_pipeline(spark, tmpdirs):
+    """Declaring message_schema switches the transform to the typed fast
+    path; routed output matches the variant path exactly."""
+    schema = ("event_id long, user_id long, event_type string, "
+              "value double, props string")
+    spec = PipelineSpec(
+        transform=TRANSFORM, stream_id_template="/s/$topic", topic_levels=1,
+        sink_dir=tmpdirs["sink"], log_interval=3600,
+        message_schema=schema,
+    )
+    bridge = StreamingBridge(spec)
+    bridge.run_batch(replay_source(spark, EVENTS, streaming=False))
+    assert bridge.transform_backend == "typed"
+    out = spark.read.parquet(tmpdirs["sink"])
+    assert out.count() == spark.read.parquet(EVENTS).count()
+    msg = json.loads(out.limit(1).collect()[0]["message"])
+    assert set(msg) == {"u", "kind", "v2"} and msg["kind"].isupper()
