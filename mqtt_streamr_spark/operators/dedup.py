@@ -22,7 +22,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from mqtt_streamr_spark.operators.text import fingerprint, shingles, tokens
+from mqtt_streamr_spark.operators.text import (
+    fingerprint,
+    let_bound as _let,
+    shingles,
+    tokens,
+)
 
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1, Mersenne prime
@@ -41,16 +46,6 @@ def shingle_hashes(text: Column | str, shingle_n: int = 3) -> Column:
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
         .cast("long") % MINHASH_PRIME,
     )
-
-
-def _let(bound: Column, body) -> Column:
-    """Let-binding for Column expressions: evaluate ``bound`` once and feed
-    it to ``body`` as a lambda variable. A repeated Column subtree is
-    re-evaluated at every use site (HOF lambda bodies are re-executed per
-    element, and CollapseProject can re-inline projections), while a lambda
-    variable is bound exactly once — this makes the expensive md5 pass
-    shared across all hash families instead of recomputed per family."""
-    return F.element_at(F.transform(F.array(bound), body), 1)
 
 
 def minhash_signature(text: Column | str, num_hashes: int = 8,

@@ -77,14 +77,16 @@ def extract_features(df: DataFrame, binary_col: str = "media",
             return [h[i] / 255.0 for i in range(dim)]
 
         for pdf in it:
+            # NULL media must not kill the stage: treat as zero-byte blobs
+            blobs = pdf[binary_col].map(lambda b: b if b is not None else b"")
             out = pd.DataFrame(
                 {
                     "content_id": pdf[id_col],
-                    "n_bytes": pdf[binary_col].map(len).astype("int64"),
-                    "sha_prefix": pdf[binary_col].map(
+                    "n_bytes": blobs.map(len).astype("int64"),
+                    "sha_prefix": blobs.map(
                         lambda b: hashlib.md5(b).hexdigest()[:8]
                     ),
-                    "feature_vec": pdf[binary_col].map(fake_features),
+                    "feature_vec": blobs.map(fake_features),
                 }
             )
             yield out

@@ -70,7 +70,9 @@ def hyperplane_coeffs(plane: int, dim: int) -> list[float]:
 
 
 def lsh_bucket(vec: Column, planes: int = 8, dim: int = 64) -> Column:
-    """Random-hyperplane signature as a '0'/'1' string of length `planes`."""
+    """Random-hyperplane signature as a '0'/'1' string of length `planes`.
+    Errors loudly on a dim mismatch — zip_with would NULL-pad a longer
+    vector, silently collapsing every row into the all-zeros bucket."""
     bits = []
     vd = _as_double(vec)
     for p in range(planes):
@@ -81,7 +83,12 @@ def lsh_bucket(vec: Column, planes: int = 8, dim: int = 64) -> Column:
             lambda acc, v: acc + v,
         )
         bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    return F.when(
+        F.size(vec) != dim,
+        F.raise_error(F.lit(
+            f"lsh_bucket: vector length != dim={dim}; pass the right dim"
+        )),
+    ).otherwise(F.concat(*bits))
 
 
 def cosine_topk(df: DataFrame, query_df: DataFrame, k: int = 10,

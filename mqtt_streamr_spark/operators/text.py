@@ -29,6 +29,13 @@ _LANG_ORDER = ("en", "de", "es", "fr")  # deterministic tie-break order
 _CJK_RE = r"[\x{4e00}-\x{9fff}]"
 
 
+def let_bound(bound: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``bound`` once and feed
+    it to ``body`` as a lambda variable (HOF lambda bodies re-evaluate
+    inline subtrees per use; a lambda variable binds exactly once)."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization of lowercased text."""
     c = F.col(text) if isinstance(text, str) else text
@@ -88,12 +95,18 @@ def lang_id(text: Column | str) -> Column:
 
 def digit_ratio(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    return F.length(F.regexp_replace(c, r"[^0-9]", "")) / F.length(c)
+    # empty text -> 0.0, not NULL (NULL would make quality_score NULL and
+    # drop empty docs from BOTH sides of any threshold filter)
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(c, r"[^0-9]", "")) / F.length(c)
+    )
 
 
 def punct_ratio(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    return F.length(F.regexp_replace(c, r"[^.,;:!?]", "")) / F.length(c)
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(c, r"[^.,;:!?]", "")) / F.length(c)
+    )
 
 
 def avg_token_length(text: Column | str) -> Column:
@@ -136,24 +149,29 @@ def simhash16(text: Column | str) -> Column:
 
     Bit j is the sign of sum_t (+1 if hex digit j of md5(t) >= 8 else -1)
     over distinct tokens t — i.e. each md5 hex digit's high bit is one
-    hash-family member. String output keeps it cross-engine comparable;
-    the scale path is the same fold with xxhash64 into a BIGINT."""
-    toks = F.array_distinct(tokens(text))
+    hash-family member. md5 is computed ONCE per token (the hash array is
+    let-bound; 16 inline folds would each re-hash every token). String
+    output keeps it cross-engine comparable; the scale path is the same
+    fold with xxhash64 into a BIGINT."""
+    hx = F.transform(F.array_distinct(tokens(text)), lambda t: F.md5(t))
 
-    def bit(j: int):
-        # j bound via function scope (not a lambda default — pyspark derives
-        # lambda arity from the signature and would mis-bind it)
-        s = F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(
-                F.substring(F.md5(t), j, 1).isin(
-                    "8", "9", "a", "b", "c", "d", "e", "f"
-                ),
-                1,
-            ).otherwise(-1),
-        )
-        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+    def build(hs: Column) -> Column:
+        def bit(j: int):
+            # j bound via function scope (not a lambda default — pyspark
+            # derives lambda arity from the signature and would mis-bind it)
+            s = F.aggregate(
+                hs,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    F.substring(h, j, 1).isin(
+                        "8", "9", "a", "b", "c", "d", "e", "f"
+                    ),
+                    1,
+                ).otherwise(-1),
+            )
+            return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
 
-    return F.concat(*[bit(j) for j in range(1, 17)])
+        return F.concat(*[bit(j) for j in range(1, 17)])
+
+    return let_bound(hx, build)

@@ -310,8 +310,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_BIT_SQL = (
-    "CASE WHEN list_sum(list_transform(dtoks, t -> "
-    "CASE WHEN substring(md5(t), {j}, 1) IN "
+    "CASE WHEN list_sum(list_transform(hs, h -> "
+    "CASE WHEN substring(h, {j}, 1) IN "
     "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0 "
     "THEN '1' ELSE '0' END"
 )
@@ -322,7 +322,8 @@ _SIMHASH_SQL = " || ".join(_SIMHASH_BIT_SQL.format(j=j) for j in range(1, 17))
     "dedup_simhash_groups",
     oracle=f"""
     WITH d AS (SELECT doc_id, list_distinct({_TOKS}) AS dtoks FROM documents),
-    sig AS (SELECT doc_id, {_SIMHASH_SQL} AS simhash FROM d),
+    hx AS (SELECT doc_id, list_transform(dtoks, t -> md5(t)) AS hs FROM d),
+    sig AS (SELECT doc_id, {_SIMHASH_SQL} AS simhash FROM hx),
     g AS (SELECT simhash, count(*) AS n, min(doc_id) AS keeper
           FROM sig GROUP BY simhash)
     SELECT simhash, n, keeper FROM g WHERE n > 1

@@ -174,8 +174,11 @@ class StreamingBridge:
                 prefix = "DRY-RUN: " if spec.dry_run else ""
                 print(f"{prefix}{row['topic']} -> {row['stream_id']}")
 
+        # counted ONCE before the write; the error path reuses it — a
+        # re-count there would re-execute the (possibly failing) plan and
+        # mask the original exception
+        n_valid = valid.count()
         try:
-            n_valid = valid.count()
             if not spec.dry_run:
                 # memoized per-key init (bin:168-184)
                 for row in valid.select("stream_id").distinct().collect():
@@ -191,7 +194,11 @@ class StreamingBridge:
                  .save(os.path.join(spec.sink_dir, f"batch_id={batch_id}")))
             self.logger.success_increment(n_valid)
         except Exception:
-            self.logger.error_increment(valid.count())
+            # whole batch counts as errors (bin:196-198 analog). NOTE: a
+            # foreachBatch RETRY of this batch also counts its rows again —
+            # counters reflect attempts (as the reference's do); the
+            # idempotent per-batch sink keeps the DATA effectively-once.
+            self.logger.error_increment(n_valid)
             raise
 
     # --- run --------------------------------------------------------------

@@ -77,12 +77,18 @@ class DataTimeoutWatchdog:
         self.on_timeout = on_timeout
         self._timer: threading.Timer | None = None
         self._lock = threading.Lock()
+        self._stopped = False
         self.fired = 0
 
     def reset(self) -> None:
         if not self.timeout:
             return
         with self._lock:
+            # a timer that was already inside fire() when stop() ran calls
+            # reset() afterwards — without this check it would re-arm
+            # forever past shutdown
+            if self._stopped:
+                return
             if self._timer is not None:
                 self._timer.cancel()
 
@@ -97,6 +103,7 @@ class DataTimeoutWatchdog:
 
     def stop(self) -> None:
         with self._lock:
+            self._stopped = True
             if self._timer is not None:
                 self._timer.cancel()
                 self._timer = None

@@ -36,6 +36,10 @@ def transform_to_json(expr: str, payload_col: Column, *,
     navigation inside whole-stage codegen instead of variant expression
     eval. Fields outside the schema read as undefined.
     """
+    if mode not in ("auto", "compiled", "interpreted"):
+        raise ValueError(
+            f"transform mode {mode!r} not in auto/compiled/interpreted"
+        )
     parsed = jsonata(expr)  # parse errors surface at build time, like bin:108
     if schema is not None and mode in ("auto", "compiled"):
         try:

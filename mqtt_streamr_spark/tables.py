@@ -39,6 +39,10 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read the raw int64 and truncate ns -> µs exactly as
         # DuckDB does (floor division), so oracles agree to the microsecond.
+        # NOTE: nanosAsLong is a SESSION-WIDE flag and stays set afterwards —
+        # an intentional engine contract (nanos columns surface as int64;
+        # replay_source sets it too). Engine sessions read nanos timestamps
+        # only through this loader, which converts explicitly.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
