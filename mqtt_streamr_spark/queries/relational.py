@@ -628,3 +628,38 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(col("l_extendedprice"), 2).alias("l_extendedprice"),
     )
+
+
+@query(
+    "q19_disjunctive_filter",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted): disjunctive multi-column predicates over
+    a broadcast part join — exercises Catalyst's OR-predicate handling and
+    join-condition pushdown; part stays broadcast at any SF."""
+    li = load(spark, "lineitem", sf_dir)
+    pt = load(spark, "part", sf_dir)
+    cond = (
+        ((col("p_brand") == "Brand#1") & col("p_size").between(1, 15)
+         & col("l_quantity").between(1, 11))
+        | ((col("p_brand") == "Brand#2") & col("p_size").between(1, 25)
+           & col("l_quantity").between(10, 20))
+        | ((col("p_brand") == "Brand#3") & col("p_size").between(1, 35)
+           & col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(broadcast(pt), col("p_partkey") == col("l_partkey"))
+        .filter(cond)
+        .agg(F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))),
+                     2).alias("revenue"))
+    )

@@ -118,6 +118,17 @@ class StreamingBridge:
         if "arrival_ts" not in df.columns:
             df = df.withColumn("arrival_ts", F.current_timestamp())
 
+        # subscription filter (bin:130-138): the MQTT source already gets
+        # broker-side matching; for replay/batch sources the same MQTT
+        # wildcard semantics apply client-side
+        if self.spec.topics:
+            from mqtt_streamr_spark.operators.routing import topic_matches
+
+            match = topic_matches(F.col("topic"), self.spec.topics[0])
+            for pat in self.spec.topics[1:]:
+                match = match | topic_matches(F.col("topic"), pat)
+            df = df.filter(match)
+
         # parse + invalid-drop (bin:149-155): record both streams
         df = df.withColumn("parsed", F.try_parse_json("payload"))
         df = df.withColumn("is_valid", F.col("parsed").isNotNull())

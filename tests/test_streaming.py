@@ -286,3 +286,21 @@ def test_typed_schema_pipeline(spark, tmpdirs):
     assert out.count() == spark.read.parquet(EVENTS).count()
     msg = json.loads(out.limit(1).collect()[0]["message"])
     assert set(msg) == {"u", "kind", "v2"} and msg["kind"].isupper()
+
+
+def test_topics_subscription_filter(spark, tmpdirs):
+    """PipelineSpec.topics applies MQTT wildcard subscription semantics to
+    replay/batch sources (the broker does this for the real MQTT source —
+    bin:130-138)."""
+    spec = PipelineSpec(
+        topics=["/events/click/#", "/events/view/#"],
+        sink_dir=tmpdirs["sink"], log_interval=3600,
+    )
+    bridge = StreamingBridge(spec)
+    bridge.run_batch(replay_source(spark, EVENTS, streaming=False))
+    out = spark.read.parquet(tmpdirs["sink"])
+    ev = spark.read.parquet(EVENTS)
+    expected = ev.filter(F.col("event_type").isin("click", "view")).count()
+    assert out.count() == expected
+    success, _ = bridge.logger.report()
+    assert success == expected
