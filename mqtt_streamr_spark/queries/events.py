@@ -346,3 +346,27 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 col("session_window.start").alias("session_start"),
                 "n_events", "total_value")
     )
+
+
+@query(
+    "events_hierarchical_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: daily stats computed FROM the
+    hourly rollup rather than rescanning raw events — the hierarchical
+    reuse pattern that makes multi-resolution dashboards O(hours) instead
+    of O(events) at 100 TB. The oracle aggregates raw directly; sums are
+    associative so results agree."""
+    ev = load(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    return (
+        hourly.groupBy(F.date_trunc("day", col("hour")).alias("day"))
+        .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 2).alias("total"))
+    )

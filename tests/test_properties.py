@@ -180,3 +180,40 @@ def test_salted_join_rejects_outer(spark):
     df = spark.range(2).selectExpr("id as k")
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(df, df, "k", how="full")
+
+
+@SLOW
+@given(data=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 2)),
+    min_size=1, max_size=40,
+))
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    """Differential oracle for the as-of join: pandas merge_asof (backward,
+    by key) on random data. Timestamps deduplicated per (key, side) since
+    both implementations tie-break duplicate equal-ts right rows
+    arbitrarily."""
+    import pandas as pd
+
+    from mqtt_streamr_spark.operators.joins import asof_join
+
+    seen = set()
+    left_rows, right_rows = [], []
+    for i, (k, ts, side) in enumerate(data):
+        if (k, ts, side > 0) in seen:
+            continue
+        seen.add((k, ts, side > 0))
+        (left_rows if side > 0 else right_rows).append((k, ts, float(i)))
+    if not left_rows or not right_rows:
+        return
+    left = spark.createDataFrame(left_rows, "k int, ts int, lv double")
+    right = spark.createDataFrame(right_rows, "k int, ts int, rv double")
+    got = {
+        (r["k"], r["ts"]): r["rv_asof"]
+        for r in asof_join(left, right, on="k", ts_col="ts").collect()
+    }
+    lpd = pd.DataFrame(left_rows, columns=["k", "ts", "lv"]).sort_values("ts")
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "rv"]).sort_values("ts")
+    exp = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward")
+    for _, row in exp.iterrows():
+        want = None if pd.isna(row["rv"]) else row["rv"]
+        assert got[(row["k"], row["ts"])] == want, (row, got)
