@@ -196,7 +196,10 @@ def as_string(tc: TypedCol) -> Column:
     if tc.kind == "object" or tc.kind.startswith("array"):
         return F.to_json(tc.col)
     if tc.kind == "null":
-        return F.lit("null")
+        # undefined, not the string "null": concat treats it as '', and
+        # to_json_string drops it — matching the variant path and the
+        # interpreter's undefined-dropping
+        return F.lit(None).cast("string")
     raise NotCompilable(f"cannot stringify kind {tc.kind}")
 
 
@@ -487,7 +490,12 @@ def _c_binary(node, ctx):
         )
     if op in ("+", "-", "*", "/", "%"):
         a, b = as_number(lhs), as_number(rhs)
-        col = {"+": a + b, "-": a - b, "*": a * b, "/": a / b, "%": a % b}[op]
+        # try_divide/try_mod: ANSI mode (Spark 4 default) makes / and %
+        # THROW on a zero divisor — one bad row must not kill a vectorized
+        # batch; NULL (undefined) is the documented compiled-path analog of
+        # the interpreter's per-row error
+        col = {"+": a + b, "-": a - b, "*": a * b,
+               "/": F.try_divide(a, b), "%": F.try_mod(a, b)}[op]
         return TypedCol(col, "number")
     if op in ("=", "!="):
         a, b, _ = _comparable(lhs, rhs)

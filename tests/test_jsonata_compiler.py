@@ -205,6 +205,28 @@ COMPILABLE = [
     "nums^(>$)",
     "items^(p)",
     "items^(>p)",
+    # numeric / string edge cases
+    "$round(-2.5)",
+    "$round(0.5)",
+    "$round(1.5)",
+    "$substring(kind, 2, 100)",
+    "$substring('', 0, 3)",
+    "$pad('x', 0)",
+    "$split('a,b,,c', ',')",
+    "$substringBefore(kind, 'zzz')",
+    "$substringAfter(kind, 'zzz')",
+    "$sum([1.5])",
+    "$count([])",
+    "value % 2",
+    "-7 % 2",
+    "$abs(-0.0)",
+    "'' & missing",
+    "$uppercase(missing)",
+    "$boolean(0)",
+    "$boolean('')",
+    "$boolean('x')",
+    "$boolean([])",
+    "$boolean(nums)",
     # functions of paths
     "$exists(missing)",
     "$exists(user)",
@@ -319,3 +341,19 @@ def test_typed_coverage_is_substantial(spark):
         except NotCompilable:
             pass
     assert ok >= int(0.8 * len(COMPILABLE)), f"only {ok}/{len(COMPILABLE)}"
+
+
+@pytest.mark.parametrize("expr", [
+    "0 / 0",                   # interpreter raises per-row; compiled -> NULL
+    "1 / 0",
+    "7 % 0",
+    "$number('not a number')", # interpreter raises D3030; compiled -> NULL
+    "$number('')",
+])
+def test_documented_error_to_null_divergence(spark, expr):
+    """Per-row errors cannot throw from a vectorized expression (one bad
+    row must not kill the batch): the compiled path yields NULL (undefined)
+    where the interpreter raises — the documented divergence from the
+    module docstring. The important property: no crash, NULL result."""
+    actual = run_compiled(spark, expr, DOC)
+    assert actual is None, (expr, actual)
