@@ -370,3 +370,62 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly.groupBy(F.date_trunc("day", col("hour")).alias("day"))
         .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 2).alias("total"))
     )
+
+
+@query(
+    "window_lag_lead_events",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, value,
+               value - lag(value) OVER w AS dv,
+               epoch(lead(ts) OVER w - ts) AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, count(*) AS n,
+           round(sum(dv), 2) AS total_dv,
+           round(avg(gap_s), 2) AS avg_gap_s
+    FROM x GROUP BY user_id
+    """,
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic windows: per-user value deltas and inter-event
+    gaps — one shuffle on user_id shared by both window functions."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    x = ev.select(
+        "user_id",
+        (col("value") - F.lag("value").over(w)).alias("dv"),
+        (F.unix_micros(F.lead("ts").over(w))
+         - F.unix_micros(col("ts"))).alias("gap_us"),
+    )
+    return x.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("dv"), 2).alias("total_dv"),
+        F.round(F.avg(col("gap_us") / 1_000_000.0), 2).alias("avg_gap_s"),
+    )
+
+
+@query(
+    "agg_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (SQL PERCENTILE = linear interpolation,
+    same as DuckDB quantile_cont). Exact percentile is a sort-based
+    aggregate — at 100 TB swap for approx_percentile (t-digest) and accept
+    the documented error bound."""
+    ev = load(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
