@@ -144,6 +144,35 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.array_join(tokens(text), " "))
 
 
+def winnowing_fingerprints(text: Column | str, k: int = 5,
+                           w: int = 4) -> Column:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    character k-gram of normalized text, slide a window of w hashes, keep
+    each window's minimum — guaranteeing any match of length >= w+k-1
+    shares a fingerprint. Returns the distinct selected hashes
+    (array<long>). Pure Column fold: the k-gram hash array is let-bound so
+    it is computed once, not once per window."""
+    norm = F.array_join(tokens(text), " ")
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+
+    def windows(hs: Column) -> Column:
+        n_windows = F.greatest(F.size(hs) - (w - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(hs, i, w)),
+            )
+        )
+
+    return let_bound(hashes, windows)
+
+
 def simhash16(text: Column | str) -> Column:
     """16-bit SimHash over distinct tokens, as a '0'/'1' string.
 

@@ -155,6 +155,46 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source,
+                      array_to_string({_TOKS}, ' ') AS s
+               FROM documents),
+    hx AS (SELECT doc_id, source,
+                  list_transform(
+                      generate_series(1, greatest(length(s) - 4, 1)),
+                      i -> ('0x' || substring(md5(substring(s, i, 5)), 1, 15))
+                           ::BIGINT) AS hs
+           FROM d),
+    fp AS (SELECT doc_id, source,
+                  list_distinct(list_transform(
+                      generate_series(1, greatest(len(hs) - 3, 1)),
+                      i -> list_min(hs[i : i + 3]))) AS fps
+           FROM hx)
+    SELECT source, count(*) AS n_docs,
+           sum(len(fps)) AS total_fps,
+           count(DISTINCT list_min(fps)) AS distinct_min_fp
+    FROM fp GROUP BY source
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash + window-min) fingerprints — the
+    plagiarism-detection fingerprint family; guarantees shared fingerprints
+    for any sufficiently long match. Per-source fingerprint stats."""
+    docs = spread(load(spark, "documents", sf_dir))
+    fp = docs.select(
+        "source", T.winnowing_fingerprints("text", k=5, w=4).alias("fps")
+    )
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("fps")).alias("total_fps"),
+        # min fingerprint, not fps[1]: array_distinct order is
+        # engine-specific, the minimum is not
+        F.countDistinct(F.array_min("fps")).alias("distinct_min_fp"),
+    )
+
+
 # --- dedup -------------------------------------------------------------------
 
 @query(
@@ -431,6 +471,31 @@ def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     path swaps the label block for an LSH bucket — same join shape)."""
     emb = spread(load(spark, "embeddings", sf_dir))
     return S.embedding_near_dups(emb, threshold=0.9)
+
+
+@query(
+    "sim_near_dups_lsh_blocked",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, {_norm_sql('embedding')} AS nv,
+                      {_BUCKET_SQL} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round({_DOT.format(a='a.nv', b='c.nv')}, 6) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket
+    WHERE a.vec_id < c.vec_id
+      AND round({_DOT.format(a='a.nv', b='c.nv')}, 6) >= 0.8
+    """,
+)
+def sim_near_dups_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by the LSH bucket instead of the
+    label column — the actual 100 TB shape (data-independent uniform block
+    key, no labels needed; same join as sim_embedding_near_dups)."""
+    emb = spread(load(spark, "embeddings", sf_dir))
+    bucketed = emb.withColumn(
+        "bucket", S.lsh_bucket(F.col("embedding"), planes=8, dim=64)
+    )
+    return S.embedding_near_dups(bucketed, threshold=0.8,
+                                 block_col="bucket")
 
 
 _IVF_SEEDS = [1, 2, 3, 4, 5, 6, 7, 8]
