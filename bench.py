@@ -49,10 +49,16 @@ def main() -> None:
     listener = MetricsListener.attach(spark)  # captures the streaming queries
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
-        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # one broken query must not zero the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     time.sleep(1.0)  # listener bus is async; let progress events drain
     streaming = listener.summary()  # rec/s + p50/p99 batch ms (BASELINE.md)
@@ -67,6 +73,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_from_dir(SF_DIR),
                 "streaming": streaming,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
