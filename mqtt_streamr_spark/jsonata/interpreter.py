@@ -366,18 +366,25 @@ class Interpreter:
             for (desc_a, va), (_, vb) in zip(a[0], b[0]):
                 if va == vb:
                     continue
-                lt = va < vb
+                try:
+                    lt = va < vb
+                except TypeError:
+                    raise JsonataError(
+                        "sort terms must be all numbers or all strings"
+                    ) from None
                 return (1 if lt else -1) if desc_a else (-1 if lt else 1)
             return a[1] - b[1]  # stable
 
         decorated.sort(key=functools.cmp_to_key(cmp))
         return JSeq(it for _, _, it in decorated)
 
-    def _eval_call(self, node, ctx, env, extra_first_arg=None):
+    _NO_EXTRA = object()  # sentinel: None is a real JSON value (null)
+
+    def _eval_call(self, node, ctx, env, extra_first_arg=_NO_EXTRA):
         proc_node = node["proc"]
         proc = self._eval(proc_node, ctx, env)
         args = [unwrap(self._eval(a, ctx, env)) for a in node["args"]]
-        if extra_first_arg is not None:
+        if extra_first_arg is not Interpreter._NO_EXTRA:
             args = [extra_first_arg] + args
         name = proc_node.get("value", "<lambda>")
         return self._call(proc, args, ctx, name)
@@ -466,23 +473,40 @@ class Builtin:
     argument fewer than the minimum, the evaluation context is inserted as
     the first argument (enables ``a.$uppercase()``)."""
 
-    __slots__ = ("name", "fn", "min_args", "ctx_inject")
+    __slots__ = ("name", "fn", "min_args", "max_args", "ctx_inject",
+                 "first_type")
 
-    def __init__(self, name, fn, min_args, ctx_inject=True):
+    def __init__(self, name, fn, min_args, ctx_inject=True, first_type=None):
+        import inspect
+
         self.name = name
         self.fn = fn
         self.min_args = min_args
+        # positional capacity of the implementation (minus the interp arg)
+        self.max_args = len(inspect.signature(fn).parameters) - 1
         self.ctx_inject = ctx_inject
+        self.first_type = first_type
 
     def invoke(self, interp, ctx, args):
-        if self.ctx_inject and len(args) == self.min_args - 1:
-            args = [unwrap(ctx)] + args
+        if self.ctx_inject and len(args) < self.max_args:
+            # inject the context as the first argument when (a) one arg
+            # short of the minimum (classic ``a.$uppercase()``), or (b) the
+            # declared first-arg type doesn't match — which catches context
+            # calls that pass OPTIONAL args, e.g. ``s.$match(/re/, 2)``
+            if len(args) == self.min_args - 1 or (
+                self.first_type is not None
+                and args
+                and args[0] is not UNDEFINED
+                and not isinstance(args[0], self.first_type)
+            ):
+                args = [unwrap(ctx)] + args
         return self.fn(interp, *args)
 
 
-def _b(name, min_args, ctx_inject=True):
+def _b(name, min_args, ctx_inject=True, first_type=None):
     def deco(fn):
-        BUILTINS[name] = Builtin(name, fn, min_args, ctx_inject)
+        BUILTINS[name] = Builtin(name, fn, min_args, ctx_inject,
+                                 first_type=first_type)
         return fn
 
     return deco
@@ -509,7 +533,7 @@ def _f_length(interp, s=UNDEFINED):
     return len(s)
 
 
-@_b("substring", 2)
+@_b("substring", 2, first_type=str)
 def _f_substring(interp, s=UNDEFINED, start=0, length=UNDEFINED):
     if s is UNDEFINED:
         return UNDEFINED
@@ -554,7 +578,7 @@ def _f_trim(interp, s=UNDEFINED):
     return _re.sub(r"\s+", " ", s).strip()
 
 
-@_b("pad", 2)
+@_b("pad", 2, first_type=str)
 def _f_pad(interp, s=UNDEFINED, width=0, char=" "):
     if s is UNDEFINED:
         return UNDEFINED
@@ -575,7 +599,7 @@ def _f_contains(interp, s=UNDEFINED, pat=UNDEFINED):
     return pat in s
 
 
-@_b("split", 2)
+@_b("split", 2, first_type=str)
 def _f_split(interp, s=UNDEFINED, sep=UNDEFINED, limit=UNDEFINED):
     if s is UNDEFINED:
         return UNDEFINED
@@ -583,6 +607,10 @@ def _f_split(interp, s=UNDEFINED, sep=UNDEFINED, limit=UNDEFINED):
     rx = _as_regex(sep)
     if rx is not None:
         parts = rx.split(s)
+        if rx.groups:
+            # Python interleaves capture-group text; JSONata returns only
+            # the split segments (indices 0, g+1, 2(g+1), ...)
+            parts = parts[::rx.groups + 1]
     elif sep == "":
         parts = list(s)
     else:
@@ -632,20 +660,25 @@ def _js_replacement(template: str, m: _re.Match) -> str:
     return "".join(out)
 
 
-@_b("replace", 3)
+@_b("replace", 3, first_type=str)
 def _f_replace(interp, s=UNDEFINED, pat=UNDEFINED, repl=UNDEFINED,
                limit=UNDEFINED):
     if s is UNDEFINED:
         return UNDEFINED
-    count = 0 if limit is UNDEFINED else int(require_number(limit, "$replace"))
+    # limit is the MAX number of replacements: 0 means none (Python's
+    # count=0 would mean all), negative is error D3011
+    lim = None if limit is UNDEFINED else int(require_number(limit, "$replace"))
+    if lim is not None and lim < 0:
+        raise JsonataError("$replace: limit must be non-negative")
     rx = _as_regex(pat)
     if rx is None:
         if pat == "":
             raise JsonataError("$replace: empty pattern")
         if callable(repl):
             raise JsonataError("$replace: function replacement requires regex")
-        n = count if count else -1
-        return s.replace(pat, repl, n) if n >= 0 else s.replace(pat, repl)
+        if lim is None:
+            return s.replace(pat, repl)
+        return s.replace(pat, repl, lim)
     if isinstance(repl, (Lambda, Builtin)) or callable(repl):
         def subfn(m):
             arg = {"match": m.group(0), "index": m.start(),
@@ -657,10 +690,12 @@ def _f_replace(interp, s=UNDEFINED, pat=UNDEFINED, repl=UNDEFINED,
     else:
         def subfn(m):
             return _js_replacement(repl, m)
-    return rx.sub(subfn, s, count=count)
+    if lim == 0:
+        return s
+    return rx.sub(subfn, s, count=lim or 0)
 
 
-@_b("match", 2)
+@_b("match", 2, first_type=str)
 def _f_match(interp, s=UNDEFINED, pat=UNDEFINED, limit=UNDEFINED):
     if s is UNDEFINED:
         return UNDEFINED

@@ -54,9 +54,16 @@ def _read_string(src: str, i: int) -> tuple[str, int]:
     while i < len(src):
         ch = src[i]
         if ch == "\\":
+            if i + 1 >= len(src):
+                raise JsonataError("unterminated string literal")
             nxt = src[i + 1]
             if nxt == "u":
-                out.append(chr(int(src[i + 2:i + 6], 16)))
+                try:
+                    out.append(chr(int(src[i + 2:i + 6], 16)))
+                except ValueError as exc:
+                    raise JsonataError(
+                        f"invalid \\u escape at {i}"
+                    ) from exc
                 i += 6
                 continue
             if nxt not in _ESCAPES:

@@ -42,7 +42,11 @@ def zscore_per_group(df: DataFrame, group_col: str, value_col: str,
 
 @pandas_udf("double")
 def geometric_mean(v: pd.Series) -> float:
-    """GROUPED_AGG pandas UDAF: exp(mean(log(x))) over positive values."""
+    """GROUPED_AGG pandas UDAF: exp(mean(log(x))) over positive values;
+    NULL (not NaN) when a group has no positive values."""
     import numpy as np
 
-    return float(np.exp(np.log(v[v > 0]).mean()))
+    pos = v[v > 0]
+    if len(pos) == 0:
+        return None
+    return float(np.exp(np.log(pos).mean()))

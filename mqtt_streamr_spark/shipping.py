@@ -23,12 +23,29 @@ def ensure_shipped(spark: SparkSession) -> None:
     if getattr(sc, _SHIPPED_ATTR, False):
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    tag = hashlib.md5(pkg_dir.encode()).hexdigest()[:8]
+    # tag hashes file CONTENT state (path + mtime + size), not just the
+    # path — otherwise executors keep running a stale zip after any source
+    # edit from the same checkout
+    state = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                st = os.stat(full)
+                state.append(
+                    (os.path.relpath(full, pkg_dir), st.st_mtime_ns,
+                     st.st_size)
+                )
+    tag = hashlib.md5(
+        repr((pkg_dir, sorted(state))).encode()
+    ).hexdigest()[:12]
     zip_path = os.path.join(
         tempfile.gettempdir(), f"mqtt_streamr_spark_{tag}.zip"
     )
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+        tmp = f"{zip_path}.{os.getpid()}.tmp"  # unique per driver process
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for root, _dirs, files in os.walk(pkg_dir):
                 if "__pycache__" in root:

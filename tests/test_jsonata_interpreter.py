@@ -328,3 +328,32 @@ def test_now_and_millis():
     assert re.match(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z",
                     ev("$now()", {}))
     assert isinstance(ev("$millis()", {}), int)
+
+
+def test_review_fixes_round1():
+    """Regressions from code review: null through ~>, $replace limit
+    semantics, $split capture groups, context calls with optional args,
+    mixed-type sort errors, trailing-backslash strings."""
+    import pytest as _pytest
+
+    from mqtt_streamr_spark.jsonata import jsonata
+    from mqtt_streamr_spark.jsonata.errors import JsonataError
+
+    # JSON null piped through ~> must reach the function as null
+    assert jsonata("empty ~> $string()").evaluate({"empty": None}) == "null"
+    # $replace limit: 0 = no replacements; negative = error
+    assert jsonata("$replace('aaa', 'a', 'b', 0)").evaluate({}) == "aaa"
+    assert jsonata("$replace('aaa', 'a', 'b', 2)").evaluate({}) == "bba"
+    with _pytest.raises(JsonataError):
+        jsonata("$replace('aaa', 'a', 'b', -1)").evaluate({})
+    # $split with capture groups returns only the segments
+    assert jsonata(r"$split('a1b', /(\d)/)").evaluate({}) == ["a", "b"]
+    # context call with optional args binds the context, not the regex
+    assert jsonata("$count(k.$match(/a/, 2))").evaluate({"k": "aba"}) == 2
+    assert jsonata("k.$substring(1, 2)").evaluate({"k": "abcd"}) == "bc"
+    # mixed-type sort raises a JSONata error, not a raw TypeError
+    with _pytest.raises(JsonataError):
+        jsonata("[1, 'a']^($)").evaluate({})
+    # trailing backslash: JsonataError, not IndexError
+    with _pytest.raises(JsonataError):
+        jsonata('"ab\\').evaluate({})
