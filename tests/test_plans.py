@@ -112,3 +112,31 @@ def test_topk_cosine_take_ordered(spark):
     p = plan_str(QUERIES["sim_topk_cosine"](spark, SF))
     assert "TakeOrderedAndProject" in p, p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_grouped_udfs_run_arrow_not_row_python(spark):
+    """The pandas-UDF paths must execute via Arrow-batched nodes (never
+    row-at-a-time BatchEvalPython)."""
+    p = plan_str(QUERIES["grouped_quality_zscores"](spark, SF))
+    assert "FlatMapGroupsInPandas" in p, p
+    p2 = plan_str(QUERIES["grouped_geomean_values"](spark, SF))
+    assert "ArrowAggregatePython" in p2 or "AggregateInPandas" in p2, p2
+    p3 = plan_str(QUERIES["multimodal_features"](spark, SF))
+    assert "MapInPandas" in p3, p3
+    for plan in (p, p2, p3):
+        assert "BatchEvalPython" not in plan, plan
+
+
+def test_q18_no_broadcast_of_fact_tables(spark):
+    """Fact-fact joins must stay shuffled joins — broadcasting lineitem or
+    orders would OOM at scale. (At sf0.001 AQE may broadcast the small
+    side; assert on the pre-AQE logical strategy via the bigger sf0.01.)"""
+    p = plan_str(QUERIES["q18_large_orders"](spark, "/root/testdata/sf0.01"))
+    # customer may broadcast (dimension-ish); lineitem join must not be a
+    # broadcast NESTED LOOP under any plan
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_winnowing_no_python(spark):
+    p = plan_str(QUERIES["text_winnowing_fingerprints"](spark, SF))
+    assert "EvalPython" not in p and "InPandas" not in p, p
