@@ -39,10 +39,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session startup.
-    QUERIES["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # queries, not session startup. Guarded: a broken warm-up query must
+    # not zero the whole run either.
+    try:
+        QUERIES["q1_pricing_summary"](spark, SF_DIR).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass
 
     from mqtt_streamr_spark.streaming.stats import MetricsListener
 

@@ -98,3 +98,17 @@ def topic_matches(topic: Column | str, pattern: str) -> Column:
     """Boolean Column: does ``topic`` match the MQTT filter ``pattern``."""
     topic = F.col(topic) if isinstance(topic, str) else topic
     return topic.rlike(mqtt_wildcard_to_regex(pattern))
+
+
+def synthetic_event_topic(event_type: Column | str,
+                          user_id: Column | str) -> Column:
+    """Topic synthesized from the events table —
+    ``/events/<event_type>/u<user_id % 10>`` (the replay-source contract,
+    FIXTURES.md §1.1). The ONE definition shared by the batch event
+    queries and the streaming replay source, so the two can never route on
+    different topic shapes."""
+    et = F.col(event_type) if isinstance(event_type, str) else event_type
+    uid = F.col(user_id) if isinstance(user_id, str) else user_id
+    return F.concat(
+        F.lit("/events/"), et, F.lit("/u"), (uid % 10).cast("string")
+    )

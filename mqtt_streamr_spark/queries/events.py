@@ -34,14 +34,10 @@ _TOPIC_SQL = "'/events/' || event_type || '/u' || CAST(user_id % 10 AS VARCHAR)"
 
 
 def _with_topic(df: DataFrame) -> DataFrame:
+    from mqtt_streamr_spark.operators.routing import synthetic_event_topic
+
     return df.withColumn(
-        "topic",
-        F.concat(
-            F.lit("/events/"),
-            col("event_type"),
-            F.lit("/u"),
-            (col("user_id") % 10).cast("string"),
-        ),
+        "topic", synthetic_event_topic("event_type", "user_id")
     )
 
 

@@ -17,7 +17,10 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def _cpus() -> int:
+    """Read SPARK_GRAFT_CPUS at CALL time (not import) so master and
+    shuffle partitions always agree."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def get_spark(
@@ -34,7 +37,15 @@ def get_spark(
       re-plans it per-stage from runtime statistics.
     - Arrow enabled for the Pandas-UDF paths (similarity, multimodal).
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = _cpus()
+    # spark.driver.memory is INERT via SparkConf in client mode (the JVM
+    # already exists) — pass it through the submit args instead, which only
+    # works before the first JVM launch in this process
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    if "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {mem} pyspark-shell"
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -42,7 +53,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+            str(shuffle_partitions or cpus),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -278,11 +278,11 @@ def replay_source(spark: SparkSession, events_path: str,
         base = spark.readStream.schema(schema).parquet(src_dir)
     else:
         base = spark.read.parquet(events_path)
+    from mqtt_streamr_spark.operators.routing import synthetic_event_topic
+
     df = (
         base.withColumn(
-            "topic",
-            F.concat(F.lit("/events/"), F.col("event_type"), F.lit("/u"),
-                     (F.col("user_id") % 10).cast("string")),
+            "topic", synthetic_event_topic("event_type", "user_id")
         )
         .withColumn(
             "payload",

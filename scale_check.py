@@ -99,10 +99,12 @@ OPS = {
 def main() -> None:
     spark = get_spark(app_name="scale-check")
     spark.sparkContext.setLogLevel("ERROR")
+    # one overall warm-up (JVM + parquet footers); per-(op, k) jobs then
+    # run exactly once — the 16x configurations are too expensive to double
+    scan_agg(spark, 1).collect()
     for name, fn in OPS.items():
         times = {}
         for k in MULTIPLES:
-            fn(spark, k).collect()  # warm plan once per (op, k)? no: once overall
             t0 = time.time()
             fn(spark, k).collect()
             times[f"x{k}"] = round(time.time() - t0, 2)
