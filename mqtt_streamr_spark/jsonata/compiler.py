@@ -1230,6 +1230,37 @@ def _fc_merge(args, node, ctx):
     )
 
 
+@_fn("each")
+def _fc_each(args, node, ctx):
+    """$each(obj, fn($v, $k)) on the TYPED path only: the object's fields
+    are statically known, so the iteration expands at compile time into an
+    array of per-field results (variant objects have dynamic keys — the
+    interpreter handles those)."""
+    lam = _lambda_arg(node, 1, 2, "$each")
+    obj = args[0]
+    if obj.kind != "object" or obj.dtype is None:
+        raise NotCompilable("$each compiles for typed objects only")
+    items: list[Column] = []
+    out_kind: str | None = None
+    for fname in obj.dtype.fieldNames():
+        v = _typed_from(obj.col.getField(fname), obj.dtype[fname].dataType)
+        binds = [v]
+        if len(lam["params"]) == 2:
+            binds.append(TypedCol(F.lit(fname), "string"))
+        tc = _bind_lambda(lam, binds, ctx)
+        if out_kind is None:
+            out_kind = tc.kind
+        elif tc.kind != out_kind:
+            raise NotCompilable(
+                f"$each body kinds differ across fields "
+                f"({out_kind} vs {tc.kind})"
+            )
+        items.append(tc.col)
+    if not items:
+        return TypedCol(F.array(), "array<string>", elem="string")
+    return TypedCol(F.array(*items), f"array<{out_kind}>", elem=out_kind)
+
+
 @_fn("lookup")
 def _fc_lookup(args, node, ctx):
     """$lookup(obj, key) with a literal key -> variant path extraction."""

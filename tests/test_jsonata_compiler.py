@@ -357,3 +357,24 @@ def test_documented_error_to_null_divergence(spark, expr):
     module docstring. The important property: no crash, NULL result."""
     actual = run_compiled(spark, expr, DOC)
     assert actual is None, (expr, actual)
+
+
+def test_each_typed_matches_interpreter(spark):
+    """$each compiles on the typed path (static fields); interpreter is the
+    reference for value+key iteration order (schema order = JSON order
+    here)."""
+    from mqtt_streamr_spark.jsonata.compiler import compile_typed
+
+    doc = {"nested": {"k": 42, "name": "xy"}}
+    schema = "nested struct<k: long, name: string>"
+    for expr in (
+        "$each(nested, function($v, $k){ $string($v) & ':' & $k })",
+        "$each(nested, function($v){ $string($v) })",
+    ):
+        expected = jsonata(expr).evaluate(doc)
+        df = spark.createDataFrame([(json.dumps(doc),)], "payload string")
+        tc = compile_typed(
+            expr, F.from_json(F.col("payload"), schema), schema
+        )
+        actual = _to_python(df.select(tc.col.alias("r")).collect()[0]["r"])
+        assert_same(expected, actual, expr)
