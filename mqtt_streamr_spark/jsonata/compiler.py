@@ -1261,6 +1261,31 @@ def _fc_each(args, node, ctx):
     return TypedCol(F.array(*items), f"array<{out_kind}>", elem=out_kind)
 
 
+@_fn("sift")
+def _fc_sift(args, node, ctx):
+    """$sift(obj, fn($v, $k)) on the TYPED path: fields failing the
+    predicate become NULL in the output struct — JSON serialization drops
+    them (ignoreNullFields), matching JSONata's key-dropping. Divergence:
+    a field whose real value IS null is indistinguishable from a sifted
+    one (documented null/undefined conflation of the compiled path)."""
+    lam = _lambda_arg(node, 1, 2, "$sift")
+    obj = args[0]
+    if obj.kind != "object" or obj.dtype is None:
+        raise NotCompilable("$sift compiles for typed objects only")
+    fields: list[Column] = []
+    names: list[str] = []
+    for fname in obj.dtype.fieldNames():
+        v = _typed_from(obj.col.getField(fname), obj.dtype[fname].dataType)
+        binds = [v]
+        if len(lam["params"]) == 2:
+            binds.append(TypedCol(F.lit(fname), "string"))
+        keep = as_boolean(_bind_lambda(lam, binds, ctx))
+        fields.append(F.when(keep, v.col).alias(fname))
+        names.append(fname)
+    return TypedCol(F.struct(*fields), "object", fields=names,
+                    dtype=obj.dtype)
+
+
 @_fn("lookup")
 def _fc_lookup(args, node, ctx):
     """$lookup(obj, key) with a literal key -> variant path extraction."""

@@ -378,3 +378,24 @@ def test_each_typed_matches_interpreter(spark):
         )
         actual = _to_python(df.select(tc.col.alias("r")).collect()[0]["r"])
         assert_same(expected, actual, expr)
+
+
+def test_sift_typed_matches_interpreter(spark):
+    """$sift on the typed path: filtered fields become NULL (dropped by
+    JSON serialization / the dict comparison), matching key-dropping."""
+    from mqtt_streamr_spark.jsonata.compiler import compile_typed
+
+    doc = {"scores": {"a": 80, "b": 30, "c": 95}}
+    schema = "scores struct<a: long, b: long, c: long>"
+    expr = "$sift(scores, function($v){ $v >= 50 })"
+    expected = jsonata(expr).evaluate(doc)
+    df = spark.createDataFrame([(json.dumps(doc),)], "payload string")
+    tc = compile_typed(expr, F.from_json(F.col("payload"), schema), schema)
+    actual = _to_python(df.select(tc.col.alias("r")).collect()[0]["r"])
+    assert_same(expected, actual, expr)
+    # keyed form
+    expr2 = "$sift(scores, function($v, $k){ $k != 'b' })"
+    expected2 = jsonata(expr2).evaluate(doc)
+    tc2 = compile_typed(expr2, F.from_json(F.col("payload"), schema), schema)
+    actual2 = _to_python(df.select(tc2.col.alias("r")).collect()[0]["r"])
+    assert_same(expected2, actual2, expr2)
