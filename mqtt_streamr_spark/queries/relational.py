@@ -663,3 +663,56 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))),
                      2).alias("revenue"))
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: nation-pair shipping volume by year. The nation table
+    joins twice under DIFFERENT aliases (supplier vs customer side), both
+    broadcast; the disjunctive pair filter applies after both lookups."""
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    cust = load(spark, "customer", sf_dir)
+    supp = load(spark, "supplier", sf_dir)
+    n1 = broadcast(load(spark, "nation", sf_dir)).select(
+        col("n_nationkey").alias("n1_key"), col("n_name").alias("supp_nation")
+    )
+    n2 = broadcast(load(spark, "nation", sf_dir)).select(
+        col("n_nationkey").alias("n2_key"), col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((col("supp_nation") == "NATION_3") & (col("cust_nation") == "NATION_7"))
+        | ((col("supp_nation") == "NATION_7") & (col("cust_nation") == "NATION_3"))
+    )
+    return (
+        supp.join(li, col("s_suppkey") == col("l_suppkey"))
+        .join(orders, col("o_orderkey") == col("l_orderkey"))
+        .join(cust, col("c_custkey") == col("o_custkey"))
+        .join(n1, col("s_nationkey") == col("n1_key"))
+        .join(n2, col("c_nationkey") == col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))),
+                     2).alias("revenue"))
+    )
