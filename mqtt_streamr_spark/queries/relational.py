@@ -716,3 +716,32 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))),
                      2).alias("revenue"))
     )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count histogram over a left-outer join —
+    customers with zero orders survive into the c_count=0 bucket; two
+    aggregation levels share nothing, so the second agg re-shuffles on the
+    (tiny) count key."""
+    cust = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    per_cust = (
+        cust.join(orders, col("c_custkey") == col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
