@@ -745,3 +745,48 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue. The scalar-subquery
+    max becomes an unpartitioned window max over the (small, post-agg)
+    revenue set — no second scan of lineitem."""
+    from pyspark.sql import Window
+
+    li = load(spark, "lineitem", sf_dir)
+    supp = load(spark, "supplier", sf_dir)
+    revenue = (
+        li.filter(
+            (col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))),
+                     2).alias("total_revenue"))
+    )
+    w = Window.partitionBy()
+    top = (
+        revenue.withColumn("mx", F.max("total_revenue").over(w))
+        .filter(col("total_revenue") == col("mx"))
+    )
+    return (
+        supp.join(F.broadcast(top), col("s_suppkey") == col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
