@@ -240,7 +240,8 @@ def jsonata_hof_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jsonata_interpreted_fallback",
     oracle="""
     SELECT event_type AS kind, count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+           AS sum_k
     FROM events GROUP BY event_type
     """,
 )

@@ -46,13 +46,13 @@ def _hits_sql(lang: str) -> str:
                FROM documents)
     SELECT source,
            count(*) AS n_docs,
-           sum(len(toks)) AS total_tokens,
+           sum(len(toks))::BIGINT AS total_tokens,
            round(avg(len(toks)), 4) AS avg_tokens,
            round(avg(n_chars), 2) AS avg_chars,
            sum(list_sum(list_transform(words,
                w -> CASE WHEN length(w) = 0 THEN 0
                     ELSE CAST(FLOOR((length(w) + 3) / 4) AS BIGINT) END)))
-           AS total_bpe_ish
+           ::BIGINT AS total_bpe_ish
     FROM d GROUP BY source
     """,
 )
@@ -173,7 +173,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                       i -> list_min(hs[i : i + 3]))) AS fps
            FROM hx)
     SELECT source, count(*) AS n_docs,
-           sum(len(fps)) AS total_fps,
+           sum(len(fps))::BIGINT AS total_fps,
            count(DISTINCT list_min(fps)) AS distinct_min_fp
     FROM fp GROUP BY source
     """,
@@ -205,8 +205,9 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (SELECT fp, min(doc_id) AS keeper_id, count(*) AS n_docs
           FROM fp GROUP BY fp)
     SELECT count(*) AS n_groups,
-           sum(n_docs) AS n_docs_total,
-           sum(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END) AS n_removable,
+           sum(n_docs)::BIGINT AS n_docs_total,
+           sum(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END)::BIGINT
+           AS n_removable,
            min(keeper_id) AS first_keeper
     FROM g
     """,
@@ -291,9 +292,10 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sig),
     buckets AS (SELECT band_key, count(*) AS n FROM bands GROUP BY band_key)
     SELECT count(*) AS n_buckets,
-           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_candidate_buckets,
+           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_candidate_buckets,
            max(n) AS max_bucket,
-           sum(n) AS n_entries
+           sum(n)::BIGINT AS n_entries
     FROM buckets
     """,
 )
@@ -559,7 +561,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    s -> list_contains(sb.shingles, s)))) >= 0.5),
     surv AS (SELECT doc_id, toks FROM kd
              WHERE doc_id NOT IN (SELECT id_b FROM pairs))
-    SELECT count(*) AS n_docs, sum(len(toks)) AS total_tokens,
+    SELECT count(*) AS n_docs, sum(len(toks))::BIGINT AS total_tokens,
            min(doc_id) AS first_id, max(doc_id) AS last_id
     FROM surv
     """,
@@ -667,7 +669,7 @@ def grouped_geomean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                / 255.0 AS feat0
         FROM documents)
     SELECT count(*) AS n_media,
-           sum(n_bytes) AS total_bytes,
+           sum(n_bytes)::BIGINT AS total_bytes,
            count(DISTINCT sha_prefix) AS n_distinct_content,
            round(avg(feat0), 6) AS avg_feat0
     FROM f

@@ -42,6 +42,23 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(spark_df) == len(duck_df), (
         f"{name}: row count {len(spark_df)} vs {len(duck_df)}"
     )
+    # The driver's value hash is RENDERING-sensitive: round 1's DuckDB
+    # HUGEINT sum() rendered 500.0 vs Spark BIGINT 500 and failed 7 queries
+    # whose values were numerically identical — while int32-vs-int64 rank()
+    # passed (both render "500"). Enforce dtype-KIND parity (int family vs
+    # float vs bool vs object vs datetime) so exactly the driver's failure
+    # class fails locally first.
+    def kind(t):
+        k = t.kind
+        return "i" if k in ("i", "u") else k
+
+    assert [kind(t) for t in spark_df.dtypes] == [
+        kind(t) for t in duck_df.dtypes
+    ], (
+        f"{name}: dtype-kind mismatch spark={dict(spark_df.dtypes)} "
+        f"vs oracle={dict(duck_df.dtypes)} — cast the oracle (e.g. "
+        f"sum(...)::BIGINT) or the Spark column so both render identically"
+    )
     pd.testing.assert_frame_equal(
         spark_df, duck_df, check_dtype=False, check_exact=False,
         rtol=1e-9, atol=1e-9, obj=name,
