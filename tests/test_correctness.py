@@ -71,6 +71,30 @@ def test_every_query_has_entry():
         assert name in QUERIES
 
 
+def test_driver_window_ordering():
+    """The driver oracle-checks only the first DRIVER_WINDOW registry
+    entries (round 1: 12 oracle-backed queries silently fell outside).
+    Every MUST_VERIFY query must exist, fill the window exactly from the
+    front, and carry an oracle; rows-only queries must sort last."""
+    from mqtt_streamr_spark.queries import DRIVER_WINDOW, MUST_VERIFY
+
+    assert len(MUST_VERIFY) <= DRIVER_WINDOW
+    assert len(MUST_VERIFY) == len(set(MUST_VERIFY)), "duplicates"
+    missing = [n for n in MUST_VERIFY if n not in QUERIES]
+    assert not missing, f"MUST_VERIFY names not registered: {missing}"
+    names = list(QUERIES)
+    assert names[: len(MUST_VERIFY)] == MUST_VERIFY
+    no_oracle = [n for n in MUST_VERIFY if n not in ORACLES]
+    assert not no_oracle, f"window slots wasted on rows-only: {no_oracle}"
+    tail = names[len(MUST_VERIFY) :]
+    seen_rows_only = False
+    for n in tail:
+        if n not in ORACLES:
+            seen_rows_only = True
+        else:
+            assert not seen_rows_only, f"oracle query {n} after rows-only"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
