@@ -68,19 +68,48 @@ def main() -> None:
     streaming = listener.summary()  # rec/s + p50/p99 batch ms (BASELINE.md)
     listener.detach()
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(SF_DIR),
-                "streaming": streaming,
-                **({"errors": errors} if errors else {}),
-            }
-        )
+    # Full per-query map + streaming detail goes to a file; stdout gets ONE
+    # compact bounded line (round 1's full 64-entry line exceeded the
+    # driver's capture tail and parsed as null).
+    full = {
+        "metric": "total_query_wall_clock",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(SF_DIR),
+        "streaming": streaming,
+        **({"errors": errors} if errors else {}),
+    }
+    with open(os.path.join(REPO, "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    top = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in timings.items()),
+            key=lambda kv: -kv[1],
+        )[:15]
     )
+    stream_compact = {
+        k: streaming[k]
+        for k in ("rows_per_sec_avg", "batch_ms_p50", "batch_ms_p99", "total_rows")
+        if isinstance(streaming, dict) and k in streaming
+    }
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_clock",
+            "value": round(sum(timings.values()), 2),
+            "unit": "sec",
+            "sf": sf_from_dir(SF_DIR),
+            "n_queries": len(timings),
+            "n_errors": len(errors),
+            "queries": top,
+            "streaming": stream_compact,
+            "full": "bench_full.json",
+        },
+        separators=(",", ":"),
+    )
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
