@@ -21,7 +21,10 @@ in tests/test_jsonata_compiler.py):
   raising, because a vectorized expression cannot throw per-row;
 - constructed objects represent absent optional fields as NULL; ``to_json``
   drops them (ignoreNullFields), matching JSONata's undefined-dropping for
-  sink output.
+  sink output;
+- array truthiness is any-member-truthy (JSONata 1.6 values.boolean) with
+  nested-array recursion unrolled ``_ARRAY_TRUTHY_UNROLL`` (=3) levels on
+  the variant path; arrays nested deeper than 3 fall back to non-empty.
 """
 
 from __future__ import annotations
@@ -203,9 +206,64 @@ def as_string(tc: TypedCol) -> Column:
     raise NotCompilable(f"cannot stringify kind {tc.kind}")
 
 
+_ARRAY_TRUTHY_UNROLL = 3
+
+
+def _elem_truthy(x: Column, kind: str) -> Column:
+    """Truthiness of an array ELEMENT of a statically-known kind, null-safe
+    (a NULL element is JSONata undefined -> falsy, so exists() never returns
+    NULL overall)."""
+    if kind == "number":
+        return F.coalesce(x != 0, F.lit(False))
+    if kind == "string":
+        return F.coalesce(F.length(x) > 0, F.lit(False))
+    if kind == "boolean":
+        return F.coalesce(x, F.lit(False))
+    if kind == "null":
+        return F.lit(False)
+    if kind == "object":
+        return x.isNotNull()
+    if kind.startswith("array<") and kind.endswith(">"):
+        inner = kind[6:-1]
+        return F.coalesce(
+            F.exists(x, lambda y: _elem_truthy(y, inner)), F.lit(False)
+        )
+    if kind == "variant" or kind.startswith("array"):
+        return _variant_truthy(x)
+    raise NotCompilable(f"element truthiness of kind {kind} not known")
+
+
+def _variant_truthy(v: Column, depth: int = _ARRAY_TRUTHY_UNROLL) -> Column:
+    """JSONata truthiness of a variant value; type dispatched per row via
+    schema_of_variant (a plain expression — stays JVM-side). Nested-array
+    any-member recursion is unrolled ``depth`` levels; arrays nested deeper
+    than that fall back to non-empty (documented divergence)."""
+    vtype = F.schema_of_variant(v)
+    arr = F.variant_get(v, "$", "array<variant>")
+    if depth <= 0:
+        arr_case = F.size(arr) > 0
+    else:
+        arr_case = F.coalesce(
+            F.exists(arr, lambda x: _variant_truthy(x, depth - 1)),
+            F.lit(False),
+        )
+    return (
+        F.when(v.isNull() | F.is_variant_null(v), F.lit(False))
+        .when(vtype == "BOOLEAN", F.variant_get(v, "$", "boolean"))
+        .when(vtype == "STRING",
+              F.length(F.variant_get(v, "$", "string")) > 0)
+        .when(vtype.startswith("ARRAY"), arr_case)
+        .when(vtype.startswith("OBJECT") | vtype.startswith("STRUCT"),
+              v.cast("string") != "{}")
+        .otherwise(F.coalesce(
+            F.try_variant_get(v, "$", "double") != 0, F.lit(False)))
+    )
+
+
 def as_boolean(tc: TypedCol) -> Column:
-    """JSONata truthiness. For variant inputs the type is dispatched per row
-    via schema_of_variant (a plain expression — stays in codegen)."""
+    """JSONata truthiness (jsonata 1.6 ``values.boolean``): arrays are truthy
+    iff ANY member is truthy — [0], [""], [false] are all falsy. For variant
+    inputs the type is dispatched per row via schema_of_variant."""
     if tc.kind == "boolean":
         return tc.col
     if tc.kind == "number":
@@ -213,26 +271,16 @@ def as_boolean(tc: TypedCol) -> Column:
     if tc.kind == "string":
         return F.length(tc.col) > 0
     if tc.kind.startswith("array"):
-        return F.size(tc.col) > 0
+        return F.coalesce(
+            F.exists(tc.col, lambda x: _elem_truthy(x, tc.elem or "variant")),
+            F.lit(False),
+        )
     if tc.kind == "null":
         return F.lit(False)
     if tc.kind == "object":
         return F.lit(True)
     if tc.kind == "variant":
-        v = tc.col
-        vtype = F.schema_of_variant(v)
-        return (
-            F.when(v.isNull() | F.is_variant_null(v), F.lit(False))
-            .when(vtype == "BOOLEAN", F.variant_get(v, "$", "boolean"))
-            .when(vtype == "STRING",
-                  F.length(F.variant_get(v, "$", "string")) > 0)
-            .when(vtype.startswith("ARRAY"),
-                  F.size(F.variant_get(v, "$", "array<variant>")) > 0)
-            .when(vtype.startswith("OBJECT") | vtype.startswith("STRUCT"),
-                  v.cast("string") != "{}")
-            .otherwise(F.coalesce(
-                F.try_variant_get(v, "$", "double") != 0, F.lit(False)))
-        )
+        return _variant_truthy(tc.col)
     raise NotCompilable(f"truthiness of kind {tc.kind} not statically known")
 
 

@@ -33,6 +33,13 @@ DOC = {
     "nested": {"k": 42, "name": "x y z", "deep": {"leaf": "v"}},
     "items": [{"p": 3, "q": "c"}, {"p": 1, "q": "a"}, {"p": 2, "q": "b"}],
     "empty": None,
+    # array-truthiness fixtures (any-member-truthy, JSONata values.boolean)
+    "zeros": [0],
+    "blanks": [""],
+    "flags": [False],
+    "mixed": [0, 0, 2],
+    "nested01": [[0], [2]],
+    "nested00": [[0], [0]],
 }
 
 
@@ -227,6 +234,18 @@ COMPILABLE = [
     "$boolean('x')",
     "$boolean([])",
     "$boolean(nums)",
+    # arrays are truthy iff ANY member is truthy (not merely non-empty)
+    "$boolean(zeros)",
+    "$boolean(blanks)",
+    "$boolean(flags)",
+    "$boolean(mixed)",
+    "$boolean(nested01)",
+    "$boolean(nested00)",
+    "$not(zeros)",
+    "zeros ? 'y' : 'n'",
+    "mixed ? 'y' : 'n'",
+    "zeros or false",
+    "mixed and true",
     # functions of paths
     "$exists(missing)",
     "$exists(user)",
@@ -279,6 +298,15 @@ def test_type_error_divergence_documented(spark):
     assert run_compiled(spark, "1 + user", DOC) is None
 
 
+def test_array_truthy_deep_nesting_divergence(spark):
+    """Variant-path array truthiness unrolls 3 levels of nesting; at depth
+    >=4 the compiled path falls back to non-empty while the interpreter
+    recurses fully. Documented divergence — assert it stays put."""
+    doc = {"deep4": [[[[0]]]]}
+    assert jsonata("$boolean(deep4)").evaluate(doc) is False
+    assert run_compiled(spark, "$boolean(deep4)", doc) is True
+
+
 def test_now_millis_compiled(spark):
     """$now/$millis compile to current_timestamp expressions (no exact
     differential possible — time moves between evaluations)."""
@@ -300,7 +328,10 @@ DOC_SCHEMA = (
     "user string, kind string, value double, count long, ok boolean, "
     "tags array<string>, nums array<double>, "
     "nested struct<k: long, name: string, deep: struct<leaf: string>>, "
-    "items array<struct<p: long, q: string>>, empty string"
+    "items array<struct<p: long, q: string>>, empty string, "
+    "zeros array<double>, blanks array<string>, flags array<boolean>, "
+    "mixed array<double>, nested01 array<array<double>>, "
+    "nested00 array<array<double>>"
 )
 
 # typed path cannot distinguish a JSON null from an absent field after
