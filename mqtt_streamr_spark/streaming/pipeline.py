@@ -169,30 +169,55 @@ class StreamingBridge:
             batch.unpersist()
 
     def _write_batch_inner(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         spec = self.spec
-        valid = batch.filter(F.col("is_valid"))
+        # a valid-JSON row whose transform evaluated to NULL is a FAILED
+        # transform (interpreter catches per-row errors -> None; compiled
+        # type errors -> NULL): the reference error-counts these and never
+        # publishes them (transform.evaluate throw, bin:158,196-198)
+        has_tf = spec.transform is not None
+        ok_cond = F.col("is_valid") & (
+            F.col("message").isNotNull() if has_tf else F.lit(True)
+        )
+        tf_failed_cond = F.col("is_valid") & F.col("message").isNull()
         invalid = batch.filter(~F.col("is_valid"))
 
+        # success/transform-error counts ride the WRITE job via observe()
+        # (one fewer action per micro-batch than a separate count); the
+        # sample/dead-letter/registry actions below deliberately use the
+        # UN-observed plan so a limit() can't populate the observation with
+        # partial counts
+        obs = Observation()
+        observed = batch.observe(
+            obs,
+            F.sum(ok_cond.cast("long")).alias("n_ok"),
+            F.sum(tf_failed_cond.cast("long")).alias("n_tf_err"),
+        )
+        valid = observed.filter(ok_cond)
+
         # invalid-JSON drop is counted nowhere in the reference (only
-        # console-logged, bin:153); dead-letter is our upgrade
+        # console-logged, bin:153); dead-letter is our upgrade, and failed
+        # transforms dead-letter alongside
         if spec.dead_letter_dir:
-            (invalid.select("topic", "payload", "arrival_ts")
+            dl = invalid
+            if has_tf:
+                dl = dl.unionByName(batch.filter(tf_failed_cond))
+            (dl.select("topic", "payload", "arrival_ts")
              .write.mode("append").format(spec.sink_format)
              .save(spec.dead_letter_dir))
 
         if spec.verbose:
-            for row in valid.select("topic", "stream_id").limit(20).collect():
+            sample = batch.filter(ok_cond).select("topic", "stream_id")
+            for row in sample.limit(20).collect():
                 prefix = "DRY-RUN: " if spec.dry_run else ""
                 print(f"{prefix}{row['topic']} -> {row['stream_id']}")
 
-        # counted ONCE before the write; the error path reuses it — a
-        # re-count there would re-execute the (possibly failing) plan and
-        # mask the original exception
-        n_valid = valid.count()
         try:
             if not spec.dry_run:
-                # memoized per-key init (bin:168-184)
-                for row in valid.select("stream_id").distinct().collect():
+                # memoized per-key init (bin:168-184); un-observed plan
+                keys = batch.filter(ok_cond).select("stream_id").distinct()
+                for row in keys.collect():
                     self.registry.get_or_create(row["stream_id"])
                 # idempotent per-batch write: each micro-batch owns the
                 # batch_id=N partition and OVERWRITES it, so a batch
@@ -203,13 +228,26 @@ class StreamingBridge:
                  .write.mode("overwrite").partitionBy("stream_id")
                  .format(spec.sink_format)
                  .save(os.path.join(spec.sink_dir, f"batch_id={batch_id}")))
-            self.logger.success_increment(n_valid)
+                got = obs.get  # populated by the write job
+                n_ok, n_tf = int(got["n_ok"] or 0), int(got["n_tf_err"] or 0)
+            else:
+                n_ok = batch.filter(ok_cond).count()
+                n_tf = batch.filter(tf_failed_cond).count() if has_tf else 0
+            self.logger.success_increment(n_ok)
+            if n_tf:
+                self.logger.error_increment(n_tf)
         except Exception:
             # whole batch counts as errors (bin:196-198 analog). NOTE: a
             # foreachBatch RETRY of this batch also counts its rows again —
             # counters reflect attempts (as the reference's do); the
             # idempotent per-batch sink keeps the DATA effectively-once.
-            self.logger.error_increment(n_valid)
+            # batch is persisted, so this count mostly reads cache; its own
+            # failure must not mask the original exception
+            try:
+                n_attempt = batch.filter(ok_cond).count()
+            except Exception:
+                n_attempt = 0
+            self.logger.error_increment(n_attempt)
             raise
 
     # --- run --------------------------------------------------------------

@@ -122,6 +122,36 @@ def test_interpreted_fallback(spark, tmpdirs):
     assert msg["n"] >= 5  # every leaf of the parsed message
 
 
+def test_transform_failure_counts_as_error(spark, tmpdirs):
+    """A valid-JSON row whose transform evaluates to NULL (the engine's
+    representation of a per-row transform failure) must be excluded from
+    the sink, dead-lettered, and error-counted — the reference never
+    publishes nor success-counts a record whose transform.evaluate throws
+    (bin/mqtt-streamr.js:158,196-198)."""
+    # rows with user_id % 3 == 0 hit the undefined branch -> NULL message
+    expr = "user_id % 3 = 0 ? nonexistent : value * 2"
+    spec = PipelineSpec(
+        transform=expr, sink_dir=tmpdirs["sink"],
+        dead_letter_dir=tmpdirs["dead"], log_interval=3600,
+    )
+    bridge = StreamingBridge(spec)
+    bridge.run_batch(replay_source(spark, EVENTS, streaming=False))
+    assert bridge.transform_backend == "compiled"
+
+    ev = spark.read.parquet(EVENTS)
+    n_fail = ev.filter(F.col("user_id") % 3 == 0).count()
+    n_ok = ev.count() - n_fail
+    assert n_fail > 0 and n_ok > 0, "fixture must exercise both paths"
+
+    out = spark.read.parquet(tmpdirs["sink"])
+    assert out.count() == n_ok
+    assert out.filter(F.col("message").isNull()).count() == 0
+    dead = spark.read.parquet(tmpdirs["dead"])
+    assert dead.count() == n_fail
+    success, errors = bridge.logger.report()
+    assert (success, errors) == (n_ok, n_fail)
+
+
 def test_stats_stream(spark, tmpdirs):
     spec = PipelineSpec(dry_run=True, log_interval=3600)
     bridge = StreamingBridge(spec)
