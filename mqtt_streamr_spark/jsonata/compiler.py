@@ -361,6 +361,35 @@ def _json_path(steps: list) -> str:
 
 
 def _c_name(node, ctx):
+    if ctx.root_kind.startswith("array<") and ctx.root_schema is not None:
+        # typed ARRAY context (the group-by value position): a name step
+        # maps over the members and drops undefined, per JSONata sequence
+        # semantics. ctx.root_schema holds the ELEMENT DataType here.
+        import pyspark.sql.types as T
+
+        if not isinstance(ctx.root_schema, T.StructType):
+            raise NotCompilable("name step over non-struct array context")
+        out = _typed_navigate(F.lit(None), ctx.root_schema, [node["value"]])
+        if out.kind == "null":
+            return TypedCol(F.lit(None), "null")
+        mapped = F.transform(
+            ctx.root,
+            lambda x: _typed_navigate(x, ctx.root_schema, [node["value"]]).col,
+        )
+        kept = F.filter(mapped, lambda v: v.isNotNull())
+        return TypedCol(kept, f"array<{out.kind}>", elem=out.kind,
+                        dtype=out.dtype)
+    if ctx.root_kind == "array<variant>":
+        # variant ARRAY context (group-by value position, variant path):
+        # name step maps over members and drops undefined
+        path = _json_path([node["value"]])
+        mapped = F.transform(
+            ctx.root, lambda x: F.try_variant_get(x, path, "variant")
+        )
+        kept = F.filter(
+            mapped, lambda v: v.isNotNull() & ~F.is_variant_null(v)
+        )
+        return TypedCol(kept, "array<variant>", elem="variant")
     if ctx.root_schema is not None:
         return _typed_navigate(ctx.root, ctx.root_schema, [node["value"]])
     return TypedCol(
@@ -380,6 +409,29 @@ def _c_path(node, ctx):
     rhs_steps = _path_steps(node["rhs"])
     if rhs_steps is None:
         raise NotCompilable("non-trivial path rhs")
+    lhs_node = node["lhs"]
+    is_desc = lhs_node["type"] == "descendants"
+    is_desc_tail = (lhs_node["type"] == "path"
+                    and lhs_node["rhs"]["type"] == "descendants")
+    if is_desc or is_desc_tail:
+        # `**.k` / `a.b.**.k` on the TYPED path: the schema statically
+        # bounds the hierarchy, so descendant traversal expands to a finite
+        # concat of struct navigations + array flattens (document order,
+        # jsonata.js fn.descendants semantics: arrays are flattened into
+        # the sequence, objects recursed). Variant inputs stay on the
+        # interpreter (depth is unbounded without a schema).
+        base = (TypedCol(ctx.root, ctx.root_kind, dtype=ctx.root_schema)
+                if is_desc else _compile(lhs_node["lhs"], ctx))
+        import pyspark.sql.types as T
+
+        if base.kind != "object" or not isinstance(base.dtype, T.StructType):
+            raise NotCompilable("descendants need a statically-typed object")
+        seg = _desc_matches(base.col, base.dtype, rhs_steps)
+        if seg is None:
+            return TypedCol(F.lit(None), "null")
+        merged, kind = seg
+        kept = F.filter(merged, lambda v: v.isNotNull())
+        return TypedCol(kept, f"array<{kind}>", elem=kind)
     lhs = _compile(node["lhs"], ctx)
     if lhs.kind == "object" and lhs.dtype is not None:
         # typed struct navigation (e.g. lambda var $x.f on the typed path)
@@ -414,6 +466,72 @@ def _c_path(node, ctx):
         )
         return TypedCol(kept, "array<variant>", elem="variant")
     raise NotCompilable(f"path over kind {lhs.kind}")
+
+
+def _desc_matches(col: Column, dt, steps: list):
+    """All matches of ``steps`` under every descendant struct (including the
+    value itself) of a statically-typed value, in document order (pre-order:
+    self, then fields in declared order). Returns ``(array Column, elem
+    kind)`` or None when the schema statically guarantees no match. Arrays
+    along the way are flattened (jsonata.js recurseDescendants pushes
+    members, not the array)."""
+    import pyspark.sql.types as T
+
+    segs: list[tuple[Column, str]] = []
+    if isinstance(dt, T.StructType):
+        tc = _typed_navigate(col, dt, steps)
+        if tc.kind in ("number", "string", "boolean"):
+            segs.append((F.array(tc.col), tc.kind))
+        elif tc.kind.startswith("array<") and tc.elem in (
+            "number", "string", "boolean"
+        ):
+            # a matched field that is itself an array of scalars flattens
+            # into the result sequence
+            segs.append((tc.col, tc.elem))
+        elif tc.kind not in ("null", "object") and not tc.kind.startswith(
+            "array"
+        ):
+            raise NotCompilable(f"descendant match of kind {tc.kind}")
+        for fld in dt.fields:
+            sub = _desc_matches(col.getField(fld.name), fld.dataType, steps)
+            if sub is not None:
+                segs.append(sub)
+    elif isinstance(dt, T.ArrayType):
+        et = dt.elementType
+        if isinstance(et, (T.StructType, T.ArrayType)):
+            probe = _desc_matches(F.lit(None), et, steps)
+            if probe is not None:
+                _, kind = probe
+                empty = _empty_arr(kind)
+                per_elem = F.flatten(
+                    F.transform(
+                        col,
+                        lambda x: F.coalesce(
+                            _desc_matches(x, et, steps)[0], empty
+                        ),
+                    )
+                )
+                segs.append((per_elem, kind))
+    if not segs:
+        return None
+    kinds = {k for _, k in segs}
+    if len(kinds) != 1:
+        raise NotCompilable(
+            f"heterogeneous descendant match kinds {sorted(kinds)}"
+        )
+    kind = kinds.pop()
+    # a NULL segment (absent nested struct / null array field) would null
+    # the whole concat; coalesce each to a typed empty array
+    cols = [F.coalesce(c, _empty_arr(kind)) for c, _ in segs]
+    merged = cols[0] if len(cols) == 1 else F.concat(*cols)
+    return merged, kind
+
+
+_KIND_SPARK = {"number": "double", "string": "string", "boolean": "boolean"}
+
+
+def _empty_arr(kind: str) -> Column:
+    return F.array().cast(f"array<{_KIND_SPARK[kind]}>")
 
 
 def _c_predicate(node, ctx):
@@ -763,6 +881,52 @@ def _c_sort(node, ctx):
                     dtype=elem_dt)
 
 
+def _c_groupby(node, ctx):
+    """Object-constructor grouping ``seq{key: value}`` over a sequence with
+    statically-known element type: group members by the per-item key string,
+    then evaluate ``value`` once per group with the member SEQUENCE as
+    context (JSONata group-by). Compiles to array_distinct over the keys +
+    map_from_entries — entirely Column work. Scalar-valued results only
+    (the common aggregate shape ``{cat: $sum(price)}``); sequence-valued
+    results need JSONata's singleton-unwrap rule, which is not expressible
+    in a statically-typed column — those fall back to the interpreter."""
+    if len(node["pairs"]) != 1:
+        raise NotCompilable("group-by with multiple pairs")
+    key_node, val_node = node["pairs"][0]
+    base = _compile(node["expr"], ctx)
+    if base.kind == "null":
+        return base
+    arr, elem, elem_dt = _hof_array(base)
+
+    def keyfn(x: Column) -> Column:
+        child = Ctx(root=x, bindings=dict(ctx.bindings), root_kind=elem,
+                    root_schema=elem_dt)
+        return as_string(_compile(key_node, child))
+
+    keys = F.array_distinct(
+        F.filter(F.transform(arr, keyfn), lambda k: k.isNotNull())
+    )
+
+    def valfn(k: Column) -> Column:
+        members = F.filter(arr, lambda y: keyfn(y) == k)
+        child = Ctx(root=members, bindings=dict(ctx.bindings),
+                    root_kind=f"array<{elem}>", root_schema=elem_dt)
+        v = _compile(val_node, child)
+        if v.kind not in ("number", "string", "boolean"):
+            raise NotCompilable(
+                f"group-by value of kind {v.kind} (needs singleton unwrap)"
+            )
+        return v.col
+
+    valfn(F.lit("probe"))  # raise NotCompilable at compile time, not later
+    entries = F.transform(
+        keys, lambda k: F.struct(k.alias("key"), valfn(k).alias("value"))
+    )
+    # a MapType renders as a JSON object via to_json, matching the
+    # reference's published payload shape; dynamic keys cannot be a struct
+    return TypedCol(F.map_from_entries(entries), "object")
+
+
 _NODES = {
     "number": _c_number,
     "sort": _c_sort,
@@ -783,6 +947,7 @@ _NODES = {
     "range": _c_range,
     "apply": _c_apply,
     "call": _c_call,
+    "groupby": _c_groupby,
 }
 
 

@@ -42,21 +42,25 @@ MUST_VERIFY: list[str] = [
     "jsonata_hof_compiled",
     "jsonata_interpreted_fallback",
     "jsonata_string_functions",
+    "jsonata_descendants_typed",
+    "jsonata_groupby_typed",
     # §2.3 joins
     "join_asof_purchase_view",
     "join_semi_customers_with_big_orders",
     "join_anti_customers_without_orders",
     "join_left_outer_order_counts",
     # §2.5 windows / order-sensitive
+    # (window_lag_lead_events and agg_cube_status_priority moved past the
+    # window in round 2 to make room for the two typed-JSONata queries:
+    # their §2 rows stay driver-covered by top2/running and
+    # rollup/distinct/grouping_sets respectively; pytest still checks them)
     "window_top2_orders_per_customer",
-    "window_lag_lead_events",
     "window_running_customer_spend",
     "agg_value_percentiles",
     "topk_expensive_parts",
     "set_ops_customer_segments",
     # §2.4 grouping structures
     "agg_rollup_region_nation",
-    "agg_cube_status_priority",
     "agg_distinct_counts",
     "agg_grouping_sets",
     "scan_filter_project",

@@ -301,3 +301,102 @@ def jsonata_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prefix", "tag")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "jsonata_descendants_typed",
+    oracle="""
+    SELECT event_type AS kind, count(*) AS n,
+           round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2)
+           AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def jsonata_descendants_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``**`` descendants on the TYPED fast path: with a declared message
+    schema the descendant traversal expands statically to struct
+    navigations (no interpreter, stays in codegen) — the same transform
+    that jsonata_interpreted_fallback runs schemaless on the slow path
+    (reference: arbitrary --transform, bin/mqtt-streamr.js:158)."""
+    from mqtt_streamr_spark.streaming.transform import transform_to_json
+
+    ev = load(spark, "events", sf_dir)
+    df = ev.withColumn(
+        "payload",
+        F.to_json(F.struct(
+            "event_type", F.from_json("props", "k double").alias("props"),
+        )),
+    )
+    out_col, backend = transform_to_json(
+        '{"kind": event_type, "k": $sum(**.k)}', F.col("payload"),
+        mode="auto", schema="event_type string, props struct<k: double>",
+    )
+    assert backend == "typed", backend
+    m = df.withColumn("m", out_col)
+    return (
+        m.select(
+            F.get_json_object("m", "$.kind").alias("kind"),
+            F.get_json_object("m", "$.k").cast("double").alias("k"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("k"), 2).alias("sum_k"),
+        )
+    )
+
+
+@query(
+    "jsonata_groupby_typed",
+    oracle="""
+    SELECT event_type AS kind, count(*) AS n,
+           round(sum(coalesce(value, 0)
+                     + CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0 END), 2)
+           AS lo_sum,
+           round(sum(2 * coalesce(value, 0)
+                     + CASE WHEN user_id % 2 = 1 THEN 1.0 ELSE 0 END), 2)
+           AS hi_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def jsonata_groupby_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-constructor grouping ``{}`` on the TYPED fast path:
+    ``items{c: $sum(p)}`` compiles to array_distinct + map_from_entries
+    Column work (SURVEY.md §2.4 'Object-constructor grouping' row,
+    previously interpreter-only). The per-item key is data-dependent, so
+    real grouping happens per message."""
+    from mqtt_streamr_spark.streaming.transform import transform_to_json
+
+    ev = load(spark, "events", sf_dir)
+    v = F.coalesce(col("value").cast("double"), F.lit(0.0))
+    df = ev.withColumn(
+        "payload",
+        F.to_json(F.struct(F.array(
+            F.struct(F.lit("lo").alias("c"), v.alias("p")),
+            F.struct(F.lit("hi").alias("c"), (v * 2).alias("p")),
+            F.struct(
+                F.when(col("user_id") % 2 == 0, "lo").otherwise("hi")
+                .alias("c"),
+                F.lit(1.0).alias("p"),
+            ),
+        ).alias("items"))),
+    )
+    out_col, backend = transform_to_json(
+        "items{c: $sum(p)}", F.col("payload"),
+        mode="auto", schema="items array<struct<c: string, p: double>>",
+    )
+    assert backend == "typed", backend
+    m = df.withColumn("m", out_col)
+    return (
+        m.select(
+            col("event_type").alias("kind"),
+            F.get_json_object("m", "$.lo").cast("double").alias("lo"),
+            F.get_json_object("m", "$.hi").cast("double").alias("hi"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("lo"), 2).alias("lo_sum"),
+            F.round(F.sum("hi"), 2).alias("hi_sum"),
+        )
+    )

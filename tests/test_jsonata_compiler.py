@@ -246,6 +246,10 @@ COMPILABLE = [
     "mixed ? 'y' : 'n'",
     "zeros or false",
     "mixed and true",
+    # group-by {} with scalar (aggregate) values — compiles on BOTH paths
+    "items{q: $sum(p)}",
+    "items{q: $count($)}",
+    "items{'all': $sum(p)}",
     # functions of paths
     "$exists(missing)",
     "$exists(user)",
@@ -355,6 +359,34 @@ def test_typed_matches_interpreter(spark, expr):
     actual = _to_python(df.select(tc.col.alias("r")).collect()[0]["r"])
     expected = jsonata(expr).evaluate(DOC)
     assert_same(expected, actual, expr)
+
+
+TYPED_ONLY = [
+    # ** descendants + group-by {} compile ONLY with a declared schema
+    # (variant depth is unbounded); aggregate contexts avoid JSONata's
+    # singleton-unwrap rule so both backends agree exactly
+    "$sum(**.k)",
+    "$count(**.k)",
+    "$sum(**.p)",
+    "$count(**.p)",
+    "$max(**.p)",
+]
+
+
+@pytest.mark.parametrize("expr", TYPED_ONLY)
+def test_typed_only_descendants_groupby(spark, expr):
+    from mqtt_streamr_spark.jsonata.compiler import compile_typed
+
+    tc = compile_typed(
+        expr, F.from_json(F.col("payload"), DOC_SCHEMA), DOC_SCHEMA
+    )
+    df = spark.createDataFrame([(json.dumps(DOC),)], "payload string")
+    actual = _to_python(df.select(tc.col.alias("r")).collect()[0]["r"])
+    expected = jsonata(expr).evaluate(DOC)
+    assert_same(expected, actual, expr)
+    # and the variant path must still refuse them (interpreter fallback)
+    with pytest.raises(NotCompilable):
+        compile_column(expr, F.lit(None))
 
 
 def test_typed_coverage_is_substantial(spark):

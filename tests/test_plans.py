@@ -98,6 +98,15 @@ def test_typed_jsonata_whole_stage_codegen(spark):
     assert re.search(r"\*\(\d+\) Project \[struct", executed), executed
 
 
+def test_typed_descendants_groupby_no_python(spark):
+    """** descendants and group-by {} on the typed path must stay JVM-side
+    (the whole point of the static schema expansion: no interpreter UDF)."""
+    for name in ("jsonata_descendants_typed", "jsonata_groupby_typed"):
+        p = plan_str(QUERIES[name](spark, SF))
+        assert "EvalPython" not in p, (name, p)
+        assert "Batched: true" in p, (name, p)
+
+
 def test_minhash_pipeline_no_python(spark):
     p = plan_str(QUERIES["dedup_minhash_lsh_pairs"](spark, SF))
     assert "EvalPython" not in p, p
