@@ -39,22 +39,35 @@ MINHASH_B = [373587883, 533000389, 613651349, 694847533,
              776531401, 858599503, 940800361, 1020379013]
 
 
-def shingle_hashes(text: Column | str, shingle_n: int = 3) -> Column:
-    """array<long>: md5-derived 60-bit hash of each shingle, mod P."""
+def _shingle_hash(s: Column, hash_family: str) -> Column:
+    """Non-negative long hash of one shingle, mod P. ``md5`` is the
+    oracle-parity family (identical in Spark and DuckDB); ``xxhash64`` is
+    the production family — one cheap JVM hash instead of a cryptographic
+    digest + hex parse, same affine rehashes on top."""
+    if hash_family == "md5":
+        return (F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                .cast("long") % MINHASH_PRIME)
+    if hash_family == "xxhash64":
+        return F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)).cast("long")
+    raise ValueError(f"hash_family {hash_family!r} not in md5/xxhash64")
+
+
+def shingle_hashes(text: Column | str, shingle_n: int = 3,
+                   hash_family: str = "md5") -> Column:
+    """array<long>: 60-bit-derived hash of each shingle, mod P."""
     return F.transform(
-        shingles(text, shingle_n),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-        .cast("long") % MINHASH_PRIME,
+        shingles(text, shingle_n), lambda s: _shingle_hash(s, hash_family)
     )
 
 
 def minhash_signature(text: Column | str, num_hashes: int = 8,
-                      shingle_n: int = 3) -> Column:
+                      shingle_n: int = 3,
+                      hash_family: str = "md5") -> Column:
     """array<long> signature: sig[i] = MIN over shingles of
-    (A[i]*h + B[i]) mod P. One md5 pass per shingle (via the let-binding),
-    num_hashes cheap affine rehashes."""
+    (A[i]*h + B[i]) mod P. One base-hash pass per shingle (via the
+    let-binding), num_hashes cheap affine rehashes."""
     assert num_hashes <= len(MINHASH_A)
-    hs = shingle_hashes(text, shingle_n)
+    hs = shingle_hashes(text, shingle_n, hash_family)
     a = F.array(*[F.lit(x) for x in MINHASH_A[:num_hashes]])
     b = F.array(*[F.lit(x) for x in MINHASH_B[:num_hashes]])
 
@@ -74,12 +87,12 @@ def minhash_signature(text: Column | str, num_hashes: int = 8,
 
 
 def lsh_band_keys(text: Column | str, bands: int = 4, rows: int = 2,
-                  shingle_n: int = 3) -> Column:
+                  shingle_n: int = 3, hash_family: str = "md5") -> Column:
     """array<string> of band keys (each the concat of `rows` minhash
     values). Two docs sharing any band key are near-dup candidates;
     P[candidate] follows the (1 - (1 - j^rows)^bands) S-curve. The
     signature is let-bound so it is computed once, not once per band."""
-    sig = minhash_signature(text, bands * rows, shingle_n)
+    sig = minhash_signature(text, bands * rows, shingle_n, hash_family)
 
     def keys(s: Column) -> Column:
         return F.transform(
@@ -131,7 +144,8 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
 
 def near_dup_candidates(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", bands: int = 4,
-                        rows: int = 2) -> DataFrame:
+                        rows: int = 2,
+                        hash_family: str = "md5") -> DataFrame:
     """Candidate pairs from LSH buckets: explode band keys, self-join per
     bucket (id_a < id_b), distinct. The self-join shuffles on band keys —
     uniform md5-derived, so no inherent skew; a pathological bucket (many
@@ -139,7 +153,9 @@ def near_dup_candidates(df: DataFrame, text_col: str = "text",
     pipeline."""
     keyed = df.select(
         F.col(id_col),
-        F.explode(lsh_band_keys(text_col, bands, rows)).alias("band_key"),
+        F.explode(
+            lsh_band_keys(text_col, bands, rows, hash_family=hash_family)
+        ).alias("band_key"),
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
@@ -156,12 +172,13 @@ def near_dup_candidates(df: DataFrame, text_col: str = "text",
 
 def _verified_pairs(df: DataFrame, set_col: Column, text_col: str,
                     id_col: str, threshold: float, bands: int,
-                    rows: int) -> DataFrame:
+                    rows: int, hash_family: str = "md5") -> DataFrame:
     """LSH candidates verified with exact Jaccard >= threshold over
     ``set_col`` (an array-of-elements representation of each doc). Sets are
     recomputed only for candidate ids (joined), keeping the verify stage
     proportional to candidates, not corpus size."""
-    cands = near_dup_candidates(df, text_col, id_col, bands, rows)
+    cands = near_dup_candidates(df, text_col, id_col, bands, rows,
+                                hash_family)
     sh = df.select(F.col(id_col).alias("sid"), set_col.alias("sh"))
     return (
         cands.join(sh.withColumnRenamed("sid", "id_a")
@@ -177,21 +194,27 @@ def _verified_pairs(df: DataFrame, set_col: Column, text_col: str,
 def near_dup_pairs(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", threshold: float = 0.5,
                    bands: int = 4, rows: int = 2,
-                   shingle_n: int = 3) -> DataFrame:
+                   shingle_n: int = 3,
+                   hash_family: str = "md5") -> DataFrame:
     """LSH candidates verified with exact word-shingle Jaccard >= threshold.
-    Returns (id_a, id_b, jaccard_sim)."""
+    Returns (id_a, id_b, jaccard_sim). ``hash_family="xxhash64"`` is the
+    production choice (cheaper per shingle, no hex parse); md5 is kept as
+    the default for DuckDB-oracle parity. Verification is exact either
+    way, so the families differ only in candidate recall — property-tested
+    equivalent on the fixture corpus."""
     return _verified_pairs(df, shingles(text_col, shingle_n), text_col,
-                           id_col, threshold, bands, rows)
+                           id_col, threshold, bands, rows, hash_family)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.6,
                         n: int = 4, bands: int = 4,
-                        rows: int = 2) -> DataFrame:
+                        rows: int = 2,
+                        hash_family: str = "md5") -> DataFrame:
     """n-gram Jaccard dedup: MinHash-band candidate generation (cheap,
     recall-tuned) + exact character-n-gram Jaccard verification. Character
     n-grams catch near-dups that word shingles miss (intra-word edits);
     the candidate stage is shared with the MinHash pipeline so the extra
     cost is only the verify join."""
     return _verified_pairs(df, char_ngrams(text_col, n), text_col,
-                           id_col, threshold, bands, rows)
+                           id_col, threshold, bands, rows, hash_family)

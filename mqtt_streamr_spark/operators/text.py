@@ -145,20 +145,30 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def winnowing_fingerprints(text: Column | str, k: int = 5,
-                           w: int = 4) -> Column:
+                           w: int = 4,
+                           hash_family: str = "md5") -> Column:
     """Winnowing document fingerprints (the MOSS scheme): hash every
     character k-gram of normalized text, slide a window of w hashes, keep
     each window's minimum — guaranteeing any match of length >= w+k-1
     shares a fingerprint. Returns the distinct selected hashes
     (array<long>). Pure Column fold: the k-gram hash array is let-bound so
-    it is computed once, not once per window."""
+    it is computed once, not once per window. ``hash_family="xxhash64"``
+    is the production choice — one JVM hash per k-gram instead of a
+    cryptographic digest + hex parse; md5 stays the default for
+    DuckDB-oracle parity."""
     norm = F.array_join(tokens(text), " ")
     n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    if hash_family == "md5":
+        gram_hash = lambda g: F.conv(  # noqa: E731
+            F.substring(F.md5(g), 1, 15), 16, 10
+        ).cast("long")
+    elif hash_family == "xxhash64":
+        gram_hash = F.xxhash64  # raw long; min/distinct don't care for sign
+    else:
+        raise ValueError(f"hash_family {hash_family!r} not in md5/xxhash64")
     hashes = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(
-            F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 15), 16, 10
-        ).cast("long"),
+        lambda i: gram_hash(norm.substr(i, F.lit(k))),
     )
 
     def windows(hs: Column) -> Column:

@@ -153,3 +153,70 @@ def test_multimodal_feature_plumbing(spark):
     assert by_id[1]["sha_prefix"] == hashlib.md5(text.encode()).hexdigest()[:8]
     expected_vec = M.fake_feature_extractor(text.encode())
     assert list(by_id[1]["feature_vec"]) == expected_vec
+
+
+# --- production hash family (xxhash64) ---------------------------------------
+
+def _sf_docs(spark):
+    from tests.conftest import SF_SMOKE
+    import os
+
+    return spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+
+
+def test_xxhash_family_pair_recall_equivalent(spark):
+    """md5 and xxhash64 MinHash families must find the SAME verified
+    near-dup pairs on the fixture corpus: verification is exact Jaccard
+    either way, so any difference would be a candidate-recall gap."""
+    docs = _sf_docs(spark)
+    md5_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    xx_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.near_dup_pairs(
+            docs, threshold=0.5, hash_family="xxhash64"
+        ).collect()
+    }
+    assert md5_pairs, "fixture corpus must contain near-dups"
+    assert md5_pairs == xx_pairs
+
+
+def test_xxhash_family_ngram_recall_equivalent(spark):
+    docs = _sf_docs(spark)
+    md5_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    xx_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(
+            docs, threshold=0.6, hash_family="xxhash64"
+        ).collect()
+    }
+    assert md5_pairs == xx_pairs
+
+
+def test_winnowing_xxhash_family_guarantee(spark):
+    """The winnowing guarantee (any match of length >= w+k-1 shares a
+    fingerprint) holds per family; identical prefixes must overlap in
+    both, and exact-duplicate docs fingerprint identically."""
+    rows = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "the quick brown fox jumps over the lazy dog tonight"),
+         (3, "the quick brown fox leaps over the lazy dog tonight"),
+         (4, "zzz completely unrelated words qqq xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    for fam in ("md5", "xxhash64"):
+        got = {
+            r["doc_id"]: set(r["fps"])
+            for r in rows.select(
+                "doc_id",
+                T.winnowing_fingerprints("text", hash_family=fam).alias("fps"),
+            ).collect()
+        }
+        assert got[1] == got[2], fam                    # identical docs
+        assert got[1] & got[3], fam                     # long shared spans
+        assert not (got[1] & got[4]), fam               # unrelated docs
