@@ -644,8 +644,12 @@ def grouped_quality_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouped_geomean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED_AGG pandas UDAF (vectorized custom aggregate): geometric
-    mean of event values per type. The escape hatch for aggregates
-    Catalyst lacks — no partial aggregation, so each group ships whole."""
+    mean of event values per type. Kept deliberately as the UDAF-surface
+    exercise — in production use the pure built-in
+    ``exp(avg(ln(value)))`` instead (exactly what the oracle runs): a
+    GROUPED_AGG has no partial aggregation, so each group ships whole to
+    one executor and a skewed key hurts; the built-in gets map-side
+    combine for free."""
     from mqtt_streamr_spark.operators.grouped import geometric_mean
 
     ev = load(spark, "events", sf_dir).filter(col("value") > 0)

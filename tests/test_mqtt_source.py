@@ -170,3 +170,56 @@ def test_spool_reader_offsets():
     # replaying the same range is deterministic (at-least-once upgrade)
     rows2 = [row for p in r.partitions({"last": ""}, end) for row in r.read(p)]
     assert sorted(r[1] for r in rows2) == sorted(r[1] for r in rows)
+
+
+# --- real-broker integration (skips unless paho + a reachable broker) --------
+
+def _broker_reachable(url: str) -> bool:
+    import socket
+
+    host, _, port = url.replace("mqtt://", "").partition(":")
+    try:
+        with socket.create_connection((host, int(port or 1883)), timeout=2):
+            return True
+    except OSError:
+        return False
+
+
+def test_paho_roundtrip_against_real_broker():
+    """End-to-end against a live broker: publish with a raw paho client,
+    receive through PahoClient (the engine's real-broker backend). Skips
+    in environments without paho-mqtt or a reachable broker — runs the
+    moment both exist (reference parity: bin/mqtt-streamr.js:120-138)."""
+    import pytest
+
+    mqtt = pytest.importorskip("paho.mqtt.client")
+    url = os.environ.get("MQTT_TEST_URL", "mqtt://127.0.0.1:1883")
+    if not _broker_reachable(url):
+        pytest.skip(f"no MQTT broker reachable at {url}")
+
+    import time as _time
+
+    from mqtt_streamr_spark.sources.mqtt import PahoClient
+
+    sub = PahoClient(url, ["spark-graft/test/#"])
+    try:
+        try:
+            pub = mqtt.Client(mqtt.CallbackAPIVersion.VERSION1)
+        except AttributeError:
+            pub = mqtt.Client()
+        host, _, port = url.replace("mqtt://", "").partition(":")
+        pub.connect(host, int(port or 1883))
+        pub.loop_start()
+        for i in range(3):
+            pub.publish("spark-graft/test/t1", f'{{"i": {i}}}', qos=0)
+        got = []
+        deadline = _time.time() + 10
+        while len(got) < 3 and _time.time() < deadline:
+            got.extend(sub.drain())
+            _time.sleep(0.2)
+        pub.loop_stop()
+        pub.disconnect()
+        assert len(got) >= 3, got
+        assert all(t == "spark-graft/test/t1" for t, _, _ in got[:3])
+    finally:
+        sub.close()
