@@ -214,3 +214,82 @@ def simhash16(text: Column | str) -> Column:
         return F.concat(*[bit(j) for j in range(1, 17)])
 
     return let_bound(hx, build)
+
+
+# --- PII scrubbing -----------------------------------------------------------
+#
+# Patterns are deliberately RE2-and-Java-compatible (no backrefs, no
+# lookaround) so the identical regex runs in Spark (Java) and the DuckDB
+# oracle (RE2, with the 'g' flag for global replacement).
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d -]{7,}\d",
+}
+# scrub order matters (emails contain dots and digits): email -> ipv4 -> phone
+PII_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_hits(text: Column | str, kind: str) -> Column:
+    """Number of PII matches of ``kind`` in the text (pre-scrub metric)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Redact emails, IPv4 addresses and international phone numbers with
+    ``[KIND]`` placeholders — the standard pre-training scrub pass.
+    Embarrassingly parallel; at 100 TB this is a map-only stage fused into
+    whatever scan feeds it."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in PII_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return c
+
+
+# --- token-window chunking ---------------------------------------------------
+
+def chunk_token_windows(text: Column | str, chunk: int = 64,
+                        overlap: int = 16) -> Column:
+    """array<string>: overlapping token windows of ``chunk`` tokens with
+    ``overlap`` tokens carried between consecutive chunks — the standard
+    context-window chunking for embedding/training pipelines. Start
+    positions run while new (non-overlap) content remains, so a final
+    partial chunk is kept unless the previous chunk already covers it.
+    Pure Column fold (tokens let-bound: computed once, not once per
+    chunk)."""
+    assert 0 <= overlap < chunk
+    step = chunk - overlap
+    toks = tokens(text)
+
+    def build(ts: Column) -> Column:
+        starts = F.sequence(
+            F.lit(1),
+            F.greatest(F.size(ts) - overlap, F.lit(1)),
+            F.lit(step),
+        )
+        return F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(ts, i, chunk))
+        )
+
+    return let_bound(toks, build)
+
+
+# --- intra-document repetition ----------------------------------------------
+
+def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+    """Share of repeated word n-gram positions in the document:
+    ``1 - distinct_shingles / shingle_positions``. 0 = no repetition; high
+    values flag boilerplate/spam — a standard quality-filter signal."""
+    toks = tokens(text)
+
+    def build(ts: Column) -> Column:
+        total = F.greatest(F.size(ts) - (n - 1), F.lit(1))
+        idx = F.sequence(F.lit(1), total)
+        distinct = F.size(F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i, n)))
+        ))
+        return 1.0 - distinct / total.cast("double")
+
+    return let_bound(toks, build)

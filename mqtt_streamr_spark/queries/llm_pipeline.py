@@ -693,3 +693,175 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sha_prefix").alias("n_distinct_content"),
         F.round(F.avg(F.element_at("feature_vec", 1)), 6).alias("avg_feat0"),
     )
+
+
+# --- PII scrubbing / chunking / repetition (training-data prep) --------------
+
+_PII_INJECT_SQL = """
+        CASE WHEN doc_id % 5 = 0
+             THEN text || ' contact bob@example.com or +1 555 123 9876'
+             WHEN doc_id % 7 = 0
+             THEN text || ' from 10.0.42.7 today'
+             ELSE text END
+"""
+
+
+def _pii_injected(docs: DataFrame) -> DataFrame:
+    """Deterministically salt the synthetic corpus with PII (it has none),
+    identically to _PII_INJECT_SQL, so the scrub pass has work to verify."""
+    return docs.withColumn(
+        "text",
+        F.when(
+            col("doc_id") % 5 == 0,
+            F.concat(col("text"),
+                     F.lit(" contact bob@example.com or +1 555 123 9876")),
+        ).when(
+            col("doc_id") % 7 == 0,
+            F.concat(col("text"), F.lit(" from 10.0.42.7 today")),
+        ).otherwise(col("text")),
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_PII_INJECT_SQL} AS text
+               FROM documents),
+    s AS (SELECT source,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                 AS n_email,
+                 len(regexp_extract_all(text,
+                     '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+                 AS n_ipv4,
+                 len(regexp_extract_all(text, '\\+\\d[\\d -]{{7,}}\\d'))
+                 AS n_phone,
+                 length(text) - length(
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                         '[EMAIL]', 'g'),
+                         '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                         '[IPV4]', 'g'),
+                         '\\+\\d[\\d -]{{7,}}\\d', '[PHONE]', 'g'))
+                 AS chars_removed
+          FROM d)
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_email)::BIGINT AS emails_found,
+           sum(n_ipv4)::BIGINT AS ipv4_found,
+           sum(n_phone)::BIGINT AS phones_found,
+           sum(CASE WHEN n_email + n_ipv4 + n_phone > 0 THEN 1 ELSE 0 END)
+           ::BIGINT AS docs_with_pii,
+           sum(chars_removed)::BIGINT AS chars_removed
+    FROM s GROUP BY source
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (emails / IPv4 / phones redacted to placeholders) —
+    the standard pre-training cleaning stage, as a map-only Column
+    pipeline. The corpus is deterministically salted with PII first (the
+    synthetic documents contain none)."""
+    docs = _pii_injected(load(spark, "documents", sf_dir))
+    per_doc = docs.select(
+        "source",
+        T.pii_hits("text", "email").alias("n_email"),
+        T.pii_hits("text", "ipv4").alias("n_ipv4"),
+        T.pii_hits("text", "phone").alias("n_phone"),
+        (F.length("text") - F.length(T.pii_scrub("text")))
+        .alias("chars_removed"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("emails_found"),
+        F.sum("n_ipv4").alias("ipv4_found"),
+        F.sum("n_phone").alias("phones_found"),
+        F.sum(
+            F.when(
+                col("n_email") + col("n_ipv4") + col("n_phone") > 0, 1
+            ).otherwise(0)
+        ).alias("docs_with_pii"),
+        F.sum("chars_removed").alias("chars_removed"),
+    )
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, source,
+                 list_transform(
+                     generate_series(1, greatest(len(toks) - 16, 1), 48),
+                     i -> array_to_string(list_slice(toks, i, i + 63), ' '))
+                 AS chunks
+          FROM d),
+    doc_agg AS (SELECT source, count(*) AS n_docs,
+                       sum(len(chunks))::BIGINT AS total_chunks,
+                       round(avg(len(chunks)), 4) AS avg_chunks_per_doc
+                FROM c GROUP BY source),
+    u AS (SELECT source, unnest(chunks) AS chunk FROM c),
+    chunk_agg AS (SELECT source,
+                         count(DISTINCT md5(chunk)) AS n_distinct_chunks,
+                         round(avg(len(string_split_regex(chunk, '\\s+'))), 4)
+                         AS avg_chunk_tokens
+                  FROM u GROUP BY source)
+    SELECT doc_agg.source AS source, n_docs, total_chunks, avg_chunks_per_doc,
+           n_distinct_chunks, avg_chunk_tokens
+    FROM doc_agg JOIN chunk_agg ON doc_agg.source = chunk_agg.source
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (64-token chunks, 16-token overlap) — the
+    context-window prep for embedding/training pipelines — plus chunk-level
+    exact-dedup stats (distinct chunk fingerprints vs total). Chunks stay
+    arrays until the explode; both aggregations are per-source."""
+    docs = spread(load(spark, "documents", sf_dir))
+    c = docs.select(
+        "source",
+        T.chunk_token_windows("text", chunk=64, overlap=16).alias("chunks"),
+    )
+    doc_agg = c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("chunks")).alias("total_chunks"),
+        F.round(F.avg(F.size("chunks")), 4).alias("avg_chunks_per_doc"),
+    )
+    u = c.select("source", F.explode("chunks").alias("chunk"))
+    chunk_agg = u.groupBy("source").agg(
+        F.countDistinct(F.md5("chunk")).alias("n_distinct_chunks"),
+        F.round(F.avg(F.size(F.split("chunk", r"\s+"))), 4)
+        .alias("avg_chunk_tokens"),
+    )
+    return doc_agg.join(chunk_agg, "source")
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    r AS (SELECT source,
+                 1.0 - len(list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 2, 1)),
+                           i -> array_to_string(list_slice(toks, i, i + 2),
+                                                ' '))))
+                       / greatest(len(toks) - 2, 1)
+                 AS rep
+          FROM d)
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(rep), 4) AS avg_rep,
+           round(max(rep), 4) AS max_rep,
+           sum(CASE WHEN rep > 0.05 THEN 1 ELSE 0 END)::BIGINT
+           AS n_repetitive
+    FROM r GROUP BY source
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (share of repeated word trigram positions)
+    — the boilerplate/spam quality signal; per-source distribution."""
+    docs = spread(load(spark, "documents", sf_dir))
+    r = docs.select("source", T.repetition_ratio("text", n=3).alias("rep"))
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("rep"), 4).alias("avg_rep"),
+        F.round(F.max("rep"), 4).alias("max_rep"),
+        F.sum(F.when(col("rep") > 0.05, 1).otherwise(0)).alias("n_repetitive"),
+    )

@@ -220,3 +220,32 @@ def test_winnowing_xxhash_family_guarantee(spark):
         assert got[1] == got[2], fam                    # identical docs
         assert got[1] & got[3], fam                     # long shared spans
         assert not (got[1] & got[4]), fam               # unrelated docs
+
+
+def test_chunk_token_windows_boundaries(spark):
+    rows = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))],  # 10 tokens
+        "doc_id long, text string",
+    )
+    got = rows.select(
+        T.chunk_token_windows("text", chunk=4, overlap=1).alias("c")
+    ).collect()[0]["c"]
+    # step=3, starts while start <= 10-1: 1,4,7 -> windows of 4 (last short)
+    assert got == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ], got
+    # short doc: single chunk, no empty windows
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    got2 = short.select(
+        T.chunk_token_windows("text", chunk=4, overlap=1).alias("c")
+    ).collect()[0]["c"]
+    assert got2 == ["a b"], got2
+
+
+def test_pii_scrub_redacts_all_kinds(spark):
+    rows = spark.createDataFrame(
+        [(1, "mail a.b+c@ex.co, ip 10.0.0.1, call +44 20 7946 0958 now")],
+        "doc_id long, text string",
+    )
+    got = rows.select(T.pii_scrub("text").alias("s")).collect()[0]["s"]
+    assert got == "mail [EMAIL], ip [IPV4], call [PHONE] now", got
