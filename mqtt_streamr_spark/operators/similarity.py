@@ -176,20 +176,34 @@ def ivf_assign(df: DataFrame, centroid_ids: list[int],
 
 
 def ann_topk_ivf(df: DataFrame, query_id: int, centroid_ids: list[int],
-                 k: int = 10, vec_col: str = "embedding",
+                 k: int = 10, nprobe: int = 1, vec_col: str = "embedding",
                  id_col: str = "vec_id") -> DataFrame:
-    """IVF ANN: probe only the query's coarse cluster with exact cosine.
-    At scale the assignment is precomputed at ingest and the cluster id is
-    a partition column — the probe becomes a partition-pruned scan (same
-    shape as the LSH path, but data-adaptive cells instead of random
-    hyperplanes)."""
+    """IVF ANN: probe the query's ``nprobe`` nearest coarse cells with exact
+    cosine inside them. At scale the assignment is precomputed at ingest
+    and the cluster id is a partition column — the probe becomes a
+    partition-pruned scan over nprobe partitions (same shape as the LSH
+    path, but data-adaptive cells instead of random hyperplanes).
+    ``nprobe > 1`` is the standard recall knob: cost grows ~linearly in
+    probed cells, recall approaches exact search."""
     assigned = ivf_assign(df, centroid_ids, vec_col, id_col)
     q = assigned.filter(F.col(id_col) == query_id).select(
         F.col(id_col).alias("q_id"), F.col("nv").alias("q_nv"),
-        F.col("cid").alias("q_cid"),
+    )
+    # centroid vectors are their own assigned rows; rank cells by query
+    # affinity and keep nprobe (tiny: K rows, driver-free, broadcast)
+    cents = assigned.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col("cid"), F.col("nv").alias("cv")
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .select("cid", dot(F.col("q_nv"), F.col("cv")).alias("dq"))
+        .orderBy(F.desc("dq"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
     )
     return (
-        assigned.join(F.broadcast(q), F.col("cid") == F.col("q_cid"))
+        assigned.join(F.broadcast(qcells), "cid")
+        .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("q_id"))
         .select(
             F.col(id_col),

@@ -865,3 +865,40 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("rep"), 4).alias("max_rep"),
         F.sum(F.when(col("rep") > 0.05, 1).otherwise(0)).alias("n_repetitive"),
     )
+
+
+@query(
+    "sim_ann_ivf_multiprobe",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, {_norm_sql('embedding')} AS nv
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, nv AS cv FROM n
+          WHERE vec_id IN ({_IVF_SEEDS_SQL})),
+    scored AS (SELECT n.vec_id, n.nv, c.cid,
+                      {_DOT.format(a='n.nv', b='c.cv')} AS dotc
+               FROM n CROSS JOIN c),
+    assigned AS (SELECT vec_id, nv, cid FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dotc DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    qn AS (SELECT nv AS q_nv FROM n WHERE vec_id = 0),
+    qcells AS (SELECT c.cid FROM qn CROSS JOIN c
+               ORDER BY {_DOT.format(a='qn.q_nv', b='c.cv')} DESC, c.cid
+               LIMIT 3)
+    SELECT a.vec_id,
+           round({_DOT.format(a='a.nv', b='q.q_nv')}, 6) AS cos_sim
+    FROM assigned a, qn q
+    WHERE a.cid IN (SELECT cid FROM qcells) AND a.vec_id != 0
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN (nprobe=3): probe the query's three nearest
+    coarse cells — the standard recall knob; cost grows linearly in probed
+    cells while recall approaches exact search. At scale: a partition-
+    pruned scan over nprobe partitions instead of one."""
+    emb = load(spark, "embeddings", sf_dir)
+    return S.ann_topk_ivf(
+        emb, query_id=0, centroid_ids=_IVF_SEEDS, k=10, nprobe=3
+    )

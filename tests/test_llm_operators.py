@@ -249,3 +249,31 @@ def test_pii_scrub_redacts_all_kinds(spark):
     )
     got = rows.select(T.pii_scrub("text").alias("s")).collect()[0]["s"]
     assert got == "mail [EMAIL], ip [IPV4], call [PHONE] now", got
+
+
+def test_ivf_multiprobe_recall_monotone(spark):
+    """More probed cells => candidate superset => recall vs exact top-k
+    can only improve."""
+    import os
+
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    seeds = [1, 2, 3, 4, 5, 6, 7, 8]
+    exact = {
+        r["vec_id"]
+        for r in S.cosine_topk(
+            emb, S.query_vector(emb, 0), k=10
+        ).collect()
+    }
+    recalls = []
+    for nprobe in (1, 3, 8):
+        got = {
+            r["vec_id"]
+            for r in S.ann_topk_ivf(
+                emb, query_id=0, centroid_ids=seeds, k=10, nprobe=nprobe
+            ).collect()
+        }
+        recalls.append(len(got & exact))
+    assert recalls == sorted(recalls), recalls      # monotone in nprobe
+    assert recalls[-1] == 10, recalls               # all cells = exact
