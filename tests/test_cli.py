@@ -1,0 +1,85 @@
+"""CLI parity tests: python -m mqtt_streamr_spark maps the reference's
+yargs options (bin/mqtt-streamr.js:12-68) onto the engine pipeline."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+import time
+
+from mqtt_streamr_spark.__main__ import build_parser, main
+from mqtt_streamr_spark.sources.mqtt import LoopbackBroker
+
+from tests.conftest import SF_SMOKE
+
+EVENTS = os.path.join(SF_SMOKE, "events.parquet")
+
+
+def test_parser_reference_options_roundtrip():
+    args = build_parser().parse_args([
+        "--mqtt-url", "mqtt://h:1883", "--topic", "a/#", "--topic", "b/+",
+        "--private-key", "0xabc", "--verbose", "--public",
+        "--stream-id-template", "/x/$topic", "--topic-levels", "2",
+        "--transform", '{"v": value}', "--log-interval", "30",
+        "--reconnect-on-data-timeout", "120", "--dry-run",
+    ])
+    assert args.topic == ["a/#", "b/+"]
+    assert args.stream_id_template == "/x/$topic"
+    assert args.topic_levels == 2
+    assert args.log_interval == 30.0
+    assert args.reconnect_on_data_timeout == 120.0
+    assert args.verbose and args.public and args.dry_run
+
+
+def test_cli_requires_url_and_topic():
+    assert main(["--topic", "a/#"]) == 2
+    assert main(["--mqtt-url", "broker://x", "--dry-run"]) == 2
+
+
+def test_cli_batch_replay(spark):
+    with tempfile.TemporaryDirectory() as d:
+        rc = main([
+            "--replay-parquet", EVENTS,
+            "--transform", '{"u": user_id, "v2": value * 2}',
+            "--stream-id-template", "/cli/$topic", "--topic-levels", "2",
+            "--sink-dir", os.path.join(d, "sink"),
+            "--log-interval", "3600",
+        ])
+        assert rc == 0
+        out = spark.read.parquet(os.path.join(d, "sink"))
+        assert out.count() == spark.read.parquet(EVENTS).count()
+        msg = json.loads(out.limit(1).collect()[0]["message"])
+        assert set(msg) == {"u", "v2"}
+        assert {r["stream_id"] for r in
+                out.select("stream_id").distinct().collect()} == {
+            f"/cli//events/{t}"
+            for t in ("click", "error", "purchase", "signup", "view")
+        }
+
+
+def test_cli_streaming_via_loopback(spark):
+    broker = LoopbackBroker.get("cli")
+    broker.purge()
+    for i in range(6):
+        broker.publish(f"cli/room{i % 2}/lamp", json.dumps({"i": i}))
+    broker.publish("other/topic", json.dumps({"i": 99}))  # filtered out
+    with tempfile.TemporaryDirectory() as d:
+        sink = os.path.join(d, "sink")
+        rc = main([
+            "--mqtt-url", "broker://cli", "--topic", "cli/#",
+            "--stream-id-template", "/s/$topic", "--topic-levels", "1",
+            "--sink-dir", sink,
+            "--checkpoint-dir", os.path.join(d, "ckpt"),
+            "--log-interval", "3600", "--run-for", "25",
+        ])
+        assert rc == 0
+        out = spark.read.parquet(sink)
+        assert out.count() == 6
+        # truncateTopic keeps levels+1 '/'-parts (reference bin:99-106;
+        # with no leading slash, levels=1 keeps "cli/roomN")
+        assert {r["stream_id"] for r in
+                out.select("stream_id").distinct().collect()} == {
+            "/s/cli/room0", "/s/cli/room1"
+        }
