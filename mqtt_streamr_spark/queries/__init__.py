@@ -63,11 +63,15 @@ MUST_VERIFY: list[str] = [
     "agg_rollup_region_nation",
     "agg_distinct_counts",
     "agg_grouping_sets",
-    "scan_filter_project",
+    # §2.7 streaming runtime end-to-end (round 2: these gained real
+    # oracles — the replay source is deterministic, so the routed output
+    # is SQL-expressible; scan_filter_project and q5 moved out to make
+    # room, their rows covered by plan assertions and q1/q3)
+    "streaming_replay_pipeline",
+    "streaming_stateful_dedup",
     # TPC-H core (multi-join + agg shapes)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     # LLM pipeline: text analysis
     "text_token_stats",
     "text_lang_id",

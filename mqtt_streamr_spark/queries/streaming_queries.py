@@ -1,10 +1,13 @@
-"""Streaming queries (rows-only checks — no SQL oracle can express a
-Structured Streaming run; the driver records the weaker rows/schema check).
+"""Streaming queries — oracle-checked end-to-end.
 
-These run the REAL streaming runtime end-to-end — replay source ->
-try_parse_json invalid-drop -> compiled JSONata transform -> routing ->
-foreachBatch partitioned sink — with trigger(availableNow) so the query
-drains deterministically and returns a batch summary of what was routed.
+These run the REAL streaming runtime — replay source -> try_parse_json
+invalid-drop -> compiled JSONata transform -> routing -> foreachBatch
+partitioned sink — with trigger(availableNow) so the query drains
+deterministically. Because the replay source and every stage are
+deterministic, the ROUTED OUTPUT is SQL-expressible after all: the DuckDB
+oracle restates what must come out the far end of the stream (per-stream
+counts, success/error totals, dedup cardinalities), giving the streaming
+runtime the same hard hash-checked signal as the batch queries.
 Reference dataflow: /root/reference/bin/mqtt-streamr.js:144-200.
 """
 
@@ -20,7 +23,19 @@ from pyspark.sql import DataFrame, SparkSession
 from mqtt_streamr_spark.queries.registry import query
 
 
-@query("streaming_replay_pipeline")
+@query(
+    "streaming_replay_pipeline",
+    oracle="""
+    WITH v AS (SELECT event_type FROM events WHERE event_id % 50 != 0),
+    t AS (SELECT count(*) AS success_total FROM v)
+    SELECT '/s/events/' || event_type AS stream_id,
+           count(*) AS n_routed,
+           (SELECT success_total FROM t) AS success_total,
+           0 AS error_total,
+           'compiled' AS backend
+    FROM v GROUP BY event_type
+    """,
+)
 def streaming_replay_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline over the events replay: every 50th payload corrupted
     (exercises the invalid-drop path, bin:149-155), JSONata transform
@@ -66,7 +81,14 @@ def streaming_replay_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
-@query("streaming_stateful_dedup")
+@query(
+    "streaming_stateful_dedup",
+    oracle="""
+    SELECT count(DISTINCT event_id) AS n_rows,
+           count(DISTINCT event_id) AS n_distinct
+    FROM events
+    """,
+)
 def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: the replay stream unioned with itself
     (every event delivered twice) is exactly-once'd by streaming
