@@ -1398,9 +1398,31 @@ def _fc_zip(args, node, ctx):
     return TypedCol(col, f"array<array<{ae}>>", elem=f"array<{ae}>")
 
 
-# NOTE: $keys is deliberately NOT compiled — the variant encoding stores
-# object keys sorted, while JSONata preserves insertion order; the
-# interpreter fallback keeps the correct order.
+# NOTE: $keys is NOT compiled on the VARIANT path — the variant encoding
+# stores object keys sorted, while JSONata preserves insertion order; the
+# interpreter fallback keeps the correct order. On the TYPED path the
+# declared schema order IS the insertion order, so it compiles:
+
+@_fn("keys")
+def _fc_keys(args, node, ctx):
+    """$keys(obj) for statically-typed or statically-constructed objects:
+    field names in schema/declaration order. A NULL-valued field reads as
+    absent (the typed path cannot distinguish JSON null from a missing
+    key — same documented divergence as $exists)."""
+    obj = args[0]
+    if obj.kind != "object":
+        raise NotCompilable("$keys compiles for typed objects only")
+    if obj.dtype is not None:
+        names = list(obj.dtype.fieldNames())
+    elif obj.fields is not None:
+        names = list(obj.fields)
+    else:
+        raise NotCompilable("$keys needs statically-known fields")
+    tagged = F.array(*[
+        F.when(obj.col.getField(n).isNotNull(), F.lit(n)) for n in names
+    ])
+    col = F.filter(tagged, lambda x: x.isNotNull())
+    return TypedCol(col, "array<string>", elem="string")
 
 
 @_fn("now")

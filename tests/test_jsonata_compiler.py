@@ -370,6 +370,11 @@ TYPED_ONLY = [
     "$sum(**.p)",
     "$count(**.p)",
     "$max(**.p)",
+    # $keys: schema order IS insertion order on the typed path. (On a
+    # doc-with-null-fields, typed $keys drops the null-valued key — the
+    # documented null==absent divergence, same as $exists.)
+    "$keys(nested)",
+    "$count($keys(nested.deep))",
 ]
 
 
