@@ -332,12 +332,11 @@ def jsonata_descendants_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="auto", schema="event_type string, props struct<k: double>",
     )
     assert backend == "typed", backend
-    m = df.withColumn("m", out_col)
+    m = df.withColumn(
+        "m", F.from_json(out_col, "kind string, k double")  # parse ONCE
+    )
     return (
-        m.select(
-            F.get_json_object("m", "$.kind").alias("kind"),
-            F.get_json_object("m", "$.k").cast("double").alias("k"),
-        )
+        m.select(col("m.kind").alias("kind"), col("m.k").alias("k"))
         .groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -386,12 +385,14 @@ def jsonata_groupby_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="auto", schema="items array<struct<c: string, p: double>>",
     )
     assert backend == "typed", backend
-    m = df.withColumn("m", out_col)
+    m = df.withColumn(
+        "m", F.from_json(out_col, "lo double, hi double")  # parse ONCE
+    )
     return (
         m.select(
             col("event_type").alias("kind"),
-            F.get_json_object("m", "$.lo").cast("double").alias("lo"),
-            F.get_json_object("m", "$.hi").cast("double").alias("hi"),
+            col("m.lo").alias("lo"),
+            col("m.hi").alias("hi"),
         )
         .groupBy("kind")
         .agg(

@@ -20,6 +20,7 @@ from functools import reduce
 import pyspark.sql.functions as F
 
 from mqtt_streamr_spark.operators import dedup as D
+from mqtt_streamr_spark.operators import text as T
 from mqtt_streamr_spark.operators.joins import asof_join
 from mqtt_streamr_spark.session import get_spark
 from mqtt_streamr_spark.tables import load, spread
@@ -88,11 +89,35 @@ def sessions(spark, k):
     )
 
 
+def chunking(spark, k):
+    # explode-shaped: output rows = ~n_tokens/48 per doc; must stay linear
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k,
+        id_cols=("doc_id",), tag_text_col="text",
+    )
+    u = docs.select(
+        F.explode(T.chunk_token_windows("text", 64, 16)).alias("chunk")
+    )
+    return u.agg(F.count(F.lit(1)), F.countDistinct(F.md5("chunk")))
+
+
+def pii_scrub(spark, k):
+    # pure map stage: the floor case — anything superlinear here is a bug
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k, id_cols=("doc_id",)
+    )
+    return docs.select(
+        F.length(T.pii_scrub("text")).alias("l")
+    ).agg(F.sum("l"), F.count(F.lit(1)))
+
+
 OPS = {
     "scan_agg_lineitem": scan_agg,
     "minhash_lsh_buckets": minhash_buckets,
     "asof_join_events": asof,
     "session_windows_events": sessions,
+    "chunking_explode_docs": chunking,
+    "pii_scrub_docs": pii_scrub,
 }
 
 
