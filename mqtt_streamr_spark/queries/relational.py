@@ -790,3 +790,148 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(F.broadcast(top), col("s_suppkey") == col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH flat AS (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM flat GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), adapted to the driver schema
+    (PROMO part type, ASIA customers, NATION_5's supplier share). Seven-way
+    join: part/supplier/nation/region broadcast (constant-size at any SF);
+    lineitem⋈orders⋈customer are the shuffled fact joins under AQE."""
+    li = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir).filter(col("p_type") == "PROMO")
+    s = load(spark, "supplier", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir).filter(col("r_name") == "ASIA")
+    n1 = n.select(col("n_nationkey").alias("c_nk"),
+                  col("n_regionkey").alias("c_rk"))
+    n2 = n.select(col("n_nationkey").alias("s_nk"),
+                  col("n_name").alias("supp_nation"))
+    flat = (
+        li.join(broadcast(p), col("p_partkey") == col("l_partkey"))
+        .join(broadcast(s), col("s_suppkey") == col("l_suppkey"))
+        .join(o, col("o_orderkey") == col("l_orderkey"))
+        .join(c, col("c_custkey") == col("o_custkey"))
+        .join(broadcast(n1), col("c_nationkey") == col("c_nk"))
+        .join(broadcast(r), col("c_rk") == col("r_regionkey"))
+        .join(broadcast(n2), col("s_nationkey") == col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (col("l_extendedprice") * (1 - col("l_discount")))
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    share = F.sum(
+        F.when(col("supp_nation") == "NATION_5", col("volume")).otherwise(0.0)
+    ) / F.sum("volume")
+    return (
+        flat.groupBy("o_year")
+        .agg(F.round(share, 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS lim
+                FROM lineitem GROUP BY l_partkey)
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#12' AND l_quantity < lim
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue). The correlated scalar
+    subquery (per-part average quantity) becomes a pre-aggregated join:
+    one partial/final agg over lineitem, then an equi-join back on
+    l_partkey — never a per-row subquery execution. part is broadcast."""
+    li = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir).filter(col("p_brand") == "Brand#12")
+    pa = li.groupBy(col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("lim")
+    )
+    return (
+        li.join(broadcast(p), col("p_partkey") == col("l_partkey"))
+        .join(pa, col("pk") == col("l_partkey"))
+        .filter(col("l_quantity") < col("lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer
+                     WHERE c_acctbal > 0),
+    recent AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+    rich AS (SELECT c_custkey, c_nationkey, c_acctbal
+             FROM customer, avg_bal
+             WHERE c_acctbal > ab
+               AND c_custkey NOT IN (SELECT o_custkey FROM recent))
+    SELECT n_name, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM rich JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: above-average-balance
+    customers with no RECENT orders (the schema has no phone prefixes;
+    every customer has *some* order at test SFs). The scalar average
+    broadcasts as a 1-row crossJoin; the no-recent-orders test is a
+    left_anti join (never NOT IN's nullable pitfalls); nation broadcasts."""
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    avg_bal = c.filter(col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    recent = (
+        o.filter(col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    rich = (
+        c.crossJoin(broadcast(avg_bal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(recent, "c_custkey", "left_anti")
+    )
+    return (
+        rich.join(broadcast(n), col("c_nationkey") == col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
