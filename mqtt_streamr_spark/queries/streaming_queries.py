@@ -127,3 +127,64 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "streaming_running_stats",
+    oracle="""
+    SELECT event_type AS key,
+           count(value) AS n,
+           round(avg(value), 6) AS mean,
+           round(stddev_pop(value), 6) AS std
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key cumulative
+    count/mean/std carried in the state store across micro-batches (Welford
+    update). The availableNow drain makes the LAST update per key the
+    cumulative total, which a plain batch aggregation restates — giving the
+    stateful path a hash-checked oracle (SURVEY.md §2.7 stateful row)."""
+    import uuid
+
+    from mqtt_streamr_spark.streaming.pipeline import replay_source
+    from mqtt_streamr_spark.streaming.stateful import running_stats
+
+    d = tempfile.mkdtemp(prefix="streaming_rs_q_")
+    name = f"rs_{uuid.uuid4().hex[:10]}"
+    try:
+        src = replay_source(
+            spark, os.path.join(sf_dir, "events.parquet"), streaming=True
+        )
+        typed = src.select(
+            F.get_json_object("payload", "$.event_type").alias("kind"),
+            F.get_json_object("payload", "$.value").cast("double")
+            .alias("value"),
+        )
+        q = (
+            running_stats(typed, "kind", "value")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("key").orderBy(F.desc("n"))
+        out = (
+            spark.table(name)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "key", "n",
+                F.round("mean", 6).alias("mean"),
+                F.round("std", 6).alias("std"),
+            )
+            .localCheckpoint()  # materialize before dropping the view
+        )
+        return out
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(d, ignore_errors=True)
