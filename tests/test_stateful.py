@@ -30,7 +30,9 @@ def test_running_stats_across_batches(spark):
         [("a", 5.0), ("b", 20.0), ("b", 30.0)],
         [("a", 7.0)],
     ]
-    with tempfile.TemporaryDirectory() as root:
+    # ignore_cleanup_errors: a stopped streaming query's checkpoint writer
+    # threads can race directory deletion (observed as OSError)
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as root:
         src_dir = os.path.join(root, "src")
         _write_batches(spark, src_dir, batches)
         stream = (
@@ -67,7 +69,7 @@ def test_running_stats_across_batches(spark):
 
 
 def test_keyed_liveness_active_and_timeout(spark):
-    with tempfile.TemporaryDirectory() as root:
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as root:
         src_dir = os.path.join(root, "src")
         os.makedirs(src_dir)
         (spark.createDataFrame([("s1", 1.0), ("s1", 2.0), ("s2", 3.0)],
