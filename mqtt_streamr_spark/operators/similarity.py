@@ -232,3 +232,25 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def quantize_int8(vec: Column, scale: float = 127.0) -> Column:
+    """Symmetric int8 quantization of an L2-normalized vector (elements in
+    [-1, 1] -> [-127, 127]): 4x less memory/shuffle than float32 at 100 TB,
+    with dot products computed on the int8 codes and rescaled once. Plain
+    Column transform — quantize at ingest, store as array<tinyint>."""
+    return F.transform(
+        _as_double(vec),
+        lambda x: F.round(x * scale).cast("tinyint"),
+    )
+
+
+def dot_int8(a: Column, b: Column, scale: float = 127.0) -> Column:
+    """Dot product of two int8-quantized vectors, rescaled to the original
+    unit space. Integer accumulate (long) then one division."""
+    acc = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("long") * y.cast("long"))),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+    return acc / F.lit(scale * scale)

@@ -293,3 +293,30 @@ def repetition_ratio(text: Column | str, n: int = 3) -> Column:
         return 1.0 - distinct / total.cast("double")
 
     return let_bound(toks, build)
+
+
+# --- deterministic splits ----------------------------------------------------
+
+def hash_bucket_pct(key: Column | str, salt: str = "split") -> Column:
+    """Deterministic [0,100) bucket from a key: the md5-mod trick every
+    training pipeline uses for STABLE train/val/test splits — unlike seeded
+    RNG sampling, membership survives reruns, repartitioning, and engine
+    changes (and is therefore oracle-checkable)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), c.cast("string"))),
+                    1, 15),
+        16, 10,
+    ).cast("long")
+    return (h % 100).cast("int")
+
+
+def split_label(key: Column | str, train_pct: int = 80, val_pct: int = 10,
+                salt: str = "split") -> Column:
+    """'train' / 'val' / 'test' assignment by hash bucket."""
+    b = hash_bucket_pct(key, salt)
+    return (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )

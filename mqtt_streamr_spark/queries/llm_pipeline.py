@@ -902,3 +902,82 @@ def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_ivf(
         emb, query_id=0, centroid_ids=_IVF_SEEDS, k=10, nprobe=3
     )
+
+
+@query(
+    "split_assignments",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CAST(('0x' || substring(md5('split|' || doc_id::VARCHAR),
+                                       1, 15))::BIGINT % 100 AS INTEGER)
+               AS b
+        FROM documents),
+    lab AS (SELECT source,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM s)
+    SELECT source, split, count(*) AS n
+    FROM lab GROUP BY source, split
+    """,
+)
+def split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10) — the
+    md5-mod trick that keeps membership stable across reruns,
+    repartitioning, and engines (seeded RNG sampling is none of those,
+    which is why it cannot be oracle-checked and does not belong in a
+    reproducible pipeline). Per source x split counts."""
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.select("source", T.split_label("doc_id").alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "sim_quantized_topk",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, {_norm_sql('embedding')} AS nv
+               FROM embeddings),
+    qz AS (SELECT vec_id,
+                  list_transform(nv, x -> CAST(round(x * 127) AS BIGINT))
+                  AS qv
+           FROM n),
+    q AS (SELECT qv AS q_qv FROM qz WHERE vec_id = 0)
+    SELECT qz.vec_id,
+           round(list_sum(list_transform(generate_series(1, 64),
+                 i -> qz.qv[i] * q.q_qv[i])) / (127.0 * 127.0), 6)
+           AS cos_sim_q8
+    FROM qz, q
+    WHERE qz.vec_id != 0
+    ORDER BY cos_sim_q8 DESC, qz.vec_id
+    LIMIT 10
+    """,
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized cosine top-k: normalized vectors quantized to
+    [-127,127] codes (4x less memory and shuffle than float32 — quantize
+    once at ingest at 100 TB), dot products accumulated in integers and
+    rescaled once. The oracle replicates the exact quantization, so this
+    checks the codes, not just the ranking."""
+    emb = load(spark, "embeddings", sf_dir)
+    qz = emb.select(
+        "vec_id",
+        S.quantize_int8(S.l2_normalize(col("embedding"))).alias("qv"),
+    )
+    q = qz.filter(col("vec_id") == 0).select(
+        col("vec_id").alias("q_id"), col("qv").alias("q_qv")
+    )
+    return (
+        qz.crossJoin(F.broadcast(q))
+        .filter(col("vec_id") != col("q_id"))
+        .select(
+            "vec_id",
+            F.round(S.dot_int8(col("qv"), col("q_qv")), 6)
+            .alias("cos_sim_q8"),
+        )
+        .orderBy(col("cos_sim_q8").desc(), col("vec_id"))
+        .limit(10)
+    )

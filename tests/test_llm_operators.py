@@ -277,3 +277,36 @@ def test_ivf_multiprobe_recall_monotone(spark):
         recalls.append(len(got & exact))
     assert recalls == sorted(recalls), recalls      # monotone in nprobe
     assert recalls[-1] == 10, recalls               # all cells = exact
+
+
+def test_split_label_stable_and_proportional(spark):
+    docs = _sf_docs(spark)
+    a = docs.select("doc_id", T.split_label("doc_id").alias("s")).collect()
+    b = docs.repartition(7).select(
+        "doc_id", T.split_label("doc_id").alias("s")
+    ).collect()
+    # stability: same assignment regardless of partitioning/order
+    assert {r["doc_id"]: r["s"] for r in a} == {r["doc_id"]: r["s"] for r in b}
+    from collections import Counter
+
+    frac = Counter(r["s"] for r in a)
+    n = len(a)
+    assert 0.7 < frac["train"] / n < 0.9          # ~80%
+    assert 0.04 < frac["val"] / n < 0.16          # ~10%
+    assert 0.04 < frac["test"] / n < 0.16         # ~10%
+
+
+def test_quantized_dot_close_to_exact(spark):
+    import os
+
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    nv = S.l2_normalize(F.col("embedding"))
+    row = emb.select(
+        S.dot(nv, nv).alias("exact"),
+        S.dot_int8(S.quantize_int8(nv), S.quantize_int8(nv)).alias("q8"),
+    ).collect()
+    for r in row:
+        # |error| bounded by quantization step: d * (1/127) * 2 approx
+        assert abs(r["exact"] - r["q8"]) < 0.06, r
