@@ -320,3 +320,24 @@ def split_label(key: Column | str, train_pct: int = 80, val_pct: int = 10,
         .when(b < train_pct + val_pct, "val")
         .otherwise("test")
     )
+
+
+def rebalance_sources(df, weights: dict[str, float],
+                      source_col: str = "source",
+                      key_col: str = "doc_id"):
+    """Deterministic dataset mixing: keep a per-source fraction of rows
+    (``weights[source]`` in [0,1]) chosen by hash bucket — the stable
+    down-sampling step used to hit a target corpus mixture. Unknown
+    sources keep everything. Same hash-mod trick as :func:`split_label`,
+    salted per source so the kept subsets are independent across sources;
+    membership survives reruns and repartitioning. Map-only (fuses into
+    the scan); the alternative ``sampleBy`` is RNG-seeded and neither
+    stable nor oracle-checkable."""
+    c = F.col(source_col)
+    expr = F.lit(True)
+    for src, frac in sorted(weights.items()):
+        keep = hash_bucket_pct(F.col(key_col), salt=f"mix|{src}") < int(
+            round(frac * 100)
+        )
+        expr = F.when(c == src, keep).otherwise(expr)
+    return df.filter(expr)

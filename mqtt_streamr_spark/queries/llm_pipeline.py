@@ -981,3 +981,30 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("cos_sim_q8").desc(), col("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "mix_rebalanced_sources",
+    oracle="""
+    WITH kept AS (
+        SELECT source FROM documents
+        WHERE CASE
+            WHEN source = 'src0' THEN
+                ('0x' || substring(md5('mix|src0|' || doc_id::VARCHAR),
+                                   1, 15))::BIGINT % 100 < 50
+            WHEN source = 'src1' THEN
+                ('0x' || substring(md5('mix|src1|' || doc_id::VARCHAR),
+                                   1, 15))::BIGINT % 100 < 25
+            ELSE TRUE END)
+    SELECT source, count(*) AS n_kept
+    FROM kept GROUP BY source
+    """,
+)
+def mix_rebalanced_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: down-sample 'src0' to 50% and 'src1' to 25% by
+    deterministic hash bucket (other sources untouched) — the corpus
+    mixture-adjustment step of a training pipeline, as a map-only filter
+    fused into the scan."""
+    docs = load(spark, "documents", sf_dir)
+    kept = T.rebalance_sources(docs, {"src0": 0.5, "src1": 0.25})
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pyspark.sql.functions as F
 
@@ -105,6 +106,25 @@ def test_typed_descendants_groupby_no_python(spark):
         p = plan_str(QUERIES[name](spark, SF))
         assert "EvalPython" not in p, (name, p)
         assert "Batched: true" in p, (name, p)
+
+
+def test_text_prep_queries_prune_columns(spark):
+    """The training-data prep stages must project only what they read —
+    a scan pulling all document columns for a 2-3 column computation is
+    wrong at 100 TB."""
+    for name, needed, banned in (
+        ("text_pii_scrub", ("text",), ("lang", "n_chars")),
+        ("text_chunking", ("text", "source"), ("lang", "n_chars")),
+        ("mix_rebalanced_sources", ("source", "doc_id"), ("text", "lang")),
+    ):
+        p = plan_str(QUERIES[name](spark, SF))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+        assert m, (name, p)
+        cols = m.group(1)
+        for c in needed:
+            assert c in cols, (name, cols)
+        for c in banned:
+            assert c not in cols, (name, cols)
 
 
 def test_minhash_pipeline_no_python(spark):
