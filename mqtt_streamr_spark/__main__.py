@@ -102,6 +102,11 @@ def main(argv: list[str] | None = None) -> int:
         sink_format=args.sink_format,
         sink_dir=args.sink_dir,
     )
+    try:
+        spec.validate()
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
     spark = get_spark(app_name="mqtt-streamr-spark")
     bridge = StreamingBridge(spec)
     bridge.logger.start()

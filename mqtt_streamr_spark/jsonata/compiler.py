@@ -222,7 +222,12 @@ def _elem_truthy(x: Column, kind: str) -> Column:
     if kind == "null":
         return F.lit(False)
     if kind == "object":
-        return x.isNotNull()
+        # an object is falsy when EMPTY, not just when NULL. For a typed
+        # struct element "empty" = every field null/missing; to_json drops
+        # null fields (ignoreNullFields default), so all-null structs render
+        # '{}' — matching _variant_truthy's cast(string) != '{}' check and
+        # JSONata's empty-object-is-falsy rule.
+        return F.coalesce(F.to_json(x) != "{}", F.lit(False))
     if kind.startswith("array<") and kind.endswith(">"):
         inner = kind[6:-1]
         return F.coalesce(

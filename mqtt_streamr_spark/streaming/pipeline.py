@@ -172,10 +172,19 @@ class StreamingBridge:
         from pyspark.sql import Observation
 
         spec = self.spec
-        # a valid-JSON row whose transform evaluated to NULL is a FAILED
-        # transform (interpreter catches per-row errors -> None; compiled
-        # type errors -> NULL): the reference error-counts these and never
-        # publishes them (transform.evaluate throw, bin:158,196-198)
+        # a valid-JSON row whose transform evaluated to NULL is treated as a
+        # FAILED transform: error-counted, never published, dead-lettered.
+        # Two divergences from the reference, both deliberate:
+        #   1. In the reference, transform.evaluate (bin:158) sits OUTSIDE
+        #      the publish try/catch (bin:189-198), so a throwing transform
+        #      crashes the async handler UNCOUNTED. Counting it as an error
+        #      is the strictly-more-observable behavior.
+        #   2. NULL conflates "transform threw" with "legitimately evaluated
+        #      to undefined" (e.g. `payload.optional_field` on a row lacking
+        #      the field). The reference would publish `undefined` as-is;
+        #      we cannot represent undefined in a sink column, so both are
+        #      dropped+counted here. Users who need undefined-passthrough
+        #      should have the transform emit an explicit sentinel object.
         has_tf = spec.transform is not None
         ok_cond = F.col("is_valid") & (
             F.col("message").isNotNull() if has_tf else F.lit(True)

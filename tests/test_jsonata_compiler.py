@@ -311,6 +311,27 @@ def test_array_truthy_deep_nesting_divergence(spark):
     assert run_compiled(spark, "$boolean(deep4)", doc) is True
 
 
+def test_typed_empty_struct_element_falsy(spark):
+    """A typed struct element whose fields are all null/missing is an EMPTY
+    object and therefore falsy (JSONata values.boolean), matching the
+    variant path's cast(string) != '{}' check (round-2 ADVICE fix)."""
+    from mqtt_streamr_spark.jsonata.compiler import compile_typed
+
+    schema = "objs array<struct<a: long, b: string>>"
+    for doc, expected in [
+        ({"objs": [{}]}, False),
+        ({"objs": [{"a": 1}]}, True),
+        ({"objs": [{}, {"b": "x"}]}, True),
+    ]:
+        assert jsonata("$boolean(objs)").evaluate(doc) is expected
+        tc = compile_typed(
+            "$boolean(objs)", F.from_json(F.col("payload"), schema), schema
+        )
+        df = spark.createDataFrame([(json.dumps(doc),)], "payload string")
+        got = df.select(tc.col.alias("r")).collect()[0]["r"]
+        assert got is expected, f"{doc}: {got!r}"
+
+
 def test_now_millis_compiled(spark):
     """$now/$millis compile to current_timestamp expressions (no exact
     differential possible — time moves between evaluations)."""
