@@ -145,8 +145,12 @@ def compile_to_json(source_or_ast, input_col: Column) -> Column:
 
 
 def to_json_string(tc: TypedCol) -> Column:
+    # ignoreNullFields passed explicitly everywhere: constructed objects
+    # represent ABSENT optional fields as NULL (module docstring), so the
+    # serialization must drop them even if the user session flips
+    # spark.sql.jsonGenerator.ignoreNullFields to false.
     if tc.kind == "object" or tc.kind.startswith("array"):
-        return F.to_json(tc.col)
+        return F.to_json(tc.col, {"ignoreNullFields": "true"})
     if tc.kind == "variant":
         return F.cast("string", tc.col)
     if tc.kind == "string":
@@ -154,7 +158,8 @@ def to_json_string(tc: TypedCol) -> Column:
         # prefix + trailing brace; j is let-bound so it is built once, and
         # a NULL string yields NULL (to_json drops null fields, which
         # would otherwise substr('{}') into a bogus empty payload)
-        j = F.to_json(F.struct(tc.col.alias("v")))
+        j = F.to_json(F.struct(tc.col.alias("v")),
+                      {"ignoreNullFields": "true"})
         stripped = F.element_at(
             F.transform(
                 F.array(j), lambda s: s.substr(F.lit(6), F.length(s) - 6)
@@ -197,7 +202,7 @@ def as_string(tc: TypedCol) -> Column:
         s = F.try_variant_get(tc.col, "$", "string")
         return s
     if tc.kind == "object" or tc.kind.startswith("array"):
-        return F.to_json(tc.col)
+        return F.to_json(tc.col, {"ignoreNullFields": "true"})
     if tc.kind == "null":
         # undefined, not the string "null": concat treats it as '', and
         # to_json_string drops it — matching the variant path and the
@@ -223,11 +228,17 @@ def _elem_truthy(x: Column, kind: str) -> Column:
         return F.lit(False)
     if kind == "object":
         # an object is falsy when EMPTY, not just when NULL. For a typed
-        # struct element "empty" = every field null/missing; to_json drops
-        # null fields (ignoreNullFields default), so all-null structs render
-        # '{}' — matching _variant_truthy's cast(string) != '{}' check and
-        # JSONata's empty-object-is-falsy rule.
-        return F.coalesce(F.to_json(x) != "{}", F.lit(False))
+        # struct element "empty" = every field null — from_json CANNOT
+        # distinguish a present-null field ({"a": null}) from a missing one
+        # ({}), so the typed path treats {"a": null} as falsy while the
+        # interpreter/variant paths (which keep the key) treat it as truthy.
+        # KNOWN TYPED-PATH DIVERGENCE, pinned by
+        # tests/test_jsonata_compiler.py::test_explicit_null_field_truthiness.
+        # ignoreNullFields is passed explicitly so a user session that sets
+        # spark.sql.jsonGenerator.ignoreNullFields=false can't flip this.
+        return F.coalesce(
+            F.to_json(x, {"ignoreNullFields": "true"}) != "{}", F.lit(False)
+        )
     if kind.startswith("array<") and kind.endswith(">"):
         inner = kind[6:-1]
         return F.coalesce(
@@ -283,7 +294,13 @@ def as_boolean(tc: TypedCol) -> Column:
     if tc.kind == "null":
         return F.lit(False)
     if tc.kind == "object":
-        return F.lit(True)
+        # same empty-object-falsy rule as _elem_truthy: a NULL or all-null
+        # typed struct is JSONata-falsy at top level too (consistent with
+        # the array-element path; previously lit(True) unconditionally).
+        return F.coalesce(
+            F.to_json(tc.col, {"ignoreNullFields": "true"}) != "{}",
+            F.lit(False),
+        )
     if tc.kind == "variant":
         return _variant_truthy(tc.col)
     raise NotCompilable(f"truthiness of kind {tc.kind} not statically known")

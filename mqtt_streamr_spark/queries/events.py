@@ -425,3 +425,31 @@ def agg_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
+
+
+@query(
+    "agg_value_percentiles_approx",
+    oracle="""
+    SELECT event_type,
+           round(quantile_disc(value, 0.5), 4) AS p50,
+           round(quantile_disc(value, 0.9), 4) AS p90,
+           round(quantile_disc(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: ``approx_percentile`` (Greenwald-Khanna
+    sketch) keeps bounded per-group state and partial-aggregates map-side,
+    where exact ``percentile`` buffers EVERY value per group (an implicit
+    per-group sort that OOMs at scale). Discrete-quantile semantics match
+    DuckDB ``quantile_disc``; with accuracy=10000 the rank error is
+    < 1 row whenever a group holds fewer rows than the accuracy, so the
+    sf0.01 oracle is hash-exact. At larger data, accuracy is the documented
+    recall/memory knob (state is O(accuracy * log n), independent of group
+    size). Plan-asserted sort-free in tests/test_plans.py."""
+    ev = load(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 4).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 4).alias("p90"),
+        F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 4).alias("p99"),
+    )

@@ -301,7 +301,10 @@ def replay_source(spark: SparkSession, events_path: str,
     replays the events table as (topic, payload) messages with
     ``topic = /events/<event_type>/u<user_id%10>``. ``malformed_every``
     corrupts every Nth payload to exercise the invalid-drop path."""
-    # events.ts is parquet TIMESTAMP(NANOS); read as int64 (see tables.load)
+    # the events parquet has shipped as TIMESTAMP(NANOS) in some data
+    # generations; nanosAsLong lets the scan read that layout (as int64)
+    # and is inert for µs layouts. ts never reaches the payload, so no
+    # conversion is needed here (see tables.load for the dtype branch).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if streaming:
         # the file source needs a directory of its own; link the single

@@ -36,21 +36,43 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read the raw int64 and truncate ns -> µs exactly as
-        # DuckDB does (floor division), so oracles agree to the microsecond.
-        # NOTE: nanosAsLong is a SESSION-WIDE flag and stays set afterwards —
-        # an intentional engine contract (nanos columns surface as int64;
-        # replay_source sets it too). Engine sessions read nanos timestamps
-        # only through this loader, which converts explicitly.
+        # events.ts has shipped in three physical parquet layouts across
+        # data generations: TIMESTAMP(NANOS) (surfaces as int64 under
+        # nanosAsLong), TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfaces
+        # as TIMESTAMP_NTZ), and plain TIMESTAMP. The engine contract is
+        # that ``ts`` is always session-TZ TimestampType downstream, so
+        # branch on the dtype the scan actually produced instead of
+        # hardcoding one layout. nanosAsLong is inert for non-nanos files
+        # and required to even read the nanos layout, so it stays set.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        return (
-            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            # raw int64 nanos: truncate ns -> µs exactly as DuckDB does
+            # (floor division), so oracles agree to the microsecond.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # naive µs: reinterpret the wall-clock value in the session TZ.
+            # All downstream ops (date_trunc, window, collect) use the same
+            # session TZ, so results are TZ-invariant and match DuckDB's
+            # naive-timestamp arithmetic.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _parse_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728b', '128MB', '1g')."""
+    s = conf_val.strip().lower()
+    units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+    for suffix in sorted(units, key=len, reverse=True):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * units[suffix]
+    return int(s)
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -60,12 +82,34 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     A small file scans as ONE partition, serializing the compute onto one
     core; at real scale the scan already has >= parallelism partitions and
     this is a no-op — so the round-robin shuffle is only ever paid on
-    inputs small enough for it to be free."""
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    inputs small enough for it to be free.
+
+    The scan-partition estimate uses ``inputFiles()`` + file sizes (no
+    ``df.rdd`` conversion, Connect-safe). Non-local schemes where sizes
+    can't be stat'ed are assumed already-parallel (real clusters write
+    many files)."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if len(files) >= target:
+        return df
+    max_bytes = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    est = 0
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[len("file:"):]
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                return df
+            est += max(1, -(-size // max_bytes))
+        else:
+            return df  # remote scheme: assume the scan is already parallel
+        if est >= target:
+            return df
+    return df.repartition(target)
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:

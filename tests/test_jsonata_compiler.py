@@ -488,3 +488,38 @@ def test_sift_typed_matches_interpreter(spark):
     tc2 = compile_typed(expr2, F.from_json(F.col("payload"), schema), schema)
     actual2 = _to_python(df.select(tc2.col.alias("r")).collect()[0]["r"])
     assert_same(expected2, actual2, expr2)
+
+
+def test_explicit_null_field_truthiness(spark):
+    """Pin the documented typed-path divergence for explicit-null fields
+    (ADVICE r3): after ``from_json``, ``{"a": null}`` is indistinguishable
+    from ``{}`` (both read as an all-NULL struct), so the TYPED compiled
+    path treats it as an empty object -> falsy, while the interpreter (and
+    the variant path, which preserves keys) sees an object with a key ->
+    truthy. Same null==absent root cause as $exists/$keys above."""
+    from mqtt_streamr_spark.jsonata.compiler import compile_typed
+
+    doc = {"objs": [{"a": None}], "one": {"a": None}}
+    schema = "objs array<struct<a: double>>, one struct<a: double>"
+    df = spark.createDataFrame([(json.dumps(doc),)], "payload string")
+
+    for expr in ("$boolean(objs)", "$boolean(one)"):
+        # interpreter: key present -> truthy
+        assert jsonata(expr).evaluate(doc) is True
+        # typed compiled: all-NULL struct renders '{}' -> falsy
+        tc = compile_typed(
+            expr, F.from_json(F.col("payload"), schema), schema
+        )
+        assert df.select(tc.col.alias("r")).collect()[0]["r"] is False
+        # variant compiled path keeps the key -> agrees with interpreter
+        assert run_compiled(spark, expr, doc) is True
+
+    # a genuinely empty object is falsy on EVERY path
+    empty = {"objs": [{}], "one": {}}
+    for expr in ("$boolean(objs)", "$boolean(one)"):
+        assert jsonata(expr).evaluate(empty) is False
+        tc = compile_typed(
+            expr, F.from_json(F.col("payload"), schema), schema
+        )
+        df2 = spark.createDataFrame([(json.dumps(empty),)], "payload string")
+        assert df2.select(tc.col.alias("r")).collect()[0]["r"] is False

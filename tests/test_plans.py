@@ -169,3 +169,17 @@ def test_q18_no_broadcast_of_fact_tables(spark):
 def test_winnowing_no_python(spark):
     p = plan_str(QUERIES["text_winnowing_fingerprints"](spark, SF))
     assert "EvalPython" not in p and "InPandas" not in p, p
+
+
+def test_approx_percentile_partial_agg_bounded_state(spark):
+    """The 100 TB percentile path: approx_percentile must partial-aggregate
+    (map-side sketch merge around one exchange) — unlike exact percentile,
+    whose buffer holds every group value. Neither plan shows a Sort node,
+    so assert the property that actually differs: the approx variant keeps
+    partial aggregation with the sketch function visible in BOTH the
+    partial and final aggregate (bounded state merges associatively)."""
+    p = plan_str(QUERIES["agg_value_percentiles_approx"](spark, SF))
+    assert p.count("Exchange (") == 1, p
+    assert p.lower().count("approx_percentile") >= 2, p  # partial + final
+    assert "Sort (" not in p, p
+    assert "Python" not in p, p
