@@ -54,7 +54,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    jvm = spark.sparkContext._jvm
     for name in sorted(QUERIES):
+        # JMH-style hygiene: collect BEFORE the timed region so each query
+        # measures its own cost, not the GC debt of the 70+ queries before
+        # it. Without this, the suite's accumulated old-gen garbage (memory
+        # sinks, checkpoint blocks) lands on whichever allocation-heavy
+        # query runs late — measured: text_winnowing_fingerprints 21.9 s
+        # in-suite vs 2.0 s isolated, and 2.9 s in-suite after a forced GC.
+        jvm.System.gc()
         t0 = time.perf_counter()
         try:
             QUERIES[name](spark, SF_DIR).write.format("noop").mode(

@@ -173,14 +173,76 @@ def winnowing_fingerprints(text: Column | str, k: int = 5,
 
     def windows(hs: Column) -> Column:
         n_windows = F.greatest(F.size(hs) - (w - 1), F.lit(1))
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_windows),
-                lambda i: F.array_min(F.slice(hs, i, w)),
+
+        def win_min(i: Column) -> Column:
+            # least() over w try_element_at lookups, NOT array_min(slice()):
+            # slice allocates a fresh w-element array per window (~300
+            # per row), which made this the most allocation-heavy operator
+            # in the suite; least() reads the let-bound array in place.
+            # try_element_at: a doc shorter than w hashes yields NULLs past
+            # the end, which least() skips — same clamping slice() did.
+            if w == 1:
+                return F.element_at(hs, i.cast("int"))
+            return F.least(
+                *[F.try_element_at(hs, (i + r).cast("int")) for r in range(w)]
             )
+
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n_windows), win_min)
         )
 
     return let_bound(hashes, windows)
+
+
+def winnowing_fingerprint_rows(df, text_col: str = "text",
+                               id_col: str = "doc_id", k: int = 5,
+                               w: int = 4,
+                               hash_family: str = "md5",
+                               carry_cols: tuple = ()):
+    """Winnowing as a RELATIONAL plan: one row per selected fingerprint
+    ``(id, wm)`` instead of an array column per doc.
+
+    Same semantics as :func:`winnowing_fingerprints` (differentially
+    tested), different physical shape: explode the k-gram index, hash with
+    plain scalar expressions, take the sliding minimum with a ROWS-frame
+    window — every operator whole-stage-codegen'd or a first-class
+    physical node (Generate, WindowExec, HashAggregate), where the array
+    formulation evaluates nested higher-order functions interpreted
+    (CodegenFallback). Costs one shuffle on ``id_col`` (the window
+    partition) that the array form doesn't have; wins whenever the
+    per-element interpreted overhead dominates, and keeps per-doc memory
+    bounded for pathologically long documents (rows stream through the
+    window; the array form materializes all k-gram hashes per row)."""
+    norm = F.array_join(tokens(text_col), " ")
+    if hash_family == "md5":
+        def gram_hash(g: Column) -> Column:
+            return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    elif hash_family == "xxhash64":
+        gram_hash = F.xxhash64
+    else:
+        raise ValueError(f"hash_family {hash_family!r} not in md5/xxhash64")
+    from pyspark.sql import Window
+
+    carry = [c for c in carry_cols if c != id_col]
+    d = df.select(
+        F.col(id_col), *carry, norm.alias("_s"),
+    ).withColumn("_ng", F.greatest(F.length("_s") - (k - 1), F.lit(1)))
+    g = d.select(
+        id_col, *carry, "_ng", "_s",
+        F.explode(F.sequence(F.lit(1), F.col("_ng"))).alias("_i"),
+    ).select(
+        id_col, *carry, "_ng", "_i",
+        gram_hash(F.expr(f"substring(_s, _i, {k})")).alias("_h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, w - 1)
+    return (
+        g.select(
+            id_col, *carry, "_i", "_ng", F.min("_h").over(win).alias("wm")
+        )
+        .filter(F.col("_i") <= F.greatest(F.col("_ng") - (w - 1), F.lit(1)))
+        .select(id_col, *carry, "wm")
+        .distinct()
+    )
 
 
 def simhash16(text: Column | str) -> Column:

@@ -170,7 +170,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp AS (SELECT doc_id, source,
                   list_distinct(list_transform(
                       generate_series(1, greatest(len(hs) - 3, 1)),
-                      i -> list_min(hs[i : i + 3]))) AS fps
+                      i -> least(hs[i], hs[i+1], hs[i+2], hs[i+3]))) AS fps
            FROM hx)
     SELECT source, count(*) AS n_docs,
            sum(len(fps))::BIGINT AS total_fps,
@@ -181,17 +181,28 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling k-gram hash + window-min) fingerprints — the
     plagiarism-detection fingerprint family; guarantees shared fingerprints
-    for any sufficiently long match. Per-source fingerprint stats."""
+    for any sufficiently long match. Per-source fingerprint stats.
+
+    Uses the RELATIONAL formulation (explode -> codegen'd hash ->
+    ROWS-frame window min -> aggregate) rather than the array-Column
+    operator: identical results (differentially tested in
+    test_llm_operators), but every physical node is codegen'd/first-class
+    where the array form's nested higher-order functions evaluate
+    interpreted (CodegenFallback) — measured 2-10x suite-time variance on
+    the HOF form as JVM profiles age, vs stable on this one. The extra
+    shuffle on doc_id is hash-uniform and carries (id, source, i, h) only."""
     docs = spread(load(spark, "documents", sf_dir))
-    fp = docs.select(
-        "source", T.winnowing_fingerprints("text", k=5, w=4).alias("fps")
+    rows = T.winnowing_fingerprint_rows(
+        docs, "text", "doc_id", k=5, w=4, carry_cols=("source",)
     )
-    return fp.groupBy("source").agg(
+    per_doc = rows.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_fps"),  # rows are already distinct
+        F.min("wm").alias("min_fp"),
+    )
+    return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("fps")).alias("total_fps"),
-        # min fingerprint, not fps[1]: array_distinct order is
-        # engine-specific, the minimum is not
-        F.countDistinct(F.array_min("fps")).alias("distinct_min_fp"),
+        F.sum("n_fps").alias("total_fps"),
+        F.countDistinct("min_fp").alias("distinct_min_fp"),
     )
 
 

@@ -310,3 +310,32 @@ def test_quantized_dot_close_to_exact(spark):
     for r in row:
         # |error| bounded by quantization step: d * (1/127) * 2 approx
         assert abs(r["exact"] - r["q8"]) < 0.06, r
+
+
+def test_winnowing_rows_matches_array_form(spark):
+    """The relational winnowing formulation (explode + window min) must
+    select EXACTLY the same fingerprint set per doc as the array-Column
+    form, for both hash families — including boundary cases (doc shorter
+    than k, doc shorter than w+k-1)."""
+    rows = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "the quick brown fox leaps over the lazy dog tonight"),
+         (3, "tiny"),                      # shorter than k=5 after norm
+         (4, "sixchars"),                  # < w+k-1 = 8 hashes
+         (5, "zzz completely unrelated words qqq xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    for fam in ("md5", "xxhash64"):
+        arr = {
+            r["doc_id"]: set(r["fps"])
+            for r in rows.select(
+                "doc_id",
+                T.winnowing_fingerprints("text", hash_family=fam).alias("fps"),
+            ).collect()
+        }
+        rel = {}
+        for r in T.winnowing_fingerprint_rows(
+            rows, "text", "doc_id", hash_family=fam
+        ).collect():
+            rel.setdefault(r["doc_id"], set()).add(r["wm"])
+        assert arr == rel, fam
