@@ -206,6 +206,64 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col, threshold, bands, rows, hash_family)
 
 
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: connected components by
+    iterative min-label propagation. Returns ``(id, component)`` where
+    ``component`` is the smallest id reachable from ``id`` — the cluster's
+    deterministic keeper/label.
+
+    The reference has no analog (it is a per-message bridge); this is the
+    step every dedup pipeline needs between pair generation and keeper
+    selection: near-dup similarity is not transitive, so survivors must be
+    chosen per CLUSTER, not per pair.
+
+    Scale shape (the standard MapReduce/Pregel CC): each round is one
+    equi-join of edges with labels plus one min-aggregate — both shuffle
+    on the uniform id key, so rounds co-partition after the first.
+    Round count is bounded by the component DIAMETER, not data size;
+    near-dup clusters are dense (diameter 2-4 in practice). The driver
+    loop holds only a changed-row COUNT per round (no .collect() of
+    data); ``localCheckpoint`` truncates lineage so the plan stays O(1)
+    per round instead of growing exponentially."""
+    fwd = pairs.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+    edges = fwd.union(
+        pairs.select(F.col(dst).alias("n"), F.col(src).alias("m"))
+    )
+    labels = (
+        edges.select("n").distinct()
+        .select(F.col("n").alias("id"), F.col("n").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["m"] == labels["id"])
+            .groupBy("n")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["n"],
+                        "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nmin", "component")
+                ).alias("new_component"),
+                "component",
+            )
+        ).localCheckpoint()
+        changed = updated.filter(
+            F.col("new_component") != F.col("component")
+        ).count()
+        labels = updated.select(
+            "id", F.col("new_component").alias("component")
+        )
+        if changed == 0:
+            break
+    return labels
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.6,
                         n: int = 4, bands: int = 4,

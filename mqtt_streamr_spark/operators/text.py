@@ -403,3 +403,44 @@ def rebalance_sources(df, weights: dict[str, float],
         )
         expr = F.when(c == src, keep).otherwise(expr)
     return df.filter(expr)
+
+
+def stratified_sample_exact(df, key_col: str = "source",
+                            id_col: str = "doc_id", n_per_key: int = 50):
+    """EXACT per-stratum quota sampling: keep the ``n_per_key`` rows of
+    each stratum with the smallest ``md5(salt|id)`` — a deterministic
+    uniform draw (md5 is uniform on ids, so hash-order is a random order
+    that survives reruns, repartitioning, and engine changes; seeded RNG
+    sampling is none of those, and not oracle-checkable).
+
+    One shuffle on the stratum key (window partition). A pathological
+    mega-stratum makes one partition heavy — that is inherent to exact
+    quotas; when approximate quotas suffice, use
+    :func:`stratified_sample_rate` (map-only, no shuffle, no skew)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit("sample|"),
+                       F.col(id_col).cast("string")))
+    w = Window.partitionBy(key_col).orderBy(h.asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_key)
+        .drop("_rk")
+    )
+
+
+def stratified_sample_rate(df, rates: dict[str, float],
+                           key_col: str = "source",
+                           id_col: str = "doc_id"):
+    """Map-only approximate stratified sampling: keep a row iff its hash
+    bucket falls under the stratum's rate. No shuffle, no skew — the 100 TB
+    path when quota tolerance is a percent or two (binomial concentration).
+    Same md5-bucket trick as :func:`rebalance_sources`, salted per stratum."""
+    c = F.col(key_col)
+    expr = F.lit(False)
+    for key, rate in sorted(rates.items()):
+        keep = hash_bucket_pct(F.col(id_col), salt=f"strat|{key}") < int(
+            round(rate * 100)
+        )
+        expr = F.when(c == key, keep).otherwise(expr)
+    return df.filter(expr)

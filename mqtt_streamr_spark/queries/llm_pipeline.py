@@ -598,6 +598,126 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d),
+    hsx AS (SELECT doc_id, shingles, {_HS} AS hs FROM sh),
+    sig AS (SELECT doc_id, shingles, {_MH8} AS mh FROM hsx),
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band_key)
+             WHERE a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE len(list_filter(sa.shingles,
+                  s -> list_contains(sb.shingles, s))) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles) -
+               len(list_filter(sa.shingles,
+                   s -> list_contains(sb.shingles, s)))) >= 0.5),
+    edges AS (SELECT id_a AS n, id_b AS m FROM pairs
+              UNION ALL
+              SELECT id_b AS n, id_a AS m FROM pairs),
+    reach(id, label) AS (
+        SELECT n, n FROM edges
+        UNION
+        SELECT e.n, r.label FROM edges e JOIN reach r ON r.id = e.m),
+    comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+    SELECT component AS cluster_id,
+           count(*) AS n_docs,
+           max(id) AS max_doc_id
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: verified pairs -> connected components (min-label
+    propagation) -> per-cluster stats. Similarity is not transitive, so
+    keeper selection must happen per component, not per pair — this is the
+    missing middle of every dedup pipeline (pairs alone over-remove when
+    A~B and B~C but A!~C). The oracle restates the propagation as a
+    DuckDB recursive CTE (min reachable id per node)."""
+    docs = spread(load(spark, "documents", sf_dir))
+    pairs = D.near_dup_pairs(docs, threshold=0.5, bands=4, rows=2)
+    cc = D.connected_components(pairs)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("id").alias("max_doc_id"),
+    ).select(
+        col("component").alias("cluster_id"), "n_docs", "max_doc_id"
+    )
+
+
+@query(
+    "sample_stratified_exact",
+    oracle="""
+    WITH rk AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('sample|' || doc_id::VARCHAR)
+               ) AS rk
+        FROM documents),
+    samp AS (SELECT * FROM rk WHERE rk <= 40)
+    SELECT source,
+           count(*) AS n_sampled,
+           sum(n_chars)::BIGINT AS total_chars,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM samp GROUP BY source
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-stratum quota sampling (40 docs/source) by md5 hash order
+    — a deterministic uniform draw, stable across reruns/repartitioning/
+    engines (seeded RNG is none of those and cannot be oracle-checked).
+    One shuffle on the stratum key; the map-only rate variant
+    (sample_stratified_rate) is the skew-free 100 TB path."""
+    docs = load(spark, "documents", sf_dir)
+    samp = T.stratified_sample_exact(docs, "source", "doc_id", n_per_key=40)
+    return samp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
+    "sample_stratified_rate",
+    oracle="""
+    WITH kept AS (
+        SELECT source, n_chars FROM documents
+        WHERE CASE
+            WHEN source = 'src0' THEN
+                ('0x' || substring(md5('strat|src0|' || doc_id::VARCHAR),
+                                   1, 15))::BIGINT % 100 < 30
+            WHEN source = 'src1' THEN
+                ('0x' || substring(md5('strat|src1|' || doc_id::VARCHAR),
+                                   1, 15))::BIGINT % 100 < 60
+            ELSE FALSE END)
+    SELECT source, count(*) AS n_kept, sum(n_chars)::BIGINT AS total_chars
+    FROM kept GROUP BY source
+    """,
+)
+def sample_stratified_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only approximate stratified sampling (30% of src0, 60% of src1,
+    drop the rest): a hash-bucket filter that fuses into the scan — no
+    shuffle, no skew, binomially tight quotas. The scale path when a
+    percent of quota error is acceptable."""
+    docs = load(spark, "documents", sf_dir)
+    samp = T.stratified_sample_rate(
+        docs, {"src0": 0.30, "src1": 0.60}, "source", "doc_id"
+    )
+    return samp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 # --- grouped Pandas-UDF surface (§2.8) ---------------------------------------
 
 @query(

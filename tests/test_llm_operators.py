@@ -339,3 +339,33 @@ def test_winnowing_rows_matches_array_form(spark):
         ).collect():
             rel.setdefault(r["doc_id"], set()).add(r["wm"])
         assert arr == rel, fam
+
+
+def test_connected_components_shapes(spark):
+    """Label propagation must handle chains (diameter > 1), separate
+    components, and transitive closure beyond direct pairs."""
+    from mqtt_streamr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (A~B, B~C, C~D but not A~D) + pair 10-11
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_on_cycle(spark):
+    from mqtt_streamr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 6), (6, 7), (7, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {5: 5, 6: 5, 7: 5}
