@@ -1215,6 +1215,31 @@ def _fc_format_base(args, node, ctx):
     return TypedCol(F.lower(F.conv(v.cast("string"), 10, radix)), "string")
 
 
+@_fn("formatNumber")
+def _fc_format_number(args, node, ctx):
+    """Compiled $formatNumber for the interpreter's supported picture
+    subset (grouping ',' + '0'/'#' decimal places; interpreter.py
+    _f_format_number). The picture must be a literal — run-time pictures
+    fall back to the interpreter. Ties are resolved with bround
+    (banker's/HALF_EVEN) BEFORE formatting, matching Python's %.Nf
+    half-even behavior on exactly-representable halves."""
+    v = as_number(args[0])
+    if len(node["args"]) < 2 or node["args"][1]["type"] != "string":
+        raise NotCompilable("$formatNumber picture must be a literal string")
+    picture = node["args"][1]["value"]
+    if "." in picture:
+        intpic, fracpic = picture.split(".", 1)
+        decimals = len([c for c in fracpic if c in "0#"])
+    else:
+        intpic, decimals = picture, 0
+    rounded = F.bround(v, decimals)
+    if "," in intpic:
+        out = F.format_number(rounded, decimals)
+    else:
+        out = F.format_string(f"%.{decimals}f", rounded)
+    return TypedCol(out, "string")
+
+
 @_fn("sum")
 def _fc_sum(args, node, ctx):
     arr = _as_array(args[0], "double")

@@ -17,6 +17,7 @@ accumulation, so Spark and DuckDB produce bit-identical sums.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -254,3 +255,54 @@ def dot_int8(a: Column, b: Column, scale: float = 127.0) -> Column:
         lambda s, v: s + v,
     )
     return acc / F.lit(scale * scale)
+
+
+def ivf_build_index(df: DataFrame, centroid_ids: list[int], index_dir: str,
+                    vec_col: str = "embedding", id_col: str = "vec_id"
+                    ) -> None:
+    """Materialize the IVF index: assignments written as parquet
+    PARTITIONED BY the cell id, plus the (tiny) centroid table. This is
+    the ingest-time half of the probe path the ANN docstrings promise: at
+    100 TB the cell becomes a physical partition column, so a probe reads
+    nprobe directories instead of the corpus (asserted on the plan in
+    tests/test_plans.py)."""
+    assigned = ivf_assign(df, centroid_ids, vec_col, id_col)
+    (assigned.write.partitionBy("cid").mode("overwrite")
+     .parquet(os.path.join(index_dir, "data")))
+    cents = assigned.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cid"), F.col("nv").alias("cv")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(index_dir, "cents"))
+
+
+def ivf_probe_index(spark, index_dir: str, q_vec: list[float],
+                    exclude_id: int | None = None, k: int = 10,
+                    nprobe: int = 1, id_col: str = "vec_id") -> DataFrame:
+    """Probe a materialized IVF index with a query VECTOR (the serving
+    shape: the vector arrives with the request, not by id). Cell choice
+    collects <= nprobe ints (index metadata, bounded by K — the standard
+    ANN planning step, not a data collect); the data scan then carries a
+    static ``cid IN (...)`` predicate, which partition-prunes to nprobe
+    directories."""
+    q = F.array(*[F.lit(float(x)) for x in q_vec])
+    q_nv = l2_normalize(q)
+    cents = spark.read.parquet(os.path.join(index_dir, "cents"))
+    probed = [
+        r["cid"]
+        for r in cents.select(
+            "cid", dot(q_nv, F.col("cv")).alias("dq")
+        ).orderBy(F.desc("dq"), F.asc("cid")).limit(nprobe).collect()
+    ]
+    data = spark.read.parquet(os.path.join(index_dir, "data")).filter(
+        F.col("cid").isin(probed)
+    )
+    if exclude_id is not None:
+        data = data.filter(F.col(id_col) != exclude_id)
+    return (
+        data.select(
+            F.col(id_col),
+            F.round(dot(F.col("nv"), q_nv), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

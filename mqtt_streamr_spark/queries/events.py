@@ -453,3 +453,70 @@ def agg_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 4).alias("p90"),
         F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 4).alias("p99"),
     )
+
+
+_EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
+               "event_type string, value double, props string")
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"  # micros; default JSON/CSV format
+#                                           is millis and silently truncates
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.sha1(f"{sf_dir}|{fmt}".encode()).hexdigest()[:12]
+    return f"{tempfile.gettempdir()}/events_rt_{fmt}_{tag}"
+
+
+def _events_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Write events out as ``fmt`` (jsonl/csv) and read it back with an
+    explicit schema — the multi-format ingestion path (the engine's file
+    surface is not parquet-only). Micro-second timestamps survive via an
+    explicit timestampFormat; the aggregate below hash-matches the
+    parquet-read oracle, proving the transport is lossless."""
+    ev = load(spark, "events", sf_dir)
+    d = _roundtrip_dir(sf_dir, fmt)
+    w = ev.write.mode("overwrite").option("timestampFormat", _TS_FMT)
+    r = (spark.read.schema(_EVENTS_DDL)
+         .option("timestampFormat", _TS_FMT))
+    if fmt == "jsonl":
+        w.json(d)
+        back = r.json(d)
+    else:
+        w.option("header", "true").csv(d)
+        back = r.option("header", "true").csv(d)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+_ROUNDTRIP_ORACLE = """
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM events GROUP BY event_type
+    """
+
+
+@query("events_jsonl_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion parity: events written as jsonl, read back
+    with a declared schema, aggregated — hash-equal to reading the
+    parquet. (Reference analog: every message IS json,
+    bin/mqtt-streamr.js:149-155; this is the batch-file counterpart.)"""
+    return _events_roundtrip(spark, sf_dir, "jsonl")
+
+
+@query("events_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion parity: same contract as the jsonl path (quoted
+    fields cover the embedded-JSON props column)."""
+    return _events_roundtrip(spark, sf_dir, "csv")

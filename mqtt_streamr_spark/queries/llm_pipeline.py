@@ -718,6 +718,49 @@ def sample_stratified_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_ann_ivf_indexed",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, {_norm_sql('embedding')} AS nv
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, nv AS cv FROM n
+          WHERE vec_id IN ({_IVF_SEEDS_SQL})),
+    scored AS (SELECT n.vec_id, n.nv, c.cid,
+                      {_DOT.format(a='n.nv', b='c.cv')} AS dotc
+               FROM n CROSS JOIN c),
+    assigned AS (SELECT vec_id, nv, cid FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dotc DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    q AS (SELECT nv AS q_nv, cid AS q_cid FROM assigned WHERE vec_id = 0)
+    SELECT a.vec_id,
+           round({_DOT.format(a='a.nv', b='q.q_nv')}, 6) AS cos_sim
+    FROM assigned a, q
+    WHERE a.cid = q.q_cid AND a.vec_id != 0
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED-index ANN path: build the IVF index as
+    cell-partitioned parquet (ingest half), then probe it with the query
+    VECTOR — the scan carries a static cid predicate and partition-prunes
+    to nprobe directories (plan-asserted). Same results as sim_ann_ivf
+    (identical centroids/normalization), different physical shape: probe
+    cost is proportional to the probed cells, not the corpus."""
+    import hashlib as _h
+    import os as _os
+    import tempfile as _t
+
+    emb = load(spark, "embeddings", sf_dir)
+    tag = _h.sha1(sf_dir.encode()).hexdigest()[:12]
+    index_dir = _os.path.join(_t.gettempdir(), f"ivf_index_{tag}")
+    S.ivf_build_index(emb, _IVF_SEEDS, index_dir)
+    q_vec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.ivf_probe_index(spark, index_dir, q_vec, exclude_id=0,
+                             k=10, nprobe=1)
+
+
 # --- grouped Pandas-UDF surface (§2.8) ---------------------------------------
 
 @query(

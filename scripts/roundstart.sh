@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# Round-start verification habit (VERDICT r3 item 2): the environment can
+# change between rounds (runtime swap, regenerated test data), so verify
+# BEFORE building. Run from the repo root:
+#
+#   bash scripts/roundstart.sh          # ~10 min: full suite + fast bench
+#   bash scripts/roundstart.sh quick    # ~2 min: correctness gate only
+#
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+python - <<'PY'
+import pyspark, pyarrow, duckdb, pandas
+print(f"pyspark {pyspark.__version__}  pyarrow {pyarrow.__version__}  "
+      f"duckdb {duckdb.__version__}  pandas {pandas.__version__}")
+import pyarrow.parquet as pq
+for sf in ("sf0.001", "sf0.01", "sf0.1"):
+    s = pq.read_schema(f"/root/testdata/{sf}/events.parquet")
+    print(f"{sf} events.ts physical type: {s.field('ts').type}")
+PY
+
+if [ "${1:-full}" = "quick" ]; then
+    python -m pytest tests/test_correctness.py tests/test_tables.py -q
+else
+    python -m pytest tests/ -q
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python bench.py 2>/dev/null | tail -1 \
+      | python -c "import json,sys; d=json.load(sys.stdin); print('bench OK:', d['n_queries'], 'queries,', d['n_errors'], 'errors')"
+fi
+echo "ROUNDSTART OK"

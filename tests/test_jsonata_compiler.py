@@ -149,6 +149,15 @@ COMPILABLE = [
     "$power(count, 2)",
     "$sqrt(16)",
     "$formatBase(255, 16)",
+    '$formatNumber(value, "0.00")',
+    '$formatNumber(value, "#,##0.0")',
+    '$formatNumber(value * 1000, "#,##0")',
+    '$formatNumber(count, "0")',
+    '$formatNumber(2.5, "0")',      # exact .5 tie: half-even both backends
+    '$formatNumber(3.5, "0")',
+    '$formatNumber(-2.5, "0")',
+    '$formatNumber(0 - value, "0.000")',
+    '$formatNumber(1234567.891, "#,##0.00")',
     # arrays
     "$sum(nums)",
     "$max(nums)",
@@ -272,6 +281,7 @@ NOT_COMPILABLE = [
     "nums{$string($): $}",           # group-by
     "$match(kind, /t.mp/)",          # regex match objects
     "$each(nested, function($v,$k){ $v })",
+    "$formatNumber(value, kind)",    # run-time picture -> interpreter
 ]
 
 

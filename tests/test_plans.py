@@ -183,3 +183,44 @@ def test_approx_percentile_partial_agg_bounded_state(spark):
     assert p.lower().count("approx_percentile") >= 2, p  # partial + final
     assert "Sort (" not in p, p
     assert "Python" not in p, p
+
+
+def test_ivf_indexed_probe_partition_prunes(spark):
+    """The materialized-IVF probe must reach the parquet scan as a
+    PARTITION filter on cid (reads nprobe directories, not the corpus) —
+    the physical claim behind the ANN scale story."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as FN
+
+    from mqtt_streamr_spark.operators import similarity as S
+    from mqtt_streamr_spark.queries.llm_pipeline import _IVF_SEEDS
+    from mqtt_streamr_spark.tables import load
+
+    emb = load(spark, "embeddings", SF)
+    tag = hashlib.sha1(SF.encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+    S.ivf_build_index(emb, _IVF_SEEDS, index_dir)
+    q_vec = emb.filter(FN.col("vec_id") == 0).select("embedding").collect()[0][0]
+    probe = S.ivf_probe_index(spark, index_dir, q_vec, exclude_id=0,
+                              k=10, nprobe=1)
+    p = plan_str(probe)
+    part = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert part and "cid" in part[0], p           # pruning predicate present
+    assert "cid IN" in part[0] or "cid = " in part[0] or "cid#" in part[0], part
+    assert "Python" not in p, p
+    # and the probed scan touches exactly one cell (nprobe=1 of 8 seeds);
+    # inputFiles() lists pre-pruning, so check the scanned data itself
+    data = spark.read.parquet(os.path.join(index_dir, "data"))
+    assert data.select("cid").distinct().count() == 8
+    src = probe.limit(1000).select("cos_sim")  # force full probe pipeline
+    src.collect()
+    probed_cells = (
+        S.ivf_probe_index(spark, index_dir, q_vec, exclude_id=None,
+                          k=10**9, nprobe=1)
+        .join(data.select("vec_id", "cid"), "vec_id")
+        .select("cid").distinct().count()
+    )
+    assert probed_cells == 1, probed_cells
