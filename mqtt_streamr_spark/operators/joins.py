@@ -101,3 +101,37 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     for c in right_value_cols:
         out = out.withColumn(c + suffix, F.col("__r").getField(c))
     return out.drop("__r")
+
+
+def range_bin_join(left: DataFrame, right: DataFrame, on: list[str] | str,
+                   lo_col: str, hi_col: str, ts_col: str,
+                   bin_width_s: int = 900) -> DataFrame:
+    """Interval/range join at scale: rows of ``right`` whose ``ts_col``
+    falls in ``left``'s [lo_col, hi_col], matched per equi-key.
+
+    Spark has no native range-join optimization — a plain
+    ``l.key = r.key AND r.ts BETWEEN l.lo AND l.hi`` join keeps the
+    equi-part but every key group degenerates to an in-group nested loop
+    (and with no equi-key at all, BroadcastNestedLoop). The scale shape is
+    BINNING: quantize time into ``bin_width_s`` buckets, explode each
+    interval over the buckets it covers, key each right row by its single
+    bucket, equi-join on (key..., bucket), then apply the exact BETWEEN as
+    a post-filter. One uniform shuffle on (key, bucket); fan-out is
+    bounded by interval_width / bin_width (pick bin_width near the median
+    interval width). A right row occupies exactly one bucket, so no
+    dedup step is needed."""
+    on = [on] if isinstance(on, str) else list(on)
+    w_us = int(bin_width_s) * 1_000_000
+    lo_bin = F.floor(F.unix_micros(F.col(lo_col)) / w_us)
+    hi_bin = F.floor(F.unix_micros(F.col(hi_col)) / w_us)
+    left_e = left.withColumn(
+        "__bin", F.explode(F.sequence(lo_bin, hi_bin))
+    )
+    right_b = right.withColumn(
+        "__bin", F.floor(F.unix_micros(F.col(ts_col)) / w_us)
+    )
+    return (
+        left_e.join(right_b, on + ["__bin"])
+        .filter(F.col(ts_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop("__bin")
+    )

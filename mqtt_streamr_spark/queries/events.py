@@ -520,3 +520,48 @@ def events_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV ingestion parity: same contract as the jsonl path (quoted
     fields cover the embedded-JSON props column)."""
     return _events_roundtrip(spark, sf_dir, "csv")
+
+
+@query(
+    "join_range_view_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts,
+                      ts - INTERVAL 1 HOUR AS lo
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS v_id, user_id, ts AS v_ts
+          FROM events WHERE event_type = 'view'),
+    j AS (SELECT p.p_id, p.user_id, p.p_ts
+          FROM p JOIN v ON p.user_id = v.user_id
+                       AND v.v_ts BETWEEN p.lo AND p.p_ts)
+    SELECT date_trunc('day', p_ts) AS day,
+           count(DISTINCT p_id) AS n_purchases,
+           count(*) AS n_attributed_views,
+           count(DISTINCT user_id) AS n_users
+    FROM j GROUP BY 1
+    """,
+)
+def join_range_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (purchase attribution: views in the hour before
+    each purchase by the same user) via the BINNED range join — explode
+    intervals over 15-min buckets, equi-join on (user, bucket), exact
+    BETWEEN post-filter. The naive theta join keeps the user equi-key but
+    nested-loops within each user group; binning makes the join a plain
+    shuffled equi-join whose fan-out is interval/bin width (4-5 here).
+    Plan-asserted: no nested-loop/cartesian node."""
+    from mqtt_streamr_spark.operators.joins import range_bin_join
+
+    ev = load(spark, "events", sf_dir)
+    p = ev.filter(col("event_type") == "purchase").select(
+        col("event_id").alias("p_id"), "user_id", col("ts").alias("p_ts"),
+        (col("ts") - F.expr("INTERVAL 1 HOUR")).alias("lo"),
+    )
+    v = ev.filter(col("event_type") == "view").select(
+        col("event_id").alias("v_id"), "user_id", col("ts").alias("v_ts"),
+    )
+    j = range_bin_join(p, v, on="user_id", lo_col="lo", hi_col="p_ts",
+                       ts_col="v_ts", bin_width_s=900)
+    return j.groupBy(F.date_trunc("day", "p_ts").alias("day")).agg(
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.count(F.lit(1)).alias("n_attributed_views"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -215,12 +215,22 @@ def test_ivf_indexed_probe_partition_prunes(spark):
     # inputFiles() lists pre-pruning, so check the scanned data itself
     data = spark.read.parquet(os.path.join(index_dir, "data"))
     assert data.select("cid").distinct().count() == 8
-    src = probe.limit(1000).select("cos_sim")  # force full probe pipeline
-    src.collect()
+    probe.collect()  # force the full probe pipeline end-to-end
     probed_cells = (
         S.ivf_probe_index(spark, index_dir, q_vec, exclude_id=None,
-                          k=10**9, nprobe=1)
+                          k=10_000, nprobe=1)  # k > cell size: whole cell
         .join(data.select("vec_id", "cid"), "vec_id")
         .select("cid").distinct().count()
     )
     assert probed_cells == 1, probed_cells
+
+
+def test_range_bin_join_no_nested_loop(spark):
+    """The binned range join must plan as a shuffled EQUI-join on
+    (key, bucket) — never BroadcastNestedLoop/cartesian, which is what a
+    naive BETWEEN theta join degenerates to."""
+    p = plan_str(QUERIES["join_range_view_attribution"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Join" in p, p
+    assert "Python" not in p, p

@@ -40,8 +40,11 @@ def _write_events(tmp_path, ts_type):
     return str(tmp_path)
 
 
-@pytest.mark.parametrize("ts_type", [pa.timestamp("ns"), pa.timestamp("us")],
-                         ids=["int64-nanos", "timestamp-us"])
+@pytest.mark.parametrize(
+    "ts_type",
+    [pa.timestamp("ns"), pa.timestamp("us"), pa.timestamp("us", tz="UTC")],
+    ids=["int64-nanos", "timestamp-us", "timestamp-us-utc"],
+)
 def test_load_events_both_physical_layouts(spark, tmp_path, ts_type):
     sf_dir = _write_events(tmp_path, ts_type)
     df = load(spark, "events", sf_dir)
