@@ -230,7 +230,10 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     fwd = pairs.select(F.col(src).alias("n"), F.col(dst).alias("m"))
     edges = fwd.union(
         pairs.select(F.col(dst).alias("n"), F.col(src).alias("m"))
-    )
+    ).localCheckpoint()  # materialize ONCE: edges are re-joined every
+    #                      round, and without this each round would
+    #                      re-execute the whole upstream pair-generation
+    #                      plan (e.g. the LSH pipeline) from scratch
     labels = (
         edges.select("n").distinct()
         .select(F.col("n").alias("id"), F.col("n").alias("component"))

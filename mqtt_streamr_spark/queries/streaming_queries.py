@@ -59,7 +59,7 @@ def streaming_replay_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         bridge = StreamingBridge(spec)
         src = replay_source(
             spark, os.path.join(sf_dir, "events.parquet"),
-            streaming=True, malformed_every=50,
+            streaming=True, malformed_every=50, split_files=2,
         )
         q = bridge.start(src, checkpoint_dir=os.path.join(d, "ckpt"))
         q.awaitTermination()
@@ -100,7 +100,8 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="streaming_dedup_q_")
     try:
         src = replay_source(
-            spark, os.path.join(sf_dir, "events.parquet"), streaming=True
+            spark, os.path.join(sf_dir, "events.parquet"), streaming=True,
+            split_files=2,
         )
         doubled = src.union(src)
         deduped = (
@@ -142,7 +143,9 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-key cumulative
     count/mean/std carried in the state store across micro-batches (Welford
-    update). The availableNow drain makes the LAST update per key the
+    update) — the replay is split into 2 files with maxFilesPerTrigger=1,
+    so the state GENUINELY crosses a batch boundary in this driver-gated
+    run (a single-file availableNow drain would be one batch). The availableNow drain makes the LAST update per key the
     cumulative total, which a plain batch aggregation restates — giving the
     stateful path a hash-checked oracle (SURVEY.md §2.7 stateful row)."""
     import uuid
@@ -154,7 +157,8 @@ def streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"rs_{uuid.uuid4().hex[:10]}"
     try:
         src = replay_source(
-            spark, os.path.join(sf_dir, "events.parquet"), streaming=True
+            spark, os.path.join(sf_dir, "events.parquet"), streaming=True,
+            split_files=2,
         )
         typed = src.select(
             F.get_json_object("payload", "$.event_type").alias("kind"),

@@ -296,11 +296,18 @@ class StreamingBridge:
 
 def replay_source(spark: SparkSession, events_path: str,
                   streaming: bool = True,
-                  malformed_every: int | None = None) -> DataFrame:
+                  malformed_every: int | None = None,
+                  split_files: int | None = None) -> DataFrame:
     """Deterministic test double for the MQTT source (SURVEY.md §5.3):
     replays the events table as (topic, payload) messages with
     ``topic = /events/<event_type>/u<user_id%10>``. ``malformed_every``
-    corrupts every Nth payload to exercise the invalid-drop path."""
+    corrupts every Nth payload to exercise the invalid-drop path.
+
+    ``split_files=N`` slices the replay into N parquet files (by
+    ``event_id % N``, deterministic) and caps the reader at one file per
+    trigger, so a run produces N genuine micro-batches — without it, a
+    single-file availableNow drain is ONE batch and "cross-batch" state
+    never actually crosses a batch."""
     # the events parquet has shipped as TIMESTAMP(NANOS) in some data
     # generations; nanosAsLong lets the scan read that layout (as int64)
     # and is inert for µs layouts. ts never reaches the payload, so no
@@ -312,20 +319,38 @@ def replay_source(spark: SparkSession, events_path: str,
         if events_path.endswith(".parquet"):
             # deterministic scratch dir so a checkpointed query can restart
             # against the same recorded source path
+            import glob
             import hashlib
+            import shutil as _sh
             import tempfile
 
-            tag = hashlib.sha1(events_path.encode()).hexdigest()[:12]
+            tag = hashlib.sha1(
+                f"{events_path}|{split_files or 1}".encode()
+            ).hexdigest()[:12]
             d = os.path.join(tempfile.gettempdir(), f"replay_{tag}")
             os.makedirs(d, exist_ok=True)
-            link = os.path.join(d, "events.parquet")
-            if not os.path.exists(link):
-                os.symlink(events_path, link)
+            if not split_files:
+                link = os.path.join(d, "events.parquet")
+                if not os.path.exists(link):
+                    os.symlink(events_path, link)
+            elif len(glob.glob(os.path.join(d, "slice_*.parquet"))) \
+                    != split_files:
+                full = spark.read.parquet(events_path)
+                for i in range(split_files):
+                    tmp_i = os.path.join(d, f"_build_{i}")
+                    (full.filter(F.pmod("event_id", F.lit(split_files)) == i)
+                     .coalesce(1).write.mode("overwrite").parquet(tmp_i))
+                    part = glob.glob(os.path.join(tmp_i, "part-*.parquet"))[0]
+                    os.replace(part, os.path.join(d, f"slice_{i}.parquet"))
+                    _sh.rmtree(tmp_i, ignore_errors=True)
             src_dir = d
         else:
             src_dir = events_path
         schema = spark.read.parquet(events_path).schema
-        base = spark.readStream.schema(schema).parquet(src_dir)
+        reader = spark.readStream.schema(schema)
+        if split_files:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        base = reader.parquet(src_dir)
     else:
         base = spark.read.parquet(events_path)
     from mqtt_streamr_spark.operators.routing import synthetic_event_topic
