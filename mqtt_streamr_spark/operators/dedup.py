@@ -234,9 +234,14 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     #                      round, and without this each round would
     #                      re-execute the whole upstream pair-generation
     #                      plan (e.g. the LSH pipeline) from scratch
+    # initial label = min(id, min direct neighbor): this IS the first
+    # propagation round, fused into one aggregation (no join needed while
+    # every label still equals its id). Dense diameter-2 dup clusters then
+    # converge in a single looped round + one verification round.
     labels = (
-        edges.select("n").distinct()
-        .select(F.col("n").alias("id"), F.col("n").alias("component"))
+        edges.groupBy("n")
+        .agg(F.least(F.col("n"), F.min("m")).alias("component"))
+        .select(F.col("n").alias("id"), "component")
         .localCheckpoint()
     )
     for _ in range(max_iterations):

@@ -217,3 +217,100 @@ def test_asof_join_matches_pandas_merge_asof(spark, data):
     for _, row in exp.iterrows():
         want = None if pd.isna(row["rv"]) else row["rv"]
         assert got[(row["k"], row["ts"])] == want, (row, got)
+
+
+@SLOW
+@given(edge_list=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.integers(min_value=0, max_value=30)),
+    min_size=1, max_size=40,
+))
+def test_connected_components_matches_union_find(spark, edge_list):
+    """connected_components == a plain union-find ground truth on random
+    graphs (self-loops and duplicate edges included), with every node
+    labeled by its component's MINIMUM id."""
+    from mqtt_streamr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edge_list], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in comps.values() for n in members}
+    assert got == want
+
+
+@SLOW
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),       # key
+                  st.integers(min_value=0, max_value=7200),    # lo offset s
+                  st.integers(min_value=0, max_value=5400)),   # width s
+        min_size=1, max_size=12),
+    points=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),
+                  st.integers(min_value=0, max_value=14400)),
+        min_size=1, max_size=25),
+    bin_width=st.sampled_from([60, 900, 3600]),
+)
+def test_range_bin_join_equals_theta_join(spark, intervals, points,
+                                          bin_width):
+    """Binned range join == naive BETWEEN theta join for arbitrary
+    intervals, points, and bin widths (bins smaller, equal to, and larger
+    than interval widths)."""
+    import pyspark.sql.functions as FN
+
+    from mqtt_streamr_spark.operators.joins import range_bin_join
+
+    base = "2024-03-01 00:00:00"
+    left = spark.createDataFrame(
+        [(i, k, lo, lo + w) for i, (k, lo, w) in enumerate(intervals)],
+        "iv_id long, k long, lo_s long, hi_s long",
+    ).select(
+        "iv_id", "k",
+        (FN.lit(base).cast("timestamp")
+         + FN.make_interval(secs=FN.col("lo_s"))).alias("lo"),
+        (FN.lit(base).cast("timestamp")
+         + FN.make_interval(secs=FN.col("hi_s"))).alias("hi"),
+    )
+    right = spark.createDataFrame(
+        [(j, k, t) for j, (k, t) in enumerate(points)],
+        "ev_id long, k long, t_s long",
+    ).select(
+        "ev_id", "k",
+        (FN.lit(base).cast("timestamp")
+         + FN.make_interval(secs=FN.col("t_s"))).alias("ts"),
+    )
+    binned = {
+        (r["iv_id"], r["ev_id"])
+        for r in range_bin_join(left, right, "k", "lo", "hi", "ts",
+                                bin_width_s=bin_width).collect()
+    }
+    naive = {
+        (r["iv_id"], r["ev_id"])
+        for r in left.join(
+            right,
+            (left["k"] == right["k"])
+            & right["ts"].between(left["lo"], left["hi"]),
+        ).collect()
+    }
+    assert binned == naive
