@@ -35,7 +35,9 @@ MUST_VERIFY: list[str] = [
     "events_wildcard_filter",
     "events_success_error_daily",
     "events_daily_windows",
-    "events_sliding_windows",
+    # (events_sliding_windows moved past the window in round 4: the §2.7
+    # tumbling/sliding/session row keeps daily + session in-window;
+    # pytest still hash-checks sliding)
     "events_session_windows",
     # §2.6/2.8 JSONata: three backends + function families
     "jsonata_transform_compiled",
@@ -59,12 +61,18 @@ MUST_VERIFY: list[str] = [
     "window_top2_orders_per_customer",
     "window_running_customer_spend",
     "agg_value_percentiles",
+    "agg_value_percentiles_approx",  # r4: the bounded-state scale path,
+    #                                   driver-checked next to the exact one
     "topk_expensive_parts",
     "set_ops_customer_segments",
-    # §2.4 grouping structures
+    # §2.4 grouping structures (round 4: agg_distinct_counts and
+    # agg_grouping_sets moved past the window — their rows stay covered
+    # in-window by q1 (cross-row agg+distinct) and agg_rollup_region_nation
+    # (grouping structures); pytest still hash-checks both)
     "agg_rollup_region_nation",
-    "agg_distinct_counts",
-    "agg_grouping_sets",
+    # §2.3/LLM extensions added in round 4
+    "join_range_view_attribution",
+    "dedup_duplicate_clusters",
     # §2.7 streaming runtime end-to-end (round 2: these gained real
     # oracles — the replay source is deterministic, so the routed output
     # is SQL-expressible; scan_filter_project and q5 moved out to make
