@@ -135,3 +135,30 @@ def range_bin_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         .filter(F.col(ts_col).between(F.col(lo_col), F.col(hi_col)))
         .drop("__bin")
     )
+
+
+def sessionize(df: DataFrame, key_col: str, ts_col: str = "ts",
+               gap_s: int = 1800) -> DataFrame:
+    """Assign gap-based session ids: within each key (ordered by time), a
+    new session starts when the gap to the previous row exceeds
+    ``gap_s``. Adds ``session_seq`` (1-based per key) — the classic
+    lag + cumulative-sum window pattern, ONE shuffle on the key.
+
+    This complements Spark's ``session_window`` aggregation (which yields
+    per-session AGGREGATES): sessionize labels the individual rows, so
+    downstream per-event logic (funnels, attribution, per-session joins)
+    keeps row granularity. Same caveat as any per-key window: a
+    pathologically hot key serializes within its partition."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lag(ts_col).over(w)
+    )
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > gap_s * 1_000_000), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_seq",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

@@ -444,3 +444,68 @@ def stratified_sample_rate(df, rates: dict[str, float],
         )
         expr = F.when(c == key, keep).otherwise(expr)
     return df.filter(expr)
+
+
+def term_frequencies(df, text_col: str = "text", id_col: str = "doc_id"):
+    """One row per (doc, term) with the term's in-doc count — the exploded
+    representation TF-IDF/BM25 build on. Explode + count: one shuffle on
+    (id, term), partial-aggregated map-side."""
+    toks = tokens(text_col)
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_scores(df, query_terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75):
+    """BM25 relevance of every document against a fixed query-term list.
+
+    Scale shape: term frequencies are one explode + one (id, term) agg;
+    document frequencies aggregate the same rows per term; the query-term
+    list and the per-term df/idf table are broadcast (a query has O(10)
+    terms, idf needs only those); doc lengths reuse the token pass. Score
+    = sum over query terms of idf * tf*(k1+1) / (tf + k1*(1-b+b*len/avg)).
+    idf is the classic Robertson form ln((N-df+0.5)/(df+0.5)+1) — always
+    positive. No UDFs anywhere."""
+    spark = df.sparkSession
+    # literal-array explode, not createDataFrame: no Python scan node in
+    # the plan, and the term list constant-folds into the broadcast
+    qt = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in query_terms])).alias("term")
+    )
+    lens = df.select(F.col(id_col), token_count(text_col).alias("dl"))
+    # corpus stats as a broadcast 1-row aggregate — no driver-side
+    # collect; the plan stays fully declarative
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    tf = term_frequencies(df, text_col, id_col).join(
+        F.broadcast(qt), "term"
+    )
+    dfreq = (
+        tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0),
+        )
+        .select("term", "idf")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats.select("avg_dl")))
+        .withColumn(
+            "contrib",
+            F.col("idf") * F.col("tf") * (k1 + 1)
+            / (F.col("tf")
+               + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("contrib"), 6).alias("bm25")
+    )

@@ -565,3 +565,55 @@ def join_range_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_attributed_views"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "events_sessionized_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts - lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM g),
+    per_session AS (
+        SELECT user_id, session_seq,
+               count(*) AS n_events,
+               epoch(max(ts) - min(ts)) AS duration_s,
+               date_trunc('day', min(ts)) AS day
+        FROM s GROUP BY user_id, session_seq)
+    SELECT day,
+           count(*) AS n_sessions,
+           round(avg(n_events), 4) AS avg_events,
+           max(n_events) AS max_events,
+           round(avg(duration_s), 2) AS avg_duration_s
+    FROM per_session GROUP BY day
+    """,
+)
+def events_sessionized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization (30-min gap) -> per-session -> per-day
+    stats. Unlike the session_window AGGREGATE (events_session_windows),
+    sessionize() labels individual rows with a session sequence, keeping
+    row granularity for funnels/attribution; one shuffle on user_id
+    shared by the window and the first aggregation."""
+    from mqtt_streamr_spark.operators.joins import sessionize
+
+    ev = load(spark, "events", sf_dir)
+    s = sessionize(ev.select("user_id", "ts"), "user_id", "ts", gap_s=1800)
+    per_session = s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+         / 1_000_000.0).alias("duration_s"),
+        F.date_trunc("day", F.min("ts")).alias("day"),
+    )
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.max("n_events").alias("max_events"),
+        F.round(F.avg("duration_s"), 2).alias("avg_duration_s"),
+    )

@@ -761,6 +761,49 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                              k=10, nprobe=1)
 
 
+_BM25_TERMS = ("join", "hash", "scan")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "text_bm25_topdocs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest({_TOKS}) AS term
+                  FROM documents),
+    lens AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+    stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avg_dl
+              FROM lens),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+            GROUP BY term),
+    idf AS (SELECT term,
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM dfq, stats),
+    sc AS (SELECT tf.doc_id,
+                  sum(idf.idf * tf.tf * (1.2 + 1)
+                      / (tf.tf + 1.2 * (1 - 0.75
+                         + 0.75 * lens.dl / stats.avg_dl))) AS s
+           FROM tf
+           JOIN idf USING (term)
+           JOIN lens USING (doc_id), stats
+           GROUP BY tf.doc_id)
+    SELECT doc_id, round(s, 6) AS bm25
+    FROM sc ORDER BY bm25 DESC, doc_id LIMIT 15
+    """,
+)
+def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword relevance over the corpus for a fixed query-term set
+    — the retrieval/quality-scoring primitive of a training-data pipeline
+    (e.g. topic filtering, query-based corpus slicing). Fully declarative:
+    explode -> (id, term) agg -> broadcast df/idf -> broadcast corpus
+    stats -> TakeOrdered top-k; no UDFs, no driver collects."""
+    docs = spread(load(spark, "documents", sf_dir))
+    scores = T.bm25_scores(docs, list(_BM25_TERMS))
+    return scores.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(15)
+
+
 # --- grouped Pandas-UDF surface (§2.8) ---------------------------------------
 
 @query(

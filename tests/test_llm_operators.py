@@ -369,3 +369,31 @@ def test_connected_components_converges_on_cycle(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 against hand-computed scores on a 3-doc corpus."""
+    import math
+
+    from mqtt_streamr_spark.operators.text import bm25_scores
+
+    rows = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog dog dog dog"), (3, "bird fish")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bm25"]
+           for r in bm25_scores(rows, ["cat", "dog"]).collect()}
+
+    n, avg_dl, k1, b = 3.0, 3.0, 1.2, 0.75
+
+    def idf(df):
+        return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def w(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avg_dl))
+
+    want1 = round(idf(1) * w(2, 3) + idf(2) * w(1, 3), 6)
+    want2 = round(idf(2) * w(4, 4), 6)
+    assert got.keys() == {1, 2}          # doc 3 matches no query term
+    assert abs(got[1] - want1) < 1e-6
+    assert abs(got[2] - want2) < 1e-6

@@ -41,3 +41,28 @@ def test_range_bin_join_matches_theta_join(spark):
     assert (1, 100) in binned and (1, 101) in binned
     assert (1, 102) not in binned
     assert (2, 103) in binned and (3, 104) in binned
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Gap EXACTLY equal to the threshold continues the session; anything
+    strictly greater starts a new one. First row per key always opens
+    session 1; keys are independent."""
+    import pyspark.sql.functions as F
+
+    from mqtt_streamr_spark.operators.joins import sessionize
+
+    rows = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"),
+         (1, "2024-01-01 10:30:00"),   # gap == 1800 s -> same session
+         (1, "2024-01-01 11:00:01"),   # gap 1801 s -> new session
+         (2, "2024-01-01 09:00:00")],
+        "k long, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {
+        (r["k"], str(r["ts"])): r["session_seq"]
+        for r in sessionize(rows, "k", "ts", gap_s=1800).collect()
+    }
+    assert got[(1, "2024-01-01 10:00:00")] == 1
+    assert got[(1, "2024-01-01 10:30:00")] == 1
+    assert got[(1, "2024-01-01 11:00:01")] == 2
+    assert got[(2, "2024-01-01 09:00:00")] == 1

@@ -234,3 +234,13 @@ def test_range_bin_join_no_nested_loop(spark):
     assert "CartesianProduct" not in p, p
     assert "Join" in p, p
     assert "Python" not in p, p
+
+
+def test_bm25_broadcasts_term_stats(spark):
+    """BM25's df/idf and corpus stats are tiny — they must broadcast; the
+    only big shuffles are the (id, term) aggregations. No Python."""
+    p = plan_str(QUERIES["text_bm25_topdocs"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "BroadcastNestedLoopJoin (" not in p or "stats" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "Python" not in p, p
