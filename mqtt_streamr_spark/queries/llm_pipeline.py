@@ -804,6 +804,79 @@ def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(15)
 
 
+@query(
+    "llm_prep_corpus_end_to_end",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, text, {_TOKS} AS toks
+               FROM documents),
+    q AS (
+        SELECT doc_id, source, toks,
+               0.4 * least((len(list_filter(toks,
+                     t -> list_contains({_ALL_STOP_SQL}, t)))
+                     / len(toks)) * 5, 1.0)
+             + 0.3 * least((list_sum(list_transform(toks, t -> length(t)))
+                     / len(toks)) / 8, 1.0)
+             + 0.3 * (1 - least((length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     / length(text)) * 10, 1.0)) AS score
+        FROM d),
+    filtered AS (SELECT doc_id, source, toks FROM q WHERE score >= 0.5),
+    fp AS (SELECT doc_id, source, toks,
+                  md5(array_to_string(toks, ' ')) AS fp
+           FROM filtered),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    kept AS (SELECT fp.doc_id, fp.source, fp.toks
+             FROM fp JOIN keep USING (doc_id)),
+    lab AS (SELECT doc_id, source, toks,
+                   CASE WHEN ('0x' || substring(
+                            md5('split|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                            % 100 < 80 THEN 'train'
+                        WHEN ('0x' || substring(
+                            md5('split|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                            % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM kept),
+    chunked AS (SELECT split,
+                       len(toks) AS n_toks,
+                       len(list_transform(
+                           generate_series(1, greatest(len(toks) - 16, 1), 48),
+                           i -> i)) AS n_chunks
+                FROM lab)
+    SELECT split,
+           count(*) AS n_docs,
+           sum(n_toks)::BIGINT AS total_tokens,
+           sum(n_chunks)::BIGINT AS total_chunks
+    FROM chunked GROUP BY split
+    """,
+)
+def llm_prep_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data prep pipeline composed end-to-end, as a
+    user would run it: quality filter (composite score >= 0.5) -> exact
+    dedup (keep min-id per content fingerprint) -> deterministic
+    train/val/test split -> token-window chunking (64/16 overlap) ->
+    per-split corpus budget. Every stage is a map-only Column expression
+    except the dedup groupBy; stages fuse into one scan + two shuffles
+    (dedup fingerprint, final split agg). The oracle restates all five
+    stages in SQL."""
+    docs = spread(load(spark, "documents", sf_dir))
+    filtered = docs.filter(T.quality_score("text") >= 0.5)
+    keepers = D.exact_duplicates(filtered).select(
+        col("keeper_id").alias("doc_id")
+    )
+    kept = filtered.join(keepers, "doc_id")
+    labeled = kept.select(
+        "doc_id",
+        T.split_label("doc_id").alias("split"),
+        T.token_count("text").alias("n_toks"),
+        F.size(T.chunk_token_windows("text", chunk=64, overlap=16))
+        .alias("n_chunks"),
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.sum("n_chunks").alias("total_chunks"),
+    )
+
+
 # --- grouped Pandas-UDF surface (§2.8) ---------------------------------------
 
 @query(
