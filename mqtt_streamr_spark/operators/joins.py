@@ -107,7 +107,9 @@ def range_bin_join(left: DataFrame, right: DataFrame, on: list[str] | str,
                    lo_col: str, hi_col: str, ts_col: str,
                    bin_width_s: int = 900) -> DataFrame:
     """Interval/range join at scale: rows of ``right`` whose ``ts_col``
-    falls in ``left``'s [lo_col, hi_col], matched per equi-key.
+    falls in ``left``'s [lo_col, hi_col], matched per equi-key. (No
+    reference analog — the reference is single-stream record-at-a-time,
+    SURVEY.md §2.3; this is a north-star batch extension.)
 
     Spark has no native range-join optimization — a plain
     ``l.key = r.key AND r.ts BETWEEN l.lo AND l.hi`` join keeps the
@@ -141,7 +143,9 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str = "ts",
                gap_s: int = 1800) -> DataFrame:
     """Assign gap-based session ids: within each key (ordered by time), a
     new session starts when the gap to the previous row exceeds
-    ``gap_s``. Adds ``session_seq`` (1-based per key) — the classic
+    ``gap_s``. (No reference analog — nearest concept is the per-key
+    data-timeout watchdog, /root/reference/bin/mqtt-streamr.js:57-61,
+    which is processing-time liveness, not event-time sessions.) Adds ``session_seq`` (1-based per key) — the classic
     lag + cumulative-sum window pattern, ONE shuffle on the key.
 
     This complements Spark's ``session_window`` aggregation (which yields

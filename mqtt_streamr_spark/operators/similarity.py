@@ -306,3 +306,97 @@ def ivf_probe_index(spark, index_dir: str, q_vec: list[float],
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def kmeans_centroids(df: DataFrame, seed_ids: list[int],
+                     iterations: int = 2, vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     round_decimals: int = 6) -> DataFrame:
+    """Spherical k-means (Lloyd) refinement of the IVF coarse centroids:
+    assign every vector to its max-dot centroid, recompute each cell's
+    centroid as the element-wise mean re-normalized to unit length,
+    repeat. Returns ``(cid, cv)`` after ``iterations`` rounds from the
+    deterministic seed-vector init.
+
+    Per round: one broadcast K-way scoring (no shuffle beyond the per-id
+    window), one (cid, dim) mean aggregation — both partial-aggregated;
+    centroids stay K rows and broadcast. Iteration count is a fixed small
+    constant (2-3 captures most of Lloyd's gain on coarse quantizers), so
+    this is NOT an unbounded driver loop.
+
+    Per-dimension means are rounded to ``round_decimals`` BEFORE
+    re-normalization: rounding collapses the 1e-15 partial-aggregation
+    sum-order noise, making the trained centroids — and therefore every
+    downstream assignment — bit-identical across engines, partition
+    counts, and reruns (the reproducibility property every other operator
+    in this engine guarantees)."""
+    from pyspark.sql import Window
+
+    n = df.select(F.col(id_col), l2_normalize(F.col(vec_col)).alias("nv"))
+    cents = n.filter(F.col(id_col).isin(seed_ids)).select(
+        F.col(id_col).alias("cid"), F.col("nv").alias("cv")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("dotc"), F.asc("cid"))
+    for _ in range(iterations):
+        assigned = (
+            n.crossJoin(F.broadcast(cents))
+            .withColumn("dotc", dot(F.col("nv"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col(id_col), "nv", "cid")
+        )
+        dim_means = (
+            assigned.select("cid", F.posexplode("nv").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("v"), round_decimals).alias("mv"))
+        )
+        cents = (
+            dim_means.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mv")))
+                 .alias("pairs"))
+            .select(
+                "cid",
+                l2_normalize(
+                    F.transform(F.col("pairs"), lambda p: p["mv"])
+                ).alias("cv"),
+            )
+        )
+    return cents
+
+
+def ann_topk_ivf_trained(df: DataFrame, query_id: int,
+                         seed_ids: list[int], k: int = 10,
+                         iterations: int = 2,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN over TRAINED (Lloyd-refined) centroids instead of raw seed
+    vectors — tighter cells, better recall at the same nprobe. Same probe
+    shape as ann_topk_ivf: assign, pick the query's cell, exact cosine
+    within it."""
+    cents = kmeans_centroids(df, seed_ids, iterations, vec_col, id_col)
+    n = df.select(F.col(id_col), l2_normalize(F.col(vec_col)).alias("nv"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("dotc"), F.asc("cid"))
+    assigned = (
+        n.crossJoin(F.broadcast(cents))
+        .withColumn("dotc", dot(F.col("nv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), "nv", "cid")
+    )
+    q = assigned.filter(F.col(id_col) == query_id).select(
+        F.col("nv").alias("q_nv"), F.col("cid").alias("q_cid"),
+    )
+    return (
+        assigned.join(
+            F.broadcast(q), F.col("cid") == F.col("q_cid")
+        )
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(dot(F.col("nv"), F.col("q_nv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -461,6 +461,8 @@ def term_frequencies(df, text_col: str = "text", id_col: str = "doc_id"):
 def bm25_scores(df, query_terms: list[str], text_col: str = "text",
                 id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75):
     """BM25 relevance of every document against a fixed query-term list.
+    (No reference analog — north-star LLM-pipeline extension; the
+    reference has no batch/corpus surface at all.)
 
     Scale shape: term frequencies are one explode + one (id, term) agg;
     document frequencies aggregate the same rows per term; the query-term

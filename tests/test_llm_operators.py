@@ -397,3 +397,37 @@ def test_bm25_hand_computed(spark):
     assert got.keys() == {1, 2}          # doc 3 matches no query term
     assert abs(got[1] - want1) < 1e-6
     assert abs(got[2] - want2) < 1e-6
+
+
+def test_kmeans_centroids_deterministic_and_trained(spark):
+    """Lloyd refinement must be rerun-deterministic (bit-identical
+    centroids thanks to the rounded means) and actually move the
+    centroids off the raw seed vectors."""
+    from mqtt_streamr_spark.operators.similarity import (
+        kmeans_centroids,
+        l2_normalize,
+    )
+    import pyspark.sql.functions as FN
+
+    from mqtt_streamr_spark.tables import load
+
+    emb = load(spark, "embeddings", "/root/testdata/sf0.001")
+    seeds = [1, 2, 3, 4]
+    a = {r["cid"]: tuple(r["cv"])
+         for r in kmeans_centroids(emb, seeds, iterations=2).collect()}
+    b = {r["cid"]: tuple(r["cv"])
+         for r in kmeans_centroids(emb, seeds, iterations=2).collect()}
+    assert a == b                       # bit-identical across reruns
+    raw = {
+        r["vec_id"]: tuple(r["nv"])
+        for r in emb.filter(FN.col("vec_id").isin(seeds)).select(
+            "vec_id", l2_normalize(FN.col("embedding")).alias("nv")
+        ).collect()
+    }
+    moved = sum(1 for cid in seeds if a[cid] != raw[cid])
+    assert moved >= len(seeds) - 1      # training moved the centroids
+    # every centroid stays unit-length
+    import math
+
+    for cv in a.values():
+        assert abs(math.sqrt(sum(x * x for x in cv)) - 1.0) < 1e-9
