@@ -511,3 +511,35 @@ def bm25_scores(df, query_terms: list[str], text_col: str = "text",
     return scored.groupBy(id_col).agg(
         F.round(F.sum("contrib"), 6).alias("bm25")
     )
+
+
+def pack_sequences(df, budget_tokens: int = 1024,
+                   order_col: str = "doc_id", part_col: str | None = None,
+                   text_col: str = "text"):
+    """Sequence packing: assign each document a ``pack_id`` so consecutive
+    documents (in deterministic ``order_col`` order, optionally per
+    ``part_col`` partition) accumulate up to ~``budget_tokens`` tokens per
+    pack — the standard prep step that concatenates short documents into
+    full context windows instead of padding. (No reference analog —
+    north-star LLM-pipeline extension.)
+
+    This is the RUNNING-QUOTIENT approximation: pack_id =
+    floor((cumulative_tokens - doc_tokens) / budget), one window cumsum —
+    deterministic, one shuffle, SQL-expressible. Exact greedy bin packing
+    is inherently sequential per pack; at 100 TB the approximation's
+    overfill is bounded by one document per pack and keeps the operator a
+    plain window instead of a sequential loop. Oversized docs (> budget)
+    get a pack of their own arithmetic span."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(part_col) if part_col
+         else Window.partitionBy(F.lit(0)))
+    w = w.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_toks = token_count(text_col)
+    cum = F.sum(n_toks).over(w)
+    return df.withColumn("n_toks", n_toks).withColumn(
+        "pack_id",
+        F.floor((cum - F.col("n_toks")) / F.lit(budget_tokens)).cast("long"),
+    )

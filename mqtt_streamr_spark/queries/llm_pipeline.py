@@ -1326,3 +1326,50 @@ def mix_rebalanced_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     kept = T.rebalance_sources(docs, {"src0": 0.5, "src1": 0.25})
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT source, doc_id, len({_TOKS}) AS n_toks
+               FROM documents),
+    c AS (SELECT source, doc_id, n_toks,
+                 sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t),
+    p AS (SELECT source,
+                 CAST(floor((cum - n_toks) / 1024) AS BIGINT) AS pack_id,
+                 n_toks
+          FROM c),
+    per_pack AS (SELECT source, pack_id,
+                        count(*) AS n_docs,
+                        sum(n_toks)::BIGINT AS pack_tokens
+                 FROM p GROUP BY source, pack_id)
+    SELECT source,
+           count(*) AS n_packs,
+           round(avg(pack_tokens), 4) AS avg_pack_tokens,
+           max(pack_tokens) AS max_pack_tokens,
+           round(avg(n_docs), 4) AS avg_docs_per_pack
+    FROM per_pack GROUP BY source
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (1024-token budget per source): short documents
+    concatenate into full context windows instead of being padded — the
+    running-quotient window formulation keeps it one shuffle and fully
+    deterministic (see operators/text.pack_sequences). Per-source pack
+    utilization stats."""
+    docs = load(spark, "documents", sf_dir)
+    p = T.pack_sequences(docs.select("source", "doc_id", "text"),
+                         budget_tokens=1024, order_col="doc_id",
+                         part_col="source")
+    per_pack = p.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("pack_tokens"),
+    )
+    return per_pack.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.round(F.avg("pack_tokens"), 4).alias("avg_pack_tokens"),
+        F.max("pack_tokens").alias("max_pack_tokens"),
+        F.round(F.avg("n_docs"), 4).alias("avg_docs_per_pack"),
+    )

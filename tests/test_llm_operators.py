@@ -431,3 +431,29 @@ def test_kmeans_centroids_deterministic_and_trained(spark):
 
     for cv in a.values():
         assert abs(math.sqrt(sum(x * x for x in cv)) - 1.0) < 1e-9
+
+
+def test_pack_sequences_budget_semantics(spark):
+    """Packing invariants: consecutive docs share a pack until the budget
+    would be crossed; an oversized doc occupies its own pack span; packs
+    are contiguous in order_col order."""
+    from mqtt_streamr_spark.operators.text import pack_sequences
+
+    rows = spark.createDataFrame(
+        [(1, "a " * 400), (2, "b " * 400), (3, "c " * 400),
+         (4, "d " * 2000),           # oversized: > 1024 alone
+         (5, "e " * 100)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["pack_id"], r["n_toks"])
+           for r in pack_sequences(rows, budget_tokens=1024).collect()}
+    # docs 1+2 fit pack 0 (800 < 1024); doc 3 starts at cum 800 -> still
+    # pack 0 (floor(800/1024)=0); doc 4 starts at cum 1200 -> pack 1;
+    # doc 5 starts at cum 3200 -> pack 3 (the oversized doc spans packs
+    # 1-2 arithmetically)
+    assert got[1][0] == 0 and got[2][0] == 0 and got[3][0] == 0
+    assert got[4][0] == 1
+    assert got[5][0] == 3
+    # pack ids never decrease in doc order
+    ids = [got[i][0] for i in sorted(got)]
+    assert ids == sorted(ids)

@@ -314,3 +314,40 @@ def test_range_bin_join_equals_theta_join(spark, intervals, points,
         ).collect()
     }
     assert binned == naive
+
+
+@SLOW
+@given(gaps=st.lists(st.integers(min_value=0, max_value=4000),
+                     min_size=1, max_size=30),
+       threshold=st.sampled_from([600, 1800]))
+def test_sessionize_matches_python_reference(spark, gaps, threshold):
+    """sessionize == a sequential Python reference over random gap
+    sequences (single key): session increments exactly when a gap
+    strictly exceeds the threshold."""
+    import pyspark.sql.functions as FN
+
+    from mqtt_streamr_spark.operators.joins import sessionize
+
+    ts, acc = [], 0
+    for g in gaps:
+        acc += g
+        ts.append(acc)
+    rows = spark.createDataFrame(
+        [(1, t) for t in ts], "k long, t_s long"
+    ).select(
+        "k",
+        (FN.lit("2024-05-01").cast("timestamp")
+         + FN.make_interval(secs=FN.col("t_s"))).alias("ts"),
+    ).distinct()  # duplicate timestamps collapse (gap 0 rows may repeat)
+    got = {
+        int(r["ts"].timestamp()): r["session_seq"]
+        for r in sessionize(rows, "k", "ts", gap_s=threshold).collect()
+    }
+    base = int(__import__("datetime").datetime(2024, 5, 1).timestamp())
+    want, seq, prev = {}, 0, None
+    for t in sorted(set(ts)):
+        if prev is None or (t - prev) > threshold:
+            seq += 1
+        want[base + t] = seq
+        prev = t
+    assert got == want
