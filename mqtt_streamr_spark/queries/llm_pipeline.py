@@ -395,8 +395,11 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- similarity search -------------------------------------------------------
 
+# dim-agnostic: driven by len() of the left operand, so a regenerated
+# embeddings table with a different dimension keeps every oracle valid
+# (the round-3 lesson: never hardcode one physical layout)
 _DOT = (
-    "list_sum(list_transform(generate_series(1, 64), "
+    "list_sum(list_transform(generate_series(1, len({a})), "
     "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
 )
 
@@ -880,17 +883,17 @@ def llm_prep_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_ann_ivf_kmeans",
     oracle=f"""
-    WITH n AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / sqrt(list_sum(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS nv FROM embeddings),
+    WITH n AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / sqrt(list_sum(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS nv FROM embeddings),
     c0 AS (SELECT vec_id AS cid, nv AS cv FROM n WHERE vec_id IN ({_IVF_SEEDS_SQL})),
-    a0 AS (SELECT vec_id, nv, cid FROM (SELECT n.vec_id, n.nv, c.cid, row_number() OVER (PARTITION BY n.vec_id ORDER BY list_sum(list_transform(generate_series(1, 64), i -> n.nv[i]::DOUBLE * c.cv[i]::DOUBLE)) DESC, c.cid) AS rn FROM n CROSS JOIN c0 c) WHERE rn = 1),
-    m0 AS (SELECT cid, g.i AS pos, round(avg(nv[g.i]), 6) AS mv FROM a0, generate_series(1, 64) AS g(i) GROUP BY cid, g.i),
-    c1 AS (SELECT cid, list_transform(l, x -> x::DOUBLE / sqrt(list_sum(list_transform(generate_series(1, 64), i -> l[i]::DOUBLE * l[i]::DOUBLE)))) AS cv FROM (SELECT cid, list(mv ORDER BY pos) AS l FROM m0 GROUP BY cid)),
-    a1 AS (SELECT vec_id, nv, cid FROM (SELECT n.vec_id, n.nv, c.cid, row_number() OVER (PARTITION BY n.vec_id ORDER BY list_sum(list_transform(generate_series(1, 64), i -> n.nv[i]::DOUBLE * c.cv[i]::DOUBLE)) DESC, c.cid) AS rn FROM n CROSS JOIN c1 c) WHERE rn = 1),
-    m1 AS (SELECT cid, g.i AS pos, round(avg(nv[g.i]), 6) AS mv FROM a1, generate_series(1, 64) AS g(i) GROUP BY cid, g.i),
-    c2 AS (SELECT cid, list_transform(l, x -> x::DOUBLE / sqrt(list_sum(list_transform(generate_series(1, 64), i -> l[i]::DOUBLE * l[i]::DOUBLE)))) AS cv FROM (SELECT cid, list(mv ORDER BY pos) AS l FROM m1 GROUP BY cid)),
-    af AS (SELECT vec_id, nv, cid FROM (SELECT n.vec_id, n.nv, c.cid, row_number() OVER (PARTITION BY n.vec_id ORDER BY list_sum(list_transform(generate_series(1, 64), i -> n.nv[i]::DOUBLE * c.cv[i]::DOUBLE)) DESC, c.cid) AS rn FROM n CROSS JOIN c2 c) WHERE rn = 1),
+    a0 AS (SELECT vec_id, nv, cid FROM (SELECT n.vec_id, n.nv, c.cid, row_number() OVER (PARTITION BY n.vec_id ORDER BY list_sum(list_transform(generate_series(1, len(n.nv)), i -> n.nv[i]::DOUBLE * c.cv[i]::DOUBLE)) DESC, c.cid) AS rn FROM n CROSS JOIN c0 c) WHERE rn = 1),
+    m0 AS (SELECT cid, g.i AS pos, round(avg(nv[g.i]), 6) AS mv FROM a0, unnest(generate_series(1, len(nv))) AS g(i) GROUP BY cid, g.i),
+    c1 AS (SELECT cid, list_transform(l, x -> x::DOUBLE / sqrt(list_sum(list_transform(generate_series(1, len(l)), i -> l[i]::DOUBLE * l[i]::DOUBLE)))) AS cv FROM (SELECT cid, list(mv ORDER BY pos) AS l FROM m0 GROUP BY cid)),
+    a1 AS (SELECT vec_id, nv, cid FROM (SELECT n.vec_id, n.nv, c.cid, row_number() OVER (PARTITION BY n.vec_id ORDER BY list_sum(list_transform(generate_series(1, len(n.nv)), i -> n.nv[i]::DOUBLE * c.cv[i]::DOUBLE)) DESC, c.cid) AS rn FROM n CROSS JOIN c1 c) WHERE rn = 1),
+    m1 AS (SELECT cid, g.i AS pos, round(avg(nv[g.i]), 6) AS mv FROM a1, unnest(generate_series(1, len(nv))) AS g(i) GROUP BY cid, g.i),
+    c2 AS (SELECT cid, list_transform(l, x -> x::DOUBLE / sqrt(list_sum(list_transform(generate_series(1, len(l)), i -> l[i]::DOUBLE * l[i]::DOUBLE)))) AS cv FROM (SELECT cid, list(mv ORDER BY pos) AS l FROM m1 GROUP BY cid)),
+    af AS (SELECT vec_id, nv, cid FROM (SELECT n.vec_id, n.nv, c.cid, row_number() OVER (PARTITION BY n.vec_id ORDER BY list_sum(list_transform(generate_series(1, len(n.nv)), i -> n.nv[i]::DOUBLE * c.cv[i]::DOUBLE)) DESC, c.cid) AS rn FROM n CROSS JOIN c2 c) WHERE rn = 1),
     q AS (SELECT nv AS q_nv, cid AS q_cid FROM af WHERE vec_id = 0)
-    SELECT a.vec_id, round(list_sum(list_transform(generate_series(1, 64), i -> a.nv[i]::DOUBLE * q.q_nv[i]::DOUBLE)), 6) AS cos_sim FROM af a, q WHERE a.cid = q.q_cid AND a.vec_id != 0 ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+    SELECT a.vec_id, round(list_sum(list_transform(generate_series(1, len(a.nv)), i -> a.nv[i]::DOUBLE * q.q_nv[i]::DOUBLE)), 6) AS cos_sim FROM af a, q WHERE a.cid = q.q_cid AND a.vec_id != 0 ORDER BY cos_sim DESC, a.vec_id LIMIT 10
     """,
 )
 def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1265,7 +1268,7 @@ def split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM n),
     q AS (SELECT qv AS q_qv FROM qz WHERE vec_id = 0)
     SELECT qz.vec_id,
-           round(list_sum(list_transform(generate_series(1, 64),
+           round(list_sum(list_transform(generate_series(1, len(qz.qv)),
                  i -> qz.qv[i] * q.q_qv[i])) / (127.0 * 127.0), 6)
            AS cos_sim_q8
     FROM qz, q

@@ -17,6 +17,11 @@ import pyarrow.parquet as pq
 for sf in ("sf0.001", "sf0.01", "sf0.1"):
     s = pq.read_schema(f"/root/testdata/{sf}/events.parquet")
     print(f"{sf} events.ts physical type: {s.field('ts').type}")
+import pyarrow.parquet as pq2
+t = pq2.read_table("/root/testdata/sf0.001/embeddings.parquet", columns=["embedding"])
+dim = len(t.column("embedding")[0].as_py())
+print(f"embedding dim: {dim}" + ("" if dim == 64 else
+      "  << CHANGED! update similarity.lsh dim + hyperplane oracles"))
 PY
 
 if [ "${1:-full}" = "quick" ]; then
