@@ -35,6 +35,7 @@ _TRANSFORM = """
   "kind": $uppercase(event_type),
   "v2": value * 2,
   "tier": value > 50 ? 'high' : 'low',
+  "ok": (value > 10 or value < 2) and $exists(props) and $not(user_id % 3 = 0),
   "k": $number($substringAfter($substringBefore(props, '}'), ': '))
 }
 """
@@ -48,6 +49,9 @@ _TRANSFORM = """
                upper(event_type) AS kind,
                value * 2 AS v2,
                CASE WHEN value > 50 THEN 'high' ELSE 'low' END AS tier,
+               ((value > 10 OR value < 2)
+                AND props IS NOT NULL
+                AND NOT (user_id % 3 = 0)) AS ok,
                CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
         FROM events
     )
@@ -55,7 +59,8 @@ _TRANSFORM = """
            count(*) AS n,
            round(sum(v2), 2) AS total_v2,
            round(avg(k), 4) AS avg_k,
-           count(DISTINCT u) AS n_users
+           count(DISTINCT u) AS n_users,
+           sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_ok
     FROM msg
     GROUP BY kind, tier
     """,
@@ -63,7 +68,12 @@ _TRANSFORM = """
 def jsonata_transform_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full message transform through the compiled JSONata backend: object
     constructor, $uppercase, arithmetic, conditional, $number + string
-    functions — then a relational aggregate over the transformed fields."""
+    functions — then a relational aggregate over the transformed fields.
+
+    Round 5: also carries the §2.6 comparison/boolean surface ("ok":
+    and/or precedence, ``$exists``, ``$not``, ``%``) so the row keeps an
+    in-window driver slot while jsonata_filter_compiled rotates out of the
+    verification window (still pytest hash-checked)."""
     df = _payload_df(spark, sf_dir)
     tc = compile_column(_TRANSFORM, col("v"))
     # untransformed path fields stay VariantType; cast to concrete types
@@ -73,6 +83,7 @@ def jsonata_transform_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("m.tier").alias("tier"),
         col("m.v2").alias("v2"),
         col("m.k").alias("k"),
+        col("m.ok").cast("boolean").alias("ok"),
         col("m.u").cast("long").alias("u"),
     )
     return out.groupBy("kind", "tier").agg(
@@ -80,6 +91,7 @@ def jsonata_transform_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v2"), 2).alias("total_v2"),
         F.round(F.avg("k"), 4).alias("avg_k"),
         F.countDistinct("u").alias("n_users"),
+        F.sum(F.when(col("ok"), 1).otherwise(0)).alias("n_ok"),
     )
 
 
@@ -176,7 +188,10 @@ _HOF_TRANSFORM = """
   "total": $reduce($map(vals, function($x){ $x * 2 }),
                    function($a, $x){ $a + $x }, 0),
   "nbig": $count($filter(vals, function($x){ $x > 10 })),
-  "mx": $reduce(vals, function($a, $x){ $a > $x ? $a : $x })
+  "mx": $reduce(vals, function($a, $x){ $a > $x ? $a : $x }),
+  "tag": $uppercase($substring(event_type, 0, 3)) & ':'
+         & $string($count(vals)),
+  "b64": $base64encode(event_type)
 }
 """
 
@@ -186,10 +201,12 @@ _HOF_TRANSFORM = """
     oracle="""
     WITH msg AS (
         SELECT event_type AS kind,
-               [value, value * 2, CAST(user_id % 7 AS DOUBLE)] AS vals
+               [value, value * 2, CAST(user_id % 7 AS DOUBLE)] AS vals,
+               upper(substring(event_type, 1, 3)) || ':3' AS tag,
+               to_base64(encode(event_type)) AS b64
         FROM events),
     t AS (
-        SELECT kind,
+        SELECT kind, tag, b64,
                list_sum(list_transform(vals, x -> x * 2)) AS total,
                len(list_filter(vals, x -> x > 10)) AS nbig,
                list_max(vals) AS mx
@@ -197,14 +214,21 @@ _HOF_TRANSFORM = """
     SELECT kind, count(*) AS n,
            round(sum(total), 2) AS sum_total,
            sum(nbig) AS sum_nbig,
-           round(avg(mx), 4) AS avg_mx
+           round(avg(mx), 4) AS avg_mx,
+           max(tag) AS max_tag,
+           max(b64) AS max_b64
     FROM t GROUP BY kind
     """,
 )
 def jsonata_hof_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array HOFs on the compiled path: $map/$filter/$reduce (with and
     without init) over a per-message array, entirely as native Columns
-    (transform/filter/aggregate — SURVEY.md §2.6 'Array HOFs' row)."""
+    (transform/filter/aggregate — SURVEY.md §2.6 'Array HOFs' row).
+
+    Round 5: also carries the §2.6 string (``$uppercase``/``$substring``/
+    ``&``/``$string``) and encoding (``$base64encode``) surface so those
+    rows keep an in-window driver slot while jsonata_string_functions
+    rotates out of the verification window (still pytest hash-checked)."""
     ev = load(spark, "events", sf_dir)
     df = ev.withColumn(
         "payload",
@@ -227,12 +251,16 @@ def jsonata_hof_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("m.total").alias("total"),
         col("m.nbig").alias("nbig"),
         col("m.mx").alias("mx"),
+        col("m.tag").cast("string").alias("tag"),
+        col("m.b64").cast("string").alias("b64"),
     )
     return out.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("total"), 2).alias("sum_total"),
         F.sum("nbig").alias("sum_nbig"),
         F.round(F.avg("mx"), 4).alias("avg_mx"),
+        F.max("tag").alias("max_tag"),
+        F.max("b64").alias("max_b64"),
     )
 
 
