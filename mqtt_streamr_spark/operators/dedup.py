@@ -221,12 +221,19 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
 
     Scale shape (the standard MapReduce/Pregel CC): each round is one
     equi-join of edges with labels plus one min-aggregate — both shuffle
-    on the uniform id key, so rounds co-partition after the first.
-    Round count is bounded by the component DIAMETER, not data size;
-    near-dup clusters are dense (diameter 2-4 in practice). The driver
-    loop holds only a changed-row COUNT per round (no .collect() of
-    data); ``localCheckpoint`` truncates lineage so the plan stays O(1)
-    per round instead of growing exponentially."""
+    on the uniform id key, so rounds co-partition after the first. Each
+    round ALSO pointer-jumps (label := label of label, one self-join of
+    the labels table), so a chain of length d converges in O(log d)
+    rounds instead of O(d) — a 1000-doc duplicate chain needs ~10 rounds,
+    not 1000. Near-dup clusters are dense (diameter 2-4 in practice), so
+    the common case is still 1 looped round + 1 verification round. The
+    driver loop holds only a changed-row COUNT per round (no .collect()
+    of data); ``localCheckpoint`` truncates lineage so the plan stays
+    O(1) per round instead of growing exponentially.
+
+    Raises ``RuntimeError`` if the loop exits without converging —
+    silently returning partial labels would let wrong clusters flow into
+    keeper selection (the failure mode is undetectable downstream)."""
     fwd = pairs.select(F.col(src).alias("n"), F.col(dst).alias("m"))
     edges = fwd.union(
         pairs.select(F.col(dst).alias("n"), F.col(src).alias("m"))
@@ -244,31 +251,56 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         .select(F.col("n").alias("id"), "component")
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["m"] == labels["id"])
             .groupBy("n")
             .agg(F.min("component").alias("nmin"))
         )
+        hop = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["n"], "left"
+        ).select(
+            "id",
+            F.least(
+                "component", F.coalesce("nmin", "component")
+            ).alias("hop_component"),
+            F.col("component").alias("old_component"),
+        )
+        # pointer jumping: every label is itself a node id in the same
+        # component, so following the label's own label halves the
+        # remaining propagation distance each round (labels only ever
+        # decrease, and never below the component min)
+        parent = labels.select(
+            F.col("id").alias("p_id"), F.col("component").alias("p_comp")
+        )
         updated = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["n"],
-                        "left")
+            hop.join(parent, hop["hop_component"] == parent["p_id"], "left")
             .select(
                 "id",
                 F.least(
-                    "component", F.coalesce("nmin", "component")
+                    "hop_component", F.coalesce("p_comp", "hop_component")
                 ).alias("new_component"),
-                "component",
+                "old_component",
             )
         ).localCheckpoint()
         changed = updated.filter(
-            F.col("new_component") != F.col("component")
+            F.col("new_component") != F.col("old_component")
         ).count()
         labels = updated.select(
             "id", F.col("new_component").alias("component")
         )
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds ({changed} labels still changing). With pointer "
+            f"jumping this needs a component of diameter > "
+            f"2**{max_iterations} — check for pathological input or raise "
+            f"max_iterations."
+        )
     return labels
 
 

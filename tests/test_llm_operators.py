@@ -371,6 +371,37 @@ def test_connected_components_converges_on_cycle(spark):
     assert got == {5: 5, 6: 5, 7: 5}
 
 
+def test_connected_components_long_chain(spark):
+    """A 40-doc duplicate chain (diameter 39 > the 25-round cap) must
+    still converge — pointer jumping makes round count O(log diameter),
+    so the old one-hop propagation's silent mis-labeling (ADVICE r4)
+    cannot recur."""
+    from mqtt_streamr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {i: 1 for i in range(1, 41)}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """Exhausting max_iterations must raise loudly, never return partial
+    labels (wrong clusters are undetectable downstream)."""
+    import pytest
+
+    from mqtt_streamr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)
+
+
 def test_bm25_hand_computed(spark):
     """BM25 against hand-computed scores on a 3-doc corpus."""
     import math
