@@ -529,7 +529,15 @@ def pack_sequences(df, budget_tokens: int = 1024,
     is inherently sequential per pack; at 100 TB the approximation's
     overfill is bounded by one document per pack and keeps the operator a
     plain window instead of a sequential loop. Oversized docs (> budget)
-    get a pack of their own arithmetic span."""
+    get a pack of their own arithmetic span.
+
+    SCALE NOTE: ``part_col=None`` computes ONE global cumulative sum —
+    a single window partition, i.e. a single-task serial bottleneck.
+    That path exists for small corpora and oracle parity only; at scale
+    ``part_col`` is REQUIRED (any coarse, roughly-uniform key works —
+    e.g. ``source`` or ``pmod(xxhash64(doc_id), 1024)`` — pack ids are
+    then unique per (part, pack_id) and packing quality is unchanged
+    because packs never need to span partitions)."""
     from pyspark.sql import Window
 
     w = (Window.partitionBy(part_col) if part_col

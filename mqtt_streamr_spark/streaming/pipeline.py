@@ -240,8 +240,14 @@ class StreamingBridge:
                 got = obs.get  # populated by the write job
                 n_ok, n_tf = int(got["n_ok"] or 0), int(got["n_tf_err"] or 0)
             else:
-                n_ok = batch.filter(ok_cond).count()
-                n_tf = batch.filter(tf_failed_cond).count() if has_tf else 0
+                # dry run: no write job to observe; both counts in ONE
+                # aggregate action instead of two separate count() jobs
+                row = batch.agg(
+                    F.sum(ok_cond.cast("long")).alias("n_ok"),
+                    F.sum(tf_failed_cond.cast("long")).alias("n_tf"),
+                ).collect()[0]
+                n_ok = int(row["n_ok"] or 0)
+                n_tf = int(row["n_tf"] or 0) if has_tf else 0
             self.logger.success_increment(n_ok)
             if n_tf:
                 self.logger.error_increment(n_tf)

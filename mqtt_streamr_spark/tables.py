@@ -87,11 +87,13 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     The scan-partition estimate uses ``inputFiles()`` + file sizes (no
     ``df.rdd`` conversion, Connect-safe). Non-local schemes where sizes
     can't be stat'ed are assumed already-parallel (real clusters write
-    many files)."""
+    many files), and so are in-memory/derived DataFrames with no input
+    files at all — their partitioning reflects upstream shuffles, and
+    inserting a blind repartition would add a needless shuffle."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if len(files) >= target:
+    if not files or len(files) >= target:
         return df
     max_bytes = _parse_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")

@@ -12,6 +12,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampType
 
 from mqtt_streamr_spark.tables import _parse_bytes, load, spread
@@ -82,3 +83,12 @@ def test_spread_noop_when_enough_files(spark, tmp_path):
     df = spark.read.parquet(dest)
     out = spread(df, min_partitions=4)
     assert out is df  # >= target files: untouched, no shuffle inserted
+
+
+def test_spread_noop_on_derived_dataframe(spark):
+    # in-memory/derived DataFrames have no input files; their partitioning
+    # reflects upstream shuffles — spread() must NOT insert a blind
+    # repartition (ADVICE r4)
+    df = spark.range(0, 100).groupBy((F.col("id") % 7).alias("k")).count()
+    out = spread(df, min_partitions=64)
+    assert out is df
