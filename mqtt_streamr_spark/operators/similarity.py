@@ -311,7 +311,8 @@ def ivf_probe_index(spark, index_dir: str, q_vec: list[float],
 def kmeans_centroids(df: DataFrame, seed_ids: list[int],
                      iterations: int = 2, vec_col: str = "embedding",
                      id_col: str = "vec_id",
-                     round_decimals: int = 6) -> DataFrame:
+                     round_decimals: int = 6,
+                     sample_fraction: float | None = None) -> DataFrame:
     """Spherical k-means (Lloyd) refinement of the IVF coarse centroids:
     assign every vector to its max-dot centroid, recompute each cell's
     centroid as the element-wise mean re-normalized to unit length,
@@ -329,17 +330,38 @@ def kmeans_centroids(df: DataFrame, seed_ids: list[int],
     sum-order noise, making the trained centroids — and therefore every
     downstream assignment — bit-identical across engines, partition
     counts, and reruns (the reproducibility property every other operator
-    in this engine guarantees)."""
+    in this engine guarantees).
+
+    ``sample_fraction`` bounds training cost at scale: Lloyd rounds then
+    run on a DETERMINISTIC hash-sample of the corpus (xxhash64(id) mod —
+    engine/partitioning/rerun-stable, unlike ``df.sample``) while the
+    returned centroids are applied to the FULL corpus by the caller as
+    usual. At 100 TB you never Lloyd-iterate every vector to train a
+    K-cell coarse quantizer — a few million sampled vectors saturate
+    centroid quality. Seeds are always retained in the sample so the
+    init is unchanged. Default ``None`` keeps full-corpus training for
+    oracle parity at test scale."""
     from pyspark.sql import Window
 
     n = df.select(F.col(id_col), l2_normalize(F.col(vec_col)).alias("nv"))
+    train = n
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        thresh = int(sample_fraction * 1_000_000)
+        train = n.filter(
+            (F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < thresh)
+            | F.col(id_col).isin(seed_ids)
+        )
     cents = n.filter(F.col(id_col).isin(seed_ids)).select(
         F.col(id_col).alias("cid"), F.col("nv").alias("cv")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("dotc"), F.asc("cid"))
     for _ in range(iterations):
         assigned = (
-            n.crossJoin(F.broadcast(cents))
+            train.crossJoin(F.broadcast(cents))
             .withColumn("dotc", dot(F.col("nv"), F.col("cv")))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)

@@ -464,6 +464,39 @@ def test_kmeans_centroids_deterministic_and_trained(spark):
         assert abs(math.sqrt(sum(x * x for x in cv)) - 1.0) < 1e-9
 
 
+def test_kmeans_sample_fraction_deterministic(spark):
+    """sample_fraction trains on a hash-sample: result must be (a)
+    bit-identical across reruns AND repartitionings (hash-sample, not
+    df.sample), (b) valid unit-length centroids for every seed even at a
+    tiny fraction (seeds always retained in the sample), (c) generally
+    different from full-corpus training (it really did subsample)."""
+    import math
+
+    import pytest
+
+    from mqtt_streamr_spark.operators.similarity import kmeans_centroids
+    from mqtt_streamr_spark.tables import load
+
+    emb = load(spark, "embeddings", "/root/testdata/sf0.001")
+    seeds = [1, 2, 3, 4]
+    a = {r["cid"]: tuple(r["cv"])
+         for r in kmeans_centroids(
+             emb, seeds, iterations=2, sample_fraction=0.25).collect()}
+    b = {r["cid"]: tuple(r["cv"])
+         for r in kmeans_centroids(
+             emb.repartition(13), seeds, iterations=2,
+             sample_fraction=0.25).collect()}
+    assert a == b                       # partitioning-independent
+    assert set(a) == set(seeds)
+    for cv in a.values():
+        assert abs(math.sqrt(sum(x * x for x in cv)) - 1.0) < 1e-9
+    full = {r["cid"]: tuple(r["cv"])
+            for r in kmeans_centroids(emb, seeds, iterations=2).collect()}
+    assert a != full                    # the sample actually constrained
+    with pytest.raises(ValueError, match="sample_fraction"):
+        kmeans_centroids(emb, seeds, sample_fraction=1.5)
+
+
 def test_pack_sequences_budget_semantics(spark):
     """Packing invariants: consecutive docs share a pack until the budget
     would be crossed; an oversized doc occupies its own pack span; packs
