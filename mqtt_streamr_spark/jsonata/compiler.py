@@ -51,6 +51,11 @@ class TypedCol:
     fields: list[str] | None = None  # field names for constructed objects
     dtype: object | None = None  # Spark DataType on the TYPED path (schema
     #                              known statically; enables codegen)
+    seq_nav_unsafe: bool = False  # array whose JSONata NAME-step navigation
+    #   must apply singleton-collapse/empty->undefined (sequence semantics a
+    #   static Column type cannot express) — navigation raises NotCompilable
+    #   instead of silently diverging; whole-value/aggregate/indexed uses
+    #   stay compiled ($match results)
 
 
 @dataclass
@@ -460,6 +465,16 @@ def _c_path(node, ctx):
         return _typed_navigate(lhs.col, lhs.dtype, rhs_steps)
     if lhs.kind.startswith("array") and lhs.elem == "object" \
             and lhs.dtype is not None:
+        if lhs.seq_nav_unsafe:
+            # e.g. $match(...).match — a 1-match result must collapse to
+            # the scalar and 0 matches to undefined (JSONata sequence
+            # rules); a Column has one static type, so hand the whole
+            # expression to the interpreter rather than silently return
+            # [x]/[] where the reference gives x/undefined
+            raise NotCompilable(
+                "name navigation over $match results needs singleton "
+                "collapse (interpreter)"
+            )
         # typed array of structs: map the name step over elements
         out = _typed_navigate(
             F.lit(None), lhs.dtype, rhs_steps
@@ -994,6 +1009,32 @@ def _arg_regex(node_args, i):
     return None
 
 
+def _count_capture_groups(rx: str) -> int:
+    """Statically count capture groups in a Java regex: unescaped ``(``
+    outside character classes, excluding ``(?...`` constructs."""
+    n, i, in_class = 0, 0, False
+    while i < len(rx):
+        c = rx[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(" and rx[i + 1:i + 2] != "?":
+            n += 1
+        i += 1
+    return n
+
+
+# constructs whose match positions depend on surrounding context — the
+# position()-walk index reconstruction in $match is unsound for these
+# (conservative: a literal ^ inside a character class also matches)
+_POSITION_DEPENDENT = _re.compile(r"\(\?<?[=!]|\\b|\\B|\^|\$")
+
+
 # functions whose arguments cannot be pre-compiled as values (e.g. an array
 # literal of heterogeneous objects) — their handlers walk the AST directly
 _RAW_ARG_FNS = {"merge"}
@@ -1153,6 +1194,83 @@ def _fc_replace(args, node, ctx):
     if len(args) >= 4:
         raise NotCompilable("$replace with limit needs interpreter")
     return TypedCol(F.replace(s, as_string(args[1]), repl), "string")
+
+
+@_fn("match")
+def _fc_match(args, node, ctx):
+    """$match(str, /regex/[, limit]) compiled to native Columns —
+    previously interpreter-only (round-4 verdict gap #2). Matches and
+    per-group strings come from regexp_extract_all; the JS ``m.start()``
+    offsets are reconstructed with an aggregate() walk using position()
+    from the previous match's end. That walk is sound for
+    anchor/lookaround-free patterns: a successful match derivation
+    consumes exactly the matched text and is position-independent, so any
+    earlier occurrence of that text at-or-after the previous match's end
+    would itself have been a match — the earliest occurrence IS the match
+    position. Patterns containing ^ $ \\b \\B or lookaround fall back to
+    the interpreter (NotCompilable), as do non-literal patterns (the
+    group count must be static).
+
+    Returns ``array<struct<match, index, groups>>`` — the same
+    match-object list the interpreter builds (interpreter.py _f_match),
+    with non-participating groups as '' on both backends; that list shape
+    is cardinality-independent, so whole-value serialization, $count, and
+    indexed access stay parity-exact. NAME navigation over the result
+    (``$match(...).match``) needs JSONata's singleton-collapse and is
+    marked seq_nav_unsafe — it raises NotCompilable so the expression
+    falls back to the interpreter instead of silently returning [x]
+    where the reference gives x."""
+    import pyspark.sql.types as T
+
+    s = as_string(args[0])
+    rx = _arg_regex(node["args"], 1)
+    if rx is None:
+        raise NotCompilable("$match needs a regex literal")
+    if _POSITION_DEPENDENT.search(rx):
+        raise NotCompilable(
+            "$match with anchors/lookaround needs the interpreter"
+        )
+    n_groups = _count_capture_groups(rx)
+    matches = F.regexp_extract_all(s, F.lit(rx), 0)
+    if len(args) >= 3:
+        matches = F.slice(matches, 1, as_number(args[2]).cast("int"))
+    groups = [F.regexp_extract_all(s, F.lit(rx), g + 1)
+              for g in range(n_groups)]
+
+    def _advance(acc, m):
+        p = F.position(m, s, acc.getField("pos"))
+        return F.struct(
+            # advance at least 1 so a zero-length match can't loop in place
+            (p + F.greatest(F.length(m), F.lit(1))).cast("int").alias("pos"),
+            F.array_append(
+                acc.getField("idx"), (p - 1).cast("double")
+            ).alias("idx"),
+        )
+
+    acc0 = F.struct(
+        F.lit(1).cast("int").alias("pos"),
+        F.array().cast("array<double>").alias("idx"),
+    )
+    idxs = F.aggregate(matches, acc0, _advance).getField("idx")
+    group_col = (
+        (lambda i: F.array(*[F.get(g, i) for g in groups])) if groups
+        else (lambda i: F.array().cast("array<string>"))
+    )
+    structs = F.transform(
+        matches,
+        lambda m, i: F.struct(
+            m.alias("match"),
+            F.get(idxs, i).alias("index"),
+            group_col(i).alias("groups"),
+        ),
+    )
+    dt = T.StructType([
+        T.StructField("match", T.StringType()),
+        T.StructField("index", T.DoubleType()),
+        T.StructField("groups", T.ArrayType(T.StringType())),
+    ])
+    return TypedCol(structs, "array<object>", elem="object", dtype=dt,
+                    seq_nav_unsafe=True)
 
 
 @_fn("base64encode")

@@ -266,6 +266,22 @@ COMPILABLE = [
     "$string(value)",
     "$string(count)",
     "$number(nested.k) * 2",
+    # $match match-objects (compiled round 5; was interpreter-only).
+    # The bare list shape is cardinality-independent (parity-exact for
+    # 0/1/N matches); NAME navigation over the result needs singleton
+    # collapse and stays interpreter-only (NOT_COMPILABLE below).
+    "$match(kind, /t.mp/)",
+    "$match(kind, /x+/)",                       # no match -> []
+    "$match('ab12cd34', /\\d+/)",
+    "$match('ab12', /\\d+/)",                   # single match: still a list
+    "$count($match('ab12cd34', /\\d+/))",       # aggregate consumption
+    "$count($match('ab', /x/))",                # zero matches -> 0
+    "$match('a1b2c3', /(\\w)(\\d)/)",           # capture groups
+    "$match('a1b2c3', /(\\w)(\\d)/, 2)",        # limit
+    "$match('aa baa aa', /a+/)",                # repeated text: index walk
+    "$match('concat cat cat', /c\\w+t/)",       # overlapping-ish occurrences
+    "$match('a-b a-c', /a-(b|d)/)",             # alternation group
+    "kind ~> $match(/e.s/)",                    # chained context form
 ]
 
 
@@ -279,7 +295,10 @@ def test_compiled_matches_interpreter(spark, expr):
 NOT_COMPILABLE = [
     "**.leaf",                       # descendants
     "nums{$string($): $}",           # group-by
-    "$match(kind, /t.mp/)",          # regex match objects
+    "$match(kind, /^t.mp/)",         # anchored: position-dependent
+    "$match(kind, /t\\b/)",          # word boundary: position-dependent
+    "$match('ab12cd34', /\\d+/).match",   # nav needs singleton collapse
+    "$match('ab12cd34', /\\d+/).index",   # nav needs singleton collapse
     "$each(nested, function($v,$k){ $v })",
     "$formatNumber(value, kind)",    # run-time picture -> interpreter
 ]

@@ -82,6 +82,20 @@ def test_compiled_jsonata_stays_jvm_side(spark):
         assert "Batched: true" in p, (name, p)
 
 
+def test_compiled_match_objects_stay_jvm_side(spark):
+    """$match match-objects compile to native Columns (round 5): the plan
+    must contain no Python evaluation nodes for match/index/groups
+    extraction."""
+    import pyspark.sql.functions as FN
+
+    from mqtt_streamr_spark.jsonata.compiler import compile_column
+
+    df = spark.createDataFrame([('{"kind": "sensor/temp"}',)], "payload string")
+    tc = compile_column("$match(kind, /(t.)mp/)", FN.try_parse_json("payload"))
+    p = plan_str(df.select(FN.to_json(tc.col).alias("m")))
+    assert "EvalPython" not in p, p
+
+
 def test_typed_jsonata_whole_stage_codegen(spark):
     """The typed path's payoff: struct navigation + concrete types keep the
     transform inside whole-stage codegen with no variant expressions.
