@@ -60,6 +60,12 @@ class PipelineSpec:
     dead_letter_dir: str | None = None                # engine upgrade
     sink_format: str = "parquet"
     sink_dir: str | None = None
+    # registry bounds (engine upgrade — SURVEY §7 hard-part 6): the
+    # reference's memo map (bin:10) grows unbounded with routing-key
+    # cardinality; None/None keeps that parity, set either to bound
+    # driver memory at high-cardinality routing
+    registry_max_size: int | None = None
+    registry_ttl_seconds: float | None = None
 
     def validate(self) -> None:
         if not self.dry_run and self.sink_dir is None:
@@ -75,20 +81,55 @@ class StreamRegistry:
     """Memoized per-stream sink initialization — the engine analog of
     ``streamCreateFutures`` + ``getOrCreateStream`` (bin:10,168-184):
     the first record routed to a stream id triggers creation exactly once,
-    concurrent batches await the same in-flight creation."""
+    concurrent batches await the same in-flight creation.
 
-    def __init__(self, public_default: bool = False):
+    The reference's memo map is unbounded and never evicted (bin:10) —
+    fine for its topic cardinalities, a driver-memory leak at 100× routing
+    keys. ``max_size`` (LRU) and ``ttl_seconds`` (idle expiry) bound it;
+    both default off for reference parity. Eviction is safe because
+    creation is IDEMPOTENT (a re-routed record just re-runs the
+    create-if-absent init), so the memo is a cache, not a ledger."""
+
+    def __init__(self, public_default: bool = False,
+                 max_size: int | None = None,
+                 ttl_seconds: float | None = None,
+                 clock=None):
+        import time
+        from collections import OrderedDict
+
+        if max_size is not None and max_size < 1:
+            raise ValueError(f"max_size must be >= 1, got {max_size}")
         self._lock = threading.Lock()
-        self._streams: dict[str, dict] = {}
-
+        self._streams: "OrderedDict[str, dict]" = OrderedDict()
+        self._last_used: dict[str, float] = {}
+        self._clock = clock or time.monotonic
+        self.max_size = max_size
+        self.ttl_seconds = ttl_seconds
         self.public_default = public_default
 
+    def _evict_locked(self, now: float) -> None:
+        if self.ttl_seconds is not None:
+            dead = [k for k, t in self._last_used.items()
+                    if now - t > self.ttl_seconds]
+            for k in dead:
+                del self._streams[k]
+                del self._last_used[k]
+        if self.max_size is not None:
+            while len(self._streams) > self.max_size:
+                k, _ = self._streams.popitem(last=False)  # LRU head
+                del self._last_used[k]
+
     def get_or_create(self, stream_id: str) -> dict:
+        now = self._clock()
         with self._lock:
             meta = self._streams.get(stream_id)
             if meta is None:
                 meta = {"id": stream_id, "public_read": False}
                 self._streams[stream_id] = meta
+            else:
+                self._streams.move_to_end(stream_id)  # mark recently used
+            self._last_used[stream_id] = now
+            self._evict_locked(now)
         # ACL grant outside the lock, idempotent (bin:173-181 semantics)
         if self.public_default and not meta["public_read"]:
             meta["public_read"] = True
@@ -108,7 +149,11 @@ class StreamingBridge:
         spec.validate()
         self.spec = spec
         self.logger = logger or IntervalLogger(spec.log_interval)
-        self.registry = StreamRegistry(public_default=spec.public)
+        self.registry = StreamRegistry(
+            public_default=spec.public,
+            max_size=spec.registry_max_size,
+            ttl_seconds=spec.registry_ttl_seconds,
+        )
         self.transform_backend: str | None = None
 
     # --- plan construction (all Column work; no Python in the hot path) ---

@@ -174,6 +174,49 @@ def test_stats_stream(spark, tmpdirs):
     ).count()
 
 
+def test_stream_registry_lru_eviction():
+    """max_size bounds the memo map LRU-style; recreation after eviction
+    is idempotent (the memo is a cache, not a ledger)."""
+    from mqtt_streamr_spark.streaming.pipeline import StreamRegistry
+
+    reg = StreamRegistry(max_size=2)
+    reg.get_or_create("/a")
+    reg.get_or_create("/b")
+    reg.get_or_create("/a")          # touch /a -> /b is now LRU head
+    reg.get_or_create("/c")          # evicts /b
+    assert reg.stream_ids == ["/a", "/c"]
+    meta = reg.get_or_create("/b")   # safe recreation
+    assert meta["id"] == "/b"
+    assert len(reg.stream_ids) == 2
+
+
+def test_stream_registry_ttl_eviction():
+    from mqtt_streamr_spark.streaming.pipeline import StreamRegistry
+
+    t = [0.0]
+    reg = StreamRegistry(ttl_seconds=10.0, clock=lambda: t[0])
+    reg.get_or_create("/a")
+    t[0] = 5.0
+    reg.get_or_create("/b")
+    t[0] = 12.0                      # /a idle 12s > ttl, /b idle 7s
+    reg.get_or_create("/c")
+    assert reg.stream_ids == ["/b", "/c"]
+
+
+def test_stream_registry_default_unbounded():
+    """Default keeps reference parity (bin:10): nothing ever evicted."""
+    from mqtt_streamr_spark.streaming.pipeline import StreamRegistry
+
+    reg = StreamRegistry()
+    for i in range(500):
+        reg.get_or_create(f"/s{i}")
+    assert len(reg.stream_ids) == 500
+    import pytest
+
+    with pytest.raises(ValueError, match="max_size"):
+        StreamRegistry(max_size=0)
+
+
 def test_interval_logger_reset():
     logs = []
     logger = IntervalLogger(log_interval=0.05, sink=logs.append)
