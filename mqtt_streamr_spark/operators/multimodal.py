@@ -1,12 +1,15 @@
 """Multimodal column pattern: image/audio/video as opaque ``binary`` columns
 with a typed metadata struct, processed by Arrow-batched ``mapInPandas``.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``decode_image``/``decode_audio`` raise NotImplementedError, and
-``fake_feature_extractor`` is the deterministic stand-in used by tests and
-queries. The Spark-side plumbing — schema, batch iteration, partition
-behavior, UDF signature — is real and tested; swapping the stub for PIL /
-torchaudio is a one-function change.
+The decode step is IMPORT-GATED (the paho pattern from sources/mqtt.py):
+``decode_image`` decodes for real when Pillow is importable and
+``decode_audio`` when soundfile is — otherwise each raises a clear
+NotImplementedError. This container ships neither library, so tests cover
+the gate + stub error here and the real branch activates (and is tested)
+wherever the libraries exist. ``fake_feature_extractor`` remains the
+deterministic stand-in used by queries. The Spark-side plumbing — schema,
+batch iteration, partition behavior, UDF signature — is real and tested
+either way.
 
 Scale notes: mapInPandas streams Arrow batches, so executor memory is
 bounded by batch size (spark.sql.execution.arrow.maxRecordsPerBatch), not
@@ -37,17 +40,44 @@ def attach_media_metadata(df: DataFrame, binary_col: str = "media") -> DataFrame
     return df.withColumn("n_bytes", F.octet_length(F.col(binary_col)).cast("long"))
 
 
-def decode_image(media_bytes: bytes):  # pragma: no cover - stub
-    """Real image decode (PIL/libvips) — unavailable in this container."""
-    raise NotImplementedError(
-        "image decoding requires PIL/libvips; wire it here in production"
-    )
+try:  # import-gate: real decode wherever Pillow exists
+    from PIL import Image as _pil_image
+except ImportError:  # this container: stays None, stub error below
+    _pil_image = None
+
+try:  # import-gate: real decode wherever soundfile exists
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
 
 
-def decode_audio(media_bytes: bytes):  # pragma: no cover - stub
-    raise NotImplementedError(
-        "audio decoding requires torchaudio/ffmpeg; wire it here in production"
-    )
+def decode_image(media_bytes: bytes):
+    """Decode an image blob to a loaded PIL image (real when Pillow is
+    installed; loud NotImplementedError otherwise — never a silent no-op)."""
+    if _pil_image is None:
+        raise NotImplementedError(
+            "image decoding requires Pillow; pip install pillow and this "
+            "function decodes for real (import-gated, no code change)"
+        )
+    import io
+
+    img = _pil_image.open(io.BytesIO(media_bytes))
+    img.load()  # force decode now, surfacing corrupt blobs here
+    return img
+
+
+def decode_audio(media_bytes: bytes):
+    """Decode an audio blob to (samples ndarray, sample_rate) via
+    soundfile when installed; loud NotImplementedError otherwise."""
+    if _soundfile is None:
+        raise NotImplementedError(
+            "audio decoding requires soundfile; pip install soundfile and "
+            "this function decodes for real (import-gated, no code change)"
+        )
+    import io
+
+    data, sample_rate = _soundfile.read(io.BytesIO(media_bytes))
+    return data, sample_rate
 
 
 def fake_feature_extractor(media_bytes: bytes, dim: int = 8) -> list[float]:

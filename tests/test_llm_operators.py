@@ -155,6 +155,52 @@ def test_multimodal_feature_plumbing(spark):
     assert list(by_id[1]["feature_vec"]) == expected_vec
 
 
+def test_decode_image_import_gate():
+    """Without Pillow the stub raises loudly; with Pillow it decodes a
+    real 1x1 PNG. Both branches asserted wherever they apply — the gate
+    itself is the contract (no silent no-op either way)."""
+    import pytest
+
+    from mqtt_streamr_spark.operators import multimodal as M
+
+    # deterministic 1x1 red PNG, hand-assembled (no image lib needed)
+    import base64
+
+    png = base64.b64decode(
+        b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4"
+        b"nGP4z8DwHwAFBQIAX8jx0gAAAABJRU5ErkJggg=="
+    )
+    if M._pil_image is None:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            M.decode_image(png)
+    else:  # pragma: no cover - container has no Pillow
+        img = M.decode_image(png)
+        assert img.size == (1, 1)
+
+
+def test_decode_audio_import_gate():
+    import pytest
+
+    from mqtt_streamr_spark.operators import multimodal as M
+
+    if M._soundfile is None:
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            M.decode_audio(b"RIFF....WAVE")
+    else:  # pragma: no cover - container has no soundfile
+        import io
+        import struct
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack("<4h", 0, 1000, -1000, 0))
+        data, rate = M.decode_audio(buf.getvalue())
+        assert rate == 8000 and len(data) == 4
+
+
 # --- production hash family (xxhash64) ---------------------------------------
 
 def _sf_docs(spark):

@@ -185,6 +185,110 @@ def _broker_reachable(url: str) -> bool:
         return False
 
 
+def test_mqtt_source_against_embedded_broker(spark):
+    """Self-contained broker integration (r4 verdict #6): start an amqtt
+    broker IN-PROCESS, then drive the real MqttDataSource end-to-end
+    through readStream — paho connect from the source's worker process,
+    broker-side wildcard subscribe, QoS-0 publish, parquet sink. Skips
+    (never fails) where amqtt or paho-mqtt is missing; runs the moment
+    both are installed — no external broker needed."""
+    import pytest
+
+    pytest.importorskip("amqtt.broker", reason="amqtt not installed")
+    mqtt = pytest.importorskip("paho.mqtt.client",
+                               reason="paho-mqtt not installed")
+
+    import asyncio
+    import socket
+    import threading
+    import time as _time
+
+    with socket.socket() as s:  # grab a free localhost port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    from amqtt.broker import Broker
+
+    loop = asyncio.new_event_loop()
+    box: dict = {}
+
+    def _serve():
+        asyncio.set_event_loop(loop)
+
+        async def _start():
+            broker = Broker({
+                "listeners": {"default": {"type": "tcp",
+                                          "bind": f"127.0.0.1:{port}"}},
+                "sys_interval": 0,
+                "auth": {"allow-anonymous": True},
+            })
+            box["broker"] = broker
+            await broker.start()
+
+        loop.run_until_complete(_start())
+        loop.run_forever()
+
+    t = threading.Thread(target=_serve, daemon=True)
+    t.start()
+    deadline = _time.time() + 15
+    while _time.time() < deadline:  # wait for the listener
+        try:
+            socket.create_connection(("127.0.0.1", port), 1).close()
+            break
+        except OSError:
+            _time.sleep(0.1)
+    else:
+        pytest.skip("embedded broker did not come up")
+
+    try:
+        register_mqtt_source(spark)
+        try:
+            pub = mqtt.Client(mqtt.CallbackAPIVersion.VERSION1)
+        except AttributeError:
+            pub = mqtt.Client()
+        pub.connect("127.0.0.1", port)
+        pub.loop_start()
+        with tempfile.TemporaryDirectory() as d:
+            q = (
+                spark.readStream.format("mqtt")
+                .option("url", f"mqtt://127.0.0.1:{port}")
+                .option("topics", "sensors/#")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", os.path.join(d, "out"))
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()  # source connects + subscribes
+                for i in range(5):
+                    pub.publish(f"sensors/s{i % 2}", json.dumps({"i": i}),
+                                qos=0)
+                pub.publish("other/x", "excluded", qos=0)
+                got = 0
+                deadline = _time.time() + 20
+                while got < 5 and _time.time() < deadline:
+                    _time.sleep(0.5)
+                    q.processAllAvailable()
+                    try:
+                        got = spark.read.parquet(
+                            os.path.join(d, "out")).count()
+                    except Exception:
+                        got = 0
+            finally:
+                q.stop()
+            out = spark.read.parquet(os.path.join(d, "out")).collect()
+            assert len(out) == 5, out
+            assert {r["topic"] for r in out} == {"sensors/s0", "sensors/s1"}
+        pub.loop_stop()
+        pub.disconnect()
+    finally:
+        if "broker" in box:
+            asyncio.run_coroutine_threadsafe(
+                box["broker"].shutdown(), loop).result(10)
+        loop.call_soon_threadsafe(loop.stop)
+
+
 def test_paho_roundtrip_against_real_broker():
     """End-to-end against a live broker: publish with a raw paho client,
     receive through PahoClient (the engine's real-broker backend). Skips
