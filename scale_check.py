@@ -20,6 +20,7 @@ from functools import reduce
 import pyspark.sql.functions as F
 
 from mqtt_streamr_spark.operators import dedup as D
+from mqtt_streamr_spark.operators import similarity as S
 from mqtt_streamr_spark.operators import text as T
 from mqtt_streamr_spark.operators.joins import asof_join
 from mqtt_streamr_spark.session import get_spark
@@ -111,6 +112,39 @@ def pii_scrub(spark, k):
     ).agg(F.sum("l"), F.count(F.lit(1)))
 
 
+def near_dup_pairs(spark, k):
+    # the full dedup path: LSH banding -> candidate self-join -> Jaccard
+    # verify. Replicas are text-perturbed, so dup pairs stay intra-replica
+    # and the output (and candidate set) must grow linearly in k.
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k,
+        id_cols=("doc_id",), tag_text_col="text",
+    )
+    p = D.near_dup_pairs(docs, threshold=0.5, bands=4, rows=2)
+    return p.agg(F.count(F.lit(1)), F.avg("jaccard_sim"))
+
+
+def ivf_assign_emb(spark, k):
+    # ANN ingest path: K fixed centroids (replica-0 seeds), every vector
+    # scored against all K then top-1 per vector — one shuffle on vec_id.
+    # K stays constant as data grows, which is exactly the 100 TB shape.
+    emb = replicate(load(spark, "embeddings", SF_DIR), k,
+                    id_cols=("vec_id",))
+    a = S.ivf_assign(emb, centroid_ids=[1, 2, 3, 4, 5, 6, 7, 8])
+    return a.groupBy("cid").count().agg(F.count(F.lit(1)), F.sum("count"))
+
+
+def packing(spark, k):
+    # scale path of pack_sequences: coarse uniform hash part key, window
+    # cumsum per partition — parallelism fixed at 64 whatever the corpus
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k, id_cols=("doc_id",)
+    ).withColumn("part", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+    p = T.pack_sequences(docs.select("part", "doc_id", "text"),
+                         budget_tokens=1024, part_col="part")
+    return p.agg(F.count(F.lit(1)), F.countDistinct("part", "pack_id"))
+
+
 OPS = {
     "scan_agg_lineitem": scan_agg,
     "minhash_lsh_buckets": minhash_buckets,
@@ -118,28 +152,68 @@ OPS = {
     "session_windows_events": sessions,
     "chunking_explode_docs": chunking,
     "pii_scrub_docs": pii_scrub,
+    "near_dup_pairs_docs": near_dup_pairs,
+    "ivf_assign_embeddings": ivf_assign_emb,
+    "pack_sequences_docs": packing,
 }
 
 
+def _shuffle_write_bytes(spark):
+    """Total shuffle-write bytes across completed stages, via the UI REST
+    API (the only stable surface PySpark exposes for stage metrics).
+    Returns None when the UI is off."""
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return None
+    import urllib.request
+
+    def get(path):
+        with urllib.request.urlopen(f"{url}/api/v1/{path}", timeout=10) as r:
+            return json.load(r)
+
+    app_id = get("applications")[0]["id"]
+    stages = get(f"applications/{app_id}/stages?status=complete")
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
 def main() -> None:
-    spark = get_spark(app_name="scale-check")
+    import sys
+
+    selected = sys.argv[1:] or list(OPS)
+    unknown = [n for n in selected if n not in OPS]
+    if unknown:
+        raise SystemExit(f"unknown ops {unknown}; choices: {list(OPS)}")
+    spark = get_spark(app_name="scale-check",
+                      extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     # one overall warm-up (JVM + parquet footers); per-(op, k) jobs then
     # run exactly once — the 16x configurations are too expensive to double
     scan_agg(spark, 1).collect()
-    for name, fn in OPS.items():
-        times = {}
+    for name in selected:
+        fn = OPS[name]
+        times, shuffles = {}, {}
         for k in MULTIPLES:
+            sb0 = _shuffle_write_bytes(spark)
             t0 = time.time()
             fn(spark, k).collect()
             times[f"x{k}"] = round(time.time() - t0, 2)
+            sb1 = _shuffle_write_bytes(spark)
+            if sb0 is not None and sb1 is not None:
+                shuffles[f"x{k}"] = sb1 - sb0
         lo, hi = times[f"x{MULTIPLES[0]}"], times[f"x{MULTIPLES[-1]}"]
         ratio = round(hi / lo, 2) if lo else None
-        print(json.dumps({
+        rec = {
             "op": name, "times_sec": times,
             "input_ratio": MULTIPLES[-1] // MULTIPLES[0],
             "time_ratio": ratio,
-        }))
+        }
+        if shuffles:
+            rec["shuffle_write_bytes"] = shuffles
+            slo = shuffles.get(f"x{MULTIPLES[0]}")
+            shi = shuffles.get(f"x{MULTIPLES[-1]}")
+            if slo:
+                rec["shuffle_ratio"] = round(shi / slo, 2)
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":
