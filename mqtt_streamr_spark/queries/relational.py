@@ -935,3 +935,340 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str
         )
         .orderBy("n_name")
     )
+
+
+# --- Round-5 additions: the remaining TPC-H shapes (q2/q9/q11/q12/q16/q20/
+# q21), adapted to the driver schema the same way q13/q17/q22 were: the
+# dataset has no partsupp/commitdate/shipmode columns, so each query keeps
+# its defining PLAN SHAPE (correlated min, scalar-subquery HAVING,
+# exists/not-exists self-joins, ...) over the columns that exist. With
+# these, all 22 TPC-H query shapes are registered and oracle-checked.
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+      SELECT c.l_partkey, c.supply_cost, s_name, s_acctbal, n_name
+      FROM cost c JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_regionkey = 0
+    ),
+    win AS (SELECT *, min(supply_cost) OVER (PARTITION BY l_partkey) AS mc
+            FROM eligible)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           round(supply_cost, 4) AS supply_cost
+    FROM win JOIN part ON p_partkey = l_partkey
+    WHERE supply_cost = mc AND p_type = 'LARGE' AND p_size <= 25
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: the schema has no
+    partsupp, so supply cost is derived as min(l_extendedprice/l_quantity)
+    per (part, supplier) from lineitem. The defining shape survives: a
+    correlated per-part minimum (here a window min — one shuffle on
+    l_partkey, no self-join) selecting the suppliers that achieve it,
+    region-restricted via a broadcast nation dim. Part filter applied
+    BEFORE the window so the shuffle carries only LARGE parts."""
+    li = load(spark, "lineitem", sf_dir)
+    supp = load(spark, "supplier", sf_dir)
+    nat = load(spark, "nation", sf_dir).filter(col("n_regionkey") == 0)
+    prt = load(spark, "part", sf_dir).filter(
+        (col("p_type") == "LARGE") & (col("p_size") <= 25)
+    )
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(col("l_extendedprice") / col("l_quantity"))
+             .alias("supply_cost"))
+    )
+    eligible = (
+        cost.join(supp, col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") == col("n_nationkey"))
+        .join(broadcast(prt), col("l_partkey") == col("p_partkey"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        eligible.withColumn("mc", F.min("supply_cost").over(w))
+        .filter(col("supply_cost") == col("mc"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("supply_cost", 4).alias("supply_cost"),
+        )
+        .orderBy(col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n_name, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity), 2) AS profit
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: no partsupp, so unit cost
+    is proxied as 0.6 * p_retailprice. Shape intact: a 5-way join whose
+    only big-big edge is lineitem ⋈ orders (equi, AQE/SMJ); supplier,
+    nation, and the name-filtered part side are broadcast dims. Profit
+    aggregates by supplier nation x order year."""
+    li = load(spark, "lineitem", sf_dir)
+    supp = load(spark, "supplier", sf_dir)
+    nat = load(spark, "nation", sf_dir)
+    prt = load(spark, "part", sf_dir).filter(col("p_name").like("%red%"))
+    orders = load(spark, "orders", sf_dir)
+    profit_term = (
+        col("l_extendedprice") * (1 - col("l_discount"))
+        - 0.6 * col("p_retailprice") * col("l_quantity")
+    )
+    return (
+        li.join(broadcast(supp), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") == col("n_nationkey"))
+        .join(broadcast(prt), col("l_partkey") == col("p_partkey"))
+        .join(orders, col("l_orderkey") == col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit_term), 2).alias("profit"))
+        .orderBy("n_name", col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey, sum(l_extendedprice) AS part_value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_regionkey = 1
+      GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(part_value) AS total_value FROM val)
+    SELECT l_partkey, round(part_value, 2) AS part_value
+    FROM val, tot
+    WHERE part_value > 0.001 * total_value
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), adapted: part value = lineitem revenue
+    from region-1 suppliers instead of partsupp stock value. The defining
+    shape is the scalar subquery in HAVING — the global total broadcasts
+    as a 1-row crossJoin against the per-part aggregate, so the
+    threshold filter is map-side; no second shuffle."""
+    li = load(spark, "lineitem", sf_dir)
+    supp = load(spark, "supplier", sf_dir)
+    nat = load(spark, "nation", sf_dir).filter(col("n_regionkey") == 1)
+    val = (
+        li.join(broadcast(supp), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") == col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("part_value"))
+    )
+    tot = val.agg(F.sum("part_value").alias("total_value"))
+    return (
+        val.crossJoin(broadcast(tot))
+        .filter(col("part_value") > 0.001 * col("total_value"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        .orderBy(col("part_value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """TPC-H Q12 (shipping priority pivot), adapted: no shipmode/commit/
+    receipt dates, so "late" = shipped >60 days after order date and the
+    pivot dimension is l_returnflag. Shape intact: one big equi-join +
+    conditional-sum pivot (CASE inside sum), single agg shuffle."""
+    orders = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, col("o_orderkey") == col("l_orderkey"))
+        .filter(col("l_shipdate")
+                > col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q16_part_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: lineitem is the
+    part-supplier bridge (no partsupp) and "complaint" suppliers are the
+    negative-balance ones. Shape intact: NOT IN anti-join against a tiny
+    excluded-supplier list (left_anti — no NOT-IN null pitfalls) +
+    count(DISTINCT) per part attribute triple."""
+    li = load(spark, "lineitem", sf_dir)
+    prt = load(spark, "part", sf_dir).filter(
+        (col("p_brand") != "Brand#1") & (col("p_type") != "PROMO")
+        & col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = load(spark, "supplier", sf_dir).filter(col("s_acctbal") < 0) \
+        .select(col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(broadcast(bad), "l_suppkey", "left_anti")
+        .join(broadcast(prt), col("l_partkey") == col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_excess_shippers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO' AND year(l_shipdate) = 1997
+      GROUP BY l_suppkey, l_partkey
+    ),
+    tot AS (SELECT l_partkey, sum(qty) AS part_qty
+            FROM shipped GROUP BY l_partkey)
+    SELECT DISTINCT s_name, n_name
+    FROM shipped JOIN tot USING (l_partkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE qty > 0.2 * part_qty AND n_regionkey = 2
+    ORDER BY s_name
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess-stock suppliers), adapted: a supplier is flagged
+    when its 1997 shipped quantity of a PROMO part exceeds 20% of that
+    part's total 1997 shipments (partsupp availqty stand-in). Shape
+    intact: nested aggregate-over-aggregate with a threshold join back —
+    per-(supplier, part) agg, per-part rollup REUSING the same shuffle
+    key (co-partitioned equi-join, no extra exchange on the big side),
+    then broadcast dims."""
+    li = load(spark, "lineitem", sf_dir)
+    prt = load(spark, "part", sf_dir).filter(col("p_type") == "PROMO")
+    supp = load(spark, "supplier", sf_dir)
+    nat = load(spark, "nation", sf_dir).filter(col("n_regionkey") == 2)
+    shipped = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(broadcast(prt), col("l_partkey") == col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
+    return (
+        shipped.join(tot, "l_partkey")
+        .filter(col("qty") > 0.2 * col("part_qty"))
+        .join(broadcast(supp), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") == col("n_nationkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >= l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: with no
+    commit/receipt dates, the "waiting" supplier is the strictly-latest
+    shipper on a multi-supplier finalized order. Shape intact — the
+    EXISTS becomes a left_semi and the NOT EXISTS a left_anti self-join
+    on lineitem, both hash joins on l_orderkey with the supplier
+    inequality (and date comparison) as residual conditions, exactly how
+    a 100 TB engine should run correlated existence checks."""
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir).filter(
+        col("o_orderstatus") == "F"
+    )
+    supp = load(spark, "supplier", sf_dir)
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        col("l_orderkey").alias("o2"), col("l_suppkey").alias("s2"),
+        col("l_shipdate").alias("d2"),
+    )
+    waiting = (
+        l1.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(
+            l2,
+            (col("l_orderkey") == col("o2"))
+            & (col("l_suppkey") != col("s2")),
+            "left_semi",
+        )
+        .join(
+            l2,
+            (col("l_orderkey") == col("o2"))
+            & (col("l_suppkey") != col("s2"))
+            & (col("d2") >= col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(broadcast(supp), col("l_suppkey") == col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(col("numwait").desc(), "s_name")
+        .limit(20)
+    )
