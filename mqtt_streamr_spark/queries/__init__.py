@@ -65,7 +65,9 @@ from mqtt_streamr_spark.queries.registry import ORACLES, QUERIES
 #     text_bm25_topdocs, text_pii_scrub, text_chunking (r5-NEW).
 # Still never driver-checked after r5 (next rotation): events_csv_roundtrip,
 # sample_stratified_rate, sim_ann_ivf_multiprobe, scan_filter_project,
-# text_repetition_ratio, q8_market_share.
+# text_repetition_ratio, q8_market_share, plus the round-5 TPC-H
+# completions q2/q9/q11/q12/q16/q20/q21 (added after this window was
+# frozen; all hash-checked by tests/test_correctness.py).
 MUST_VERIFY: list[str] = [
     # §2.2/2.7 events: parse, routing, windows
     "events_variant_parse_drop",

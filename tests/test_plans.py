@@ -258,3 +258,35 @@ def test_bm25_broadcasts_term_stats(spark):
     assert "BroadcastNestedLoopJoin (" not in p or "stats" in p, p
     assert "TakeOrderedAndProject" in p, p
     assert "Python" not in p, p
+
+
+def test_q21_exists_checks_are_hash_joins(spark):
+    # the EXISTS/NOT EXISTS self-joins must run as hash joins keyed on
+    # l_orderkey (supplier inequality + date comparison as residual
+    # conditions), never as a nested-loop or cartesian scan of lineitem
+    p = plan_str(QUERIES["q21_suppliers_kept_waiting"](spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert re.search(r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)"
+                     r".*LeftSemi", p), p
+    assert re.search(r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)"
+                     r".*LeftAnti", p), p
+
+
+def test_q11_scalar_subquery_broadcasts_one_row(spark):
+    # the HAVING threshold joins a 1-row global total: it must broadcast
+    # (BNLJ over a 1-row build side = map-side filter), and the per-part
+    # aggregate must not be recomputed with an extra big-side exchange
+    p = plan_str(QUERIES["q11_important_parts"](spark, SF))
+    assert "BroadcastExchange IdentityBroadcastMode" in plan_str(
+        QUERIES["q11_important_parts"](spark, SF), "extended"
+    ) or "BroadcastNestedLoopJoin" in p, p
+
+
+def test_q2_correlated_min_is_window_not_self_join(spark):
+    # the per-part minimum must be a window over the partkey partition —
+    # one exchange, no join of the aggregate back to itself
+    p = plan_str(QUERIES["q2_min_cost_supplier"](spark, SF))
+    assert "Window" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
