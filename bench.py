@@ -34,6 +34,25 @@ def sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def _run_queries(spark, jvm, timings: dict, errors: dict) -> None:
+    for name in sorted(QUERIES):
+        # JMH-style hygiene: collect BEFORE the timed region so each query
+        # measures its own cost, not the GC debt of the 70+ queries before
+        # it. Without this, the suite's accumulated old-gen garbage (memory
+        # sinks, checkpoint blocks) lands on whichever allocation-heavy
+        # query runs late — measured: text_winnowing_fingerprints 21.9 s
+        # in-suite vs 2.0 s isolated, and 2.9 s in-suite after a forced GC.
+        jvm.System.gc()
+        t0 = time.perf_counter()
+        try:
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # one broken query must not zero the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+
 def main() -> None:
     spark = get_spark(app_name="mqtt-streamr-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -55,23 +74,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     jvm = spark.sparkContext._jvm
-    for name in sorted(QUERIES):
-        # JMH-style hygiene: collect BEFORE the timed region so each query
-        # measures its own cost, not the GC debt of the 70+ queries before
-        # it. Without this, the suite's accumulated old-gen garbage (memory
-        # sinks, checkpoint blocks) lands on whichever allocation-heavy
-        # query runs late — measured: text_winnowing_fingerprints 21.9 s
-        # in-suite vs 2.0 s isolated, and 2.9 s in-suite after a forced GC.
-        jvm.System.gc()
-        t0 = time.perf_counter()
-        try:
-            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # one broken query must not zero the run
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+    # stdout must carry EXACTLY one JSON line; the streaming pipelines'
+    # IntervalLogger prints its reference-parity "Success: N, Errors: M"
+    # report to stdout, so route everything queries print to stderr
+    import contextlib
 
+    with contextlib.redirect_stdout(sys.stderr):
+        _run_queries(spark, jvm, timings, errors)
     time.sleep(1.0)  # listener bus is async; let progress events drain
     streaming = listener.summary()  # rec/s + p50/p99 batch ms (BASELINE.md)
     listener.detach()

@@ -316,3 +316,36 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     cost is only the verify join."""
     return _verified_pairs(df, char_ngrams(text_col, n), text_col,
                            id_col, threshold, bands, rows, hash_family)
+
+
+def decontaminate(df: DataFrame, bench_df: DataFrame, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """Benchmark decontamination: find training documents that share any
+    word ``n``-gram with an evaluation/benchmark corpus — the standard
+    guard against test-set leakage when assembling LLM training data.
+    (No reference analog — north-star LLM-pipeline extension.)
+
+    Returns (id_col, shared_grams) for contaminated training docs only;
+    anti-join the result against the corpus to drop them.
+
+    100 TB shape: the benchmark side is small by nature (eval suites are
+    10^3–10^6 docs), so its DISTINCT n-gram set broadcasts and the check
+    is a map-side hash-semi-join against the exploded training n-grams —
+    the training corpus never shuffles. Counting shared grams per doc
+    aggregates on the already-partition-local doc id (one shuffle bounded
+    by contaminated rows, not corpus size). n-grams are compared as full
+    strings; swap in xxhash64(gram) to shrink the broadcast at scale."""
+    grams = shingles(text_col, n)
+    bench_grams = (
+        bench_df.select(F.explode(shingles(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+    return (
+        exploded.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("gram")).alias("shared_grams"))
+    )

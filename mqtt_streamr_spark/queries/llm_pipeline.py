@@ -1376,3 +1376,39 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("pack_tokens").alias("max_pack_tokens"),
         F.round(F.avg("n_docs"), 4).alias("avg_docs_per_pack"),
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\\s+')
+               AS toks FROM documents),
+    ng AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                      generate_series(1, greatest(len(toks) - 3, 1)),
+                      i -> array_to_string(list_slice(toks, i, i + 3), ' ')))
+                  AS grams
+           FROM d),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM ng
+              WHERE doc_id % 17 = 0),
+    train AS (SELECT doc_id, unnest(grams) AS gram FROM ng
+              WHERE doc_id % 17 <> 0)
+    SELECT doc_id, count(DISTINCT gram)::BIGINT AS shared_grams
+    FROM train JOIN bench USING (gram)
+    GROUP BY doc_id
+    ORDER BY shared_grams DESC, doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 4-gram
+    with the held-out "benchmark" slice (doc_id % 17 == 0 stands in for
+    an eval suite). The benchmark n-gram set broadcasts; the training
+    corpus is checked map-side and never shuffles (see
+    operators/dedup.decontaminate)."""
+    docs = spread(load(spark, "documents", sf_dir))
+    bench = docs.filter(col("doc_id") % 17 == 0)
+    train = docs.filter(col("doc_id") % 17 != 0)
+    return (
+        D.decontaminate(train, bench, n=4)
+        .orderBy(col("shared_grams").desc(), "doc_id")
+    )

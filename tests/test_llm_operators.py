@@ -567,3 +567,32 @@ def test_pack_sequences_budget_semantics(spark):
     # pack ids never decrease in doc order
     ids = [got[i][0] for i in sorted(got)]
     assert ids == sorted(ids)
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    # bench doc shares the 4-gram "the quick brown fox" (and more) with
+    # docs 1 and 2; doc 3 is clean
+    bench = spark.createDataFrame(
+        [(100, "report: the quick brown fox jumps again")],
+        "doc_id long, text string",
+    )
+    out = D.decontaminate(_df(spark), bench, n=4).collect()
+    got = {r["doc_id"]: r["shared_grams"] for r in out}
+    assert set(got) == {1, 2}
+    # doc 1 shares "the quick brown fox", "quick brown fox jumps" -> 2
+    assert got[1] == 2 and got[2] == 2
+
+    # ground truth by plain Python
+    def grams(text, n=4):
+        t = py_tokens(text)
+        return {" ".join(t[i:i + n]) for i in range(max(len(t) - n + 1, 1))}
+
+    bg = grams("report: the quick brown fox jumps again")
+    for doc_id, text in DOCS:
+        expected = len(grams(text) & bg)
+        assert got.get(doc_id, 0) == expected
+
+
+def test_decontaminate_empty_benchmark(spark):
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    assert D.decontaminate(_df(spark), bench, n=4).count() == 0

@@ -290,3 +290,11 @@ def test_q2_correlated_min_is_window_not_self_join(spark):
     assert "Window" in p, p
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    # the training corpus must never shuffle: the benchmark n-gram set is
+    # the broadcast side of a map-side hash join
+    p = plan_str(QUERIES["text_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
