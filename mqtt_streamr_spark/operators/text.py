@@ -551,3 +551,52 @@ def pack_sequences(df, budget_tokens: int = 1024,
         "pack_id",
         F.floor((cum - F.col("n_toks")) / F.lit(budget_tokens)).cast("long"),
     )
+
+
+def gopher_quality_flags(text: Column | str,
+                         min_words: int = 20, max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_word_ratio: float = 0.1,
+                         min_alpha_word_ratio: float = 0.8,
+                         min_stop_hits: int = 2) -> Column:
+    """Gopher-style document quality flags (Rae et al. 2021 §A1.1, public
+    heuristics; no reference analog — north-star LLM-pipeline extension):
+    a struct of boolean repetition/format gates plus the combined pass.
+    All pure Column arithmetic over one tokenization — map-only, codegen,
+    no shuffle; at 100 TB this runs at scan speed as a projection.
+
+    Flags (True = passes the gate):
+      word_count_ok      min_words <= #tokens <= max_words
+      mean_word_len_ok   mean token length in [min, max]
+      symbol_ratio_ok    (# + ellipsis occurrences) / words <= max ratio
+      alpha_ratio_ok     fraction of words with an alphabetic char >= min
+      has_stopwords      >= min_stop_hits hits from the English stop set
+      passes             AND of the above
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n = F.size(toks)
+    mean_len = avg_token_length(c)
+    symbols = (
+        F.length(F.regexp_replace(c, r"[^#]", ""))
+        + F.size(F.split(c, r"\.\.\.", -1)) - 1
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    word_count_ok = (n >= min_words) & (n <= max_words)
+    mean_word_len_ok = (
+        (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    )
+    symbol_ratio_ok = (symbols / n) <= max_symbol_word_ratio
+    alpha_ratio_ok = (alpha / n) >= min_alpha_word_ratio
+    has_stopwords = stopword_hits(c, "en") >= min_stop_hits
+    passes = (word_count_ok & mean_word_len_ok & symbol_ratio_ok
+              & alpha_ratio_ok & has_stopwords)
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_word_len_ok.alias("mean_word_len_ok"),
+        symbol_ratio_ok.alias("symbol_ratio_ok"),
+        alpha_ratio_ok.alias("alpha_ratio_ok"),
+        has_stopwords.alias("has_stopwords"),
+        passes.alias("passes"),
+    )

@@ -1412,3 +1412,69 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.decontaminate(train, bench, n=4)
         .orderBy(col("shared_grams").desc(), "doc_id")
     )
+
+
+@query(
+    "text_gopher_flags",
+    oracle="""
+    WITH d AS (
+      SELECT source, string_split_regex(lower(text), '\\s+') AS toks, text
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             len(toks) AS n,
+             list_sum(list_transform(toks, t -> length(t))) * 1.0
+               / len(toks) AS mean_len,
+             length(regexp_replace(text, '[^#]', '', 'g'))
+               + len(str_split(text, '...')) - 1 AS symbols,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               AS alpha,
+             len(list_filter(toks, t -> list_contains(
+                 ['the','a','and','of','to','in','is'], t))) AS stop_hits
+      FROM d
+    ),
+    f AS (
+      SELECT source,
+             (n >= 20 AND n <= 100000) AS word_count_ok,
+             (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
+             (symbols * 1.0 / n) <= 0.1 AS symbol_ratio_ok,
+             (alpha * 1.0 / n) >= 0.8 AS alpha_ratio_ok,
+             stop_hits >= 2 AS has_stopwords
+      FROM m
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(word_count_ok::INT)::BIGINT AS n_word_count_ok,
+           sum(mean_word_len_ok::INT)::BIGINT AS n_mean_word_len_ok,
+           sum(symbol_ratio_ok::INT)::BIGINT AS n_symbol_ratio_ok,
+           sum(alpha_ratio_ok::INT)::BIGINT AS n_alpha_ratio_ok,
+           sum(has_stopwords::INT)::BIGINT AS n_has_stopwords,
+           sum((word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+                AND alpha_ratio_ok AND has_stopwords)::INT)::BIGINT
+             AS n_passes
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-gate pass rates per source (see
+    operators/text.gopher_quality_flags): one map-only projection over the
+    scan, then a single tiny agg shuffle keyed by source."""
+    docs = spread(load(spark, "documents", sf_dir))
+    g = docs.select(
+        "source", T.gopher_quality_flags("text").alias("g")
+    )
+    flag = lambda name: F.sum(col(f"g.{name}").cast("int")).alias(f"n_{name}")  # noqa: E731
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            flag("word_count_ok"),
+            flag("mean_word_len_ok"),
+            flag("symbol_ratio_ok"),
+            flag("alpha_ratio_ok"),
+            flag("has_stopwords"),
+            flag("passes"),
+        )
+        .orderBy("source")
+    )

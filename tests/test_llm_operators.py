@@ -596,3 +596,29 @@ def test_decontaminate_flags_overlapping_docs(spark):
 def test_decontaminate_empty_benchmark(spark):
     bench = spark.createDataFrame([], "doc_id long, text string")
     assert D.decontaminate(_df(spark), bench, n=4).count() == 0
+
+
+def test_gopher_flags_gate_semantics(spark):
+    rows = [
+        # 25 common words, clean -> passes everything
+        (1, "the quick brown fox jumps over a lazy dog and then runs "
+            "to the old barn in the field of green grass near a river"),
+        # too short
+        (2, "the a of to in is and"),
+        # symbol-heavy: many # marks -> symbol gate fails (word count too)
+        (3, "# ## ### #### " * 10 + "the a of to in is"),
+        # numeric/non-alpha words -> alpha gate fails
+        (4, " ".join(str(i) for i in range(30)) + " the a of to in"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", T.gopher_quality_flags("text").alias("g")
+        ).collect()
+    }
+    assert out[1]["passes"]
+    assert not out[2]["word_count_ok"] and not out[2]["passes"]
+    assert not out[3]["symbol_ratio_ok"] and not out[3]["passes"]
+    assert not out[4]["alpha_ratio_ok"] and not out[4]["passes"]
+    assert out[1]["has_stopwords"] and out[4]["has_stopwords"]
