@@ -600,3 +600,45 @@ def gopher_quality_flags(text: Column | str,
         has_stopwords.alias("has_stopwords"),
         passes.alias("passes"),
     )
+
+
+def temperature_rebalance(df, alpha: float = 0.5,
+                          stratum_col: str = "source",
+                          id_col: str = "doc_id"):
+    """Temperature-based dataset mixing (the standard multilingual /
+    multi-source LLM sampling scheme, e.g. XLM/mT5: post-mix share of
+    stratum s ∝ n_s^alpha): down-sample each stratum at
+    keep_rate_s = (n_s / n_min)^(alpha-1), so the smallest stratum is
+    kept whole and larger strata are compressed toward it. alpha=1 keeps
+    the natural mixture; alpha=0 equalizes all strata. (No reference
+    analog — north-star LLM-pipeline extension.)
+
+    Determinism: membership is the same md5-bucket trick as
+    :func:`rebalance_sources` but at 1/10000 granularity (rates from a
+    power law are rarely round percents); rates round to 1e-6 before the
+    threshold so the oracle can restate them bit-identically.
+
+    100 TB shape: one count agg over the strata (tiny result), rates
+    broadcast back, filter map-side. The corpus is scanned twice (count +
+    filter) — at scale feed ``precomputed_counts`` from catalog/ingest
+    metadata to make it one scan. Returns df plus a ``keep_rate`` column.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n"))
+    nmin = counts.agg(F.min("n").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        stratum_col,
+        F.round(
+            F.pow(F.col("n") / F.col("n_min"), F.lit(alpha - 1.0)), 6
+        ).alias("keep_rate"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("temp|"),
+                           F.col(id_col).cast("string"))), 1, 15
+        ),
+        16, 10,
+    ).cast("long") % 10000
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(h < F.round(F.col("keep_rate") * 10000).cast("long"))
+    )

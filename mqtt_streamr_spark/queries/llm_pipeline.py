@@ -1478,3 +1478,37 @@ def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "mix_temperature_sampled",
+    oracle="""
+    WITH counts AS (SELECT lang, count(*)::BIGINT AS n FROM documents
+                    GROUP BY lang),
+    nmin AS (SELECT min(n) AS n_min FROM counts),
+    rates AS (SELECT lang, round(pow(n * 1.0 / n_min, -0.5), 6)
+                     AS keep_rate
+              FROM counts, nmin),
+    kept AS (
+      SELECT d.lang, keep_rate
+      FROM documents d JOIN rates USING (lang)
+      WHERE ('0x' || substring(md5('temp|' || doc_id::VARCHAR), 1, 15))
+            ::BIGINT % 10000
+            < round(keep_rate * 10000)::BIGINT
+    )
+    SELECT lang, keep_rate, count(*)::BIGINT AS n_kept
+    FROM kept GROUP BY lang, keep_rate ORDER BY lang
+    """,
+)
+def mix_temperature_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing over the skewed ``lang`` strata (alpha=0.5):
+    en (the largest) is compressed hardest, the smallest language is kept
+    whole — post-mix shares ∝ n^0.5. Per-lang keep rates and kept counts
+    (see operators/text.temperature_rebalance)."""
+    docs = spread(load(spark, "documents", sf_dir))
+    kept = T.temperature_rebalance(docs, alpha=0.5, stratum_col="lang")
+    return (
+        kept.groupBy("lang", "keep_rate")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )

@@ -622,3 +622,34 @@ def test_gopher_flags_gate_semantics(spark):
     assert not out[3]["symbol_ratio_ok"] and not out[3]["passes"]
     assert not out[4]["alpha_ratio_ok"] and not out[4]["passes"]
     assert out[1]["has_stopwords"] and out[4]["has_stopwords"]
+
+
+def test_temperature_rebalance_shapes_mixture(spark):
+    # 400 'big' docs vs 100 'small': alpha=0.5 -> keep_rate(big) =
+    # (400/100)^-0.5 = 0.5, keep_rate(small) = 1.0; post-mix shares ~ 2:1
+    rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = T.temperature_rebalance(df, alpha=0.5, stratum_col="source")
+    rates = {r["source"]: r["keep_rate"]
+             for r in kept.select("source", "keep_rate").distinct().collect()}
+    assert rates["big"] == 0.5 and rates["small"] == 1.0
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    # small stratum kept whole; big stratum ~half (hash-binomial, wide tol)
+    assert counts["small"] == 100
+    assert 150 <= counts["big"] <= 250
+
+    # alpha=1 keeps the natural mixture (rate 1 everywhere)
+    all_kept = T.temperature_rebalance(df, alpha=1.0, stratum_col="source")
+    assert all_kept.count() == 500
+
+    # deterministic across invocations
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in T.temperature_rebalance(
+            df, alpha=0.5, stratum_col="source"
+        ).select("doc_id").collect()
+    )
+    assert ids1 == ids2
