@@ -642,3 +642,36 @@ def temperature_rebalance(df, alpha: float = 0.5,
         df.join(F.broadcast(rates), stratum_col)
         .filter(h < F.round(F.col("keep_rate") * 10000).cast("long"))
     )
+
+
+def unigram_logprob_score(df, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """CCNet-style language-model quality proxy: score each document by
+    the mean log-probability of its tokens under a unigram model fitted
+    on the corpus itself — rare-token-heavy (garbled, off-distribution)
+    documents score low. (No reference analog — north-star LLM-pipeline
+    extension; the real CCNet uses a KenLM 5-gram, this is the same
+    signal at unigram order, deterministic and oracle-checkable.)
+
+    Returns (id_col, n_toks, avg_logprob[rounded 4dp]).
+
+    100 TB shape: term frequencies are one explode + agg (uniform term
+    keys), the vocabulary broadcasts back, scoring is a map-side join +
+    per-doc agg. At web scale cap the broadcast with a top-K vocabulary
+    plus an OOV floor probability — the scores change negligibly because
+    the tail IS the low-probability mass."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col))
+                     .alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("total_tf"))
+    vocab = tf.crossJoin(F.broadcast(tot)).select(
+        "term", F.log(F.col("tf") / F.col("total_tf")).alias("lp")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )

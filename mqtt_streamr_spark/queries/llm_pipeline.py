@@ -1512,3 +1512,87 @@ def mix_temperature_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("lang")
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+'))
+             AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, count(*)::BIGINT AS tf FROM toks GROUP BY term),
+    tot AS (SELECT sum(tf) AS total_tf FROM tf),
+    vocab AS (SELECT term, ln(tf * 1.0 / total_tf) AS lp FROM tf, tot),
+    scored AS (
+      SELECT doc_id, count(*)::BIGINT AS n_toks,
+             round(avg(lp), 4) AS avg_logprob
+      FROM toks JOIN vocab USING (term)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks, avg_logprob FROM scored
+    ORDER BY avg_logprob ASC, doc_id LIMIT 20
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-20 documents by corpus-unigram mean log-probability — the
+    CCNet-style LM quality signal surfacing rare-token/garbled docs
+    (see operators/text.unigram_logprob_score)."""
+    docs = spread(load(spark, "documents", sf_dir))
+    s = T.unigram_logprob_score(docs)
+    return (
+        s.select("doc_id", "n_toks", "avg_logprob")
+        .orderBy(col("avg_logprob").asc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "sim_ivf_recall",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, {{norm}} AS nv FROM embeddings),
+    q0 AS (SELECT nv AS q_nv FROM n WHERE vec_id = 0),
+    exact AS (SELECT n.vec_id FROM n, q0 WHERE n.vec_id != 0
+              ORDER BY {{dot_nq}} DESC, n.vec_id LIMIT 10),
+    c AS (SELECT vec_id AS cid, nv AS cv FROM n
+          WHERE vec_id IN ({{seeds}})),
+    scored AS (SELECT n.vec_id, n.nv, c.cid, {{dot_nc}} AS dotc
+               FROM n CROSS JOIN c),
+    assigned AS (SELECT vec_id, nv, cid FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dotc DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    q AS (SELECT nv AS q_nv, cid AS q_cid FROM assigned WHERE vec_id = 0),
+    ivf AS (SELECT a.vec_id FROM assigned a, q
+            WHERE a.cid = q.q_cid AND a.vec_id != 0
+            ORDER BY {{dot_aq}} DESC, a.vec_id LIMIT 10)
+    SELECT 10::BIGINT AS k, count(*)::BIGINT AS n_hits,
+           round(count(*) / 10.0, 2) AS recall
+    FROM exact JOIN ivf USING (vec_id)
+    """.format(
+        norm=_norm_sql("embedding"),
+        seeds=_IVF_SEEDS_SQL,
+        dot_nq=_DOT.format(a="n.nv", b="q0.q_nv"),
+        dot_nc=_DOT.format(a="n.nv", b="c.cv"),
+        dot_aq=_DOT.format(a="a.nv", b="q.q_nv"),
+    ),
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN self-evaluation: recall@10 of the IVF probe (nprobe=1) against
+    the exact brute-force top-10 for the same query — the standard metric
+    every ANN deployment tracks. Both sides are TakeOrdered plans over the
+    same normalized scan; the overlap count is a tiny broadcast join."""
+    emb = load(spark, "embeddings", sf_dir)
+    exact = S.cosine_topk(emb, S.query_vector(emb, 0), k=10) \
+        .select("vec_id")
+    approx = S.ann_topk_ivf(emb, query_id=0, centroid_ids=_IVF_SEEDS,
+                            k=10).select("vec_id")
+    return (
+        exact.join(F.broadcast(approx), "vec_id")
+        .agg(
+            F.lit(10).cast("long").alias("k"),
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(F.count(F.lit(1)) / 10.0, 2).alias("recall"),
+        )
+    )

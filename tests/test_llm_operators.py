@@ -653,3 +653,20 @@ def test_temperature_rebalance_shapes_mixture(spark):
         ).select("doc_id").collect()
     )
     assert ids1 == ids2
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    rows = [(1, "a a b"), (2, "b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           T.unigram_logprob_score(df).collect()}
+    # corpus tf: a=2, b=2, c=1, T=5
+    lp = {"a": math.log(2 / 5), "b": math.log(2 / 5), "c": math.log(1 / 5)}
+    exp1 = round((lp["a"] + lp["a"] + lp["b"]) / 3, 4)
+    exp2 = round((lp["b"] + lp["c"]) / 2, 4)
+    assert out[1]["n_toks"] == 3 and out[1]["avg_logprob"] == exp1
+    assert out[2]["n_toks"] == 2 and out[2]["avg_logprob"] == exp2
+    # rare-token doc scores lower
+    assert out[2]["avg_logprob"] < out[1]["avg_logprob"]
