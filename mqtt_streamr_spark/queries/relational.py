@@ -1272,3 +1272,38 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str
         .orderBy(col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderstatus, count(*)::BIGINT AS n_lines,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over BUCKETED catalog tables: orders and lineitem
+    are materialized bucketed+sorted on their join key
+    (tables.ensure_bucketed), so the join needs no exchange and no sort
+    on either side — the shuffle is paid once at ingest and amortized
+    over every join after it. That co-location property is what makes
+    repeated fact-fact joins viable at 100 TB; it is plan-asserted (with
+    broadcast disabled) in tests/test_plans.py. At this test SF Catalyst
+    may still pick a broadcast join — also correct, and the result is
+    identical either way."""
+    from mqtt_streamr_spark.tables import ensure_bucketed
+
+    ot = ensure_bucketed(spark, "orders", "o_orderkey", sf_dir)
+    lt = ensure_bucketed(spark, "lineitem", "l_orderkey", sf_dir)
+    o, li = spark.table(ot), spark.table(lt)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -118,3 +118,40 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view so spark.sql() can reference it."""
     for name in TABLES:
         load(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def ensure_bucketed(spark: SparkSession, name: str, key: str,
+                    sf_dir: str = DEFAULT_SF_DIR, num_buckets: int = 8
+                    ) -> str:
+    """Materialize ``name`` as a bucketed+sorted catalog table
+    (``bucketBy(num_buckets, key).sortBy(key)``) and return its qualified
+    table name. Idempotent per session (catalog check).
+
+    This is the 100 TB co-location primitive: two fact tables bucketed
+    and sorted on their join key sort-merge-join with NO exchange and NO
+    sort on either side — the shuffle is paid once at ingest and
+    amortized over every subsequent join (plan-asserted in
+    tests/test_plans.py). The bucket files live under a deterministic
+    per-(sf_dir, table) location so repeated sessions overwrite the same
+    spot instead of accumulating copies."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.sha1(f"{sf_dir}|{name}|{key}|{num_buckets}".encode()) \
+        .hexdigest()[:12]
+    db = "bucketed"
+    base = f"{name}_by_{key}_{tag}"
+    table = f"{db}.{base}"
+    loc = os.path.join(tempfile.gettempdir(), "spark_bucketed_db")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    if not spark.catalog.tableExists(table):
+        # bucket metadata lives in the session catalog; a FRESH session
+        # cannot reuse a previous session's files as a bucketed table, so
+        # clear the stale location and rewrite (cheap, derived data)
+        stale = os.path.join(loc, base)
+        shutil.rmtree(stale, ignore_errors=True)
+        (load(spark, name, sf_dir).write
+         .bucketBy(num_buckets, key).sortBy(key)
+         .mode("overwrite").format("parquet").saveAsTable(table))
+    return table

@@ -298,3 +298,24 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     p = plan_str(QUERIES["text_decontaminate"](spark, SF))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_bucketed_join_no_exchange(spark):
+    # with broadcast off (the 100 TB regime — neither fact side fits),
+    # the bucketed tables must sort-merge-join with NO exchange on either
+    # side: the bucket layout satisfies the join's distribution
+    # requirement, so the only exchanges left are the post-join agg hash
+    # and the final orderBy range. (A cheap per-partition Sort above each
+    # scan remains: Spark only propagates sortBy file ordering with one
+    # file per bucket, which a parallel writer doesn't guarantee — the
+    # property that matters at scale is the missing shuffle, not the
+    # in-memory partition sort.)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["join_bucketed_colocated"](spark, SF)
+        p = plan_str(df)
+        assert "SortMergeJoin" in p, p
+        assert p.count("Exchange (") == 2, p  # agg hash + final range
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
