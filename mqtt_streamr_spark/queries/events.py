@@ -617,3 +617,96 @@ def events_sessionized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("max_events"),
         F.round(F.avg("duration_s"), 2).alias("avg_duration_s"),
     )
+
+
+@query(
+    "agg_distinct_approx_hll",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS approx_users,
+           count(DISTINCT date_trunc('day', ts))::BIGINT AS approx_days
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_distinct_approx_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB distinct-count path: ``approx_count_distinct``
+    (HyperLogLog++) keeps O(1/rsd^2) state per group and merges map-side,
+    where exact count(DISTINCT) shuffles every distinct value. At rsd=0.005
+    the sketch runs in sparse mode and is EXACT below ~40k distincts, so
+    the sf0.01 oracle (exact counts) is hash-exact; at larger data rsd is
+    the documented accuracy/memory knob. Companion to the exact
+    ``agg_distinct_counts`` the same way percentiles pair exact/approx."""
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("approx_count_distinct(user_id, 0.005)")
+            .alias("approx_users"),
+            F.expr(
+                "approx_count_distinct(date_trunc('day', ts), 0.005)"
+            ).alias("approx_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    flags AS (
+      SELECT (t_view IS NOT NULL) AS viewed,
+             (t_view IS NOT NULL AND t_click > t_view) AS clicked_after,
+             (t_view IS NOT NULL AND t_click > t_view
+              AND t_purchase > t_click) AS purchased_after
+      FROM stage
+    )
+    SELECT count(*)::BIGINT AS n_users,
+           sum(viewed::INT)::BIGINT AS n_viewed,
+           sum(clicked_after::INT)::BIGINT AS n_clicked,
+           sum(purchased_after::INT)::BIGINT AS n_purchased,
+           round(sum(purchased_after::INT) * 1.0
+                 / nullif(sum(viewed::INT), 0), 4) AS full_funnel_rate
+    FROM flags
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): per-user
+    earliest timestamp per stage via one conditional-min agg (single
+    shuffle on user_id), stage ordering checked on the tiny per-user
+    result, global rates from a 1-row final agg. The standard product
+    analytics query, expressed without self-joins — at 100 TB the
+    per-user agg is the only data-sized shuffle."""
+    ev = load(spark, "events", sf_dir)
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(col("event_type") == "view", col("ts")))
+        .alias("t_view"),
+        F.min(F.when(col("event_type") == "click", col("ts")))
+        .alias("t_click"),
+        F.min(F.when(col("event_type") == "purchase", col("ts")))
+        .alias("t_purchase"),
+    )
+    viewed = col("t_view").isNotNull()
+    clicked = viewed & (col("t_click") > col("t_view"))
+    purchased = clicked & (col("t_purchase") > col("t_click"))
+    flags = stage.select(
+        viewed.alias("viewed"), clicked.alias("clicked_after"),
+        purchased.alias("purchased_after"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(col("viewed").cast("int")).alias("n_viewed"),
+        F.sum(col("clicked_after").cast("int")).alias("n_clicked"),
+        F.sum(col("purchased_after").cast("int")).alias("n_purchased"),
+        F.round(
+            F.sum(col("purchased_after").cast("int"))
+            / F.nullif(F.sum(col("viewed").cast("int")), F.lit(0)), 4
+        ).alias("full_funnel_rate"),
+    )

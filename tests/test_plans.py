@@ -319,3 +319,21 @@ def test_bucketed_join_no_exchange(spark):
         assert p.count("Exchange (") == 2, p  # agg hash + final range
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_approx_distinct_hll_partial_agg(spark):
+    # the HLL sketch must partial-aggregate map-side (sketch visible in
+    # partial AND final agg) around one data exchange; exact
+    # count(DISTINCT) instead plans a two-phase expand/re-shuffle
+    p = plan_str(QUERIES["agg_distinct_approx_hll"](spark, SF))
+    assert p.lower().count("approx_count_distinct") >= 2, p
+    assert p.count("Exchange (") == 2, p  # agg hash + final orderBy range
+    assert "Expand" not in p, p
+
+
+def test_funnel_single_user_shuffle(spark):
+    # one data-sized shuffle (user_id agg); the stage-ordering flags and
+    # the global rollup ride the tiny per-user result
+    p = plan_str(QUERIES["events_funnel_conversion"](spark, SF))
+    assert p.count("Exchange (") <= 2, p
+    assert "Join" not in p, p  # no self-joins
