@@ -192,3 +192,61 @@ def streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView(name)
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT count(DISTINCT event_id) AS n_rows,
+           count(DISTINCT event_id) AS n_distinct
+    FROM events
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str
+                                     ) -> DataFrame:
+    """The BOUNDED-STATE streaming dedup: ``dropDuplicatesWithinWatermark``
+    evicts per-key state once the event-time watermark passes it, where
+    plain ``dropDuplicates`` holds every key forever — the difference
+    between a dedup stream that runs for months at 100 TB and one that
+    OOMs its state store. The watermark delay here exceeds the replayed
+    data's whole time span, so no eviction can fire in-test and the
+    result is deterministically the full dedup (hash-exact oracle);
+    in production the delay is the documented dedup-horizon knob."""
+    from mqtt_streamr_spark.streaming.pipeline import replay_source
+
+    d = tempfile.mkdtemp(prefix="streaming_dedup_wm_q_")
+    try:
+        src = replay_source(
+            spark, os.path.join(sf_dir, "events.parquet"), streaming=True,
+            split_files=2,
+        )
+        doubled = src.union(src)
+        deduped = (
+            doubled.withColumn(
+                "event_id",
+                F.get_json_object("payload", "$.event_id").cast("long"),
+            )
+            .withColumn(
+                "ev_ts",
+                F.get_json_object("payload", "$.ts").cast("timestamp"),
+            )
+            .withWatermark("ev_ts", "60 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", os.path.join(d, "out"))
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(os.path.join(d, "out"))
+        return (
+            out.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("event_id").alias("n_distinct"),
+            ).localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
