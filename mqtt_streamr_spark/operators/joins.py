@@ -57,27 +57,47 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               ts_col: str = "ts",
               right_value_cols: list[str] | None = None,
-              suffix: str = "_asof") -> DataFrame:
-    """For each left row, attach the right row with the greatest ts <=
-    left.ts for the same ``on`` key (backward as-of, ties include the
-    equal-ts right row — DuckDB/pandas ``merge_asof`` semantics). Right
-    value columns appear with ``suffix``; unmatched left rows get NULLs
-    (left-outer semantics)."""
+              suffix: str = "_asof",
+              direction: str = "backward",
+              tolerance_s: float | None = None) -> DataFrame:
+    """For each left row, attach the nearest right row for the same ``on``
+    key (pandas/DuckDB ``merge_asof`` semantics, exact-ts matches
+    included). Right value columns appear with ``suffix``; unmatched left
+    rows get NULLs (left-outer semantics).
+
+    ``direction``: 'backward' (greatest right ts <= left ts — default),
+    'forward' (smallest right ts >= left ts), or 'nearest' (whichever is
+    closer in time; equidistant ties prefer the backward match).
+    ``tolerance_s``: maximum |left ts - right ts| in seconds; a match
+    farther away than this is nulled out.
+
+    All three directions keep the single-shuffle union+window shape:
+    'nearest' adds a second window PASS over the same key partitioning
+    (one extra sort, no extra exchange)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction {direction!r} not in "
+                         "backward/forward/nearest")
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in (on, ts_col)
     ]
     # the matched right row travels as ONE struct: last(ignorenulls) then
     # skips only left rows (whose struct is NULL), never a right row some
     # of whose values are genuinely NULL — per-column carry would smear
-    # values from different right rows together and resurrect stale values
+    # values from different right rows together and resurrect stale
+    # values. The right row's own ts rides along as __rts for the
+    # tolerance / nearest logic.
+    rtypes = dict(right.dtypes)
     right_struct_type = (
-        "struct<"
-        + ", ".join(f"{c}: {dict(right.dtypes)[c]}" for c in right_value_cols)
+        "struct<__rts: " + rtypes[ts_col] + ", "
+        + ", ".join(f"{c}: {rtypes[c]}" for c in right_value_cols)
         + ">"
     )
     r_tagged = right.select(
         on, ts_col,
-        F.struct(*[F.col(c) for c in right_value_cols]).alias("__r"),
+        F.struct(
+            F.col(ts_col).alias("__rts"),
+            *[F.col(c) for c in right_value_cols],
+        ).alias("__r"),
         F.lit(0).alias("__side"),
     )
     l_tagged = left.withColumn(
@@ -89,18 +109,55 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                 c, F.lit(None).cast(dict(left.dtypes)[c])
             )
     u = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
-    # side=0 sorts before side=1 at equal ts, so an equal-ts right row is
-    # visible to the left row (>= match)
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    u = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+
+    def carry(frame: DataFrame, ascending: bool, out_col: str) -> DataFrame:
+        # ts ascending + side asc => backward candidate at the current
+        # row (equal-ts right sorts first, so >= matches include it);
+        # ts descending + side asc => forward candidate, symmetric
+        order = (F.col(ts_col).asc() if ascending
+                 else F.col(ts_col).desc())
+        w = (
+            Window.partitionBy(on)
+            .orderBy(order, F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return frame.withColumn(
+            out_col, F.last("__r", ignorenulls=True).over(w)
+        )
+
+    if direction == "backward":
+        u = carry(u, True, "__m")
+    elif direction == "forward":
+        u = carry(u, False, "__m")
+    else:  # nearest: both passes share the key partitioning (one shuffle)
+        u = carry(carry(u, True, "__b"), False, "__f")
+        dist_b = F.abs(
+            F.col(ts_col).cast("double")
+            - F.col("__b").getField("__rts").cast("double")
+        )
+        dist_f = F.abs(
+            F.col("__f").getField("__rts").cast("double")
+            - F.col(ts_col).cast("double")
+        )
+        u = u.withColumn(
+            "__m",
+            F.when(F.col("__b").isNull(), F.col("__f"))
+            .when(F.col("__f").isNull(), F.col("__b"))
+            .when(dist_f < dist_b, F.col("__f"))
+            .otherwise(F.col("__b")),  # ties prefer backward
+        ).drop("__b", "__f")
+    if tolerance_s is not None:
+        within = (
+            F.abs(
+                F.col(ts_col).cast("double")
+                - F.col("__m").getField("__rts").cast("double")
+            ) <= F.lit(float(tolerance_s))
+        )
+        u = u.withColumn("__m", F.when(within, F.col("__m")))
     out = u.filter(F.col("__side") == 1).drop("__side")
     for c in right_value_cols:
-        out = out.withColumn(c + suffix, F.col("__r").getField(c))
-    return out.drop("__r")
+        out = out.withColumn(c + suffix, F.col("__m").getField(c))
+    return out.drop("__m", "__r")
 
 
 def range_bin_join(left: DataFrame, right: DataFrame, on: list[str] | str,

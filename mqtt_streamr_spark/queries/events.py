@@ -710,3 +710,63 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.sum(col("viewed").cast("int")), F.lit(0)), 4
         ).alias("full_funnel_rate"),
     )
+
+
+@query(
+    "join_asof_nearest_tolerance",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value AS p_value
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, value AS v_value
+          FROM events WHERE event_type = 'view'),
+    b AS (SELECT p.event_id, max(v.ts) AS t
+          FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+          GROUP BY p.event_id),
+    f AS (SELECT p.event_id, min(v.ts) AS t
+          FROM p JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+          GROUP BY p.event_id),
+    pick AS (
+      SELECT p.event_id, p.user_id, p.ts, p.p_value,
+             CASE WHEN b.t IS NOT NULL AND (f.t IS NULL OR
+                       epoch_us(p.ts) - epoch_us(b.t)
+                       <= epoch_us(f.t) - epoch_us(p.ts))
+                  THEN b.t ELSE f.t END AS vt
+      FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+    ),
+    lim AS (SELECT event_id, user_id, ts, p_value,
+                   CASE WHEN vt IS NOT NULL
+                         AND abs(epoch_us(ts) - epoch_us(vt))
+                             <= 3600::BIGINT * 1000000
+                        THEN vt END AS vt
+            FROM pick)
+    SELECT l.event_id, round(l.p_value, 2) AS p_value,
+           round(v.v_value, 2) AS v_value
+    FROM lim l LEFT JOIN v
+      ON l.user_id = v.user_id AND l.vt = v.ts
+    """,
+)
+def join_asof_nearest_tolerance(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """As-of join, NEAREST direction with a 1-hour tolerance: each
+    purchase matched to the same user's closest view in either time
+    direction, nulled when the nearest view is over an hour away —
+    merge_asof(direction='nearest', tolerance=...) semantics
+    (equidistant ties prefer the backward match). Same single-shuffle
+    union+window machinery as the backward query; 'nearest' adds one
+    extra in-partition window pass, no extra exchange."""
+    from mqtt_streamr_spark.operators.joins import asof_join
+
+    ev = load(spark, "events", sf_dir)
+    p = ev.filter(col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", col("value").alias("p_value")
+    )
+    v = ev.filter(col("event_type") == "view").select(
+        "user_id", "ts", col("value").alias("v_value")
+    )
+    j = asof_join(p, v, on="user_id", ts_col="ts",
+                  direction="nearest", tolerance_s=3600)
+    return j.select(
+        "event_id",
+        F.round("p_value", 2).alias("p_value"),
+        F.round("v_value_asof", 2).alias("v_value"),
+    )

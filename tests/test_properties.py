@@ -351,3 +351,63 @@ def test_sessionize_matches_python_reference(spark, gaps, threshold):
         want[base + t] = seq
         prev = t
     assert got == want
+
+
+@SLOW
+@given(data=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 2)),
+    min_size=1, max_size=40,
+))
+def test_asof_join_directions_match_pandas(spark, data):
+    """Differential oracle for the forward / nearest directions and the
+    tolerance knob: pandas merge_asof on the same random data. Nearest
+    equidistant ties are excluded (pandas resolves them forward, this
+    operator documents backward — both are valid conventions; exact-tie
+    inputs are filtered so the differential stays meaningful)."""
+    import pandas as pd
+
+    from mqtt_streamr_spark.operators.joins import asof_join
+
+    seen = set()
+    left_rows, right_rows = [], []
+    for i, (k, ts, side) in enumerate(data):
+        if (k, ts, side > 0) in seen:
+            continue
+        seen.add((k, ts, side > 0))
+        (left_rows if side > 0 else right_rows).append((k, ts, float(i)))
+    if not left_rows or not right_rows:
+        return
+    left = spark.createDataFrame(left_rows, "k int, ts int, lv double")
+    right = spark.createDataFrame(right_rows, "k int, ts int, rv double")
+    lpd = pd.DataFrame(left_rows, columns=["k", "ts", "lv"]).sort_values("ts")
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "rv"]).sort_values("ts")
+
+    for direction, tol in (("forward", None), ("backward", 5),
+                           ("forward", 5), ("nearest", None)):
+        got = {
+            (r["k"], r["ts"]): r["rv_asof"]
+            for r in asof_join(left, right, on="k", ts_col="ts",
+                               direction=direction,
+                               tolerance_s=tol).collect()
+        }
+        exp = pd.merge_asof(
+            lpd, rpd, on="ts", by="k", direction=direction,
+            **({"tolerance": tol} if tol is not None else {}),
+        )
+        rts = {k: sorted(t for kk, t, _v in right_rows if kk == k)
+               for k in {kk for kk, _t, _v in right_rows}}
+        for _, row in exp.iterrows():
+            if direction == "nearest":
+                # skip exact equidistant ties (convention differs)
+                ts_list = rts.get(row["k"], [])
+                lo = max((t for t in ts_list if t <= row["ts"]),
+                         default=None)
+                hi = min((t for t in ts_list if t >= row["ts"]),
+                         default=None)
+                if (lo is not None and hi is not None and lo != hi
+                        and row["ts"] - lo == hi - row["ts"]):
+                    continue
+            want = None if pd.isna(row["rv"]) else row["rv"]
+            assert got[(row["k"], row["ts"])] == want, (
+                direction, tol, dict(row), got
+            )
