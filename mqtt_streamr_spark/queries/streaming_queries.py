@@ -250,3 +250,89 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, value AS p_value FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts AS v_ts FROM events
+          WHERE event_type = 'view')
+    SELECT count(*)::BIGINT AS n_pairs,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           round(sum(p_value), 2) AS sum_purchase_value
+    FROM p JOIN v USING (user_id)
+    WHERE v_ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """STREAM-STREAM interval join: the purchases stream joined to the
+    views stream on user within a 1-hour lookback, both sides
+    watermarked — Structured Streaming buffers each side's state and
+    the watermark + interval condition BOUND that state (rows older than
+    the horizon are evicted), which is what makes a stream-stream join
+    runnable indefinitely at scale. The in-test watermark delay exceeds
+    the replayed span so no eviction fires and the drained result is
+    deterministically the complete batch join (hash-exact oracle)."""
+    from mqtt_streamr_spark.streaming.pipeline import replay_source
+
+    src = replay_source(
+        spark, os.path.join(sf_dir, "events.parquet"), streaming=True,
+        split_files=2,
+    )
+    parsed = (
+        src.withColumn(
+            "user_id",
+            F.get_json_object("payload", "$.user_id").cast("long"),
+        )
+        .withColumn(
+            "event_type", F.get_json_object("payload", "$.event_type")
+        )
+        .withColumn(
+            "value",
+            F.get_json_object("payload", "$.value").cast("double"),
+        )
+        .withColumn(
+            "ev_ts", F.get_json_object("payload", "$.ts").cast("timestamp")
+        )
+    )
+    p = (
+        parsed.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ev_ts").alias("p_ts"),
+                F.col("value").alias("p_value"))
+        .withWatermark("p_ts", "60 days")
+    )
+    v = (
+        parsed.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"),
+                F.col("ev_ts").alias("v_ts"))
+        .withWatermark("v_ts", "60 days")
+    )
+    joined = p.join(
+        v,
+        F.expr("user_id = v_user AND "
+               "v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+        "inner",
+    )
+    d = tempfile.mkdtemp(prefix="streaming_ssj_q_")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", os.path.join(d, "out"))
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(os.path.join(d, "out"))
+        return (
+            out.agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("p_value"), 2).alias("sum_purchase_value"),
+            ).localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -405,15 +405,24 @@ def replay_source(spark: SparkSession, events_path: str,
     else:
         base = spark.read.parquet(events_path)
     from mqtt_streamr_spark.operators.routing import synthetic_event_topic
+    from mqtt_streamr_spark.tables import normalize_events_ts
 
     df = (
-        base.withColumn(
+        normalize_events_ts(base)
+        .withColumn(
             "topic", synthetic_event_topic("event_type", "user_id")
         )
         .withColumn(
             "payload",
-            F.to_json(F.struct("event_id", "user_id", "event_type", "value",
-                               "props")),
+            F.to_json(F.struct(
+                "event_id", "user_id", "event_type", "value", "props",
+                # event time rides in the payload (µs-exact, castable back
+                # to timestamp) so event-time streaming ops — watermarks,
+                # dropDuplicatesWithinWatermark, stream-stream interval
+                # joins — have a real event clock to run on
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("ts"),
+            )),
         )
     )
     if malformed_every:

@@ -37,31 +37,41 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         # events.ts has shipped in three physical parquet layouts across
-        # data generations: TIMESTAMP(NANOS) (surfaces as int64 under
-        # nanosAsLong), TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfaces
-        # as TIMESTAMP_NTZ), and plain TIMESTAMP. The engine contract is
-        # that ``ts`` is always session-TZ TimestampType downstream, so
-        # branch on the dtype the scan actually produced instead of
-        # hardcoding one layout. nanosAsLong is inert for non-nanos files
+        # data generations; normalize_events_ts branches on the dtype the
+        # scan actually produced. nanosAsLong is inert for non-nanos files
         # and required to even read the nanos layout, so it stays set.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
-
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        dt = df.schema["ts"].dataType
-        if isinstance(dt, LongType):
-            # raw int64 nanos: truncate ns -> µs exactly as DuckDB does
-            # (floor division), so oracles agree to the microsecond.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(dt, TimestampNTZType):
-            # naive µs: reinterpret the wall-clock value in the session TZ.
-            # All downstream ops (date_trunc, window, collect) use the same
-            # session TZ, so results are TZ-invariant and match DuckDB's
-            # naive-timestamp arithmetic.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_events_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to session-TZ TimestampType.
+
+    The driver's events parquet has shipped in three physical layouts
+    across data generations: TIMESTAMP(NANOS) (surfaces as int64 under
+    nanosAsLong), TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfaces as
+    TIMESTAMP_NTZ), and plain TIMESTAMP. The engine contract is that
+    ``ts`` is always session-TZ TimestampType downstream, so branch on
+    the dtype the scan actually produced instead of hardcoding one
+    layout. (Requires spark.sql.legacy.parquet.nanosAsLong=true to read
+    the nanos layout at all — callers scanning events set it first.)"""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        # raw int64 nanos: truncate ns -> µs exactly as DuckDB does
+        # (floor division), so oracles agree to the microsecond.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        # naive µs: reinterpret the wall-clock value in the session TZ.
+        # All downstream ops (date_trunc, window, collect) use the same
+        # session TZ, so results are TZ-invariant and match DuckDB's
+        # naive-timestamp arithmetic.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def _parse_bytes(conf_val: str) -> int:

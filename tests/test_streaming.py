@@ -377,3 +377,32 @@ def test_topics_subscription_filter(spark, tmpdirs):
     assert out.count() == expected
     success, _ = bridge.logger.report()
     assert success == expected
+
+
+def test_replay_payload_carries_parseable_event_time(spark):
+    # event-time streaming ops (watermarks, dropDuplicatesWithinWatermark,
+    # stream-stream joins) silently degenerate if the payload loses its
+    # event clock: a NULL event-time column makes every watermark vacuous.
+    # Pin that $.ts exists, parses, and matches the source to the µs.
+    from mqtt_streamr_spark.streaming.pipeline import replay_source
+    from mqtt_streamr_spark.tables import load
+
+    src = replay_source(
+        spark, "/root/testdata/sf0.001/events.parquet", streaming=False
+    )
+    parsed = src.select(
+        F.get_json_object("payload", "$.event_id").cast("long")
+        .alias("event_id"),
+        F.get_json_object("payload", "$.ts").cast("timestamp")
+        .alias("ev_ts"),
+    )
+    assert parsed.filter(F.col("ev_ts").isNull()).count() == 0
+    truth = load(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "ts"
+    )
+    mismatch = (
+        parsed.join(truth, "event_id")
+        .filter(F.col("ev_ts") != F.col("ts"))
+        .count()
+    )
+    assert mismatch == 0
