@@ -1341,20 +1341,50 @@ def _fc_format_number(args, node, ctx):
     fall back to the interpreter. Ties are resolved with bround
     (banker's/HALF_EVEN) BEFORE formatting, matching Python's %.Nf
     half-even behavior on exactly-representable halves."""
+    from mqtt_streamr_spark.jsonata.interpreter import parse_number_picture
+
     v = as_number(args[0])
     if len(node["args"]) < 2 or node["args"][1]["type"] != "string":
         raise NotCompilable("$formatNumber picture must be a literal string")
     picture = node["args"][1]["value"]
-    if "." in picture:
-        intpic, fracpic = picture.split(".", 1)
-        decimals = len([c for c in fracpic if c in "0#"])
-    else:
-        intpic, decimals = picture, 0
-    rounded = F.bround(v, decimals)
-    if "," in intpic:
+    try:
+        prefix, suffix, grouped, decimals, min_int, scale = \
+            parse_number_picture(picture)
+    except ValueError as exc:
+        raise NotCompilable(str(exc)) from exc
+    if grouped and min_int > 1:
+        # zero-padding through grouping separators: interpreter-only
+        raise NotCompilable("grouped zero-padded $formatNumber picture")
+    rounded = F.bround(v * scale if scale != 1 else v, decimals)
+    if grouped:
         out = F.format_number(rounded, decimals)
     else:
         out = F.format_string(f"%.{decimals}f", rounded)
+        if min_int > 1:
+            # zero-pad the integer digits to min_int, preserving the sign
+            # (mirrors the interpreter's padding; lpad alone would
+            # TRUNCATE longer values, hence the length guard)
+            neg = F.substring(out, 1, 1) == "-"
+            body = F.when(neg, F.substr(out, F.lit(2), F.length(out))) \
+                .otherwise(out)
+            int_part = F.when(
+                F.instr(body, ".") > 0,
+                F.substr(body, F.lit(1), F.instr(body, ".") - 1),
+            ).otherwise(body)
+            frac_part = F.when(
+                F.instr(body, ".") > 0,
+                F.substr(body, F.instr(body, "."), F.length(body)),
+            ).otherwise(F.lit(""))
+            padded = F.when(
+                F.length(int_part) < min_int,
+                F.lpad(int_part, min_int, "0"),
+            ).otherwise(int_part)
+            out = F.concat(
+                F.when(neg, F.lit("-")).otherwise(F.lit("")),
+                padded, frac_part,
+            )
+    if prefix or suffix:
+        out = F.concat(F.lit(prefix), out, F.lit(suffix))
     return TypedCol(out, "string")
 
 

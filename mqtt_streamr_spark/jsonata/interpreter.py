@@ -812,20 +812,66 @@ def _f_format_base(interp, v=UNDEFINED, radix=10):
     return ("-" if neg else "") + out
 
 
+def parse_number_picture(picture):
+    """Parse the supported XPath picture subset into
+    (prefix, suffix, grouped, decimals, min_int, scale).
+
+    Supported: literal prefix/suffix around ONE number part of '#', '0',
+    ',' (grouping) and '.' decimals; '%' multiplies by 100 and '‰'
+    (per-mille) by 1000 (XPath fn:format-number semantics); '0' count in
+    the integer part sets the zero-padded minimum digits. Raises
+    ValueError for pictures outside the subset (sub-pictures ';',
+    multiple number parts, picture chars inside affixes)."""
+    import re as _re
+
+    m = _re.match(r"^([^0#.,;]*)([0#,]*(?:\.[0#]+)?)([^0#.,;]*)$", picture)
+    if not m or not m.group(2):
+        raise ValueError(f"unsupported $formatNumber picture {picture!r}")
+    prefix, number, suffix = m.groups()
+    scale = 1
+    if "%" in prefix or "%" in suffix:
+        scale = 100
+    elif "‰" in prefix or "‰" in suffix:
+        scale = 1000
+    if "." in number:
+        intpic, fracpic = number.split(".", 1)
+        decimals = len([c for c in fracpic if c in "0#"])
+    else:
+        intpic, decimals = number, 0
+    return (prefix, suffix, "," in intpic, decimals,
+            max(intpic.count("0"), 1), scale)
+
+
 @_b("formatNumber", 2)
 def _f_format_number(interp, v=UNDEFINED, picture="0", options=UNDEFINED):
     if v is UNDEFINED:
         return UNDEFINED
     v = require_number(v, "$formatNumber")
-    # minimal XPath picture support: grouping ',' and '0'/'#' decimals
-    if "." in picture:
-        intpic, fracpic = picture.split(".", 1)
-        decimals = len([c for c in fracpic if c in "0#"])
-    else:
-        intpic, decimals = picture, 0
-    grouped = "," in intpic
+    try:
+        prefix, suffix, grouped, decimals, min_int, scale = \
+            parse_number_picture(picture)
+    except ValueError as exc:
+        raise JsonataError(str(exc)) from exc
+    v = v * scale
     s = f"{v:,.{decimals}f}" if grouped else f"{v:.{decimals}f}"
-    return s
+    if min_int > 1:
+        # zero-pad the integer digits up to min_int (affects neither the
+        # sign nor the grouping separators)
+        neg = s.startswith("-")
+        body = s[1:] if neg else s
+        int_part, _, frac = body.partition(".")
+        digits = int_part.replace(",", "")
+        while len(digits) < min_int:
+            digits = "0" + digits
+        if grouped:
+            rev = digits[::-1]
+            int_part = ",".join(
+                rev[i:i + 3] for i in range(0, len(rev), 3)
+            )[::-1]
+        else:
+            int_part = digits
+        s = ("-" if neg else "") + int_part + ("." + frac if frac else "")
+    return prefix + s + suffix
 
 
 # aggregation -----------------------------------------------------------------

@@ -158,6 +158,16 @@ COMPILABLE = [
     '$formatNumber(-2.5, "0")',
     '$formatNumber(0 - value, "0.000")',
     '$formatNumber(1234567.891, "#,##0.00")',
+    # round-5 picture widening: percent / per-mille / zero-padded
+    # minimum digits / literal affixes (XPath fn:format-number subset)
+    '$formatNumber(value, "0.0%")',
+    '$formatNumber(value, "#,##0.00%")',
+    '$formatNumber(value, "000.0")',
+    '$formatNumber(0 - value, "000")',
+    '$formatNumber(value * 100, "$#,##0.00")',
+    '$formatNumber(value, "0.00 kg")',
+    '$formatNumber(value, "0\u2030")',
+    '$formatNumber(0 - value * 10000, "0000")',
     # arrays
     "$sum(nums)",
     "$max(nums)",
@@ -301,6 +311,7 @@ NOT_COMPILABLE = [
     "$match('ab12cd34', /\\d+/).index",   # nav needs singleton collapse
     "$each(nested, function($v,$k){ $v })",
     "$formatNumber(value, kind)",    # run-time picture -> interpreter
+    '$formatNumber(value, "000,000.0")',  # grouped zero-pad: interpreter
 ]
 
 
