@@ -675,3 +675,31 @@ def unigram_logprob_score(df, text_col: str = "text",
             F.round(F.avg("lp"), 4).alias("avg_logprob"),
         )
     )
+
+
+def token_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Shannon entropy (bits) of the token distribution —
+    near-zero for repetitive/spam documents ("buy now buy now ..."),
+    high for diverse text; the standard cheap gibberish/repetition
+    signal next to :func:`repetition_ratio`. (No reference analog —
+    north-star LLM-pipeline extension.)
+
+    Returns (id_col, n_toks, entropy_bits[rounded 4dp]).
+
+    Scale shape: reuses the :func:`term_frequencies` explode + (id, term)
+    agg — linear in corpus tokens with one uniform-key shuffle — then a
+    per-doc rollup of -sum(p*log2(p)). A per-row array fold would be
+    O(distinct x length) per document, quadratic for long docs; the
+    relational shape is the one that survives 100k-token documents."""
+    tf = term_frequencies(df, text_col, id_col)
+    return (
+        tf.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_toks"),
+            F.round(
+                F.log2(F.sum("tf"))
+                - F.sum(F.col("tf") * F.log2("tf")) / F.sum("tf"),
+                4,
+            ).alias("entropy_bits"),
+        )
+    )

@@ -1596,3 +1596,36 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count(F.lit(1)) / 10.0, 2).alias("recall"),
         )
     )
+
+
+@query(
+    "text_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+'))
+             AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+           GROUP BY doc_id, term),
+    h AS (
+      SELECT doc_id, sum(tf)::BIGINT AS n_toks,
+             round(log2(sum(tf))
+                   - sum(tf * log2(tf)) / sum(tf), 4) AS entropy_bits
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks, entropy_bits FROM h
+    ORDER BY entropy_bits ASC, doc_id LIMIT 20
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-20 documents by token-distribution Shannon entropy — the
+    repetitive/template/spam docs a cleaning pipeline drops first (see
+    operators/text.token_entropy)."""
+    docs = spread(load(spark, "documents", sf_dir))
+    h = T.token_entropy(docs)
+    return (
+        h.select("doc_id", "n_toks", "entropy_bits")
+        .orderBy(col("entropy_bits").asc(), "doc_id")
+        .limit(20)
+    )

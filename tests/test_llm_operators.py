@@ -670,3 +670,17 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[2]["n_toks"] == 2 and out[2]["avg_logprob"] == exp2
     # rare-token doc scores lower
     assert out[2]["avg_logprob"] < out[1]["avg_logprob"]
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+
+    rows = [(1, "spam spam spam spam"),      # H = 0
+            (2, "a b c d"),                   # uniform over 4 -> 2 bits
+            (3, "x x y")]                     # H(2/3,1/3)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.token_entropy(df).collect()}
+    assert out[1]["entropy_bits"] == 0.0 and out[1]["n_toks"] == 4
+    assert out[2]["entropy_bits"] == 2.0
+    want = round(-(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3)), 4)
+    assert out[3]["entropy_bits"] == want
