@@ -145,6 +145,27 @@ def packing(spark, k):
     return p.agg(F.count(F.lit(1)), F.countDistinct("part", "pack_id"))
 
 
+def unigram_scoring(spark, k):
+    # explode -> term agg -> broadcast vocab -> per-doc agg; term keys are
+    # uniform, vocab growth is sublinear in corpus size (vocab saturates)
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k,
+        id_cols=("doc_id",), tag_text_col="text",
+    )
+    s = T.unigram_logprob_score(docs)
+    return s.agg(F.count(F.lit(1)), F.round(F.avg("avg_logprob"), 2))
+
+
+def temperature_mix(spark, k):
+    # one stratum-count agg + broadcast rates + map-side filter; the
+    # stratum count is fixed (languages), so rates stay broadcast-size
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k, id_cols=("doc_id",)
+    )
+    kept = T.temperature_rebalance(docs, alpha=0.5, stratum_col="lang")
+    return kept.agg(F.count(F.lit(1)), F.countDistinct("lang"))
+
+
 OPS = {
     "scan_agg_lineitem": scan_agg,
     "minhash_lsh_buckets": minhash_buckets,
@@ -155,6 +176,8 @@ OPS = {
     "near_dup_pairs_docs": near_dup_pairs,
     "ivf_assign_embeddings": ivf_assign_emb,
     "pack_sequences_docs": packing,
+    "unigram_scoring_docs": unigram_scoring,
+    "temperature_mix_docs": temperature_mix,
 }
 
 
