@@ -337,3 +337,28 @@ def test_funnel_single_user_shuffle(spark):
     p = plan_str(QUERIES["events_funnel_conversion"](spark, SF))
     assert p.count("Exchange (") <= 2, p
     assert "Join" not in p, p  # no self-joins
+
+
+def test_all_batch_query_plans_free_of_scale_killers(spark):
+    """Sweeping invariant over the WHOLE registry (not just the queries
+    with dedicated plan tests): no batch query may plan a cartesian
+    product or a row-at-a-time Python eval node. BroadcastNestedLoopJoin
+    is allowed only because every use in this repo broadcasts a 1-row /
+    K-row side (scalar totals, query vectors, centroid lists) — the
+    dedicated tests pin those cases individually. Streaming queries are
+    excluded: calling them RUNS a stream; their sink-side plans are
+    covered by their own tests."""
+    failures = []
+    for name, fn in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue
+        try:
+            p = plan_str(fn(spark, SF))
+        except Exception as exc:  # pragma: no cover - surface loudly
+            failures.append((name, f"explain failed: {exc}"))
+            continue
+        if "CartesianProduct" in p:
+            failures.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in p:
+            failures.append((name, "BatchEvalPython (row-at-a-time UDF)"))
+    assert not failures, failures
