@@ -1307,3 +1307,39 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (engine extension, SURVEY §2.3): the big
+    side's rows get a deterministic salt, the small side replicates
+    n_salts times, and a hot key's rows spread over n_salts reducers —
+    the manual fallback for when one key exceeds a task even after AQE
+    skew splitting. Results are identical to the plain join (the oracle
+    IS the plain join); the equivalence also holds property-tested in
+    tests/test_operators.py."""
+    from mqtt_streamr_spark.operators.joins import salted_join
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_join(orders, cust, on="o_custkey", n_salts=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .orderBy("c_mktsegment")
+    )
