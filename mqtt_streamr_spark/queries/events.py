@@ -631,19 +631,22 @@ def events_sessionized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_distinct_approx_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB distinct-count path: ``approx_count_distinct``
     (HyperLogLog++) keeps O(1/rsd^2) state per group and merges map-side,
-    where exact count(DISTINCT) shuffles every distinct value. At rsd=0.005
-    the sketch runs in sparse mode and is EXACT below ~40k distincts, so
-    the sf0.01 oracle (exact counts) is hash-exact; at larger data rsd is
-    the documented accuracy/memory knob. Companion to the exact
-    ``agg_distinct_counts`` the same way percentiles pair exact/approx."""
+    where exact count(DISTINCT) shuffles every distinct value. rsd=0.02
+    keeps the sketch in sparse mode (exact) at the oracle's sf0.01
+    cardinalities so the exact-count oracle is hash-exact, while the
+    register array stays small — rsd=0.005 was measured to cost ~10 s of
+    pure register-merge overhead at ANY data size (fixed (1.04/rsd)^2
+    registers per partial), a reminder that the accuracy knob is also
+    the state-size knob. Companion to the exact ``agg_distinct_counts``
+    the same way percentiles pair exact/approx."""
     ev = load(spark, "events", sf_dir)
     return (
         ev.groupBy("event_type")
         .agg(
-            F.expr("approx_count_distinct(user_id, 0.005)")
+            F.expr("approx_count_distinct(user_id, 0.02)")
             .alias("approx_users"),
             F.expr(
-                "approx_count_distinct(date_trunc('day', ts), 0.005)"
+                "approx_count_distinct(date_trunc('day', ts), 0.02)"
             ).alias("approx_days"),
         )
         .orderBy("event_type")
