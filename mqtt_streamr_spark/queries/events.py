@@ -773,3 +773,83 @@ def join_asof_nearest_tolerance(spark: SparkSession, sf_dir: str
         F.round("p_value", 2).alias("p_value"),
         F.round("v_value_asof", 2).alias("v_value"),
     )
+
+
+@query(
+    "window_trailing_range_avg",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+             round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+             ), 4) AS trailing_avg,
+             count(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+             )::BIGINT AS trailing_n
+      FROM events
+    )
+    SELECT event_id, trailing_avg, trailing_n FROM w
+    ORDER BY trailing_n DESC, event_id LIMIT 25
+    """,
+)
+def window_trailing_range_avg(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """RANGE-frame analytic window: each event's trailing-1-hour average
+    and count over the same user's events — the time-based frame
+    (rangeBetween on epoch seconds) that ROWS frames cannot express when
+    event spacing is irregular. One shuffle on user_id; frame state is
+    bounded by the hour horizon, not the partition size."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    out = ev.select(
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("trailing_avg"),
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+    )
+    return out.orderBy(F.col("trailing_n").desc(), "event_id").limit(25)
+
+
+@query(
+    "pivot_daily_event_counts",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+             AS click,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+             AS error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+             AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+             AS signup,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+             AS view
+    FROM events GROUP BY day ORDER BY day
+    """,
+)
+def pivot_daily_event_counts(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Relational pivot: event types become columns of per-day counts via
+    ``groupBy(day).pivot(event_type, [explicit values])`` — the explicit
+    value list is the scale-relevant form (without it Spark runs an extra
+    distinct job over the whole input to discover the columns). Compiles
+    to the same single-shuffle conditional aggregation the oracle
+    spells out with CASE."""
+    ev = load(spark, "events", sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for empty cells; the CASE oracle produces 0
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
+    return out.orderBy("day")
