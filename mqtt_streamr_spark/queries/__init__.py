@@ -65,9 +65,16 @@ from mqtt_streamr_spark.queries.registry import ORACLES, QUERIES
 #     text_bm25_topdocs, text_pii_scrub, text_chunking (r5-NEW).
 # Still never driver-checked after r5 (next rotation): events_csv_roundtrip,
 # sample_stratified_rate, sim_ann_ivf_multiprobe, scan_filter_project,
-# text_repetition_ratio, q8_market_share, plus the round-5 TPC-H
-# completions q2/q9/q11/q12/q16/q20/q21 (added after this window was
-# frozen; all hash-checked by tests/test_correctness.py).
+# text_repetition_ratio, q8_market_share, plus everything added after
+# this window was frozen mid-round-5 (all hash-checked by
+# tests/test_correctness.py against the same DuckDB oracles): the TPC-H
+# completions q2/q9/q11/q12/q16/q20/q21, join_bucketed_colocated,
+# join_salted_skew, join_asof_nearest_tolerance, text_decontaminate,
+# text_gopher_flags, text_unigram_logprob, text_token_entropy,
+# mix_temperature_sampled, sim_ivf_recall, agg_distinct_approx_hll,
+# events_funnel_conversion, window_trailing_range_avg,
+# pivot_daily_event_counts, unpivot_event_type_counts,
+# streaming_dedup_within_watermark, streaming_stream_stream_join.
 MUST_VERIFY: list[str] = [
     # §2.2/2.7 events: parse, routing, windows
     "events_variant_parse_drop",

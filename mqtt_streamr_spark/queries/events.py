@@ -853,3 +853,42 @@ def pivot_daily_event_counts(spark: SparkSession, sf_dir: str
     for t in types:
         out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
     return out.orderBy("day")
+
+
+@query(
+    "unpivot_event_type_counts",
+    oracle="""
+    WITH p AS (
+      SELECT date_trunc('day', ts) AS day,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+               AS click,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+               AS view
+      FROM events GROUP BY day
+    )
+    SELECT day, event_type, n
+    FROM p UNPIVOT (n FOR event_type IN (click, view))
+    ORDER BY day, event_type
+    """,
+)
+def unpivot_event_type_counts(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Relational unpivot (melt): wide per-day count columns back to
+    (day, event_type, n) rows via ``DataFrame.unpivot`` — the inverse of
+    the pivot query, a pure map-side Expand (no shuffle beyond the
+    upstream agg). DuckDB's UNPIVOT drops NULL cells; counts here are
+    CASE-summed so every cell is non-null and the engines agree."""
+    ev = load(spark, "events", sf_dir)
+    wide = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.when(col("event_type") == "click", 1).otherwise(0))
+            .alias("click"),
+            F.sum(F.when(col("event_type") == "view", 1).otherwise(0))
+            .alias("view"),
+        )
+    )
+    return (
+        wide.unpivot("day", ["click", "view"], "event_type", "n")
+        .orderBy("day", "event_type")
+    )
