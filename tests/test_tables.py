@@ -92,3 +92,27 @@ def test_spread_noop_on_derived_dataframe(spark):
     df = spark.range(0, 100).groupBy((F.col("id") % 7).alias("k")).count()
     out = spread(df, min_partitions=64)
     assert out is df
+
+
+def test_ensure_bucketed_idempotent_in_session(spark):
+    from mqtt_streamr_spark.tables import ensure_bucketed
+
+    t1 = ensure_bucketed(spark, "nation", "n_nationkey",
+                         "/root/testdata/sf0.001", num_buckets=2)
+    # second call: same table name, no rewrite (mtime unchanged)
+    import os
+    loc = spark.sql(f"DESCRIBE TABLE EXTENDED {t1}").collect()
+    path = next(r["data_type"] for r in loc if r["col_name"] == "Location")
+    path = path.replace("file:", "")
+    before = max(os.path.getmtime(os.path.join(path, f))
+                 for f in os.listdir(path) if not f.startswith("_"))
+    t2 = ensure_bucketed(spark, "nation", "n_nationkey",
+                         "/root/testdata/sf0.001", num_buckets=2)
+    after = max(os.path.getmtime(os.path.join(path, f))
+                for f in os.listdir(path) if not f.startswith("_"))
+    assert t1 == t2 and before == after
+    # bucket metadata present on the catalog table
+    ddl = " ".join(r["col_name"] + " " + str(r["data_type"])
+                   for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t1}")
+                   .collect())
+    assert "Num Buckets 2" in ddl, ddl
