@@ -483,6 +483,11 @@ def _events_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     if fmt == "jsonl":
         w.json(d)
         back = r.json(d)
+    elif fmt == "orc":
+        # ORC stores timestamps natively (no format option needed) and,
+        # like parquet, gives predicate pushdown + column pruning on read.
+        w.orc(d)
+        back = spark.read.schema(_EVENTS_DDL).orc(d)
     else:
         w.option("header", "true").csv(d)
         back = r.option("header", "true").csv(d)
@@ -891,4 +896,55 @@ def unpivot_event_type_counts(spark: SparkSession, sf_dir: str
     return (
         wide.unpivot("day", ["click", "view"], "event_type", "n")
         .orderBy("day", "event_type")
+    )
+
+
+@query("events_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion parity: events written as ORC and read back with a
+    declared schema — the third columnar/file surface next to parquet and
+    the jsonl/csv text formats, closing the §2.1 file-format row for every
+    format Spark ships a native vectorized reader for."""
+    return _events_roundtrip(spark, sf_dir, "orc")
+
+
+@query(
+    "events_partition_pruned_scan",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE ts::DATE = (SELECT min(ts::DATE) FROM events)
+    GROUP BY event_type
+    """,
+)
+def events_partition_pruned_scan(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Hive-style partitioned layout + static partition pruning: events are
+    written ``partitionBy(event_date)`` (pre-shuffled on the partition key
+    so each date lands in ONE file — the standard fix for the small-files
+    problem at 100 TB), then the day query reads back with a literal date
+    filter. Catalyst turns that into ``PartitionFilters`` (plan-asserted in
+    tests/test_plans.py): only the matching date directory is listed and
+    scanned, so the query's I/O is proportional to one day, not the whole
+    table — the core mechanism that makes time-ranged queries on a 100 TB
+    event log cheap. The min-day lookup is a 1-row planning-step aggregate
+    (same precedent as the ANN cell-id planning collects)."""
+    import hashlib
+    import tempfile
+
+    ev = load(spark, "events", sf_dir)
+    tag = hashlib.sha1(f"{sf_dir}|part".encode()).hexdigest()[:12]
+    d = f"{tempfile.gettempdir()}/events_by_day_{tag}"
+    (ev.withColumn("event_date", F.to_date("ts"))
+       .repartition(col("event_date"))
+       .write.mode("overwrite").partitionBy("event_date").parquet(d))
+    min_day = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    back = spark.read.parquet(d).where(col("event_date") == F.lit(min_day))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
     )

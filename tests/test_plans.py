@@ -339,6 +339,18 @@ def test_funnel_single_user_shuffle(spark):
     assert "Join" not in p, p  # no self-joins
 
 
+def test_partitioned_scan_prunes_partitions(spark):
+    # the literal date filter must become a PartitionFilter on the
+    # hive-partitioned layout (directory pruning — I/O proportional to one
+    # day), NOT a post-scan Filter over every file
+    p = plan_str(QUERIES["events_partition_pruned_scan"](spark, SF))
+    part = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert part, p
+    assert "event_date" in part[0], part
+    # the equality literal is applied at partition-listing time
+    assert re.search(r"PartitionFilters: \[[^\]]*=[^\]]*\]", part[0]), part
+
+
 def test_all_batch_query_plans_free_of_scale_killers(spark):
     """Sweeping invariant over the WHOLE registry (not just the queries
     with dedicated plan tests): no batch query may plan a cartesian
