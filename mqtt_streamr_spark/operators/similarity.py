@@ -422,3 +422,38 @@ def ann_topk_ivf_trained(df: DataFrame, query_id: int,
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(df: DataFrame, centroid_ids: list[int],
+                   threshold: float = 0.85, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Semantic deduplication in the SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space, then inside each
+    cluster flag every vector that has a smaller-id neighbor with cosine
+    >= ``threshold``. The minimum id of each near-duplicate neighborhood
+    survives as the exemplar; everything else is a semantic duplicate.
+
+    Scale shape: pairwise work is confined to intra-cell equi-joins on the
+    cluster id, so cost is sum(|cell|^2) over cells — never corpus^2 — and
+    both join sides share one shuffle key. At 100 TB the cells come from a
+    trained quantizer (``kmeans_centroids``) with K sized so cells fit a
+    task (~corpus/K rows), and the duplicate-id set stays proportional to
+    the duplicate rate, not the corpus. Returns (id, cid, is_dup)."""
+    assigned = ivf_assign(df, centroid_ids, vec_col, id_col)
+    a = assigned.select(F.col(id_col).alias("id_a"),
+                        F.col("nv").alias("n_a"), "cid")
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col("nv").alias("n_b"), "cid")
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(dot(F.col("n_a"), F.col("n_b")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cid")
+        .join(dropped, id_col, "left")
+        .withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False)))
+    )

@@ -1629,3 +1629,53 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("entropy_bits").asc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "sim_semantic_dedup",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, {_norm_sql('embedding')} AS nv
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, nv AS cv FROM n
+          WHERE vec_id IN ({_IVF_SEEDS_SQL})),
+    scored AS (SELECT n.vec_id, n.nv, c.cid,
+                      {_DOT.format(a='n.nv', b='c.cv')} AS dotc
+               FROM n CROSS JOIN c),
+    assigned AS (SELECT vec_id, nv, cid FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dotc DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    dup AS (SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE round({_DOT.format(a='a.nv', b='b.nv')}, 6) >= 0.4)
+    SELECT a.cid,
+           count(*) AS n_vectors,
+           sum(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+             AS n_dups,
+           sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_survivors,
+           min(CASE WHEN d.vec_id IS NULL THEN a.vec_id END)
+             AS first_survivor
+    FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    GROUP BY a.cid
+    """,
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: coarse-cluster the embeddings into 8
+    IVF cells, flag intra-cell cosine near-duplicates (>= 0.85) keeping the
+    min-id exemplar, and report per-cell dedup stats. The pairwise stage is
+    bounded by the cell partition — the embedding-space counterpart of the
+    text MinHash-LSH family (see operators/similarity.semantic_dedup).
+    Threshold note: the synthetic corpus has no >=0.85 cosine pairs at the
+    verification SF, so the query runs at 0.4 to actually exercise the
+    drop/exemplar path (same spirit as the text_lang_id determinism note);
+    the operator default stays 0.85 — the realistic SemDeDup setting."""
+    emb = spread(load(spark, "embeddings", sf_dir))
+    flagged = S.semantic_dedup(emb, _IVF_SEEDS, threshold=0.4)
+    return flagged.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(col("is_dup"), 1).otherwise(0)).alias("n_dups"),
+        F.sum(F.when(col("is_dup"), 0).otherwise(1)).alias("n_survivors"),
+        F.min(F.when(~col("is_dup"), col("vec_id"))).alias("first_survivor"),
+    )

@@ -684,3 +684,22 @@ def test_token_entropy_hand_computed(spark):
     assert out[2]["entropy_bits"] == 2.0
     want = round(-(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3)), 4)
     assert out[3]["entropy_bits"] == want
+
+
+def test_semantic_dedup_min_id_exemplar_survives(spark):
+    # two coarse cells (seed vecs 10 and 20); 11 duplicates 10 exactly and
+    # 21 duplicates 20 — each cluster's min id survives as the exemplar;
+    # the orthogonal 12 shares a cell but is no one's near-dup
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [1.0, 0.0, 0.0, 0.0]),
+        (12, [0.0, 0.0, 1.0, 0.0]),
+        (20, [0.0, 1.0, 0.0, 0.0]),
+        (21, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["is_dup"]
+        for r in S.semantic_dedup(df, [10, 20], threshold=0.95).collect()
+    }
+    assert out == {10: False, 11: True, 12: False, 20: False, 21: True}
