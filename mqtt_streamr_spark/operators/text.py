@@ -703,3 +703,42 @@ def token_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
             ).alias("entropy_bits"),
         )
     )
+
+
+def dup_passage_stats(df, n: int = 5, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Cross-document duplicated-passage fraction: for each document, the
+    share of its distinct word ``n``-gram shingles that also occur in at
+    least one OTHER document. This is the passage-level repetition signal
+    (C4/Gopher-style corpus analyses) that catches boilerplate, mirrored
+    pages, and template text that document-level dedup misses.
+
+    Returns (id_col, n_shingles, n_shared, dup_frac[rounded 4dp]).
+
+    Scale shape: shingles are md5-hashed to a narrow uniform key before the
+    doc-frequency aggregation, so both the agg and the join back to the
+    exploded shingle rows shuffle on the SAME key (the join reuses the
+    agg's partitioning — one logical shuffle family, never all-pairs).
+    Everything is linear in corpus shingles; hot boilerplate shingles are
+    exactly the rows the signal exists to find, and their doc-frequency
+    rows stay one row per distinct shingle."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles(text_col, n)).alias("shingle"),
+    ).select(F.col(id_col), F.md5("shingle").alias("sh"))
+    # shingles() dedupes per doc, so count(*) per shingle == doc frequency
+    docfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        sh.join(docfreq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("doc_freq") > 1, 1).otherwise(0))
+            .alias("n_shared"),
+            F.round(
+                F.sum(F.when(F.col("doc_freq") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

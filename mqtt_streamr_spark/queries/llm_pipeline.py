@@ -1679,3 +1679,50 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(col("is_dup"), 0).otherwise(1)).alias("n_survivors"),
         F.min(F.when(~col("is_dup"), col("vec_id"))).alias("first_survivor"),
     )
+
+
+_SHINGLES5 = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 4, 1)), "
+    "i -> array_to_string(list_slice(toks, i, i + 4), ' ')))"
+)
+
+
+@query(
+    "text_dup_passage_fraction",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, source, md5(unnest({_SHINGLES5})) AS sh FROM d),
+    f AS (SELECT sh, count(*) AS doc_freq FROM sh GROUP BY sh),
+    per AS (
+      SELECT s.doc_id, s.source,
+             count(*) AS n_shingles,
+             sum(CASE WHEN f.doc_freq > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_shared
+      FROM sh s JOIN f USING (sh)
+      GROUP BY s.doc_id, s.source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(n_shared / n_shingles), 4) AS avg_dup_frac,
+           sum(CASE WHEN n_shared * 2 >= n_shingles THEN 1 ELSE 0 END)
+             ::BIGINT AS n_docs_half_dup
+    FROM per GROUP BY source
+    """,
+)
+def text_dup_passage_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level repetition across the corpus: per-source average share
+    of 5-gram shingles that also appear in another document, and how many
+    docs are >=50% made of shared passages (boilerplate/mirror detector —
+    see operators/text.dup_passage_stats for the scale shape)."""
+    docs = spread(load(spark, "documents", sf_dir))
+    per = T.dup_passage_stats(docs, n=5).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(col("n_shared") / col("n_shingles")), 4)
+        .alias("avg_dup_frac"),
+        F.sum(F.when(col("n_shared") * 2 >= col("n_shingles"), 1)
+              .otherwise(0)).alias("n_docs_half_dup"),
+    )

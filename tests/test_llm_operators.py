@@ -703,3 +703,20 @@ def test_semantic_dedup_min_id_exemplar_survives(spark):
         for r in S.semantic_dedup(df, [10, 20], threshold=0.95).collect()
     }
     assert out == {10: False, 11: True, 12: False, 20: False, 21: True}
+
+
+def test_dup_passage_stats_hand_computed(spark):
+    # docs 1 and 2 differ only in the last word: their shared 5-gram
+    # shingles are exactly those not touching position 9; doc 3 shares none
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"], r["dup_frac"])
+        for r in T.dup_passage_stats(_df(spark), n=5).collect()
+    }
+    sh = {i: py_shingles(t, n=5) for i, t in DOCS}
+    for i, (n_sh, n_shared, frac) in out.items():
+        others = set().union(*(set(sh[j]) for j in sh if j != i))
+        exp_shared = sum(1 for s in sh[i] if s in others)
+        assert n_sh == len(sh[i])
+        assert n_shared == exp_shared
+        assert frac == round(exp_shared / len(sh[i]), 4)
+    assert out[3][1] == 0 and out[1][1] > 0
