@@ -742,3 +742,33 @@ def dup_passage_stats(df, n: int = 5, text_col: str = "text",
             ).alias("dup_frac"),
         )
     )
+
+
+def ngram_repetition(df, n: int = 2, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Within-document n-gram repetition (Gopher §A1.1 repetition filters,
+    Rae et al. 2021, token-based): per document, the fraction of n-gram
+    occurrences taken by the single most frequent n-gram (``top_frac`` —
+    catches looping template text) and the fraction of occurrences whose
+    n-gram appears more than once (``dup_frac`` — catches diffuse
+    repetition). Positional n-grams, NOT deduplicated.
+
+    Returns (id_col, n_grams, top_frac[4dp], dup_frac[4dp]).
+
+    Scale shape: same relational explode -> (id, gram) count -> per-doc
+    rollup as token_entropy — linear in corpus tokens, one uniform-key
+    shuffle, no per-row quadratic array folds for long documents."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    counts = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            / F.sum("c"),
+            4,
+        ).alias("dup_frac"),
+    )

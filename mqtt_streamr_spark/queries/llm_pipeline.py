@@ -1726,3 +1726,62 @@ def text_dup_passage_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(col("n_shared") * 2 >= col("n_shingles"), 1)
               .otherwise(0)).alias("n_docs_half_dup"),
     )
+
+
+def _grams_sql(n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(len(toks) - {n - 1},"
+        f" 1)), i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))"
+    )
+
+
+def _rep_sql(n: int, alias: str) -> str:
+    return f"""
+    {alias} AS (
+      WITH g AS (SELECT doc_id, source, unnest({_grams_sql(n)}) AS gram
+                 FROM (SELECT doc_id, source, {_TOKS} AS toks
+                       FROM documents)),
+      c AS (SELECT doc_id, source, gram, count(*)::BIGINT AS c
+            FROM g GROUP BY doc_id, source, gram)
+      SELECT doc_id, source,
+             round(max(c)::DOUBLE / sum(c), 4) AS top_frac,
+             round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
+                   / sum(c), 4) AS dup_frac
+      FROM c GROUP BY doc_id, source
+    )"""
+
+
+@query(
+    "text_ngram_repetition",
+    oracle=f"""
+    WITH {_rep_sql(2, 'bi')}, {_rep_sql(3, 'tri')}
+    SELECT bi.source,
+           count(*) AS n_docs,
+           round(avg(bi.top_frac), 4) AS avg_top_bigram_frac,
+           round(max(bi.top_frac), 4) AS max_top_bigram_frac,
+           round(avg(tri.dup_frac), 4) AS avg_dup_trigram_frac
+    FROM bi JOIN tri USING (doc_id)
+    GROUP BY bi.source
+    """,
+)
+def text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition report per source: average and
+    worst top-bigram occupancy plus average duplicated-trigram mass (see
+    operators/text.ngram_repetition — the repetition-filter inputs a
+    cleaning pipeline thresholds on)."""
+    docs = spread(load(spark, "documents", sf_dir))
+    src = docs.select("doc_id", "source")
+    bi = T.ngram_repetition(docs, n=2).join(src, "doc_id")
+    tri = T.ngram_repetition(docs, n=3).select(
+        "doc_id", col("dup_frac").alias("tri_dup_frac")
+    )
+    return (
+        bi.join(tri, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("top_frac"), 4).alias("avg_top_bigram_frac"),
+            F.round(F.max("top_frac"), 4).alias("max_top_bigram_frac"),
+            F.round(F.avg("tri_dup_frac"), 4).alias("avg_dup_trigram_frac"),
+        )
+    )

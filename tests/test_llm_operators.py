@@ -720,3 +720,17 @@ def test_dup_passage_stats_hand_computed(spark):
         assert n_shared == exp_shared
         assert frac == round(exp_shared / len(sh[i]), 4)
     assert out[3][1] == 0 and out[1][1] > 0
+
+
+def test_ngram_repetition_hand_computed(spark):
+    # "a a a b": bigrams = [a a, a a, a b] -> top 2/3, dup-mass 2/3;
+    # "x y z w": all bigrams unique -> top 1/3, dup-mass 0
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["top_frac"], r["dup_frac"])
+        for r in T.ngram_repetition(df, n=2).collect()
+    }
+    assert out[1] == (3, round(2 / 3, 4), round(2 / 3, 4))
+    assert out[2] == (3, round(1 / 3, 4), 0.0)
