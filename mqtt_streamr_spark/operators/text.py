@@ -772,3 +772,29 @@ def ngram_repetition(df, n: int = 2, text_col: str = "text",
             4,
         ).alias("dup_frac"),
     )
+
+
+def hashed_linear_score(text: Column | str, salt: str = "qw") -> Column:
+    """fastText-style linear quality classifier applied at scale: each
+    token maps to a weight via the hashing trick, the document score is
+    mean token weight pushed through a logistic. Here the weight table is
+    a deterministic md5-derived function in [-1, 1] (so the DuckDB oracle
+    can restate it bit-for-bit); in production the weights come from a
+    trained model and broadcast to every executor — SAME plan either way:
+    a pure map-side Column fold, no UDF, no shuffle, linear in tokens.
+    Returns the logistic score rounded to 6dp."""
+    toks = tokens(text)
+
+    def w(t: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), t)), 1, 8), 16, 10
+        ).cast("long")
+        return (h / F.lit(float(0xFFFFFFFF))) * 2 - 1
+
+    mean = let_bound(
+        toks,
+        lambda ts: F.aggregate(
+            ts, F.lit(0.0), lambda acc, t: acc + w(t)
+        ) / F.size(ts),
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 6)

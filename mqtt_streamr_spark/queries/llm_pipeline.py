@@ -1785,3 +1785,44 @@ def text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("tri_dup_frac"), 4).alias("avg_dup_trigram_frac"),
         )
     )
+
+
+@query(
+    "text_classifier_scores",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT source,
+             round(1.0 / (1.0 + exp(-(
+               list_sum(list_transform(toks, t ->
+                 (('0x' || substring(md5('qw:' || t), 1, 8))::BIGINT
+                  / 4294967295.0) * 2 - 1))
+               / len(toks)))), 6) AS prob
+      FROM d)
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(prob), 4) AS avg_prob,
+           round(min(prob), 4) AS min_prob,
+           round(max(prob), 4) AS max_prob,
+           sum(CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_keep
+    FROM s GROUP BY source
+    """,
+)
+def text_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering at scale: a hashed linear (fastText
+    shape) classifier scored as a pure map-side fold — the pattern GPT-3 /
+    LLaMA-style pipelines use to keep or drop documents by a trained
+    quality model. Per-source score stats + keep counts (threshold 0.5).
+    See operators/text.hashed_linear_score for the weight-broadcast plan
+    note."""
+    docs = spread(load(spark, "documents", sf_dir))
+    scored = docs.select(
+        "source", T.hashed_linear_score("text").alias("prob")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("prob"), 4).alias("avg_prob"),
+        F.round(F.min("prob"), 4).alias("min_prob"),
+        F.round(F.max("prob"), 4).alias("max_prob"),
+        F.sum(F.when(col("prob") >= 0.5, 1).otherwise(0)).alias("n_keep"),
+    )

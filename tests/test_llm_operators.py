@@ -734,3 +734,26 @@ def test_ngram_repetition_hand_computed(spark):
     }
     assert out[1] == (3, round(2 / 3, 4), round(2 / 3, 4))
     assert out[2] == (3, round(1 / 3, 4), 0.0)
+
+
+def test_hashed_linear_score_matches_python(spark):
+    # ground truth from hashlib, independent of both engines
+    import math
+
+    def py_score(text):
+        toks = py_tokens(text)
+        ws = [
+            (int(hashlib.md5(f"qw:{t}".encode()).hexdigest()[:8], 16)
+             / 0xFFFFFFFF) * 2 - 1
+            for t in toks
+        ]
+        return round(1.0 / (1.0 + math.exp(-(sum(ws) / len(ws)))), 6)
+
+    out = {
+        r["doc_id"]: r["s"]
+        for r in _df(spark)
+        .select("doc_id", T.hashed_linear_score("text").alias("s"))
+        .collect()
+    }
+    for i, t in DOCS:
+        assert abs(out[i] - py_score(t)) < 1e-9, (i, out[i], py_score(t))
