@@ -798,3 +798,34 @@ def hashed_linear_score(text: Column | str, salt: str = "qw") -> Column:
         ) / F.size(ts),
     )
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 6)
+
+
+def bpe_pair_stats(df, text_col: str = "text", top_k: int = 10):
+    """The first iteration of BPE tokenizer training at corpus scale:
+    frequency of each adjacent character pair, weighted by word frequency.
+    The classic trick that makes BPE training corpus-size-independent:
+    aggregate the corpus down to DISTINCT words with counts first (one
+    uniform-key shuffle, output bounded by vocabulary size), then explode
+    character pairs over that small table — the expensive per-character
+    work never touches the raw corpus again. Returns the ``top_k``
+    (pair, total) rows — the pairs a BPE trainer would merge first."""
+    words = df.select(F.explode(tokens(text_col)).alias("word"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.length("word") > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.substring(F.col("word"), i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("total"))
+        .orderBy(F.desc("total"), F.asc("pair"))
+        .limit(top_k)
+    )

@@ -948,3 +948,72 @@ def events_partition_pruned_scan(spark: SparkSession, sf_dir: str
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "events_gapfill_islands",
+    oracle="""
+    WITH b AS (SELECT (floor(epoch(ts))::BIGINT // 900) AS bin
+               FROM events WHERE event_type = 'purchase'),
+    cnt AS (SELECT bin, count(*)::BIGINT AS n FROM b GROUP BY bin),
+    spine AS (SELECT unnest(generate_series((SELECT min(bin) FROM b),
+                                            (SELECT max(bin) FROM b)))
+                     AS bin),
+    filled AS (SELECT s.bin, coalesce(c.n, 0) AS n
+               FROM spine s LEFT JOIN cnt c USING (bin)),
+    empty AS (SELECT bin,
+                     bin - row_number() OVER (ORDER BY bin) AS grp
+              FROM filled WHERE n = 0),
+    runs AS (SELECT count(*)::BIGINT AS run FROM empty GROUP BY grp)
+    SELECT (SELECT count(*) FROM filled) AS n_bins,
+           (SELECT count(*) FROM filled WHERE n = 0) AS n_empty,
+           coalesce((SELECT max(run) FROM runs), 0) AS longest_gap,
+           (SELECT sum(n) FROM filled)::BIGINT AS total_events
+    """,
+)
+def events_gapfill_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap fill + gaps-and-islands: bucket purchases into 15-min
+    bins, generate the COMPLETE bin spine distributedly (sequence exploded
+    from the 1-row min/max aggregate — no driver collect), left-join the
+    per-bin counts, and report empty-bin totals plus the longest
+    consecutive gap via the classic bin-minus-row_number island key.
+
+    Scale shape: the per-bin aggregate is the only data-sized shuffle; the
+    spine is metadata-sized (one row per 15 minutes — a year of 100 TB
+    telemetry is ~35k rows), so the unpartitioned window over it is cheap
+    by construction and the gap report stays O(spine)."""
+    ev = load(spark, "events", sf_dir)
+    b = ev.where(col("event_type") == "purchase").select(
+        (F.unix_timestamp("ts") / 900).cast("long").alias("bin")
+    )
+    cnt = b.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        b.agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("bin"))
+    )
+    filled = spine.join(cnt, "bin", "left").select(
+        "bin", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    empty = filled.where(col("n") == 0).select(
+        "bin",
+        (col("bin") - F.row_number().over(
+            Window.orderBy("bin"))).alias("grp"),
+    )
+    runs = empty.groupBy("grp").agg(F.count(F.lit(1)).alias("run"))
+    return (
+        filled.agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum(F.when(col("n") == 0, 1).otherwise(0)).alias("n_empty"),
+            F.sum("n").alias("total_events"),
+        )
+        .crossJoin(
+            F.broadcast(
+                runs.agg(
+                    F.coalesce(F.max("run"), F.lit(0)).alias("longest_gap")
+                )
+            )
+        )
+        .select("n_bins", "n_empty", "longest_gap", "total_events")
+    )

@@ -1826,3 +1826,29 @@ def text_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("prob"), 4).alias("max_prob"),
         F.sum(F.when(col("prob") >= 0.5, 1).otherwise(0)).alias("n_keep"),
     )
+
+
+@query(
+    "text_bpe_pair_stats",
+    oracle=f"""
+    WITH w AS (SELECT unnest(toks) AS word
+               FROM (SELECT {_TOKS} AS toks FROM documents)),
+    v AS (SELECT word, count(*)::BIGINT AS freq FROM w GROUP BY word),
+    p AS (SELECT freq,
+                 unnest(CASE WHEN length(word) > 1 THEN
+                   list_transform(generate_series(1, length(word) - 1),
+                                  i -> substring(word, i, 2))
+                 ELSE CAST([] AS VARCHAR[]) END) AS pair
+          FROM v)
+    SELECT pair, sum(freq)::BIGINT AS total
+    FROM p GROUP BY pair
+    ORDER BY total DESC, pair LIMIT 10
+    """,
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training at scale — the first BPE merge decision: top-10
+    adjacent character pairs weighted by word frequency, computed over the
+    DISTINCT-word vocabulary so per-character work is bounded by vocab
+    size, not corpus size (see operators/text.bpe_pair_stats)."""
+    docs = spread(load(spark, "documents", sf_dir))
+    return T.bpe_pair_stats(docs, top_k=10)
