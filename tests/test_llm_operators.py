@@ -757,3 +757,13 @@ def test_hashed_linear_score_matches_python(spark):
     }
     for i, t in DOCS:
         assert abs(out[i] - py_score(t)) < 1e-9, (i, out[i], py_score(t))
+
+
+def test_bpe_pair_stats_hand_computed(spark):
+    # vocab: aa(x2), ab, b -> pairs: 'aa' weight 2 (from both 'aa' tokens),
+    # 'ab' weight 1; single-char 'b' contributes nothing
+    df = spark.createDataFrame(
+        [(1, "aa ab"), (2, "aa b")], "doc_id long, text string"
+    )
+    out = [(r["pair"], r["total"]) for r in T.bpe_pair_stats(df).collect()]
+    assert out == [("aa", 2), ("ab", 1)]
