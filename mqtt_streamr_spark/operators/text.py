@@ -829,3 +829,74 @@ def bpe_pair_stats(df, text_col: str = "text", top_k: int = 10):
         .orderBy(F.desc("total"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+def vocab_coverage(df, text_col: str = "text", ks: tuple = (100, 1000)):
+    """Tokenizer/vocabulary design input: corpus term frequencies ranked,
+    plus the fraction of ALL token occurrences covered by the top-k terms
+    for each k. Returns one row: (n_terms, total_tokens, cov_top<k>...).
+
+    Scale shape: the corpus collapses to the distinct-term frequency table
+    in one uniform-key shuffle; the rank window then runs over the
+    VOCABULARY (metadata-sized — a 100 TB corpus still has ~1e6-1e7
+    distinct terms), not the corpus."""
+    from pyspark.sql import Window
+
+    terms = df.select(F.explode(tokens(text_col)).alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = freq.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term"))),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("freq").alias("total_tokens"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.round(
+                F.sum(F.when(F.col("rk") <= k, F.col("freq")).otherwise(0))
+                / F.sum("freq"),
+                6,
+            ).alias(f"cov_top{k}")
+        )
+    return ranked.agg(*aggs)
+
+
+def weighted_sample_topk(df, weight_col, k: int = 10,
+                         stratum_col: str | None = None,
+                         id_col: str = "doc_id", salt: str = "ws"):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 exponential keys): each row draws u in (0,1] from an
+    md5 hash of its id, gets key = u^(1/w), and the top-k keys per stratum
+    are the sample — inclusion probability proportional to weight, stable
+    across engines/reruns/partitionings.
+
+    Scale shape: the key is a pure map-side expression; per-stratum top-k
+    is one window (or TakeOrdered for the global case) — one shuffle on
+    the stratum key, state bounded by k per stratum."""
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"),
+                               F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("double") + 1.0
+    ) / float(0x100000000)  # (0, 1]
+    # rank on log(key) = ln(u)/w — same ordering as key = u^(1/w), but the
+    # values spread across magnitudes so the cross-engine 6dp rounding
+    # (which makes the rank hash-stable between Spark and DuckDB) keeps
+    # far more resolution than rounding keys clustered near 1.0
+    log_key = F.round(F.log(u) / F.col(weight_col), 6)
+    part = [stratum_col] if stratum_col else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(
+        F.desc("sample_key"), F.asc(id_col)
+    )
+    return (
+        df.withColumn("sample_key", log_key)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -1852,3 +1852,59 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, not corpus size (see operators/text.bpe_pair_stats)."""
     docs = spread(load(spark, "documents", sf_dir))
     return T.bpe_pair_stats(docs, top_k=10)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH w AS (SELECT unnest(toks) AS term
+               FROM (SELECT {_TOKS} AS toks FROM documents)),
+    f AS (SELECT term, count(*)::BIGINT AS freq FROM w GROUP BY term),
+    r AS (SELECT freq,
+                 row_number() OVER (ORDER BY freq DESC, term) AS rk
+          FROM f)
+    SELECT count(*) AS n_terms,
+           sum(freq)::BIGINT AS total_tokens,
+           round(sum(CASE WHEN rk <= 100 THEN freq ELSE 0 END)::DOUBLE
+                 / sum(freq), 6) AS cov_top100,
+           round(sum(CASE WHEN rk <= 1000 THEN freq ELSE 0 END)::DOUBLE
+                 / sum(freq), 6) AS cov_top1000
+    FROM r
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage for tokenizer design: what fraction of all token
+    occurrences the top-100 / top-1000 terms cover (see
+    operators/text.vocab_coverage — the rank window runs over the
+    metadata-sized vocabulary, not the corpus)."""
+    docs = spread(load(spark, "documents", sf_dir))
+    return T.vocab_coverage(docs, ks=(100, 1000))
+
+
+@query(
+    "sample_weighted_lengths",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             round(ln((('0x' || substring(md5('ws|' || doc_id::VARCHAR),
+                                          1, 8))::BIGINT::DOUBLE + 1.0)
+                      / 4294967296.0) / n_chars, 6) AS sample_key
+      FROM documents),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY sample_key DESC, doc_id) AS rk
+      FROM keyed)
+    SELECT lang, doc_id, n_chars, sample_key
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def sample_weighted_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential keys, length-weighted, 5 docs per language) — the
+    deterministic engine-stable way to build weighted training mixtures
+    (see operators/text.weighted_sample_topk)."""
+    docs = load(spark, "documents", sf_dir)
+    s = T.weighted_sample_topk(
+        docs, weight_col="n_chars", k=5, stratum_col="lang"
+    )
+    return s.select("lang", "doc_id", "n_chars", "sample_key")

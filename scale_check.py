@@ -30,7 +30,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 MULTIPLES = (1, 4, 16)
 
 
-def replicate(df, k, id_cols=(), ts_col=None, tag_text_col=None):
+def replicate(df, k, id_cols=(), ts_col=None, tag_text_col=None,
+              vec_col=None):
     parts = []
     for i in range(k):
         p = df
@@ -39,6 +40,18 @@ def replicate(df, k, id_cols=(), ts_col=None, tag_text_col=None):
         if ts_col:
             p = p.withColumn(
                 ts_col, F.col(ts_col) + F.expr(f"INTERVAL {i} SECONDS")
+            )
+        if vec_col and i:
+            # shift each replica along the first axis so replicas occupy
+            # genuinely NEW regions of embedding space (otherwise every
+            # replica is an exact duplicate vector and pairwise ops blow
+            # up quadratically by construction, not by plan)
+            p = p.withColumn(
+                vec_col,
+                F.concat(
+                    F.array(F.element_at(F.col(vec_col), 1) + 2.0 * i),
+                    F.slice(F.col(vec_col), 2, 63),
+                ),
             )
         if tag_text_col and i:
             # perturb text so replicas are genuinely distinct documents,
@@ -166,6 +179,59 @@ def temperature_mix(spark, k):
     return kept.agg(F.count(F.lit(1)), F.countDistinct("lang"))
 
 
+def dup_passage(spark, k):
+    # explode shingles -> doc-freq agg -> join back on the SAME md5 key;
+    # both shuffles are linear in corpus shingles
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k,
+        id_cols=("doc_id",), tag_text_col="text",
+    )
+    per = T.dup_passage_stats(docs, n=5)
+    return per.agg(F.count(F.lit(1)), F.round(F.avg("dup_frac"), 3))
+
+
+def classifier_scoring(spark, k):
+    # pure map-side fold + one tiny agg: shuffle bytes should be flat
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k,
+        id_cols=("doc_id",), tag_text_col="text",
+    )
+    scored = docs.select(T.hashed_linear_score("text").alias("p"))
+    return scored.agg(F.count(F.lit(1)), F.round(F.avg("p"), 4))
+
+
+def semantic_dedup_emb(spark, k):
+    # the documented 100 TB posture: K (number of cells) scales WITH the
+    # corpus so cells stay task-sized and intra-cell pair work stays
+    # linear overall. Replicas are shifted in embedding space (vec_col
+    # perturbation) and contribute 8 seeds each, so 16x input runs with
+    # K=128 — pair candidates per cell are then ~flat. Running this with
+    # K fixed at 8 instead measures 16x cells -> ~26x time: the knob is
+    # load-bearing, which is exactly what this check demonstrates.
+    emb = replicate(
+        spread(load(spark, "embeddings", SF_DIR)), k,
+        id_cols=("vec_id",), vec_col="embedding",
+    )
+    seeds = [j + i * 1_000_000_000 for i in range(k)
+             for j in (1, 2, 3, 4, 5, 6, 7, 8)]
+    flagged = S.semantic_dedup(emb, seeds, threshold=0.4)
+    return flagged.agg(
+        F.count(F.lit(1)), F.sum(F.col("is_dup").cast("long"))
+    )
+
+
+def bpe_pairs(spark, k):
+    # corpus -> distinct-word vocab agg (linear), then char explode over
+    # the vocab only: 16x corpus with a saturating vocab should be FLAT
+    # in the second stage
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k,
+        id_cols=("doc_id",), tag_text_col="text",
+    )
+    return T.bpe_pair_stats(docs, top_k=10)
+
+
+
 OPS = {
     "scan_agg_lineitem": scan_agg,
     "minhash_lsh_buckets": minhash_buckets,
@@ -178,6 +244,10 @@ OPS = {
     "pack_sequences_docs": packing,
     "unigram_scoring_docs": unigram_scoring,
     "temperature_mix_docs": temperature_mix,
+    "dup_passage_docs": dup_passage,
+    "classifier_scoring_docs": classifier_scoring,
+    "semantic_dedup_embeddings": semantic_dedup_emb,
+    "bpe_pairs_docs": bpe_pairs,
 }
 
 

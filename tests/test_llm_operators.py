@@ -767,3 +767,39 @@ def test_bpe_pair_stats_hand_computed(spark):
     )
     out = [(r["pair"], r["total"]) for r in T.bpe_pair_stats(df).collect()]
     assert out == [("aa", 2), ("ab", 1)]
+
+
+def test_weighted_sample_topk_matches_python(spark):
+    import math
+
+    rows = [(i, "s" if i % 2 else "t", 10 + i * 7) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    got = sorted(
+        (r["lang"], r["doc_id"])
+        for r in T.weighted_sample_topk(
+            df, weight_col="w", k=3, stratum_col="lang"
+        ).collect()
+    )
+
+    def key(i, w):
+        u = (int(hashlib.md5(f"ws|{i}".encode()).hexdigest()[:8], 16)
+             + 1.0) / 2**32
+        return round(math.log(u) / w, 6)
+
+    exp = []
+    for lang in ("s", "t"):
+        members = [(i, w) for i, g, w in rows if g == lang]
+        top = sorted(members, key=lambda p: (-key(*p), p[0]))[:3]
+        exp += [(lang, i) for i, _ in top]
+    assert got == sorted(exp)
+
+
+def test_vocab_coverage_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    r = T.vocab_coverage(df, ks=(1, 2)).collect()[0]
+    # freqs: a=4, b=2, c=1 -> total 7; top1 covers 4/7, top2 covers 6/7
+    assert (r["n_terms"], r["total_tokens"]) == (3, 7)
+    assert r["cov_top1"] == round(4 / 7, 6)
+    assert r["cov_top2"] == round(6 / 7, 6)
