@@ -435,10 +435,16 @@ def semantic_dedup(df: DataFrame, centroid_ids: list[int],
 
     Scale shape: pairwise work is confined to intra-cell equi-joins on the
     cluster id, so cost is sum(|cell|^2) over cells — never corpus^2 — and
-    both join sides share one shuffle key. At 100 TB the cells come from a
-    trained quantizer (``kmeans_centroids``) with K sized so cells fit a
-    task (~corpus/K rows), and the duplicate-id set stays proportional to
-    the duplicate rate, not the corpus. Returns (id, cid, is_dup)."""
+    both join sides share one shuffle key. Two regimes (measured in
+    scale_check.py / BASELINE.md): the coarse assignment here is a
+    broadcast K-way scoring, O(N*K) — ideal while K stays model-sized
+    (trained ``kmeans_centroids``), but K cannot chase corpus growth
+    (fixed K=8 at 16x input measured ~26x: cells grow with N and the
+    intra-cell join goes quadratic). At extreme scale swap the blocking
+    stage for ``lsh_bucket`` with planes ~ log(N): O(planes) per vector,
+    bucket SIZE stays constant as bucket count grows — same intra-block
+    join, linear overall (that swap is one argument: the flagging logic
+    below only needs SOME block column). Returns (id, cid, is_dup)."""
     assigned = ivf_assign(df, centroid_ids, vec_col, id_col)
     a = assigned.select(F.col(id_col).alias("id_a"),
                         F.col("nv").alias("n_a"), "cid")

