@@ -336,3 +336,66 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "streaming_static_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT e.user_id)::BIGINT AS n_users,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY segment
+    """,
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """STREAM-STATIC enrichment join — the standard streaming dimension
+    pattern: the events stream joins a static customer-segment dimension
+    (broadcast to every micro-batch, NO join state kept, unlike a
+    stream-stream join), then aggregates per segment. At 100 TB of stream
+    the static side stays a broadcast because dimensions grow slower than
+    facts; the aggregation state is bounded by segment cardinality.
+    Drained with trigger(availableNow) so the result is the deterministic
+    batch-equivalent join (hash-exact oracle)."""
+    from mqtt_streamr_spark.streaming.pipeline import replay_source
+    from mqtt_streamr_spark.tables import load
+
+    dim = F.broadcast(
+        load(spark, "customer", sf_dir)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    src = replay_source(
+        spark, os.path.join(sf_dir, "events.parquet"), streaming=True,
+        split_files=2,
+    )
+    parsed = src.select(
+        F.get_json_object("payload", "$.user_id").cast("long")
+        .alias("user_id"),
+        F.get_json_object("payload", "$.value").cast("double")
+        .alias("value"),
+    )
+    enriched = parsed.join(dim, "user_id")
+    d = tempfile.mkdtemp(prefix="streaming_enrich_q_")
+    try:
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", os.path.join(d, "out"))
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(os.path.join(d, "out"))
+        return (
+            out.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
