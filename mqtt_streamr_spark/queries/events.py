@@ -1017,3 +1017,55 @@ def events_gapfill_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_bins", "n_empty", "longest_gap", "total_events")
     )
+
+
+@query(
+    "events_rolling_7d_active_users",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                   FROM events),
+    mx AS (SELECT max(day) AS max_day FROM pairs),
+    contrib AS (
+      SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY)) AS day,
+             user_id
+      FROM pairs),
+    rolled AS (
+      SELECT c.day, count(DISTINCT c.user_id)::BIGINT AS active_users_7d
+      FROM contrib c, mx WHERE c.day <= mx.max_day
+      GROUP BY c.day)
+    SELECT day, active_users_7d FROM rolled ORDER BY day
+    """,
+)
+def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the rolling-DISTINCT
+    aggregate that a RANGE window frame cannot express (count_distinct is
+    unsupported over window frames). Shape: collapse to distinct
+    (day, user) pairs first (one shuffle, output bounded by days x users),
+    then each pair map-side EXPLODES into the <=7 trailing windows it
+    contributes to and one count-distinct per day finishes — a bounded
+    7x expansion instead of a day-spine range self-join, with no state
+    proportional to the raw event count."""
+    ev = load(spark, "events", sf_dir)
+    pairs = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    mx = F.broadcast(pairs.agg(F.max("day").alias("max_day")))
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(
+                col("day"),
+                col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.crossJoin(mx)
+        .where(col("day") <= col("max_day"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .orderBy("day")
+    )
