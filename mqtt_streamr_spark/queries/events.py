@@ -1069,3 +1069,53 @@ def events_rolling_7d_active_users(spark: SparkSession, sf_dir: str
         .agg(F.countDistinct("user_id").alias("active_users_7d"))
         .orderBy("day")
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+    joined AS (
+      SELECT f.cohort_week,
+             ((floor(epoch(a.week))::BIGINT
+               - floor(epoch(f.cohort_week))::BIGINT) // 604800)
+               AS week_offset,
+             a.user_id
+      FROM activity a JOIN firsts f USING (user_id))
+    SELECT cohort_week, week_offset,
+           count(DISTINCT user_id)::BIGINT AS n_active
+    FROM joined WHERE week_offset <= 4
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    active in each subsequent week (offsets 0-4) — the standard
+    product-analytics triangle. Shape: one min-agg for cohorts, one
+    distinct (user, week) collapse, then an equi-join on user_id — both
+    heavy inputs shuffle once on the SAME key, and the result is bounded
+    by cohorts x offsets, independent of event volume."""
+    ev = load(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    joined = activity.join(firsts, "user_id").select(
+        "cohort_week",
+        ((F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+         / 604800).cast("long").alias("week_offset"),
+        "user_id",
+    )
+    return (
+        joined.where(col("week_offset") <= 4)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
