@@ -124,6 +124,119 @@ def extract_features(df: DataFrame, binary_col: str = "media",
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "content_id bigint, in_chars long, out_chars long, "
+    "out_media binary, out_sha string"
+)
+
+
+def resize_media(df: DataFrame, target_w: int = 32, target_h: int = 32,
+                 binary_col: str = "media", id_col: str = "content_id",
+                 mime_col: str = "mime") -> DataFrame:
+    """The resize stage of an image pipeline as Arrow-batched mapInPandas.
+
+    Real branch: when Pillow is importable and the blob's mime is image/*,
+    decode -> ``Image.resize((target_w, target_h))`` -> re-encode PNG.
+    Deterministic fallback (this container, and any non-image mime): treat
+    the blob as utf-8 text and "resize" by cropping to the first
+    ``target_w * target_h`` CHARACTERS — chosen over byte-cropping so the
+    DuckDB oracle can restate it exactly (it cannot slice or md5 blobs).
+    Either way the Spark plumbing is identical: binary in, binary out,
+    metadata columns alongside (reference has no media ops; this is the
+    LLM-pipeline extension surface).
+
+    Scale: map-only (no shuffle); Arrow batch size bounds executor memory,
+    not partition size — the right shape for multi-MB blobs.
+    """
+    cap = target_w * target_h
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        def one(b, mime):
+            b = b if b is not None else b""
+            if _pil_image is not None and str(mime).startswith("image/"):
+                import io
+
+                img = _pil_image.open(io.BytesIO(b))
+                img = img.resize((target_w, target_h))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                out = buf.getvalue()
+                return len(b), len(out), out, hashlib.md5(out).hexdigest()[:8]
+            text = b.decode("utf-8", errors="replace")
+            cropped = text[:cap]
+            out = cropped.encode("utf-8")
+            return (len(text), len(cropped), out,
+                    hashlib.md5(out).hexdigest()[:8])
+
+        for pdf in it:
+            rows = [one(b, m) for b, m in
+                    zip(pdf[binary_col], pdf[mime_col])]
+            yield pd.DataFrame(
+                {
+                    "content_id": pdf[id_col],
+                    "in_chars": pd.Series(
+                        [r[0] for r in rows], dtype="int64"),
+                    "out_chars": pd.Series(
+                        [r[1] for r in rows], dtype="int64"),
+                    "out_media": [r[2] for r in rows],
+                    "out_sha": [r[3] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "content_id bigint, frame_idx int, frame_chars long, frame_sha string"
+)
+
+
+def sample_frames(df: DataFrame, frame_chars: int = 256, every_k: int = 4,
+                  binary_col: str = "media",
+                  id_col: str = "content_id") -> DataFrame:
+    """Video frame-sampling plumbing: one input blob -> MANY output rows
+    (every ``every_k``-th fixed-size frame), the one-to-many mapInPandas
+    batch shape a real frame sampler needs. Frames are consecutive
+    ``frame_chars``-character windows of the utf-8 text (deterministic
+    stand-in for fixed-duration video frames — chosen over byte windows so
+    the DuckDB oracle can restate the md5 exactly). A real decoder (pyav /
+    opencv) drops into ``one_blob`` without touching the Spark plumbing.
+
+    Scale: map-only explode; output rows per blob are bounded by
+    ceil(len/frame_chars)/every_k, and Arrow streams batches so a huge
+    blob never materializes its frames at once on the driver.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        def one_blob(cid, b):
+            text = (b if b is not None else b"").decode(
+                "utf-8", errors="replace")
+            n_frames = (len(text) + frame_chars - 1) // frame_chars
+            for i in range(0, n_frames, every_k):
+                window = text[i * frame_chars:(i + 1) * frame_chars]
+                yield (cid, i, len(window),
+                       hashlib.md5(window.encode("utf-8")).hexdigest()[:8])
+
+        for pdf in it:
+            out = [row for cid, b in zip(pdf[id_col], pdf[binary_col])
+                   for row in one_blob(cid, b)]
+            yield pd.DataFrame(
+                out, columns=["content_id", "frame_idx", "frame_chars",
+                              "frame_sha"],
+            ).astype({"content_id": "int64", "frame_idx": "int32",
+                      "frame_chars": "int64"})
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Fixture adapter: treat document text bytes as the opaque media blob
     (the testdata ships no real binaries)."""

@@ -1016,6 +1016,77 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id AS content_id,
+               length(text) AS in_chars,
+               least(length(text), 1024) AS out_chars,
+               substring(md5(substring(text, 1, 1024)), 1, 8) AS out_sha
+        FROM documents)
+    SELECT count(*) AS n_media,
+           sum(in_chars)::BIGINT AS total_in_chars,
+           sum(out_chars)::BIGINT AS total_out_chars,
+           count(DISTINCT out_sha) AS n_distinct_thumbs
+    FROM f
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing end-to-end: blobs -> mapInPandas resize stage
+    (real Pillow branch when importable + image mime; deterministic
+    char-crop fallback here) -> size/content aggregate. 32x32 target =
+    1024-char crop in the fallback semantics the oracle restates."""
+    docs = load(spark, "documents", sf_dir)
+    media = M.documents_as_media(docs)
+    resized = M.resize_media(media, target_w=32, target_h=32)
+    return resized.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("in_chars").alias("total_in_chars"),
+        F.sum("out_chars").alias("total_out_chars"),
+        F.countDistinct("out_sha").alias("n_distinct_thumbs"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH fr AS (
+        SELECT doc_id AS content_id, text,
+               unnest(range(0, (length(text) + 255) // 256)) AS i
+        FROM documents),
+    s AS (
+        SELECT content_id, i,
+               substring(md5(substring(text, i*256 + 1, 256)), 1, 8) AS sha,
+               length(substring(text, i*256 + 1, 256)) AS fchars
+        FROM fr WHERE i % 4 = 0)
+    SELECT content_id, count(*) AS n_sampled,
+           sum(fchars)::BIGINT AS sampled_chars,
+           min(sha) AS min_sha, max(sha) AS max_sha
+    FROM s GROUP BY content_id ORDER BY content_id LIMIT 20
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one blob -> many frame rows via the
+    one-to-many mapInPandas shape (every 4th 256-char frame), then a
+    per-content rollup. A real decoder slots into the same stage without
+    touching this plan."""
+    docs = load(spark, "documents", sf_dir)
+    media = M.documents_as_media(docs)
+    frames = M.sample_frames(media, frame_chars=256, every_k=4)
+    return (
+        frames.groupBy("content_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("frame_chars").alias("sampled_chars"),
+            F.min("frame_sha").alias("min_sha"),
+            F.max("frame_sha").alias("max_sha"),
+        )
+        .orderBy("content_id")
+        .limit(20)
+    )
+
+
 # --- PII scrubbing / chunking / repetition (training-data prep) --------------
 
 _PII_INJECT_SQL = """

@@ -155,6 +155,57 @@ def test_multimodal_feature_plumbing(spark):
     assert list(by_id[1]["feature_vec"]) == expected_vec
 
 
+def test_multimodal_resize_crop_semantics(spark):
+    """Fallback resize = crop to target_w*target_h chars; hand-computed
+    md5 + lengths, plus the null-media guard."""
+    from mqtt_streamr_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, b"abcdefgh", "text/plain"), (2, b"xy", "text/plain"),
+         (3, None, "text/plain")],
+        "content_id long, media binary, mime string",
+    )
+    rows = {r["content_id"]: r
+            for r in M.resize_media(df, target_w=2, target_h=2).collect()}
+    assert (rows[1]["in_chars"], rows[1]["out_chars"]) == (8, 4)
+    assert bytes(rows[1]["out_media"]) == b"abcd"
+    assert rows[1]["out_sha"] == hashlib.md5(b"abcd").hexdigest()[:8]
+    assert (rows[2]["in_chars"], rows[2]["out_chars"]) == (2, 2)
+    assert bytes(rows[2]["out_media"]) == b"xy"
+    assert (rows[3]["in_chars"], rows[3]["out_chars"]) == (0, 0)
+
+
+def test_multimodal_frame_sample_explode_shape(spark):
+    """One blob -> many frame rows: 10 chars at frame=3 gives frames
+    0..3 (ceil), every_k=2 keeps 0 and 2; the tail frame is short."""
+    from mqtt_streamr_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, b"0123456789"), (2, None)], "content_id long, media binary"
+    )
+    rows = M.sample_frames(df, frame_chars=3, every_k=2).collect()
+    got = {(r["content_id"], r["frame_idx"]): r for r in rows}
+    assert set(got) == {(1, 0), (1, 2)}
+    assert got[(1, 0)]["frame_chars"] == 3
+    assert got[(1, 0)]["frame_sha"] == hashlib.md5(b"012").hexdigest()[:8]
+    assert got[(1, 2)]["frame_chars"] == 3
+    assert got[(1, 2)]["frame_sha"] == hashlib.md5(b"678").hexdigest()[:8]
+
+
+def test_multimodal_frame_sample_tail_frame(spark):
+    """11 chars / frame=4 -> frames 0,1,2; every_k=1 keeps all; frame 2
+    holds the 3-char tail."""
+    from mqtt_streamr_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(7, b"abcdefghijk")],
+                               "content_id long, media binary")
+    rows = sorted(M.sample_frames(df, frame_chars=4, every_k=1).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert [r["frame_chars"] for r in rows] == [4, 4, 3]
+    assert rows[2]["frame_sha"] == hashlib.md5(b"ijk").hexdigest()[:8]
+
+
 def test_decode_image_import_gate():
     """Without Pillow the stub raises loudly; with Pillow it decodes a
     real 1x1 PNG. Both branches asserted wherever they apply — the gate
