@@ -1,0 +1,134 @@
+"""Incremental merge operators: last-write-wins upsert and SCD Type-2
+dimension merge.
+
+The reference has no batch merge surface (SURVEY.md §2 — it is a
+record-at-a-time stream router); these are the incremental-refresh
+operations a large-scale training-data pipeline needs: fold a batch of
+changes into a snapshot without rewriting history (upsert) or while
+KEEPING history as validity intervals (SCD2), the same contract as
+Delta/Iceberg ``MERGE INTO`` expressed as pure DataFrame ops over plain
+parquet.
+
+Scale design: both operators shuffle ONCE on the merge key. ``upsert``
+is union + per-key window (no join); ``scd2_merge`` joins only the OPEN
+slice of the snapshot against the (deduplicated) change batch — closed
+history rows pass through untouched, so cost tracks the live keyset +
+change volume, not accumulated history. Change batches are usually tiny
+vs the snapshot: Spark's AQE broadcasts the change side automatically
+when it fits, making the merge a map-side join over the snapshot scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def upsert(snapshot: DataFrame, changes: DataFrame, key_cols: list[str],
+           ts_col: str) -> DataFrame:
+    """Last-write-wins upsert: the merged snapshot keeps, per key, the row
+    with the greatest ``ts_col`` (change batch wins ties — it is the later
+    write even when timestamps collide).
+
+    One shuffle: tag sides, union, row_number over (key) ordered by
+    (ts desc, side desc), keep rank 1. No join, so no skew surface beyond
+    the per-key window; a key's whole history is 1 + its in-batch change
+    count, bounded by the batch.
+    """
+    tagged_snap = snapshot.withColumn("_src", F.lit(0))
+    tagged_chg = changes.select(*snapshot.columns).withColumn(
+        "_src", F.lit(1))
+    unioned = tagged_snap.unionByName(tagged_chg)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), F.col("_src").desc())
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+
+def scd2_merge(snapshot: DataFrame, changes: DataFrame, key_col: str,
+               tracked_cols: list[str], change_ts_col: str,
+               valid_from: str = "valid_from",
+               valid_to: str = "valid_to") -> DataFrame:
+    """SCD Type-2 merge: fold a change batch into a versioned snapshot.
+
+    ``snapshot`` rows carry ``valid_from``/``valid_to`` (NULL valid_to =
+    open/current version). ``changes`` carries the key, the tracked
+    attribute columns, and ``change_ts_col``. Per key, the outcome is:
+
+    - key absent from the open slice  -> new open version (insert)
+    - present, any tracked col differs (null-safe) -> close the open row
+      at the change ts AND append a new open version
+    - present, all tracked cols equal -> open row passes through (no-op
+      changes must NOT spawn phantom versions)
+    - closed history rows always pass through untouched
+
+    Multiple changes to one key in a batch collapse to the latest by
+    ``change_ts_col`` first (deterministic: ties broken by the tracked
+    values themselves) — intra-batch intermediate states are not
+    versioned, matching warehouse MERGE semantics.
+
+    Plan shape: filter open slice -> left join (AQE-broadcast when the
+    batch is small) -> conditional close/append -> union with closed
+    history. One shuffle at most; history is never joined.
+    """
+    open_rows = snapshot.filter(F.col(valid_to).isNull())
+    closed_rows = snapshot.filter(F.col(valid_to).isNotNull())
+
+    latest_w = Window.partitionBy(key_col).orderBy(
+        F.col(change_ts_col).desc(), *[F.col(c).desc() for c in tracked_cols]
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(latest_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    chg = latest.select(
+        F.col(key_col).alias("_k"),
+        F.col(change_ts_col).alias("_ts"),
+        *[F.col(c).alias(f"_new_{c}") for c in tracked_cols],
+    )
+    joined = open_rows.join(chg, open_rows[key_col] == chg["_k"], "full_outer")
+
+    differs = F.lit(False)
+    for c in tracked_cols:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"_new_{c}"))
+    is_update = F.col("_k").isNotNull() & F.col(key_col).isNotNull() & differs
+    is_insert = F.col(key_col).isNull()
+
+    passthrough = joined.filter(~is_update & ~is_insert).select(
+        *snapshot.columns)
+
+    closed_now = joined.filter(is_update).select(
+        *[F.col(c) for c in snapshot.columns if c != valid_to],
+        F.col("_ts").alias(valid_to),
+    ).select(*snapshot.columns)
+
+    def _new_version(cond):
+        # a fresh open row built from the change side
+        cols = []
+        for c in snapshot.columns:
+            if c == key_col:
+                cols.append(F.col("_k").alias(c))
+            elif c in tracked_cols:
+                cols.append(F.col(f"_new_{c}").alias(c))
+            elif c == valid_from:
+                cols.append(F.col("_ts").alias(c))
+            elif c == valid_to:
+                cols.append(F.lit(None).cast(
+                    snapshot.schema[valid_to].dataType).alias(c))
+            else:
+                # untracked attribute: carry forward from the old open row
+                # (NULL for brand-new keys)
+                cols.append(F.col(c))
+        return joined.filter(cond).select(*cols)
+
+    new_versions = _new_version(is_update | is_insert)
+    return (
+        closed_rows.unionByName(passthrough)
+        .unionByName(closed_now)
+        .unionByName(new_versions)
+    )

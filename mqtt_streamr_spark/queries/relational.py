@@ -1413,3 +1413,172 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("col")
+
+
+# --- incremental merge (upsert / SCD2) ---------------------------------------
+
+@query(
+    "merge_upsert_latest",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS cust_key, c_mktsegment AS segment,
+               c_acctbal AS acctbal
+        FROM customer),
+    merged AS (
+        -- last-write-wins outcome restated: %10 keys take the 1995 update,
+        -- %3-not-%10 keys take the SAME-timestamp change (batch wins ties),
+        -- everyone else keeps the snapshot row; %50 keys also insert anew
+        SELECT cust_key, segment,
+               round(acctbal + 100, 2) AS acctbal,
+               DATE '1995-06-01' AS updated_at
+        FROM base WHERE cust_key % 10 = 0
+        UNION ALL
+        SELECT cust_key, segment, 0.0, DATE '1990-01-01'
+        FROM base WHERE cust_key % 3 = 0 AND cust_key % 10 <> 0
+        UNION ALL
+        SELECT cust_key, segment, acctbal, DATE '1990-01-01'
+        FROM base WHERE cust_key % 3 <> 0 AND cust_key % 10 <> 0
+        UNION ALL
+        SELECT cust_key + 1000000, 'NEWSEG', 1.0, DATE '1995-06-01'
+        FROM base WHERE cust_key % 50 = 0)
+    SELECT segment, count(*) AS n_rows,
+           count(DISTINCT cust_key) AS n_keys,
+           round(sum(acctbal), 2) AS total_bal,
+           sum(CASE WHEN updated_at = DATE '1995-06-01'
+               THEN 1 ELSE 0 END)::BIGINT AS n_from_batch
+    FROM merged GROUP BY segment
+    """,
+)
+def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins upsert (operators/merge.upsert): a change batch
+    folds into a keyed snapshot with one shuffle (union + per-key window,
+    no join). Exercises timestamp ordering AND the batch-wins tie-break:
+    the %3 keys' change shares the snapshot's timestamp and must still
+    win. Oracle restates the expected merged state."""
+    from mqtt_streamr_spark.operators.merge import upsert
+
+    base = load(spark, "customer", sf_dir).select(
+        col("c_custkey").alias("cust_key"),
+        col("c_mktsegment").alias("segment"),
+        col("c_acctbal").alias("acctbal"),
+    )
+    snapshot = base.withColumn("updated_at", F.to_date(F.lit("1990-01-01")))
+    upd = (
+        base.filter(col("cust_key") % 10 == 0)
+        .withColumn("acctbal", F.round(col("acctbal") + 100, 2))
+        .withColumn("updated_at", F.to_date(F.lit("1995-06-01")))
+    )
+    tie = (
+        base.filter((col("cust_key") % 3 == 0) & (col("cust_key") % 10 != 0))
+        .withColumn("acctbal", F.lit(0.0))
+        .withColumn("updated_at", F.to_date(F.lit("1990-01-01")))
+    )
+    ins = base.filter(col("cust_key") % 50 == 0).select(
+        (col("cust_key") + 1000000).alias("cust_key"),
+        F.lit("NEWSEG").alias("segment"),
+        F.lit(1.0).alias("acctbal"),
+        F.to_date(F.lit("1995-06-01")).alias("updated_at"),
+    )
+    changes = upd.unionByName(tie).unionByName(ins)
+    merged = upsert(snapshot, changes, ["cust_key"], "updated_at")
+    return merged.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("cust_key").alias("n_keys"),
+        F.round(F.sum("acctbal"), 2).alias("total_bal"),
+        F.sum(
+            F.when(col("updated_at") == F.to_date(F.lit("1995-06-01")), 1)
+            .otherwise(0)
+        ).alias("n_from_batch"),
+    )
+
+
+@query(
+    "scd2_dimension_merge",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS cust_key, c_mktsegment AS segment,
+               c_name AS name
+        FROM customer),
+    merged AS (
+        -- SCD2 outcome restated: closed history passes through; %10 keys
+        -- close at the change ts and reopen as MOVED (name carried
+        -- forward); no-op changes (%7 keys, same segment) spawn NOTHING;
+        -- the earlier TRANSIENT change is discarded by latest-wins;
+        -- %50 keys insert new open rows with no carried attributes
+        SELECT cust_key, 'OLD' AS segment, name,
+               DATE '1985-01-01' AS valid_from, DATE '1990-01-01' AS valid_to
+        FROM base WHERE cust_key % 13 = 0
+        UNION ALL
+        SELECT cust_key, segment, name, DATE '1990-01-01', NULL
+        FROM base WHERE cust_key % 10 <> 0
+        UNION ALL
+        SELECT cust_key, segment, name, DATE '1990-01-01', DATE '1995-06-01'
+        FROM base WHERE cust_key % 10 = 0
+        UNION ALL
+        SELECT cust_key, 'MOVED', name, DATE '1995-06-01', NULL
+        FROM base WHERE cust_key % 10 = 0
+        UNION ALL
+        SELECT cust_key + 1000000, 'NEWKEY', NULL, DATE '1995-06-01', NULL
+        FROM base WHERE cust_key % 50 = 0)
+    SELECT segment, (valid_to IS NULL) AS is_open, count(*) AS n_rows,
+           count(DISTINCT cust_key) AS n_keys,
+           CAST(min(valid_from) AS VARCHAR) AS first_from,
+           count(valid_to) AS n_closed
+    FROM merged GROUP BY segment, is_open
+    """,
+)
+def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge (operators/merge.scd2_merge): change batch ->
+    versioned dimension. Exercises every branch: real change (close +
+    reopen), no-op change (must NOT version), brand-new key (insert,
+    untracked attrs NULL), intra-batch duplicate (latest wins), and
+    untouched closed history. Oracle restates the expected version set."""
+    from mqtt_streamr_spark.operators.merge import scd2_merge
+
+    base = load(spark, "customer", sf_dir).select(
+        col("c_custkey").alias("cust_key"),
+        col("c_mktsegment").alias("segment"),
+        col("c_name").alias("name"),
+    )
+    open_snap = base.withColumn(
+        "valid_from", F.to_date(F.lit("1990-01-01"))
+    ).withColumn("valid_to", F.lit(None).cast("date"))
+    closed_hist = base.filter(col("cust_key") % 13 == 0).select(
+        "cust_key",
+        F.lit("OLD").alias("segment"),
+        "name",
+        F.to_date(F.lit("1985-01-01")).alias("valid_from"),
+        F.to_date(F.lit("1990-01-01")).alias("valid_to"),
+    )
+    snapshot = open_snap.unionByName(closed_hist)
+
+    def chg(cond_df, seg_col, ts: str):
+        return cond_df.select(
+            "cust_key", seg_col.alias("segment"),
+            F.to_date(F.lit(ts)).alias("change_ts"),
+        )
+
+    upd = chg(base.filter(col("cust_key") % 10 == 0), F.lit("MOVED"),
+              "1995-06-01")
+    transient = chg(base.filter(col("cust_key") % 10 == 0),
+                    F.lit("TRANSIENT"), "1995-01-01")
+    noop = chg(
+        base.filter((col("cust_key") % 7 == 0) & (col("cust_key") % 10 != 0)),
+        col("segment"), "1995-06-01",
+    )
+    ins = base.filter(col("cust_key") % 50 == 0).select(
+        (col("cust_key") + 1000000).alias("cust_key"),
+        F.lit("NEWKEY").alias("segment"),
+        F.to_date(F.lit("1995-06-01")).alias("change_ts"),
+    )
+    changes = upd.unionByName(transient).unionByName(noop).unionByName(ins)
+    merged = scd2_merge(snapshot, changes, "cust_key", ["segment"],
+                        "change_ts")
+    return merged.groupBy(
+        "segment", col("valid_to").isNull().alias("is_open")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("cust_key").alias("n_keys"),
+        F.date_format(F.min("valid_from"), "yyyy-MM-dd").alias("first_from"),
+        F.count("valid_to").alias("n_closed"),
+    )

@@ -66,3 +66,68 @@ def test_sessionize_gap_boundaries(spark):
     assert got[(1, "2024-01-01 10:30:00")] == 1
     assert got[(1, "2024-01-01 11:00:01")] == 2
     assert got[(2, "2024-01-01 09:00:00")] == 1
+
+
+def test_upsert_latest_wins_and_tie_break(spark):
+    """Per key the greatest ts wins; on an exact ts tie the change batch
+    wins (it is the later write); unmatched batch keys insert."""
+    import datetime as dt
+
+    from mqtt_streamr_spark.operators.merge import upsert
+
+    d = dt.date
+    snap = spark.createDataFrame(
+        [(1, "a", d(2020, 1, 1)), (2, "b", d(2020, 1, 1)),
+         (3, "c", d(2021, 5, 5))],
+        "k long, v string, ts date",
+    )
+    chg = spark.createDataFrame(
+        [(1, "a2", d(2021, 1, 1)),   # newer -> wins
+         (2, "b2", d(2020, 1, 1)),   # tie -> batch wins
+         (3, "c2", d(2019, 1, 1)),   # older -> loses
+         (4, "dnew", d(2021, 1, 1))],  # insert
+        "k long, v string, ts date",
+    )
+    got = {r["k"]: r["v"]
+           for r in upsert(snap, chg, ["k"], "ts").collect()}
+    assert got == {1: "a2", 2: "b2", 3: "c", 4: "dnew"}
+
+
+def test_scd2_merge_all_branches(spark):
+    """Change closes+reopens; no-op change spawns nothing; new key
+    inserts with untracked attrs NULL; intra-batch dup takes latest;
+    closed history passes through untouched."""
+    import datetime as dt
+
+    from mqtt_streamr_spark.operators.merge import scd2_merge
+
+    d = dt.date
+    snap = spark.createDataFrame(
+        [  # closed history row for k=1, then open rows for k=1..3
+            (1, "old", "n1", d(2010, 1, 1), d(2015, 1, 1)),
+            (1, "cur", "n1", d(2015, 1, 1), None),
+            (2, "keep", "n2", d(2015, 1, 1), None),
+            (3, "same", "n3", d(2015, 1, 1), None),
+        ],
+        "k long, seg string, name string, valid_from date, valid_to date",
+    )
+    chg = spark.createDataFrame(
+        [(1, "transient", d(2019, 6, 1)),  # discarded: older than next
+         (1, "new", d(2020, 1, 1)),        # real change -> close + reopen
+         (3, "same", d(2020, 1, 1)),       # no-op -> nothing
+         (9, "fresh", d(2020, 1, 1))],     # insert, name must be NULL
+        "k long, seg string, change_ts date",
+    )
+    rows = scd2_merge(snap, chg, "k", ["seg"], "change_ts").collect()
+    versions = sorted(
+        (r["k"], r["seg"], r["name"], str(r["valid_from"]),
+         str(r["valid_to"])) for r in rows
+    )
+    assert versions == [
+        (1, "cur", "n1", "2015-01-01", "2020-01-01"),  # closed now
+        (1, "new", "n1", "2020-01-01", "None"),        # reopened, name kept
+        (1, "old", "n1", "2010-01-01", "2015-01-01"),  # history untouched
+        (2, "keep", "n2", "2015-01-01", "None"),       # untouched open
+        (3, "same", "n3", "2015-01-01", "None"),       # no-op: ONE row
+        (9, "fresh", None, "2020-01-01", "None"),      # insert
+    ]
