@@ -25,22 +25,32 @@ from pyspark.sql import DataFrame, Window
 
 
 def upsert(snapshot: DataFrame, changes: DataFrame, key_cols: list[str],
-           ts_col: str) -> DataFrame:
+           ts_col: str, tie_cols: list[str] | None = None) -> DataFrame:
     """Last-write-wins upsert: the merged snapshot keeps, per key, the row
     with the greatest ``ts_col`` (change batch wins ties — it is the later
     write even when timestamps collide).
 
+    ``tie_cols`` (optional, ordered desc after the timestamp) make
+    same-timestamp resolution deterministic by VALUE rather than by
+    side/arrival. That matters when the merge is applied incrementally
+    (e.g. per micro-batch in foreachBatch): value-based tie-breaks are
+    associative, so folding batch-by-batch converges to the same snapshot
+    as one big merge — side-based ties depend on which batch a row
+    arrived in.
+
     One shuffle: tag sides, union, row_number over (key) ordered by
-    (ts desc, side desc), keep rank 1. No join, so no skew surface beyond
-    the per-key window; a key's whole history is 1 + its in-batch change
-    count, bounded by the batch.
+    (ts desc, [tie_cols desc,] side desc), keep rank 1. No join, so no
+    skew surface beyond the per-key window; a key's whole history is 1 +
+    its in-batch change count, bounded by the batch.
     """
     tagged_snap = snapshot.withColumn("_src", F.lit(0))
     tagged_chg = changes.select(*snapshot.columns).withColumn(
         "_src", F.lit(1))
     unioned = tagged_snap.unionByName(tagged_chg)
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col(ts_col).desc(), F.col("_src").desc())
+    order = [F.col(ts_col).desc()]
+    order += [F.col(c).desc() for c in (tie_cols or [])]
+    order.append(F.col("_src").desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         unioned.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -1119,3 +1119,54 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+        FROM events e JOIN med m USING (event_type)),
+    mad AS (
+        SELECT event_type, median(ad) AS mad
+        FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           count(*) AS n_events,
+           sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END)::BIGINT
+               AS n_outliers,
+           round(any_value(d.med), 4) AS med_value,
+           round(any_value(m.mad), 4) AS mad_value
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: per-group median/MAD (median absolute
+    deviation) outlier flags — the robust alternative to mean/stddev
+    z-scores (one wild value cannot drag the threshold). Two grouped
+    medians + two joins, but both join sides collapse to GROUP
+    cardinality (event types), so each join is a broadcast over the fact
+    scan; the only data-sized shuffles are the two medians, and at 100 TB
+    the exact medians swap for approx_percentile (same shape as the
+    percentile pair, agg_value_percentiles[_approx])."""
+    ev = load(spark, "events", sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(col("value") - col("med")))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(col("ad") > 3 * col("mad"), 1).otherwise(0))
+            .alias("n_outliers"),
+            F.round(F.first("med"), 4).alias("med_value"),
+            F.round(F.first("mad"), 4).alias("mad_value"),
+        )
+    )

@@ -399,3 +399,83 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "streaming_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    SELECT event_type, count(*) AS n_keys,
+           round(sum(value), 2) AS total_latest_value
+    FROM ranked WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply / incremental materialized snapshot maintenance: each
+    micro-batch of the change stream folds into a keyed parquet snapshot
+    via foreachBatch + merge.upsert (the Delta-MERGE-in-foreachBatch
+    pattern over plain parquet). Cross-batch determinism comes from
+    VALUE-based tie-breaks (ts, then unique event_id) — associative, so
+    batch-by-batch folding converges to the same snapshot as one big
+    merge, which is exactly what the oracle computes. Scale: per batch
+    ONE shuffle over snapshot ∪ batch; snapshot size tracks the live
+    keyset (150 users here), not stream history. Snapshot versions swap
+    by pointer (write v{N+1}, then read it next batch) — the pattern a
+    table format (Delta/Iceberg) productionizes with atomic commits."""
+    from mqtt_streamr_spark.operators.merge import upsert
+    from mqtt_streamr_spark.streaming.pipeline import replay_source
+
+    src = replay_source(
+        spark, os.path.join(sf_dir, "events.parquet"), streaming=True,
+        split_files=2,
+    )
+    changes = src.select(
+        F.get_json_object("payload", "$.event_id").cast("long")
+        .alias("event_id"),
+        F.get_json_object("payload", "$.user_id").cast("long")
+        .alias("user_id"),
+        F.get_json_object("payload", "$.event_type").alias("event_type"),
+        F.get_json_object("payload", "$.value").cast("double")
+        .alias("value"),
+        F.get_json_object("payload", "$.ts").cast("timestamp").alias("ts"),
+    )
+    d = tempfile.mkdtemp(prefix="streaming_cdc_q_")
+    state = {"version": 0}  # pointer to the current snapshot dir
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        b = batch_df.sparkSession
+        cur = os.path.join(d, f"snap_v{state['version']}")
+        if os.path.exists(cur):
+            snap = b.read.parquet(cur)
+        else:
+            snap = b.createDataFrame([], batch_df.schema)
+        merged = upsert(snap, batch_df, ["user_id"], "ts",
+                        tie_cols=["event_id"])
+        nxt = os.path.join(d, f"snap_v{state['version'] + 1}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["version"] += 1
+
+    try:
+        q = (
+            changes.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        snap = spark.read.parquet(
+            os.path.join(d, f"snap_v{state['version']}"))
+        return (
+            snap.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.round(F.sum("value"), 2).alias("total_latest_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -131,3 +131,22 @@ def test_scd2_merge_all_branches(spark):
         (3, "same", "n3", "2015-01-01", "None"),       # no-op: ONE row
         (9, "fresh", None, "2020-01-01", "None"),      # insert
     ]
+
+
+def test_upsert_tie_cols_value_based(spark):
+    """With tie_cols, same-timestamp resolution is by VALUE (desc), not
+    by side — fold order stops mattering (associativity for incremental
+    application)."""
+    import datetime as dt
+
+    from mqtt_streamr_spark.operators.merge import upsert
+
+    d = dt.date
+    snap = spark.createDataFrame([(1, 9, d(2020, 1, 1))],
+                                 "k long, v long, ts date")
+    chg = spark.createDataFrame([(1, 5, d(2020, 1, 1))],
+                                "k long, v long, ts date")
+    # plain: batch wins the tie -> 5; tie_cols=[v]: highest value wins -> 9
+    plain = upsert(snap, chg, ["k"], "ts").collect()[0]["v"]
+    valued = upsert(snap, chg, ["k"], "ts", tie_cols=["v"]).collect()[0]["v"]
+    assert (plain, valued) == (5, 9)
