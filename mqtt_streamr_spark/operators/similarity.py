@@ -92,6 +92,55 @@ def lsh_bucket(vec: Column, planes: int = 8, dim: int = 64) -> Column:
     ).otherwise(F.concat(*bits))
 
 
+def projection_matrix(out_dim: int, in_dim: int) -> list[list[float]]:
+    """Deterministic Johnson–Lindenstrauss sign matrix (±1/sqrt(out_dim),
+    Achlioptas-style) seeded from md5 — reproducible in any engine, so the
+    DuckDB oracle embeds the same literals."""
+    import math
+
+    scale = 1.0 / math.sqrt(out_dim)
+    return [
+        [
+            scale
+            if int(hashlib.md5(f"rp_{j}_{i}".encode()).hexdigest()[0], 16)
+            >= 8
+            else -scale
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def reduce_dims(df: DataFrame, out_dim: int = 8, in_dim: int = 64,
+                vec_col: str = "embedding", id_col: str = "vec_id"
+                ) -> DataFrame:
+    """Random-projection dimensionality reduction: reduced[j] = <v, R_j>
+    with a fixed ±1/sqrt(out_dim) sign matrix. Map-only (no shuffle): one
+    O(in_dim) fold per output dim, all codegen Columns — at 100 TB this
+    runs in the scan stage and cuts every downstream distance computation
+    (and shuffle payload) by in_dim/out_dim, with JL-bounded distortion.
+    Errors loudly on a dim mismatch (zip_with would otherwise NULL-pad)."""
+    vd = _as_double(F.col(vec_col))
+    rows = projection_matrix(out_dim, in_dim)
+    comps = []
+    for j in range(out_dim):
+        coeffs = F.array(*[F.lit(c) for c in rows[j]])
+        comps.append(
+            F.aggregate(
+                F.zip_with(vd, coeffs, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    reduced = F.when(
+        F.size(F.col(vec_col)) != in_dim,
+        F.raise_error(F.lit(
+            f"reduce_dims: vector length != in_dim={in_dim}"
+        )),
+    ).otherwise(F.array(*comps))
+    return df.select(F.col(id_col), reduced.alias("reduced"))
+
+
 def cosine_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id"
                 ) -> DataFrame:

@@ -433,6 +433,49 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, S.query_vector(emb, 0), k=10)
 
 
+def _rp_sql(a: str, out_dim: int = 8, in_dim: int = 64) -> str:
+    # mirrors similarity.reduce_dims: one dot fold per output dim against
+    # the SAME md5-seeded ±1/sqrt(out_dim) literals
+    rows = S.projection_matrix(out_dim, in_dim)
+    comps = []
+    for r in rows:
+        lit = "[" + ", ".join(repr(c) for c in r) + "]"
+        comps.append(
+            f"list_sum(list_transform(generate_series(1, {in_dim}), "
+            f"i -> {a}[i]::DOUBLE * ({lit})[i]))"
+        )
+    return "[" + ", ".join(comps) + "]"
+
+
+@query(
+    "sim_random_projection_topk",
+    oracle=f"""
+    WITH r AS (SELECT vec_id, {_rp_sql('embedding')} AS rv
+               FROM embeddings),
+    n AS (SELECT vec_id, {_norm_sql('rv')} AS nv FROM r),
+    q AS (SELECT nv AS q_nv FROM n WHERE vec_id = 0)
+    SELECT n.vec_id,
+           round({_DOT.format(a='n.nv', b='q.q_nv')}, 6) AS cos_sim
+    FROM n, q
+    WHERE n.vec_id != 0
+    ORDER BY cos_sim DESC, n.vec_id
+    LIMIT 10
+    """,
+)
+def sim_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (64 -> 8 dims, map-only
+    sign-matrix folds) followed by exact cosine top-10 in the REDUCED
+    space — the standard shrink-then-search pattern: at 100 TB the
+    projection runs in the scan stage and cuts every downstream distance
+    and shuffle byte by 8x, with JL-bounded distortion."""
+    emb = load(spark, "embeddings", sf_dir)
+    red = S.reduce_dims(emb, out_dim=8, in_dim=64)
+    q = red.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("reduced").alias("q_vec")
+    )
+    return S.cosine_topk(red, q, k=10, vec_col="reduced")
+
+
 def _coeff_sql(p: int) -> str:
     coeffs = S.hyperplane_coeffs(p, 64)
     lit = "[" + ", ".join(str(c) for c in coeffs) + "]"

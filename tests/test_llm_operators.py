@@ -854,3 +854,31 @@ def test_vocab_coverage_hand_computed(spark):
     assert (r["n_terms"], r["total_tokens"]) == (3, 7)
     assert r["cov_top1"] == round(4 / 7, 6)
     assert r["cov_top2"] == round(6 / 7, 6)
+
+
+def test_reduce_dims_matches_numpy_projection(spark):
+    import numpy as np
+
+    from mqtt_streamr_spark.operators import similarity as S
+
+    vec = [float(i) for i in range(16)]
+    df = spark.createDataFrame([(1, vec)],
+                               "vec_id long, embedding array<float>")
+    got = S.reduce_dims(df, out_dim=4, in_dim=16).collect()[0]["reduced"]
+    R = np.array(S.projection_matrix(4, 16))
+    want = R @ np.array(vec)
+    assert np.allclose(got, want)
+
+
+def test_reduce_dims_dim_mismatch_errors(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from mqtt_streamr_spark.operators import similarity as S
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])],
+                               "vec_id long, embedding array<float>")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="in_dim"):
+        S.reduce_dims(df, out_dim=2, in_dim=16).collect()
