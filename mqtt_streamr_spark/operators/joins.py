@@ -223,3 +223,53 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str = "ts",
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def symdel_fuzzy_join(left: DataFrame, right: DataFrame,
+                      left_id: str, right_id: str,
+                      left_text: str, right_text: str,
+                      max_dist: int = 1) -> DataFrame:
+    """Fuzzy string join (entity resolution) with symmetric-delete
+    blocking (SymSpell): two strings within Levenshtein distance 1
+    (insert/delete/substitute) MUST share a member of each other's
+    {self} ∪ {one-char-deleted variants} set, so exploding that
+    neighborhood and equi-joining on the variant generates a candidate
+    superset, and an exact ``levenshtein`` filter makes the result exact.
+
+    Why this blocking at 100 TB: prefix- or length-banding collapses
+    when keys share long common prefixes (every TPC-H name starts
+    'Customer#...' — one giant block, quadratic). Deletion variants
+    spread candidates across len(s)+1 fine-grained buckets whose size
+    tracks genuine near-matches, and the whole pipeline is explode →
+    one equi-join shuffle → distinct → map-side verify. Cost: ~len(s)+1
+    replica rows per string in the variant shuffle. max_dist=1 only
+    (deeper distances need recursive deletes; generate them before the
+    join if you need k=2)."""
+    if max_dist != 1:
+        raise ValueError("symdel_fuzzy_join supports max_dist=1 only")
+
+    def variants(tc: str):
+        return F.explode(F.expr(
+            f"array_union(array({tc}), "
+            f"transform(sequence(1, length({tc})), "
+            f"i -> concat(substring({tc}, 1, i-1), "
+            f"substring({tc}, i+1, length({tc})))))"
+        ))
+
+    lv = left.select(
+        F.col(left_id).alias("l_key"), F.col(left_text).alias("l_text")
+    ).withColumn("_var", variants("l_text"))
+    rv = right.select(
+        F.col(right_id).alias("r_key"), F.col(right_text).alias("r_text")
+    ).withColumn("_var", variants("r_text"))
+    cand = (
+        lv.join(rv, "_var")
+        .select("l_key", "l_text", "r_key", "r_text")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("l_text"), F.col("r_text")))
+        .filter(F.col("dist") <= max_dist)
+        .select("l_key", "r_key", "dist")
+    )

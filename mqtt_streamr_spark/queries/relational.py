@@ -1582,3 +1582,43 @@ def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("valid_from"), "yyyy-MM-dd").alias("first_from"),
         F.count("valid_to").alias("n_closed"),
     )
+
+
+@query(
+    "join_fuzzy_name_match",
+    oracle="""
+    WITH pert AS (
+        SELECT c_custkey AS r_key,
+               substring(c_name, 1, 9 + c_custkey % 8)
+               || substring(c_name, 11 + c_custkey % 8) AS r_name
+        FROM customer WHERE c_custkey % 3 = 0)
+    SELECT c.c_custkey AS l_key, p.r_key,
+           levenshtein(c.c_name, p.r_name) AS dist
+    FROM customer c, pert p
+    WHERE levenshtein(c.c_name, p.r_name) <= 1
+    """,
+)
+def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution via symmetric-delete fuzzy join
+    (operators/joins.symdel_fuzzy_join): every third customer's name is
+    deterministically corrupted by one char deletion, and the fuzzy join
+    must recover the original↔corrupted links (plus any genuine
+    distance-1 collisions between different customers — the oracle is
+    the exhaustive cross join, so blocking recall is verified exactly).
+    The SymSpell variant blocking is what survives 100 TB: TPC-H names
+    share an 9-char prefix, so prefix blocking would be one quadratic
+    block, while deletion variants spread into per-variant buckets."""
+    from mqtt_streamr_spark.operators.joins import symdel_fuzzy_join
+
+    cust = load(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    pert = cust.filter(col("c_custkey") % 3 == 0).select(
+        col("c_custkey").alias("r_key"),
+        F.expr(
+            "substring(c_name, 1, 9 + c_custkey % 8) || "
+            "substring(c_name, 11 + c_custkey % 8)"
+        ).alias("r_name"),
+    )
+    out = symdel_fuzzy_join(cust, pert, "c_custkey", "r_key",
+                            "c_name", "r_name")
+    return out.select(col("l_key").cast("long"), col("r_key"),
+                      col("dist").cast("long"))

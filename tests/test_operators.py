@@ -150,3 +150,27 @@ def test_upsert_tie_cols_value_based(spark):
     plain = upsert(snap, chg, ["k"], "ts").collect()[0]["v"]
     valued = upsert(snap, chg, ["k"], "ts", tie_cols=["v"]).collect()[0]["v"]
     assert (plain, valued) == (5, 9)
+
+
+def test_symdel_fuzzy_join_covers_all_edit_types(spark):
+    """Substitution, insertion, and deletion at distance 1 are all
+    recovered (the SymSpell guarantee); a distance-2 pair is not; an
+    exact duplicate joins at dist 0."""
+    from mqtt_streamr_spark.operators.joins import symdel_fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "flour"), (3, "apple"), (4, "same")],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "kitchen"),   # dist 2 from kitten -> excluded
+         (11, "kittex"),    # substitution of kitten
+         (12, "flours"),    # insertion into flour
+         (13, "aple"),      # deletion from apple
+         (14, "same")],     # exact
+        "id long, name string",
+    )
+    got = {(r["l_key"], r["r_key"]): r["dist"]
+           for r in symdel_fuzzy_join(left, right, "id", "id",
+                                      "name", "name").collect()}
+    assert got == {(1, 11): 1, (2, 12): 1, (3, 13): 1, (4, 14): 0}

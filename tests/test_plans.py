@@ -374,3 +374,41 @@ def test_all_batch_query_plans_free_of_scale_killers(spark):
         if "BatchEvalPython" in p:
             failures.append((name, "BatchEvalPython (row-at-a-time UDF)"))
     assert not failures, failures
+
+
+def test_mad_outliers_broadcasts_group_sized_sides(spark):
+    """Both medians-joins collapse to group cardinality and broadcast;
+    no sort-merge join on the fact table."""
+    p = plan_str(QUERIES["events_mad_outliers"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_upsert_single_shuffle_no_join(spark):
+    """merge.upsert = union + per-key window: one hash-partitioning
+    exchange, a Window, and NO join node at all."""
+    import datetime as dt
+
+    from mqtt_streamr_spark.operators.merge import upsert
+
+    d = dt.date
+    snap = spark.createDataFrame([(1, "a", d(2020, 1, 1))],
+                                 "k long, v string, ts date")
+    chg = spark.createDataFrame([(1, "b", d(2021, 1, 1))],
+                                "k long, v string, ts date")
+    p = plan_str(upsert(snap, chg, ["k"], "ts"))
+    assert "Window" in p, p
+    assert "Join" not in p, p
+    assert p.count("Exchange (") <= 1, p
+
+
+def test_reduce_dims_map_only_jvm_side(spark):
+    """Random projection is map-only codegen: no exchange, no Python."""
+    from mqtt_streamr_spark.operators import similarity as S
+    from mqtt_streamr_spark.tables import load
+
+    red = S.reduce_dims(load(spark, "embeddings", SF))
+    p = plan_str(red)
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
