@@ -142,3 +142,54 @@ def scd2_merge(snapshot: DataFrame, changes: DataFrame, key_col: str,
         .unionByName(closed_now)
         .unionByName(new_versions)
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Diff two keyed snapshots into change rows: ``added`` (key only in
+    new), ``removed`` (key only in old), ``changed`` (key in both, any
+    compared column differing null-safely). Unchanged keys are dropped.
+
+    The reverse of CDC-apply: deriving the change stream FROM two table
+    versions (snapshot-based CDC, e.g. nightly vendor dumps). One
+    full-outer equi-join shuffle on the key; comparison is a map-side
+    null-safe conjunction, so cost is the join itself. Output columns:
+    the keys + ``change_type`` + the new side's compared values (NULL
+    for removed rows).
+    """
+    cmp_cols = compare_cols or [c for c in old.columns
+                                if c not in key_cols]
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_oc_{c}") for c in cmp_cols],
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_n_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_nc_{c}") for c in cmp_cols],
+    )
+    cond = None
+    for k in key_cols:
+        e = F.col(f"_o_{k}") == F.col(f"_n_{k}")
+        cond = e if cond is None else cond & e
+    j = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"_o_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"_n_{key_cols[0]}").isNotNull()
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"_oc_{c}").eqNullSafe(F.col(f"_nc_{c}"))
+    change_type = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[F.coalesce(F.col(f"_n_{k}"), F.col(f"_o_{k}")).alias(k)
+              for k in key_cols],
+            "change_type",
+            *[F.col(f"_nc_{c}").alias(c) for c in cmp_cols],
+        )
+    )

@@ -1622,3 +1622,112 @@ def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "c_name", "r_name")
     return out.select(col("l_key").cast("long"), col("r_key"),
                       col("dist").cast("long"))
+
+
+@query(
+    "snapshot_diff_changes",
+    oracle="""
+    WITH base AS (SELECT c_custkey AS k FROM customer),
+    diff AS (
+        SELECT k, 'removed' AS change_type FROM base WHERE k % 13 = 0
+        UNION ALL
+        SELECT k, 'changed' FROM base
+        WHERE k % 13 <> 0 AND (k % 10 = 0 OR k % 9 = 0)
+        UNION ALL
+        SELECT k + 1000000, 'added' FROM base WHERE k % 50 = 0)
+    SELECT change_type, count(*) AS n, count(DISTINCT k) AS n_keys
+    FROM diff GROUP BY change_type
+    """,
+)
+def snapshot_diff_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-based CDC (operators/merge.snapshot_diff): derive the
+    change stream FROM two table versions — the nightly-dump pattern.
+    The new version deterministically removes every 13th key, perturbs
+    balances (%10) and segments (%9), and adds fresh keys (%50); the
+    diff must classify exactly those as removed/changed/added and drop
+    the unchanged majority. One full-outer join shuffle; comparison is
+    map-side null-safe equality."""
+    from mqtt_streamr_spark.operators.merge import snapshot_diff
+
+    old = load(spark, "customer", sf_dir).select(
+        col("c_custkey").alias("k"),
+        col("c_acctbal").alias("acctbal"),
+        col("c_mktsegment").alias("segment"),
+    )
+    survived = old.filter(col("k") % 13 != 0).select(
+        "k",
+        F.when(col("k") % 10 == 0, F.round(col("acctbal") + 50, 2))
+        .otherwise(col("acctbal")).alias("acctbal"),
+        F.when(col("k") % 9 == 0, F.lit("SHIFTED"))
+        .otherwise(col("segment")).alias("segment"),
+    )
+    added = old.filter(col("k") % 50 == 0).select(
+        (col("k") + 1000000).alias("k"),
+        F.lit(0.0).alias("acctbal"),
+        F.lit("FRESH").alias("segment"),
+    )
+    new = survived.unionByName(added)
+    d = snapshot_diff(old, new, ["k"], ["acctbal", "segment"])
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("k").alias("n_keys"),
+    )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    WITH a AS (SELECT count(*) AS n,
+                      count(DISTINCT o_orderkey) AS nd,
+                      sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                          AS n_null,
+                      sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                          AS n_nonpos
+               FROM orders),
+    fk AS (SELECT count(*) AS n_bad FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_custkey = o.o_custkey))
+    SELECT 'orderkey_unique' AS check_name, (n - nd)::BIGINT AS n_bad,
+           (n - nd) = 0 AS passed FROM a
+    UNION ALL
+    SELECT 'custkey_not_null', n_null::BIGINT, n_null = 0 FROM a
+    UNION ALL
+    SELECT 'totalprice_positive', n_nonpos::BIGINT, n_nonpos = 0 FROM a
+    UNION ALL
+    SELECT 'fk_orders_customer', n_bad::BIGINT, n_bad = 0 FROM fk
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report (the Deequ/Great-Expectations
+    shape): uniqueness, not-null, value-range, and referential-integrity
+    checks as a tidy (check_name, n_bad, passed) table. The three
+    column checks share ONE scan + ONE aggregate; the FK check is a
+    left-anti join whose build side is key-only. At 100 TB this is the
+    cheapest possible audit: no check adds a scan beyond those two."""
+    o = load(spark, "orders", sf_dir)
+    cust = load(spark, "customer", sf_dir).select("c_custkey")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("nd"),
+        F.sum(F.when(col("o_custkey").isNull(), 1).otherwise(0))
+        .alias("n_null"),
+        F.sum(F.when(col("o_totalprice") <= 0, 1).otherwise(0))
+        .alias("n_nonpos"),
+    )
+    fk = (
+        o.join(cust, o["o_custkey"] == cust["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+    checks = (
+        a.select(F.lit("orderkey_unique").alias("check_name"),
+                 (col("n") - col("nd")).alias("n_bad"))
+        .unionByName(a.select(F.lit("custkey_not_null").alias("check_name"),
+                              col("n_null").alias("n_bad")))
+        .unionByName(a.select(
+            F.lit("totalprice_positive").alias("check_name"),
+            col("n_nonpos").alias("n_bad")))
+        .unionByName(fk.select(
+            F.lit("fk_orders_customer").alias("check_name"),
+            col("n_bad")))
+    )
+    return checks.withColumn("passed", col("n_bad") == 0)

@@ -174,3 +174,29 @@ def test_symdel_fuzzy_join_covers_all_edit_types(spark):
            for r in symdel_fuzzy_join(left, right, "id", "id",
                                       "name", "name").collect()}
     assert got == {(1, 11): 1, (2, 12): 1, (3, 13): 1, (4, 14): 0}
+
+
+def test_snapshot_diff_classifies_all_branches(spark):
+    """added / removed / changed (incl. null-safe transitions) detected;
+    unchanged keys dropped."""
+    from mqtt_streamr_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+        "k long, v string, x int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),        # unchanged -> dropped
+         (2, "b", 20),        # NULL -> 20: changed (null-safe compare)
+         (3, "zz", 30),       # changed
+         (5, "e", 50)],       # added; 4 removed
+        "k long, v string, x int",
+    )
+    got = {r["k"]: (r["change_type"], r["v"], r["x"])
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        2: ("changed", "b", 20),
+        3: ("changed", "zz", 30),
+        4: ("removed", None, None),
+        5: ("added", "e", 50),
+    }
