@@ -256,12 +256,17 @@ def symdel_fuzzy_join(left: DataFrame, right: DataFrame,
             f"substring({tc}, i+1, length({tc})))))"
         ))
 
+    # distinct BEFORE the join: strings with repeated-char runs generate
+    # the same deletion variant many times (deleting any char of a run of
+    # r identical chars yields one string), and duplicate variants on both
+    # sides multiply candidate rows r_l*r_r per true pair. One extra
+    # map-side-combining distinct per side caps that amplification.
     lv = left.select(
         F.col(left_id).alias("l_key"), F.col(left_text).alias("l_text")
-    ).withColumn("_var", variants("l_text"))
+    ).withColumn("_var", variants("l_text")).distinct()
     rv = right.select(
         F.col(right_id).alias("r_key"), F.col(right_text).alias("r_text")
-    ).withColumn("_var", variants("r_text"))
+    ).withColumn("_var", variants("r_text")).distinct()
     cand = (
         lv.join(rv, "_var")
         .select("l_key", "l_text", "r_key", "r_text")

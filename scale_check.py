@@ -237,6 +237,65 @@ def bpe_pairs(spark, k):
 
 
 
+def upsert_events(spark, k):
+    from mqtt_streamr_spark.operators.merge import upsert
+
+    ev = replicate(load(spark, "events", SF_DIR), k, id_cols=("event_id",))
+    snap = ev.select("event_id", "value", "ts")
+    chg = (
+        snap.filter(F.col("event_id") % 10 == 0)
+        .withColumn("value", F.col("value") + 1)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return upsert(snap, chg, ["event_id"], "ts").agg(
+        F.count(F.lit(1)), F.sum("value")
+    )
+
+
+def snapshot_diff_events(spark, k):
+    from mqtt_streamr_spark.operators.merge import snapshot_diff
+
+    ev = replicate(load(spark, "events", SF_DIR), k, id_cols=("event_id",))
+    old = ev.select("event_id", "value")
+    new = (
+        old.filter(F.col("event_id") % 13 != 0)
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 10 == 0, F.col("value") + 1)
+            .otherwise(F.col("value")),
+        )
+        .unionByName(
+            old.filter(F.col("event_id") % 50 == 0)
+            .withColumn("event_id", F.col("event_id") + 10_000_000_000)
+        )
+    )
+    return (
+        snapshot_diff(old, new, ["event_id"])
+        .groupBy("change_type").count()
+        .agg(F.count(F.lit(1)), F.sum("count"))
+    )
+
+
+def fuzzy_join_names(spark, k):
+    from mqtt_streamr_spark.operators.joins import symdel_fuzzy_join
+
+    cust = replicate(
+        load(spark, "customer", SF_DIR), k,
+        id_cols=("c_custkey",), tag_text_col="c_name",
+    ).select("c_custkey", "c_name")
+    pert = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("r_key"),
+        F.expr(
+            "substring(c_name, 1, 9 + c_custkey % 8) || "
+            "substring(c_name, 11 + c_custkey % 8)"
+        ).alias("r_name"),
+    )
+    return symdel_fuzzy_join(cust, pert, "c_custkey", "r_key",
+                             "c_name", "r_name").agg(
+        F.count(F.lit(1)), F.sum("dist")
+    )
+
+
 OPS = {
     "scan_agg_lineitem": scan_agg,
     "minhash_lsh_buckets": minhash_buckets,
@@ -253,6 +312,9 @@ OPS = {
     "classifier_scoring_docs": classifier_scoring,
     "semantic_dedup_embeddings": semantic_dedup_emb,
     "bpe_pairs_docs": bpe_pairs,
+    "upsert_events": upsert_events,
+    "snapshot_diff_events": snapshot_diff_events,
+    "fuzzy_join_names": fuzzy_join_names,
 }
 
 
