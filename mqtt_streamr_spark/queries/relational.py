@@ -1731,3 +1731,47 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("n_bad")))
     )
     return checks.withColumn("passed", col("n_bad") == 0)
+
+
+@query(
+    "layout_zorder_clustering",
+    oracle="""
+    WITH b AS (SELECT l_orderkey % 256 AS bx, l_partkey % 256 AS by_
+               FROM lineitem),
+    k AS (SELECT bx, by_,
+                 list_sum(list_transform(generate_series(0, 7),
+                     i -> (((bx >> i) & 1) << (2*i))
+                        + (((by_ >> i) & 1) << (2*i + 1)))) AS zkey
+          FROM b)
+    SELECT (zkey // 4096)::BIGINT AS zgroup, count(*) AS n,
+           min(bx) AS min_x, max(bx) AS max_x,
+           min(by_) AS min_y, max(by_) AS max_y,
+           sum(zkey)::BIGINT AS zsum
+    FROM k GROUP BY zgroup
+    """,
+)
+def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (operators/layout.zorder_key) over two
+    lineitem dimensions. Grouping by the key's top 4 bits exposes the
+    property that makes it a layout tool: every group's bounding box is
+    confined to a quarter of BOTH dimension ranges simultaneously (the
+    oracle checks the exact per-group min/max), which is why files
+    written in z-order prune on filters over ANY keyed column. The key
+    itself is a map-only codegen fold; the only shuffle is the final
+    16-group aggregate."""
+    from mqtt_streamr_spark.operators import layout as L
+
+    li = load(spark, "lineitem", sf_dir).select(
+        L.zorder_bucket("l_orderkey", 256).alias("bx"),
+        L.zorder_bucket("l_partkey", 256).alias("by_"),
+    )
+    k = li.withColumn("zkey", L.zorder_key(["bx", "by_"], bits=8))
+    return (
+        k.groupBy(F.floor(col("zkey") / 4096).alias("zgroup"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("bx").alias("min_x"), F.max("bx").alias("max_x"),
+            F.min("by_").alias("min_y"), F.max("by_").alias("max_y"),
+            F.sum("zkey").alias("zsum"),
+        )
+    )

@@ -200,3 +200,53 @@ def test_snapshot_diff_classifies_all_branches(spark):
         4: ("removed", None, None),
         5: ("added", "e", 50),
     }
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from mqtt_streamr_spark.operators.layout import zorder_key
+
+    def interleave(vals, bits=8):
+        z = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * len(vals) + j)
+        return z
+
+    rows = [(3, 5), (0, 0), (255, 255), (7, 200)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = df.select("x", "y",
+                    zorder_key(["x", "y"], bits=8).alias("z")).collect()
+    for r in got:
+        assert r["z"] == interleave([r["x"], r["y"]]), (r["x"], r["y"])
+
+
+def test_write_zordered_files_have_tight_bounding_boxes(spark, tmp_path):
+    """The layout claim itself: after a z-ordered write of a uniform
+    2-D grid, every file's (x, y) bounding box covers a small fraction
+    of the domain — so min/max zone maps prune files for selective
+    filters on EITHER column. A 1-D sort of the same data leaves the
+    non-sorted dimension's box at full width in every file."""
+    import itertools
+
+    import pyspark.sql.functions as F
+
+    from mqtt_streamr_spark.operators.layout import write_zordered
+
+    grid = spark.createDataFrame(
+        list(itertools.product(range(64), range(64))), "x int, y int"
+    )
+    path = str(tmp_path / "zsorted")
+    write_zordered(grid, path, ["x", "y"], bits=6, n_files=16)
+    boxes = (
+        spark.read.parquet(path)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg((F.max("x") - F.min("x")).alias("wx"),
+             (F.max("y") - F.min("y")).alias("wy"))
+        .collect()
+    )
+    assert len(boxes) >= 8
+    # every file's box must span well under the full 0..63 domain in
+    # BOTH dimensions (a 1-D sort leaves wy == 63 for every file)
+    for b in boxes:
+        assert b["wx"] <= 32 and b["wy"] <= 32, dict(b.asDict())
