@@ -50,3 +50,42 @@ def geometric_mean(v: pd.Series) -> float:
     if len(pos) == 0:
         return None
     return float(np.exp(np.log(pos).mean()))
+
+
+def ewma_per_key(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+                 alpha: float, order_cols: list[str] | None = None
+                 ) -> DataFrame:
+    """Per-key exponentially-weighted moving average — an ORDERED
+    RECURRENCE (e_n = alpha*v_n + (1-alpha)*e_{n-1}, seeded e_1 = v_1),
+    which no window frame expresses (each value depends on the full
+    prefix) and whose closed form (powers of 1/(1-alpha)) overflows on
+    long series. applyInPandas is the right surface: one shuffle on the
+    key, each key's ordered history in one Arrow batch, the recurrence
+    as an explicit loop so the float op ORDER matches the oracle's
+    recursive CTE exactly. Output adds an ``ewma`` column to every row.
+
+    Scale: a key's whole history must fit one executor (same contract as
+    any per-key sequence op); for unbounded histories, checkpoint the
+    carry-in state per time-slice instead (the streaming variant of this
+    lives in streaming/stateful.py as running Welford stats)."""
+    order = [ts_col] + list(order_cols or [])
+    schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        + ", ewma double"
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        vals = pdf[value_col].to_list()
+        out = []
+        prev = None
+        for v in vals:
+            prev = float(v) if prev is None else alpha * float(v) \
+                + (1.0 - alpha) * prev
+            out.append(prev)
+        pdf["ewma"] = out
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(smooth, schema=schema)

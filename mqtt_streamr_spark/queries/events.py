@@ -1170,3 +1170,44 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first("mad"), 4).alias("mad_value"),
         )
     )
+
+
+@query(
+    "events_ewma_per_user",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events),
+    r AS (
+        SELECT user_id, rn, n, value::DOUBLE AS e
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn, o.n, 0.3 * o.value + (1.0 - 0.3) * r.e
+        FROM ordered o
+        JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+    SELECT user_id, max(rn)::BIGINT AS n_events,
+           round(max(CASE WHEN rn = n THEN e END), 6) AS final_ewma
+    FROM r GROUP BY user_id
+    """,
+)
+def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (operators/grouped.ewma_per_key): the ordered
+    recurrence no window frame expresses, run as one applyInPandas pass
+    per key and checked against a recursive-CTE oracle computing the
+    identical float sequence. Returns each user's final smoothed value
+    + event count."""
+    from mqtt_streamr_spark.operators.grouped import ewma_per_key
+
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "value")
+    sm = ewma_per_key(ev, "user_id", "ts", "value", alpha=0.3,
+                      order_cols=["event_id"])
+    return sm.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.expr("max_by(ewma, struct(ts, event_id))"), 6
+        ).alias("final_ewma"),
+    )

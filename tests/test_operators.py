@@ -250,3 +250,24 @@ def test_write_zordered_files_have_tight_bounding_boxes(spark, tmp_path):
     # BOTH dimensions (a 1-D sort leaves wy == 63 for every file)
     for b in boxes:
         assert b["wx"] <= 32 and b["wy"] <= 32, dict(b.asDict())
+
+
+def test_ewma_hand_computed(spark):
+    """e1=v1; e_n = a*v_n + (1-a)*e_{n-1}, rows ordered by ts with the
+    order_cols tie-break."""
+    import datetime as dt
+
+    from mqtt_streamr_spark.operators.grouped import ewma_per_key
+
+    t = dt.datetime
+    df = spark.createDataFrame(
+        [(1, t(2024, 1, 1), 2, 10.0),
+         (1, t(2024, 1, 2), 3, 20.0),
+         (1, t(2024, 1, 1), 1, 0.0),   # same-day tie -> id 1 first
+         (2, t(2024, 1, 1), 4, 5.0)],
+        "k long, ts timestamp, id long, v double",
+    )
+    out = ewma_per_key(df, "k", "ts", "v", alpha=0.5, order_cols=["id"])
+    got = {(r["k"], r["id"]): r["ewma"] for r in out.collect()}
+    # key 1 ordered: v=0 -> e=0; v=10 -> 5; v=20 -> 12.5
+    assert got == {(1, 1): 0.0, (1, 2): 5.0, (1, 3): 12.5, (2, 4): 5.0}
