@@ -900,3 +900,55 @@ def weighted_sample_topk(df, weight_col, k: int = 10,
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def build_vocab(df, text_col: str = "text", vocab_size: int = 100):
+    """Frequency-ranked vocabulary: (term, token_id) with ids 0..V-1 by
+    freq desc (ties by term). The rank window is global but runs over
+    the DISTINCT-term set — metadata-sized, the same justification as
+    vocab_coverage; the corpus-sized work is one (term) count shuffle."""
+    from pyspark.sql import Window
+
+    f = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    win = Window.orderBy(F.col("freq").desc(), F.col("term"))
+    return (
+        f.withColumn("token_id", F.row_number().over(win) - 1)
+        .filter(F.col("token_id") < vocab_size)
+        .select("term", "token_id")
+    )
+
+
+def encode_tokens(df, vocab, vocab_size: int, oov_buckets: int = 16,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Tokenizer application: text -> array<token_id>, with
+    out-of-vocabulary terms mapped to ``vocab_size + md5(term) %
+    oov_buckets`` (the hashing-trick OOV scheme — deterministic in any
+    engine). posexplode -> broadcast vocab join (the vocab is
+    metadata-sized by construction) -> order-preserving re-assembly via
+    sort_array(collect_list(struct(pos, id))). ONE data shuffle (the
+    per-doc re-assembly); the join is map-side."""
+    oov = vocab_size + F.pmod(
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(oov_buckets),
+    )
+    w = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    enc = w.join(F.broadcast(vocab), "term", "left").withColumn(
+        "tid", F.coalesce(F.col("token_id"), oov)
+    )
+    return (
+        enc.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("token_ids")
+        )
+    )

@@ -2022,3 +2022,48 @@ def sample_weighted_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, weight_col="n_chars", k=5, stratum_col="lang"
     )
     return s.select("lang", "doc_id", "n_chars", "sample_key")
+
+
+@query(
+    "text_vocab_encode",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest(toks) AS term
+               FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+    f AS (SELECT term, count(*) AS freq FROM w GROUP BY term),
+    v AS (SELECT term,
+                 row_number() OVER (ORDER BY freq DESC, term) - 1
+                     AS token_id
+          FROM f QUALIFY token_id < 100),
+    enc AS (SELECT w.doc_id,
+                   coalesce(v.token_id,
+                            100 + ('0x' || substring(md5(w.term), 1, 8))
+                                  ::BIGINT % 16) AS tid
+            FROM w LEFT JOIN v USING (term))
+    SELECT doc_id, count(*) AS n_tokens,
+           sum(CASE WHEN tid >= 100 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           sum(tid)::BIGINT AS id_sum
+    FROM enc GROUP BY doc_id ORDER BY doc_id LIMIT 20
+    """,
+)
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application end-to-end (operators/text.build_vocab +
+    encode_tokens): corpus-derived top-100 vocabulary, texts encoded to
+    token-id arrays with hashing-trick OOV ids. The query verifies the
+    ARRAY itself (length / OOV count / id checksum all fold over
+    token_ids), so position re-assembly is exercised, while the oracle
+    restates the order-free aggregates."""
+    docs = spread(load(spark, "documents", sf_dir))
+    vocab = T.build_vocab(docs, vocab_size=100)
+    enc = T.encode_tokens(docs, vocab, vocab_size=100, oov_buckets=16)
+    ids = col("token_ids")
+    return (
+        enc.select(
+            "doc_id",
+            F.size(ids).alias("n_tokens"),
+            F.size(F.filter(ids, lambda t: t >= 100)).alias("n_oov"),
+            F.aggregate(ids, F.lit(0).cast("long"),
+                        lambda acc, t: acc + t).alias("id_sum"),
+        )
+        .orderBy("doc_id")
+        .limit(20)
+    )

@@ -882,3 +882,24 @@ def test_reduce_dims_dim_mismatch_errors(spark):
     with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
                        match="in_dim"):
         S.reduce_dims(df, out_dim=2, in_dim=16).collect()
+
+
+def test_encode_tokens_ids_and_order(spark):
+    """Vocab ids follow freq-desc/term-asc ranks; OOV terms hash above
+    vocab_size; position order is preserved in the output array."""
+    from mqtt_streamr_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "b b a zzz a b"), (2, "a c b")],
+        "doc_id long, text string",
+    )
+    # freqs: b=4, a=3, c=1, zzz=1 -> ids b=0, a=1, c=2 (vocab_size=3)
+    vocab = T.build_vocab(df, vocab_size=3)
+    v = {r["term"]: r["token_id"] for r in vocab.collect()}
+    assert v == {"b": 0, "a": 1, "c": 2}
+    oov = 3 + int(hashlib.md5(b"zzz").hexdigest()[:8], 16) % 16
+    enc = {r["doc_id"]: list(r["token_ids"])
+           for r in T.encode_tokens(df, vocab, vocab_size=3,
+                                    oov_buckets=16).collect()}
+    assert enc[1] == [0, 0, 1, oov, 1, 0]
+    assert enc[2] == [1, 2, 0]
