@@ -1211,3 +1211,71 @@ def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max_by(ewma, struct(ts, event_id))"), 6
         ).alias("final_ewma"),
     )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               least(greatest(floor(value / 25.0), 0), 19)::BIGINT AS bin
+        FROM events WHERE value IS NOT NULL)
+    SELECT event_type, bin, count(*) AS n
+    FROM b GROUP BY event_type, bin
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 bins of width 25, clamped tails) per
+    event type — the one-pass distribution profile: binning is a pure
+    map expression, so the only shuffle is the (type, bin)-cardinality
+    aggregate and the plan partial-aggregates map-side at any scale."""
+    ev = load(spark, "events", sf_dir).filter(col("value").isNotNull())
+    bin_col = F.least(
+        F.greatest(F.floor(col("value") / 25.0), F.lit(0)), F.lit(19)
+    ).cast("long")
+    return (
+        ev.select("event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n,
+           round(count(*)::DOUBLE / sum(count(*)) OVER
+                 (PARTITION BY event_type), 6) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: per-user event-to-next-event transition counts and
+    row-normalized probabilities (first-order Markov matrix). ONE
+    shuffle on user for the lead() sequencing; the transition aggregate
+    and the normalizing window both run over type-pair cardinality —
+    metadata-sized however big the event log."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        load(spark, "events", sf_dir)
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(col("next_type").isNotNull())
+    )
+    counts = seq.groupBy(
+        col("event_type").alias("from_type"),
+        col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    norm = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "p", F.round(col("n") / F.sum("n").over(norm), 6)
+    )
