@@ -80,9 +80,13 @@ def scd2_merge(snapshot: DataFrame, changes: DataFrame, key_col: str,
     values themselves) — intra-batch intermediate states are not
     versioned, matching warehouse MERGE semantics.
 
-    Plan shape: filter open slice -> left join (AQE-broadcast when the
-    batch is small) -> conditional close/append -> union with closed
-    history. One shuffle at most; history is never joined.
+    Plan shape: filter open slice -> ONE full-outer join with the batch
+    (AQE-broadcast when the batch is small) -> per-row explode of 1-or-2
+    output structs -> union with closed history. The explode matters:
+    expressing close+reopen as a UNION of filtered branches makes
+    Catalyst duplicate (and re-execute) the join subtree once per
+    branch — the array-of-structs form keeps exactly one join node
+    (plan-asserted in tests/test_plans.py). History is never joined.
     """
     open_rows = snapshot.filter(F.col(valid_to).isNull())
     closed_rows = snapshot.filter(F.col(valid_to).isNotNull())
@@ -109,39 +113,29 @@ def scd2_merge(snapshot: DataFrame, changes: DataFrame, key_col: str,
     is_update = F.col("_k").isNotNull() & F.col(key_col).isNotNull() & differs
     is_insert = F.col(key_col).isNull()
 
-    passthrough = joined.filter(~is_update & ~is_insert).select(
-        *snapshot.columns)
+    def out_struct(c_map) -> F.Column:
+        return F.struct(*[c_map(c).alias(c) for c in snapshot.columns])
 
-    closed_now = joined.filter(is_update).select(
-        *[F.col(c) for c in snapshot.columns if c != valid_to],
-        F.col("_ts").alias(valid_to),
-    ).select(*snapshot.columns)
+    null_to = F.lit(None).cast(snapshot.schema[valid_to].dataType)
+    kept = out_struct(lambda c: F.col(c))
+    closed_now = out_struct(
+        lambda c: F.col("_ts") if c == valid_to else F.col(c))
+    new_version = out_struct(
+        lambda c: F.col("_k") if c == key_col
+        else F.col(f"_new_{c}") if c in tracked_cols
+        else F.col("_ts") if c == valid_from
+        else null_to if c == valid_to
+        # untracked attribute: carried from the old open row (NULL for
+        # brand-new keys)
+        else F.col(c))
 
-    def _new_version(cond):
-        # a fresh open row built from the change side
-        cols = []
-        for c in snapshot.columns:
-            if c == key_col:
-                cols.append(F.col("_k").alias(c))
-            elif c in tracked_cols:
-                cols.append(F.col(f"_new_{c}").alias(c))
-            elif c == valid_from:
-                cols.append(F.col("_ts").alias(c))
-            elif c == valid_to:
-                cols.append(F.lit(None).cast(
-                    snapshot.schema[valid_to].dataType).alias(c))
-            else:
-                # untracked attribute: carry forward from the old open row
-                # (NULL for brand-new keys)
-                cols.append(F.col(c))
-        return joined.filter(cond).select(*cols)
-
-    new_versions = _new_version(is_update | is_insert)
-    return (
-        closed_rows.unionByName(passthrough)
-        .unionByName(closed_now)
-        .unionByName(new_versions)
+    rows = (
+        F.when(is_insert, F.array(new_version))
+        .when(is_update, F.array(closed_now, new_version))
+        .otherwise(F.array(kept))
     )
+    exploded = joined.select(F.explode(rows).alias("_r")).select("_r.*")
+    return closed_rows.unionByName(exploded)
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],

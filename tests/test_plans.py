@@ -412,3 +412,56 @@ def test_reduce_dims_map_only_jvm_side(spark):
     p = plan_str(red)
     assert "Exchange" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_fuzzy_join_no_cartesian(spark):
+    """SymSpell blocking must produce an equi-join on the variant —
+    never a nested-loop/cartesian over the name sets."""
+    p = plan_str(QUERIES["join_fuzzy_name_match"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_vocab_encode_broadcasts_vocab(spark):
+    """The corpus-derived vocabulary joins map-side (broadcast): the
+    corpus-sized explode must not shuffle for the join itself."""
+    p = plan_str(QUERIES["text_vocab_encode"](spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_zorder_key_no_shuffle_no_python(spark):
+    """The z-key is a map-only codegen fold."""
+    from mqtt_streamr_spark.operators.layout import zorder_bucket, zorder_key
+    from mqtt_streamr_spark.tables import load
+
+    li = load(spark, "lineitem", SF).select(
+        zorder_bucket("l_orderkey", 256).alias("bx"),
+        zorder_bucket("l_partkey", 256).alias("by_"),
+    ).select(zorder_key(["bx", "by_"], bits=8).alias("z"))
+    p = plan_str(li)
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_transition_matrix_single_data_shuffle(spark):
+    """lead() sequencing shuffles once on user; the transition agg and
+    normalizing window run over type-pair cardinality."""
+    p = plan_str(QUERIES["events_transition_matrix"](spark, SF))
+    # exchanges: user window + (from,to) agg + tiny normalize window —
+    # the DATA-sized one is the first; allow the metadata-sized rest
+    assert p.count("Exchange (") <= 3, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_scd2_merge_joins_open_slice_only(spark):
+    """scd2's join must not be a nested loop and history must not add a
+    join — one join node total."""
+    p = plan_str(QUERIES["scd2_dimension_merge"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    joins = [
+        ln for ln in p.splitlines()
+        if re.match(r"^\(\d+\) \w*(SortMergeJoin|BroadcastHashJoin|"
+                    r"ShuffledHashJoin)", ln.strip())
+    ]
+    assert len(joins) == 1, (joins, p)
