@@ -296,6 +296,29 @@ def fuzzy_join_names(spark, k):
     )
 
 
+def ewma_events(spark, k):
+    from mqtt_streamr_spark.operators.grouped import ewma_per_key
+
+    ev = replicate(load(spark, "events", SF_DIR), k,
+                   id_cols=("event_id", "user_id"))
+    sm = ewma_per_key(ev.select("user_id", "ts", "event_id", "value"),
+                      "user_id", "ts", "value", alpha=0.3,
+                      order_cols=["event_id"])
+    return sm.agg(F.count(F.lit(1)), F.sum("ewma"))
+
+
+def vocab_encode_docs(spark, k):
+    from mqtt_streamr_spark.operators.text import build_vocab, encode_tokens
+
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k,
+        id_cols=("doc_id",), tag_text_col="text",
+    )
+    vocab = build_vocab(docs, vocab_size=1000)
+    enc = encode_tokens(docs, vocab, vocab_size=1000)
+    return enc.agg(F.count(F.lit(1)), F.sum(F.size("token_ids")))
+
+
 OPS = {
     "scan_agg_lineitem": scan_agg,
     "minhash_lsh_buckets": minhash_buckets,
@@ -315,6 +338,8 @@ OPS = {
     "upsert_events": upsert_events,
     "snapshot_diff_events": snapshot_diff_events,
     "fuzzy_join_names": fuzzy_join_names,
+    "ewma_events": ewma_events,
+    "vocab_encode_docs": vocab_encode_docs,
 }
 
 
