@@ -479,3 +479,67 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        FROM events),
+    s AS (SELECT user_id, ts, value,
+                 sum(new_s) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under the STREAMING engine: the same 30-minute
+    gap sessionization as the batch query, but running as a stateful
+    streaming aggregation (session-window state store, merge-on-update)
+    drained with availableNow. Complete mode + memory sink: session
+    windows reject update mode, and append only emits sessions the
+    watermark has SEALED — which a deterministic drain of a finite
+    replay never reaches without dropping data. Complete recomputes the
+    full window state each trigger, which is exactly the batch answer
+    at drain end; production runs append mode with a real watermark and
+    a distributed sink — the memory sink is the drain harness, not the
+    scale path."""
+    from mqtt_streamr_spark.streaming.pipeline import replay_source
+
+    src = replay_source(
+        spark, os.path.join(sf_dir, "events.parquet"), streaming=True,
+    )
+    parsed = src.select(
+        F.get_json_object("payload", "$.user_id").cast("long")
+        .alias("user_id"),
+        F.get_json_object("payload", "$.value").cast("double")
+        .alias("value"),
+        F.get_json_object("payload", "$.ts").cast("timestamp")
+        .alias("ev_ts"),
+    )
+    agg = (
+        parsed.withWatermark("ev_ts", "60 days")
+        .groupBy("user_id", F.session_window("ev_ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select("user_id",
+                F.col("session_window.start").alias("session_start"),
+                "n_events", "total_value")
+    )
+    name = "streaming_session_windows_sink"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).localCheckpoint()
