@@ -1279,3 +1279,45 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn(
         "p", F.round(col("n") / F.sum("n").over(norm), 6)
     )
+
+
+@query(
+    "events_equidepth_buckets",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, [0.25, 0.5, 0.75]) AS bounds
+        FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    a AS (
+        SELECT e.event_type,
+               len(list_filter(b.bounds, x -> e.value > x)) AS bucket,
+               e.value
+        FROM events e JOIN b USING (event_type)
+        WHERE e.value IS NOT NULL)
+    SELECT event_type, bucket::INT AS bucket, count(*) AS n,
+           round(min(value), 4) AS lo, round(max(value), 4) AS hi
+    FROM a GROUP BY event_type, bucket
+    """,
+)
+def events_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) bucketing: per-type quartile boundaries,
+    each row assigned to the bucket = #boundaries below its value — the
+    equi-DEPTH complement of events_value_histogram's equi-width bins
+    (this is how skew-robust histograms and NTILE-style stratifications
+    are built without a global sort). The boundary table collapses to
+    group cardinality and broadcasts; exact percentile here for oracle
+    parity, approx_percentile is the documented scale path (same
+    contract as agg_value_percentiles_approx)."""
+    ev = load(spark, "events", sf_dir).filter(
+        col("value").isNotNull()).select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("bounds"))
+    a = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "bucket",
+        F.size(F.filter("bounds", lambda x: col("value") > x)),
+    )
+    return a.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
