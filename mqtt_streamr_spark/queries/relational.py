@@ -1775,3 +1775,34 @@ def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("zkey").alias("zsum"),
         )
     )
+
+
+@query(
+    "profile_lineitem_correlations",
+    oracle="""
+    SELECT count(*) AS n,
+           round(corr(l_quantity, l_extendedprice), 6)
+               AS corr_qty_price,
+           round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+           round(corr(l_extendedprice, l_discount), 6)
+               AS corr_price_disc
+    FROM lineitem
+    """,
+)
+def profile_lineitem_correlations(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Pairwise Pearson correlations for the numeric profile — all three
+    pairs in ONE scan + ONE aggregate (corr partial-aggregates map-side:
+    each pair carries constant state, so N pairs cost one pass however
+    big the table). Complements profile_lineitem_columns."""
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_quantity", "l_extendedprice", "l_discount")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+        .alias("corr_qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6)
+        .alias("corr_qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6)
+        .alias("corr_price_disc"),
+    )
