@@ -1321,3 +1321,44 @@ def events_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("lo"),
         F.round(F.max("value"), 4).alias("hi"),
     )
+
+
+@query(
+    "agg_sketch_rollup_weekly",
+    oracle="""
+    WITH d AS (SELECT DISTINCT date_trunc('week', ts) AS week, user_id
+               FROM events)
+    SELECT CAST(week AS VARCHAR) AS week,
+           count(*) AS distinct_users
+    FROM d GROUP BY week
+    """,
+)
+def agg_sketch_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the pattern that answers distinct-count
+    questions at 100 TB without rescanning raw data: build per-DAY HLL
+    sketches once (hll_sketch_agg), then answer the WEEKLY question by
+    merging the daily sketches (hll_union_agg) — 7 sketch merges instead
+    of a week of raw scan. Exact at this cardinality (Datasketches HLL
+    is exact in sparse mode, ≤150 users/week here) so the oracle
+    hash-matches; at real scale the estimate carries the documented
+    ~1.6% HLL error, same contract as agg_distinct_approx_hll."""
+    ev = load(spark, "events", sf_dir)
+    daily = (
+        ev.groupBy(
+            F.date_trunc("week", col("ts")).alias("week"),
+            F.date_trunc("day", col("ts")).alias("day"),
+        )
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sketch")
+            ).alias("distinct_users")
+        )
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "distinct_users",
+        )
+    )
