@@ -2067,3 +2067,51 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(20)
     )
+
+
+@query(
+    "web_domain_stats",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN doc_id % 97 = 0
+                    THEN 'http://rare.example.com/p/' || doc_id
+                    ELSE 'http://site' || (doc_id % 7)
+                         || '.example.com/p/' || doc_id END AS url
+        FROM documents),
+    d AS (SELECT regexp_extract(url, 'http://([^/]+)', 1) AS domain,
+                 n_chars
+          FROM u)
+    SELECT domain, count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           round(avg(n_chars), 2) AS avg_chars,
+           count(*) >= 10 AS keep
+    FROM d GROUP BY domain
+    """,
+)
+def web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus curation by DOMAIN — the CommonCrawl-pipeline staple:
+    extract the host from each document's URL (deterministically
+    injected; the synthetic corpus ships none), aggregate per-domain
+    volume, and flag low-volume domains for review/drop (domain-level
+    filtering is how web pipelines cut spam clusters cheaply before
+    any per-document scoring). Host extraction is parse_url — map-side,
+    codegen; the aggregate is domain-cardinality."""
+    docs = load(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    with_url = docs.withColumn(
+        "url",
+        F.when(
+            col("doc_id") % 97 == 0,
+            F.concat(F.lit("http://rare.example.com/p/"), col("doc_id")),
+        ).otherwise(
+            F.concat(F.lit("http://site"), col("doc_id") % 7,
+                     F.lit(".example.com/p/"), col("doc_id"))
+        ),
+    )
+    d = with_url.withColumn("domain", F.parse_url("url", F.lit("HOST")))
+    return d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        (F.count(F.lit(1)) >= 10).alias("keep"),
+    )
