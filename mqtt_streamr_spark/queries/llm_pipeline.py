@@ -2115,3 +2115,38 @@ def web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         (F.count(F.lit(1)) >= 10).alias("keep"),
     )
+
+
+@query(
+    "text_top_terms_per_lang",
+    oracle=f"""
+    WITH w AS (SELECT lang, unnest(toks) AS term
+               FROM (SELECT lang, {_TOKS} AS toks FROM documents)),
+    f AS (SELECT lang, term, count(*) AS freq
+          FROM w GROUP BY lang, term),
+    r AS (SELECT lang, term, freq,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY freq DESC, term) AS rk
+          FROM f)
+    SELECT lang, term, freq, rk::INT AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language — the per-stratum frequency report every
+    corpus audit starts with. The corpus-sized work is one (lang, term)
+    count shuffle; the rank window then runs over the vocabulary×lang
+    table (metadata-sized), the same two-tier shape as vocab_coverage."""
+    from pyspark.sql import Window
+
+    docs = spread(load(spark, "documents", sf_dir))
+    f = (
+        docs.select("lang", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), "term")
+    return (
+        f.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )

@@ -465,3 +465,28 @@ def test_scd2_merge_joins_open_slice_only(spark):
                     r"ShuffledHashJoin)", ln.strip())
     ]
     assert len(joins) == 1, (joins, p)
+
+
+def test_histogram_partial_aggregates(spark):
+    """Equi-width binning is map-side; exactly one exchange with
+    partial+final hash aggregates around it."""
+    p = plan_str(QUERIES["events_value_histogram"](spark, SF))
+    assert p.count("HashAggregate (") >= 2, p
+    assert p.count("Exchange (") == 1, p
+
+
+def test_equidepth_broadcasts_boundaries(spark):
+    """The quantile-boundary table is group-cardinality and must
+    broadcast back onto the fact scan."""
+    p = plan_str(QUERIES["events_equidepth_buckets"](spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_upsert_query_no_eval_python(spark):
+    """The merge family is pure Column work: no Python eval nodes."""
+    for name in ("merge_upsert_latest", "scd2_dimension_merge",
+                 "snapshot_diff_changes"):
+        p = plan_str(QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            name, p)

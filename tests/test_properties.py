@@ -411,3 +411,46 @@ def test_asof_join_directions_match_pandas(spark, data):
             assert got[(row["k"], row["ts"])] == want, (
                 direction, tol, dict(row), got
             )
+
+
+@SLOW
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=2, max_size=12, unique=True,
+    )
+)
+def test_symdel_fuzzy_join_matches_brute_force(spark, words):
+    """SymSpell blocking is recall-exact for Levenshtein <= 1: against
+    random short strings over a tiny alphabet (maximizing collisions and
+    near-misses), the blocked join must equal the brute-force cross
+    check exactly."""
+    import itertools
+
+    from mqtt_streamr_spark.operators.joins import symdel_fuzzy_join
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    left = list(enumerate(words))
+    right = [(100 + i, w) for i, w in enumerate(words[::-1])]
+    expected = {
+        (li, ri, lev(lw, rw))
+        for (li, lw), (ri, rw) in itertools.product(left, right)
+        if lev(lw, rw) <= 1
+    }
+    ldf = spark.createDataFrame(left, "id long, name string")
+    rdf = spark.createDataFrame(right, "id long, name string")
+    got = {
+        (r["l_key"], r["r_key"], r["dist"])
+        for r in symdel_fuzzy_join(ldf, rdf, "id", "id",
+                                   "name", "name").collect()
+    }
+    assert got == expected
