@@ -1806,3 +1806,67 @@ def profile_lineitem_correlations(spark: SparkSession, sf_dir: str
         F.round(F.corr("l_extendedprice", "l_discount"), 6)
         .alias("corr_price_disc"),
     )
+
+
+@query(
+    "drift_psi_price",
+    oracle="""
+    WITH ref AS (SELECT l_extendedprice AS v FROM lineitem
+                 WHERE l_shipdate < DATE '1996-01-01'),
+    cur AS (SELECT l_extendedprice AS v FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'),
+    b AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                 AS bounds FROM ref),
+    rbin AS (SELECT len(list_filter(b.bounds, x -> ref.v > x)) AS bin
+             FROM ref, b),
+    cbin AS (SELECT len(list_filter(b.bounds, x -> cur.v > x)) AS bin
+             FROM cur, b),
+    p AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM ref) AS pr
+          FROM rbin GROUP BY bin),
+    q AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM cur) AS qr
+          FROM cbin GROUP BY bin)
+    SELECT p.bin::INT AS bin, round(p.pr, 6) AS p_ref,
+           round(q.qr, 6) AS p_cur,
+           round((p.pr - q.qr) * ln(p.pr / q.qr), 6) AS psi_term
+    FROM p JOIN q USING (bin)
+    """,
+)
+def drift_psi_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift detection — the training-data
+    monitoring staple: decile boundaries from the REFERENCE slice, both
+    slices bucketed against them, per-bin PSI contributions
+    (p−q)·ln(p/q). Sum > 0.2 is the conventional drift alarm. The
+    boundary table is one 1-row broadcast; bucketing is map-side; the
+    only data shuffles are the decile sketch and two bin counts (and the
+    exact percentile swaps for approx_percentile at scale, same contract
+    as the percentile pair)."""
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_shipdate", col("l_extendedprice").alias("v"))
+    ref = li.filter(col("l_shipdate") < "1996-01-01").select("v")
+    cur = li.filter(col("l_shipdate") >= "1996-01-01").select("v")
+    bounds = ref.agg(F.expr(
+        "percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+    ).alias("bounds"))
+
+    def binned(side):
+        return (
+            side.crossJoin(F.broadcast(bounds))
+            .select(F.size(F.filter("bounds", lambda x: col("v") > x))
+                    .alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    p = binned(ref).withColumn(
+        "pr", col("n") / F.sum("n").over(Window.partitionBy()))
+    q = binned(cur).withColumn(
+        "qr", col("n") / F.sum("n").over(Window.partitionBy()))
+    return (
+        p.select("bin", "pr").join(q.select("bin", "qr"), "bin")
+        .select(
+            col("bin").cast("int"),
+            F.round("pr", 6).alias("p_ref"),
+            F.round("qr", 6).alias("p_cur"),
+            F.round((col("pr") - col("qr"))
+                    * F.log(col("pr") / col("qr")), 6).alias("psi_term"),
+        )
+    )
