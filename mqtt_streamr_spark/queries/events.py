@@ -1362,3 +1362,43 @@ def agg_sketch_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_users",
         )
     )
+
+
+@query(
+    "events_schema_evolution_read",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CASE WHEN ts >= DATE '2024-02-01' THEN 1 ELSE 0 END)::BIGINT
+               AS n_new_era,
+           round(sum(CASE WHEN ts >= DATE '2024-02-01'
+                          THEN value ELSE 0 END), 2) AS quality_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def events_schema_evolution_read(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Schema evolution across file generations — the long-lived-dataset
+    reality: an old slice written WITHOUT a column, a new slice WITH it
+    (here ``quality`` = value for the new era), read back as ONE dataset
+    via mergeSchema. Old-era rows surface the added column as NULL; the
+    aggregate proves nothing is dropped, duplicated, or misaligned. At
+    scale, mergeSchema costs one footer read per file generation — keep
+    generations (not files) few; the data itself is never rewritten."""
+    ev = load(spark, "events", sf_dir).select(
+        "event_id", "event_type", "ts", "value")
+    d = _roundtrip_dir(sf_dir, "schevo")
+    old = ev.filter(col("ts") < "2024-02-01")
+    new = ev.filter(col("ts") >= "2024-02-01").withColumn(
+        "quality", col("value"))
+    old.write.mode("overwrite").parquet(f"{d}/gen=0")
+    new.write.mode("overwrite").parquet(f"{d}/gen=1")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{d}/gen=0", f"{d}/gen=1")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(col("quality").isNotNull(), 1).otherwise(0))
+        .alias("n_new_era"),
+        F.round(F.sum(F.coalesce(col("quality"), F.lit(0.0))), 2)
+        .alias("quality_sum"),
+    )
