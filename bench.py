@@ -35,7 +35,12 @@ def sf_from_dir(d: str) -> float:
 
 
 def _run_queries(spark, jvm, timings: dict, errors: dict) -> None:
-    for name in sorted(QUERIES):
+    names = sorted(QUERIES)
+    if os.environ.get("SPARK_GRAFT_BENCH_SMOKE"):
+        # contract-test mode (tests/test_cli.py): exercise the harness
+        # shape on a handful of queries, not the full registry
+        names = names[:8]
+    for name in names:
         # JMH-style hygiene: collect BEFORE the timed region so each query
         # measures its own cost, not the GC debt of the 70+ queries before
         # it. Without this, the suite's accumulated old-gen garbage (memory

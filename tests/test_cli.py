@@ -83,3 +83,27 @@ def test_cli_streaming_via_loopback(spark):
                 out.select("stream_id").distinct().collect()} == {
             "/s/cli/room0", "/s/cli/room1"
         }
+
+
+def test_bench_emits_one_json_line():
+    """Driver contract: bench.py prints exactly ONE JSON line on stdout
+    with the required keys. Run at the smoke SF so it stays fast."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_BENCH_SMOKE="1")
+    out = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, timeout=900,
+    )
+    payload = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    assert len(payload) == 1, out.stdout[-2000:]
+    d = json.loads(payload[0])
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in d, d.keys()
+    assert d["unit"] == "sec" and d["n_errors"] == 0, d
