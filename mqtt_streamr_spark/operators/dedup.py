@@ -349,3 +349,45 @@ def decontaminate(df: DataFrame, bench_df: DataFrame, n: int = 8,
         .groupBy(id_col)
         .agg(F.count_distinct(F.col("gram")).alias("shared_grams"))
     )
+
+
+def near_dups_against_corpus(batch: DataFrame, corpus: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             threshold: float = 0.5, bands: int = 4,
+                             rows: int = 2, shingle_n: int = 3,
+                             hash_family: str = "md5") -> DataFrame:
+    """INCREMENTAL ingestion dedup: flag new-batch docs that near-match
+    the EXISTING corpus — batch bands join the corpus band index, so the
+    candidate space is batch×matching-buckets, never corpus×corpus (the
+    all-pairs pass ran once, historically; every later ingest pays only
+    for its own batch). Returns per batch-doc: (doc_id, n_corpus_dups,
+    max_sim) — the drop list for the ingest gate.
+
+    At scale the corpus side of both joins is a PRECOMPUTED, stored
+    table ((id, band_key) index + (id, shingles)); here both derive from
+    the corpus DataFrame so the oracle can restate them. Band keys are
+    uniform minhash concats, so the index join shuffles evenly; the
+    shingle verify joins only candidate ids."""
+    bk = lsh_band_keys(text_col, bands, rows, shingle_n, hash_family)
+    b_bands = batch.select(F.col(id_col).alias("b_id"),
+                           F.explode(bk).alias("band_key"))
+    c_bands = corpus.select(F.col(id_col).alias("c_id"),
+                            F.explode(bk).alias("band_key"))
+    cands = (
+        b_bands.join(c_bands, "band_key")
+        .select("b_id", "c_id").distinct()
+    )
+    sh_b = batch.select(F.col(id_col).alias("b_id"),
+                        shingles(text_col, shingle_n).alias("sh_b"))
+    sh_c = corpus.select(F.col(id_col).alias("c_id"),
+                         shingles(text_col, shingle_n).alias("sh_c"))
+    pairs = (
+        cands.join(sh_b, "b_id").join(sh_c, "c_id")
+        .withColumn("j", jaccard(F.col("sh_b"), F.col("sh_c")))
+        .filter(F.col("j") >= threshold)
+    )
+    return pairs.groupBy(F.col("b_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_corpus_dups"),
+        F.round(F.max("j"), 6).alias("max_sim"),
+    )

@@ -2150,3 +2150,43 @@ def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
     )
+
+
+@query(
+    "dedup_incremental_ingest",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d),
+    hsx AS (SELECT doc_id, shingles, {_HS} AS hs FROM sh),
+    sig AS (SELECT doc_id, shingles, {_MH8} AS mh FROM hsx),
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sig),
+    cand AS (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+             FROM bands b JOIN bands c USING (band_key)
+             WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+    pairs AS (
+        SELECT b_id, c_id,
+               len(list_filter(sb.shingles,
+                   s -> list_contains(sc.shingles, s))) * 1.0 /
+               (len(sb.shingles) + len(sc.shingles) -
+                len(list_filter(sb.shingles,
+                    s -> list_contains(sc.shingles, s)))) AS j
+        FROM cand
+        JOIN sh sb ON sb.doc_id = cand.b_id
+        JOIN sh sc ON sc.doc_id = cand.c_id)
+    SELECT b_id AS doc_id, count(*) AS n_corpus_dups,
+           round(max(j), 6) AS max_sim
+    FROM pairs WHERE j >= 0.5 GROUP BY b_id
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (operators/dedup.near_dups_against_
+    corpus): the 20% "new batch" (doc_id%5=0) checked against the 80%
+    existing corpus — candidates come from the corpus band INDEX, so
+    each ingest pays batch-proportional cost, never another corpus
+    all-pairs pass. Oracle is the exhaustive restatement, verifying
+    blocking recall exactly."""
+    docs = spread(load(spark, "documents", sf_dir))
+    batch = docs.filter(col("doc_id") % 5 == 0)
+    corpus = docs.filter(col("doc_id") % 5 != 0)
+    return D.near_dups_against_corpus(batch, corpus, threshold=0.5,
+                                      bands=4, rows=2)

@@ -903,3 +903,26 @@ def test_encode_tokens_ids_and_order(spark):
                                     oov_buckets=16).collect()}
     assert enc[1] == [0, 0, 1, oov, 1, 0]
     assert enc[2] == [1, 2, 0]
+
+
+def test_incremental_dedup_finds_cross_pair_only(spark):
+    """Batch docs match only CORPUS near-dups: the planted batch-batch
+    duplicate must NOT appear (that's the next batch's problem), and a
+    clean batch doc yields no row."""
+    from mqtt_streamr_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy cat"),  # vs corpus 1
+         (11, "the quick brown fox jumps over the lazy cats"),  # ~ doc 10
+         (12, "completely unrelated content entirely here now")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in D.near_dups_against_corpus(
+        batch, corpus, threshold=0.5).collect()}
+    assert set(rows) == {10, 11}
+    assert rows[10]["n_corpus_dups"] == 1
+    assert 0.5 <= rows[10]["max_sim"] <= 1.0
