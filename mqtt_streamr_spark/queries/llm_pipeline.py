@@ -2190,3 +2190,81 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(col("doc_id") % 5 != 0)
     return D.near_dups_against_corpus(batch, corpus, threshold=0.5,
                                       bands=4, rows=2)
+
+
+@query(
+    "text_bpe_apply_merge",
+    oracle=f"""
+    WITH w AS (SELECT unnest(toks) AS word
+               FROM (SELECT {_TOKS} AS toks FROM documents)),
+    v AS (SELECT word, count(*)::BIGINT AS freq FROM w GROUP BY word),
+    p AS (SELECT freq,
+                 unnest(CASE WHEN length(word) > 1 THEN
+                   list_transform(generate_series(1, length(word) - 1),
+                                  i -> substring(word, i, 2))
+                 ELSE CAST([] AS VARCHAR[]) END) AS pair
+          FROM v),
+    top1 AS (SELECT pair FROM (
+                 SELECT pair, sum(freq) AS total FROM p GROUP BY pair
+                 ORDER BY total DESC, pair LIMIT 1)),
+    applied AS (
+        SELECT v.freq, length(v.word) AS n_before,
+               length(v.word) -
+               (length(v.word)
+                - length(replace(v.word, t.pair, ''))) / 2 AS n_after
+        FROM v, top1 t)
+    SELECT (SELECT pair FROM top1) AS merged_pair,
+           sum(freq * n_before)::BIGINT AS tokens_before,
+           sum(freq * n_after)::BIGINT AS tokens_after,
+           round(1.0 - sum(freq * n_after)::DOUBLE
+                 / sum(freq * n_before), 6) AS compression
+    FROM applied
+    """,
+)
+def text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of BPE training's first step: APPLY the winning
+    merge and measure corpus-level compression. From the initial
+    char-token state, applying pair xy is greedy non-overlapping
+    substring replacement, so per distinct word the new token count is
+    len − occurrences(xy) — all computed over the VOCABULARY (corpus
+    work is the one word-count shuffle; the winning pair is a 1-row
+    broadcast). Iterating (re-count pairs → merge → repeat) is this
+    same plan in a loop, each round over vocab-sized data."""
+    docs = spread(load(spark, "documents", sf_dir))
+    v = (
+        docs.select(F.explode(T.tokens("text")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = v.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.length("word") > 1,
+                F.expr("transform(sequence(1, length(word) - 1), "
+                       "i -> substring(word, i, 2))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    top1 = (
+        pairs.groupBy("pair").agg(F.sum("freq").alias("total"))
+        .orderBy(F.col("total").desc(), "pair").limit(1)
+        .select("pair")
+    )
+    applied = v.crossJoin(F.broadcast(top1)).select(
+        "freq", "pair",
+        F.length("word").alias("n_before"),
+        (F.length("word")
+         - (F.length("word")
+            - F.length(F.expr("replace(word, pair, '')"))) / 2
+         ).alias("n_after"),
+    )
+    return applied.groupBy("pair").agg(
+        F.sum(col("freq") * col("n_before")).alias("tokens_before"),
+        F.sum(col("freq") * col("n_after")).cast("long")
+        .alias("tokens_after"),
+        F.round(
+            1.0 - F.sum(col("freq") * col("n_after"))
+            / F.sum(col("freq") * col("n_before")), 6
+        ).alias("compression"),
+    ).select(col("pair").alias("merged_pair"), "tokens_before",
+             "tokens_after", "compression")
