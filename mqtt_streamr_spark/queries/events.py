@@ -1402,3 +1402,62 @@ def events_schema_evolution_read(spark: SparkSession, sf_dir: str
         F.round(F.sum(F.coalesce(col("quality"), F.lit(0.0))), 2)
         .alias("quality_sum"),
     )
+
+
+@query(
+    "events_rfm_scores",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS now FROM events),
+    rfm AS (
+        SELECT user_id,
+               date_diff('day', max(ts), (SELECT now FROM mx))
+                   AS recency_days,
+               count(*) AS frequency,
+               round(sum(value), 2) AS monetary
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id),
+    scored AS (
+        SELECT user_id, recency_days, frequency, monetary,
+               ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+                   AS r_score,
+               ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+               ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+        FROM rfm)
+    SELECT user_id, recency_days::BIGINT AS recency_days, frequency,
+           monetary, r_score::INT AS r_score, f_score::INT AS f_score,
+           m_score::INT AS m_score
+    FROM scored
+    """,
+)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM behavioral features — the classic per-user feature-engineering
+    pass: recency (days since last purchase, against the corpus clock),
+    frequency, monetary, each quintile-scored 1-5 via ntile with a
+    deterministic user_id tie-break. One shuffle for the per-user
+    aggregate; the ntile windows run over the USER table (already
+    aggregate-sized). Better scores = higher bucket (recency reversed)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir).filter(
+        col("event_type") == "purchase")
+    now = ev.agg(F.max("ts").alias("now"))
+    rfm = (
+        ev.crossJoin(F.broadcast(now))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("now"), F.max("ts")).cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    return rfm.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(
+            Window.orderBy(F.col("recency_days").desc(), "user_id")
+        ).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "user_id"))
+        .alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "user_id"))
+        .alias("m_score"),
+    )

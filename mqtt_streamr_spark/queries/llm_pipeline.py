@@ -2268,3 +2268,65 @@ def text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("compression"),
     ).select(col("pair").alias("merged_pair"), "tokens_before",
              "tokens_after", "compression")
+
+
+@query(
+    "sim_centroid_drift",
+    oracle=f"""
+    WITH dims AS (
+        SELECT vec_id % 2 AS era, i,
+               embedding[i]::DOUBLE AS x
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+    cents AS (
+        SELECT era, list(avg_x ORDER BY i) AS c
+        FROM (SELECT era, i, avg(x) AS avg_x
+              FROM dims GROUP BY era, i)
+        GROUP BY era),
+    ab AS (SELECT (SELECT c FROM cents WHERE era = 0) AS a,
+                  (SELECT c FROM cents WHERE era = 1) AS b)
+    SELECT round({_DOT.format(a='a', b='b')} /
+                 (sqrt({_DOT.format(a='a', b='a')})
+                  * sqrt({_DOT.format(a='b', b='b')})), 6)
+               AS centroid_cosine,
+           round(sqrt({_DOT.format(a='a', b='a')}), 6) AS norm_a,
+           round(sqrt({_DOT.format(a='b', b='b')}), 6) AS norm_b
+    FROM ab
+    """,
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two dataset versions: per-version
+    mean vector (posexplode → (era, dim) avg — ONE corpus shuffle with
+    map-side partial averages), then the cosine between the two
+    centroids (a 2-row computation). Low cosine = the embedding
+    distribution moved — the vector-space complement of the scalar PSI
+    monitor. At 100 TB the centroid is a 64-value aggregate per
+    version: the comparison itself is free."""
+    emb = load(spark, "embeddings", sf_dir)
+    dims = emb.select(
+        (col("vec_id") % 2).alias("era"),
+        F.posexplode("embedding").alias("i", "x"),
+    )
+    cents = (
+        dims.groupBy("era", "i").agg(F.avg("x").alias("avg_x"))
+        .groupBy("era")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "avg_x"))),
+                lambda s: s["avg_x"],
+            ).alias("c")
+        )
+    )
+    a = cents.filter(col("era") == 0).select(col("c").alias("a"))
+    b = cents.filter(col("era") == 1).select(col("c").alias("b"))
+    from mqtt_streamr_spark.operators.similarity import dot
+
+    ab = a.crossJoin(b)
+    return ab.select(
+        F.round(
+            dot(col("a"), col("b"))
+            / (F.sqrt(dot(col("a"), col("a")))
+               * F.sqrt(dot(col("b"), col("b")))), 6
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt(dot(col("a"), col("a"))), 6).alias("norm_a"),
+        F.round(F.sqrt(dot(col("b"), col("b"))), 6).alias("norm_b"),
+    )
