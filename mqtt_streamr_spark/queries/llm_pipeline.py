@@ -2330,3 +2330,60 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(dot(col("a"), col("a"))), 6).alias("norm_a"),
         F.round(F.sqrt(dot(col("b"), col("b"))), 6).alias("norm_b"),
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d),
+    hsx AS (SELECT doc_id, shingles, {_HS} AS hs FROM sh),
+    sig AS (SELECT doc_id, shingles, {_MH8} AS mh FROM hsx),
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band_key)
+             WHERE a.doc_id <> b.doc_id),
+    pairs AS (
+        SELECT id_a, id_b,
+               len(list_filter(sa.shingles,
+                   s -> list_contains(sb.shingles, s))) * 1.0 /
+               len(sa.shingles) AS containment
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b)
+    SELECT id_a, id_b, round(containment, 6) AS containment
+    FROM pairs WHERE containment >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection: |A∩B| / |A| >= 0.8 flags doc A
+    as (near-)CONTAINED in B — catches excerpts, quotes, and
+    superset/subset pairs that symmetric Jaccard misses (a short doc
+    fully inside a long one can have low Jaccard but containment 1.0).
+    Directional, so both (a,b) and (b,a) are evaluated from the same
+    LSH candidate set; everything else shares the near-dup plan
+    (banded candidates, shingle verify over candidates only). Caveat
+    shared with all MinHash LSH: candidate recall follows symmetric
+    resemblance, so low-Jaccard containments need the dedicated
+    min-over-A signature variant at scale."""
+    docs = spread(load(spark, "documents", sf_dir))
+    cands = D.near_dup_candidates(docs, "text", "doc_id", 4, 2, "md5")
+    both = cands.unionByName(
+        cands.select(col("id_b").alias("id_a"), col("id_a").alias("id_b"))
+    ).distinct()
+    sh = docs.select(col("doc_id").alias("sid"),
+                     D.shingles("text", 3).alias("sh"))
+    return (
+        both.join(sh.withColumnRenamed("sid", "id_a")
+                  .withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("sid", "id_b")
+              .withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size("sh_a"),
+        )
+        .filter(col("containment") >= 0.8)
+        .select("id_a", "id_b", F.round("containment", 6)
+                .alias("containment"))
+    )
