@@ -1407,7 +1407,8 @@ def events_schema_evolution_read(spark: SparkSession, sf_dir: str
 @query(
     "events_rfm_scores",
     oracle="""
-    WITH mx AS (SELECT max(ts) AS now FROM events),
+    WITH mx AS (SELECT max(ts) AS now FROM events
+                WHERE event_type = 'purchase'),
     rfm AS (
         SELECT user_id,
                date_diff('day', max(ts), (SELECT now FROM mx))
@@ -1460,4 +1461,44 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("f_score"),
         F.ntile(5).over(Window.orderBy("monetary", "user_id"))
         .alias("m_score"),
+    )
+
+
+@query(
+    "events_decayed_user_value",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS now FROM events
+                WHERE event_type = 'purchase'),
+    w AS (SELECT user_id, value,
+                 power(0.5, (epoch_us((SELECT now FROM mx))
+                             - epoch_us(ts)) / 604800000000.0) AS wt
+          FROM events WHERE event_type = 'purchase')
+    SELECT user_id,
+           count(*) AS n_purchases,
+           round(sum(value * wt), 4) AS decayed_value,
+           round(sum(value), 2) AS raw_value
+    FROM w GROUP BY user_id
+    """,
+)
+def events_decayed_user_value(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Half-life-decayed user value (7-day half-life against the corpus
+    clock): the recency-weighted featurization that replaces arbitrary
+    'last N days' cutoffs. The weight is a map-side expression (corpus
+    max ts broadcast as one row), so the plan is the same single
+    per-user shuffle as a plain sum — decay costs nothing at scale."""
+    ev = load(spark, "events", sf_dir).filter(
+        col("event_type") == "purchase")
+    now = ev.agg(F.max("ts").alias("now"))
+    w = ev.crossJoin(F.broadcast(now)).withColumn(
+        "wt",
+        F.pow(
+            F.lit(0.5),
+            (F.unix_micros("now") - F.unix_micros("ts")) / 604800000000.0,
+        ),
+    )
+    return w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum(col("value") * col("wt")), 4).alias("decayed_value"),
+        F.round(F.sum("value"), 2).alias("raw_value"),
     )
