@@ -1502,3 +1502,77 @@ def events_decayed_user_value(spark: SparkSession, sf_dir: str
         F.round(F.sum(col("value") * col("wt")), 4).alias("decayed_value"),
         F.round(F.sum("value"), 2).alias("raw_value"),
     )
+
+
+@query(
+    "events_value_trend",
+    oracle="""
+    WITH t AS (SELECT event_type,
+                      epoch_us(ts) / 86400000000.0 AS day_x, value
+               FROM events WHERE value IS NOT NULL)
+    SELECT event_type, count(*) AS n,
+           round(regr_slope(value, day_x), 6) AS slope_per_day,
+           round(regr_intercept(value, day_x), 4) AS intercept,
+           round(regr_r2(value, day_x), 6) AS r2
+    FROM t GROUP BY event_type
+    """,
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear trend via the native regression aggregates
+    (regr_slope/intercept/r2): is each event type's value drifting over
+    time, and how well does a line explain it? Constant partial-agg
+    state per group (sums of x, y, xy, x², y²), so trend detection over
+    100 TB costs exactly one aggregate pass."""
+    ev = load(spark, "events", sf_dir).filter(col("value").isNotNull())
+    t = ev.select(
+        "event_type",
+        (F.unix_micros("ts") / 86400000000.0).alias("day_x"),
+        "value",
+    )
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("value", "day_x"), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept("value", "day_x"), 4).alias("intercept"),
+        F.round(F.regr_r2("value", "day_x"), 6).alias("r2"),
+    )
+
+
+@query(
+    "events_interevent_gaps",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id))
+                   AS gap_us
+        FROM events)
+    SELECT user_id, count(gap_us) AS n_gaps,
+           round(quantile_cont(gap_us / 60000000.0, 0.5), 4)
+               AS median_gap_min,
+           round(max(gap_us) / 60000000.0, 4) AS max_gap_min
+    FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
+)
+def events_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per user (median + max, minutes):
+    the activity-cadence feature behind session-timeout and churn
+    heuristics. One user-key shuffle for the lag(); the exact median
+    is oracle parity, approx_percentile the scale path."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        load(spark, "events", sf_dir)
+        .select("user_id", "ts", "event_id")
+        .withColumn(
+            "gap_us",
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)),
+        )
+        .filter(col("gap_us").isNotNull())
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us / 60000000.0, 0.5)"), 4)
+        .alias("median_gap_min"),
+        F.round(F.max("gap_us") / 60000000.0, 4).alias("max_gap_min"),
+    )

@@ -2387,3 +2387,58 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("containment", 6)
                 .alias("containment"))
     )
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d),
+    hsx AS (SELECT doc_id, shingles, {_HS} AS hs FROM sh),
+    sig AS (SELECT doc_id, shingles, {_MH8} AS mh FROM hsx),
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band_key)
+             WHERE a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT len(list_filter(sa.shingles,
+                   s -> list_contains(sb.shingles, s))) * 1.0 /
+               (len(sa.shingles) + len(sb.shingles) -
+                len(list_filter(sa.shingles,
+                    s -> list_contains(sb.shingles, s)))) AS j
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b)
+    SELECT count(*) AS n_candidates,
+           sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS ge_50,
+           sum(CASE WHEN j >= 0.6 THEN 1 ELSE 0 END)::BIGINT AS ge_60,
+           sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END)::BIGINT AS ge_70,
+           sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS ge_80,
+           sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END)::BIGINT AS ge_90
+    FROM pairs
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold tuning in ONE pass: every LSH candidate pair verified
+    once, pair counts reported at five Jaccard cutoffs simultaneously —
+    how a dedup threshold is actually chosen, without re-running the
+    candidate join per setting. Same banded-candidate plan as the dedup
+    family; the sweep is conditional sums over the one verify result."""
+    docs = spread(load(spark, "documents", sf_dir))
+    cands = D.near_dup_candidates(docs, "text", "doc_id", 4, 2, "md5")
+    sh = docs.select(col("doc_id").alias("sid"),
+                     D.shingles("text", 3).alias("sh"))
+    pairs = (
+        cands.join(sh.withColumnRenamed("sid", "id_a")
+                   .withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("sid", "id_b")
+              .withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("j", D.jaccard(col("sh_a"), col("sh_b")))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_candidates")]
+    for thr in (50, 60, 70, 80, 90):
+        aggs.append(
+            F.sum(F.when(col("j") >= thr / 100.0, 1).otherwise(0))
+            .alias(f"ge_{thr}")
+        )
+    return pairs.agg(*aggs)
