@@ -1576,3 +1576,71 @@ def events_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("median_gap_min"),
         F.round(F.max("gap_us") / 60000000.0, 4).alias("max_gap_min"),
     )
+
+
+@query(
+    "events_top_session_paths",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        FROM events),
+    s AS (SELECT user_id, ts, event_id, event_type,
+                 sum(new_s) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x),
+    r AS (SELECT user_id, sid, event_type,
+                 row_number() OVER (PARTITION BY user_id, sid
+                                    ORDER BY ts, event_id) AS rn
+          FROM s),
+    paths AS (
+        SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 3 GROUP BY user_id, sid)
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each session's first three event types as a
+    path signature, ranked by frequency — the product-analytics view of
+    HOW sessions start. Sessionization and path assembly share ONE
+    user-key shuffle (same gaps-and-islands keys); the path aggregate
+    runs over path-cardinality and the top-10 is TakeOrdered."""
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type")
+    x = ev.withColumn(
+        "new_s",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+            >= 1800 * 1_000_000, 1
+        ).otherwise(0),
+    )
+    s = x.withColumn(
+        "sid", F.sum("new_s").over(wu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    r = s.withColumn("rn", F.row_number().over(ws)).filter(col("rn") <= 3)
+    paths = (
+        r.groupBy("user_id", "sid")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda t: t["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(col("n_sessions").desc(), "path")
+        .limit(10)
+    )
