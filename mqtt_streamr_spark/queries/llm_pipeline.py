@@ -2442,3 +2442,108 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"ge_{thr}")
         )
     return pairs.agg(*aggs)
+
+
+@query(
+    "split_leakage_report",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d),
+    hsx AS (SELECT doc_id, shingles, {_HS} AS hs FROM sh),
+    sig AS (SELECT doc_id, shingles, {_MH8} AS mh FROM hsx),
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band_key)
+             WHERE a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE len(list_filter(sa.shingles,
+                  s -> list_contains(sb.shingles, s))) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles) -
+               len(list_filter(sa.shingles,
+                   s -> list_contains(sb.shingles, s)))) >= 0.5),
+    lab AS (
+        SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substring(md5('split|'
+                          || doc_id::VARCHAR), 1, 15))::BIGINT % 100
+                          AS INTEGER) AS b
+              FROM documents)),
+    tagged AS (
+        SELECT la.split AS split_a, lb.split AS split_b
+        FROM pairs
+        JOIN lab la ON la.doc_id = pairs.id_a
+        JOIN lab lb ON lb.doc_id = pairs.id_b)
+    SELECT least(split_a, split_b) AS split_lo,
+           greatest(split_a, split_b) AS split_hi,
+           count(*) AS n_pairs,
+           (least(split_a, split_b) <> greatest(split_a, split_b))
+               AS leaks
+    FROM tagged GROUP BY split_lo, split_hi
+    """,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene leakage report: near-duplicate pairs crossed with
+    the deterministic train/val/test assignment — any pair straddling
+    splits (leaks=true) means test examples near-duplicate training
+    data and eval numbers are inflated. The fix is cluster-aware
+    splitting (assign by duplicate-cluster keeper id, not doc id); this
+    query is the detector that says whether you need it. Same LSH
+    candidate plan as the dedup family; the split join is a map-side
+    hash label."""
+    docs = spread(load(spark, "documents", sf_dir))
+    pairs = D.near_dup_pairs(docs, threshold=0.5, bands=4, rows=2)
+    lab = docs.select("doc_id", T.split_label("doc_id").alias("split"))
+    tagged = (
+        pairs.select("id_a", "id_b")
+        .join(lab.withColumnRenamed("doc_id", "id_a")
+              .withColumnRenamed("split", "split_a"), "id_a")
+        .join(lab.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("split", "split_b"), "id_b")
+    )
+    return (
+        tagged.groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaks", col("split_lo") != col("split_hi"))
+    )
+
+
+@query(
+    "text_rank_normalized_lengths",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (
+               PARTITION BY source ORDER BY n_chars), 6) AS len_pctl
+    FROM documents
+    ORDER BY doc_id LIMIT 20
+    """,
+)
+def text_rank_normalized_lengths(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Rank-based (quantile) normalization per stratum — the
+    distribution-free alternative to z-scores for skewed features:
+    percent_rank maps each doc's length to its within-source quantile,
+    invariant to outliers and monotone transforms. One shuffle on the
+    stratum key; rank ties resolve identically in any engine (rank
+    with gaps), which is what makes this normalization engine-stable
+    where seeded RNG jitter is not."""
+    from pyspark.sql import Window
+
+    docs = load(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars")
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars",
+            F.round(F.percent_rank().over(w), 6).alias("len_pctl"),
+        )
+        .orderBy("doc_id")
+        .limit(20)
+    )
