@@ -2547,3 +2547,72 @@ def text_rank_normalized_lengths(spark: SparkSession, sf_dir: str
         .orderBy("doc_id")
         .limit(20)
     )
+
+
+@query(
+    "split_cluster_aware",
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d),
+    hsx AS (SELECT doc_id, shingles, {_HS} AS hs FROM sh),
+    sig AS (SELECT doc_id, shingles, {_MH8} AS mh FROM hsx),
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band_key)
+             WHERE a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE len(list_filter(sa.shingles,
+                  s -> list_contains(sb.shingles, s))) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles) -
+               len(list_filter(sa.shingles,
+                   s -> list_contains(sb.shingles, s)))) >= 0.5),
+    edges AS (SELECT id_a AS n, id_b AS m FROM pairs
+              UNION ALL
+              SELECT id_b AS n, id_a AS m FROM pairs),
+    reach(id, label) AS (
+        SELECT n, n FROM edges
+        UNION
+        SELECT e.n, r.label FROM edges e JOIN reach r ON r.id = e.m),
+    comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+    keyed AS (
+        SELECT doc.doc_id,
+               coalesce(c.component, doc.doc_id) AS split_key
+        FROM documents doc LEFT JOIN comp c ON c.id = doc.doc_id),
+    lab AS (
+        SELECT doc_id, split_key,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, split_key,
+                     CAST(('0x' || substring(md5('split|'
+                          || split_key::VARCHAR), 1, 15))::BIGINT % 100
+                          AS INTEGER) AS b
+              FROM keyed))
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT split_key) AS n_keys
+    FROM lab GROUP BY split
+    """,
+)
+def split_cluster_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIX split_leakage_report motivates: assign train/val/test by
+    DUPLICATE-CLUSTER label (connected-component keeper), not doc id —
+    every near-dup cluster lands in one split whole, so cross-split
+    leakage is zero BY CONSTRUCTION (same md5-mod stability; singleton
+    docs key by their own id). Costs the pair + CC pass once per corpus
+    refresh; the assignment itself stays a map-side hash."""
+    docs = spread(load(spark, "documents", sf_dir))
+    pairs = D.near_dup_pairs(docs, threshold=0.5, bands=4, rows=2)
+    comp = D.connected_components(pairs)
+    keyed = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("split_key", F.coalesce("component", "doc_id"))
+    )
+    lab = keyed.withColumn("split", T.split_label("split_key"))
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("split_key").alias("n_keys"),
+    )
