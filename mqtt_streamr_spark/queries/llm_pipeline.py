@@ -2368,24 +2368,37 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-over-A signature variant at scale."""
     docs = spread(load(spark, "documents", sf_dir))
     cands = D.near_dup_candidates(docs, "text", "doc_id", 4, 2, "md5")
-    both = cands.unionByName(
-        cands.select(col("id_b").alias("id_a"), col("id_a").alias("id_b"))
-    ).distinct()
     sh = docs.select(col("doc_id").alias("sid"),
                      D.shingles("text", 3).alias("sh"))
-    return (
-        both.join(sh.withColumnRenamed("sid", "id_a")
-                  .withColumnRenamed("sh", "sh_a"), "id_a")
+    # |A∩B| is symmetric: verify each UNORDERED candidate pair once,
+    # then emit both directions — half the verify-join work of scoring
+    # (a,b) and (b,a) separately
+    scored = (
+        cands.join(sh.withColumnRenamed("sid", "id_a")
+                   .withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("sid", "id_b")
               .withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn(
-            "containment",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size("sh_a"),
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("n_a"), F.size("sh_b").alias("n_b"),
         )
-        .filter(col("containment") >= 0.8)
-        .select("id_a", "id_b", F.round("containment", 6)
-                .alias("containment"))
+    )
+    directed = scored.select(
+        F.explode(
+            F.array(
+                F.struct(col("id_a"), col("id_b"),
+                         (col("inter") / col("n_a")).alias("containment")),
+                F.struct(col("id_b").alias("id_a"),
+                         col("id_a").alias("id_b"),
+                         (col("inter") / col("n_b")).alias("containment")),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return (
+        directed.filter(col("containment") >= 0.8)
+        .select("id_a", "id_b",
+                F.round("containment", 6).alias("containment"))
     )
 
 
