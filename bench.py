@@ -84,8 +84,26 @@ def main() -> None:
     # report to stdout, so route everything queries print to stderr
     import contextlib
 
-    with contextlib.redirect_stdout(sys.stderr):
-        _run_queries(spark, jvm, timings, errors)
+    # If a supervising harness times the run out with SIGTERM, emit the
+    # JSON line for the queries already measured instead of dying with no
+    # output at all (a partial result is parseable; silence is not).
+    import signal
+
+    def _sigterm(signum, frame):
+        raise KeyboardInterrupt("SIGTERM")
+
+    try:
+        signal.signal(signal.SIGTERM, _sigterm)
+    except (ValueError, OSError):  # non-main thread / restricted env
+        pass
+
+    try:
+        with contextlib.redirect_stdout(sys.stderr):
+            _run_queries(spark, jvm, timings, errors)
+    except KeyboardInterrupt:
+        errors["__truncated__"] = (
+            f"interrupted after {len(timings)} queries; totals are partial"
+        )
     time.sleep(1.0)  # listener bus is async; let progress events drain
     streaming = listener.summary()  # rec/s + p50/p99 batch ms (BASELINE.md)
     listener.detach()
