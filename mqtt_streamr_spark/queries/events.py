@@ -1644,3 +1644,38 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+@query(
+    "events_incremental_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY day, event_type
+    """,
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Incremental rollup maintenance — the INSERT OVERWRITE PARTITION
+    pattern: the historical slice's daily aggregate is 'already
+    materialized' (computed once here), and the new slice contributes
+    ONLY its own days' aggregates, unioned in without touching history.
+    The oracle is the full recompute, proving the incremental result is
+    exactly equal — because daily partitions are disjoint, maintenance
+    cost tracks the NEW day's data however long history grows. (Days
+    that straddle the cut would be overwritten whole — here the cut is
+    day-aligned, the production contract for partition overwrite.)"""
+    ev = load(spark, "events", sf_dir).select("ts", "event_type", "value")
+    cut = "2024-02-15"
+
+    def daily(df):
+        return df.groupBy(
+            F.date_trunc("day", col("ts")).alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+
+    historical = daily(ev.filter(col("ts") < cut))  # materialized once
+    new_days = daily(ev.filter(col("ts") >= cut))   # the only new work
+    return historical.unionByName(new_days)
