@@ -74,12 +74,17 @@ from mqtt_streamr_spark.queries.registry import ORACLES, QUERIES
 # mix_temperature_sampled, sim_ivf_recall, agg_distinct_approx_hll,
 # events_funnel_conversion, window_trailing_range_avg,
 # pivot_daily_event_counts, unpivot_event_type_counts,
-# streaming_dedup_within_watermark, streaming_stream_stream_join, and the
-# late-round-5 families (multimodal resize/frame-sample, merge/SCD2/
-# snapshot-diff/CDC-apply, fuzzy join, random projection, z-order layout,
-# EWMA, vocab encoding, MAD outliers, histogram, transition matrix,
-# dq_expectations) — rotate a representative of each family into the r6
-# window.
+# streaming_dedup_within_watermark, streaming_stream_stream_join, and
+# every post-freeze round-5 family (multimodal resize/frame-sample;
+# merge/SCD2/snapshot-diff/CDC-apply; fuzzy join; random projection;
+# z-order layout; EWMA; vocab encoding + BPE apply + top-terms +
+# rank-norm; MAD outliers + histogram + equi-depth + transition matrix +
+# RFM + decayed value + trend + gaps + journeys + cohorts; PSI +
+# centroid drift; DQ expectations; sketch rollup; domain stats; schema
+# evolution; incremental dedup/rollup; containment + threshold sweep;
+# split leakage + cluster-aware splits; streaming session windows) — all
+# hash-checked by tests/test_correctness.py; rotate one representative
+# of each family into the r6 window.
 MUST_VERIFY: list[str] = [
     # §2.2/2.7 events: parse, routing, windows
     "events_variant_parse_drop",
