@@ -454,3 +454,77 @@ def test_symdel_fuzzy_join_matches_brute_force(spark, words):
                                    "name", "name").collect()
     }
     assert got == expected
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5),      # key
+                  st.integers(0, 3),      # ts
+                  st.integers(0, 100)),   # value
+        min_size=1, max_size=24,
+    ),
+    split=st.integers(1, 3),
+)
+def test_upsert_fold_order_invariance(spark, rows, split):
+    """With value-based tie_cols the LWW upsert is associative: folding
+    the change set batch-by-batch (any batching) equals one big merge.
+    Random keys/timestamps WITH collisions exercise exactly the tie
+    paths."""
+    from mqtt_streamr_spark.operators.merge import upsert
+
+    schema = "k long, ts long, v long"
+    empty = spark.createDataFrame([], schema)
+
+    def fold(batches):
+        snap = empty
+        for b in batches:
+            if b:
+                snap = upsert(
+                    snap, spark.createDataFrame(b, schema),
+                    ["k"], "ts", tie_cols=["v"],
+                )
+        return {(r["k"], r["ts"], r["v"]) for r in snap.collect()}
+
+    data = [(k, t, v) for k, t, v in rows]
+    one_shot = fold([data])
+    n = max(1, len(data) // split)
+    batched = fold([data[i:i + n] for i in range(0, len(data), n)])
+    assert one_shot == batched
+
+
+@SLOW
+@given(
+    old_rows=st.dictionaries(st.integers(0, 8), st.integers(0, 5),
+                             max_size=8),
+    new_rows=st.dictionaries(st.integers(0, 8), st.integers(0, 5),
+                             max_size=8),
+)
+def test_snapshot_diff_apply_roundtrip(spark, old_rows, new_rows):
+    """Algebraic identity linking the CDC operators: applying
+    diff(old, new) back onto old — drop removed keys, upsert
+    changed+added — reconstructs new exactly."""
+    from mqtt_streamr_spark.operators.merge import snapshot_diff, upsert
+
+    schema = "k long, v long"
+    old = spark.createDataFrame(list(old_rows.items()) or [(99, 0)], schema)
+    new = spark.createDataFrame(list(new_rows.items()) or [(99, 0)], schema)
+    d = snapshot_diff(old, new, ["k"]).collect()
+    removed = {r["k"] for r in d if r["change_type"] == "removed"}
+    changes = [(r["k"], r["v"]) for r in d
+               if r["change_type"] in ("added", "changed")]
+    kept = old.filter(~old["k"].isin(removed)) if removed else old
+    if changes:
+        # ts-less apply: key the upsert on a constant clock; the batch
+        # wins ties, which is exactly "the change replaces the old row"
+        import pyspark.sql.functions as FN
+
+        kept_ts = kept.withColumn("ts", FN.lit(0))
+        chg = spark.createDataFrame(changes, schema).withColumn(
+            "ts", FN.lit(0))
+        rebuilt = upsert(kept_ts, chg, ["k"], "ts").drop("ts")
+    else:
+        rebuilt = kept
+    got = {(r["k"], r["v"]) for r in rebuilt.collect()}
+    want = {(r["k"], r["v"]) for r in new.collect()}
+    assert got == want
