@@ -2629,3 +2629,65 @@ def split_cluster_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("split_key").alias("n_keys"),
     )
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d),
+    hsx AS (SELECT doc_id, shingles, {_HS} AS hs FROM sh),
+    sig AS (SELECT doc_id, shingles, {_MH8} AS mh FROM hsx),
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band_key)
+             WHERE a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE len(list_filter(sa.shingles,
+                  s -> list_contains(sb.shingles, s))) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles) -
+               len(list_filter(sa.shingles,
+                   s -> list_contains(sb.shingles, s)))) >= 0.5),
+    edges AS (SELECT id_a AS n, id_b AS m FROM pairs
+              UNION ALL
+              SELECT id_b AS n, id_a AS m FROM pairs),
+    reach(id, label) AS (
+        SELECT n, n FROM edges
+        UNION
+        SELECT e.n, r.label FROM edges e JOIN reach r ON r.id = e.m),
+    comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+    scored AS (
+        SELECT c.component, doc.doc_id, doc.n_chars,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY doc.n_chars DESC,
+                                           doc.doc_id DESC) AS rk
+        FROM comp c JOIN documents doc ON doc.doc_id = c.id)
+    SELECT component AS cluster_id,
+           count(*) AS n_docs,
+           max(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id,
+           max(n_chars) AS keeper_chars
+    FROM scored GROUP BY component
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection per duplicate cluster by QUALITY, not id:
+    within each connected component the longest document wins (n_chars
+    as the quality proxy; any scoring column drops in), deterministic
+    ties by doc_id — the policy step between clustering and deletion
+    that min-id keeper selection gets wrong when the shortest copy
+    happens to have the smallest id. One join of the component labels
+    against the metadata + a max_by aggregate."""
+    docs = spread(load(spark, "documents", sf_dir))
+    pairs = D.near_dup_pairs(docs, threshold=0.5, bands=4, rows=2)
+    comp = D.connected_components(pairs)
+    scored = comp.join(
+        docs.select(col("doc_id").alias("id"), "n_chars"), "id")
+    return scored.groupBy(col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("max_by(id, struct(n_chars, id))").alias("keeper_id"),
+        F.max("n_chars").alias("keeper_chars"),
+    )

@@ -271,3 +271,24 @@ def test_ewma_hand_computed(spark):
     got = {(r["k"], r["id"]): r["ewma"] for r in out.collect()}
     # key 1 ordered: v=0 -> e=0; v=10 -> 5; v=20 -> 12.5
     assert got == {(1, 1): 0.0, (1, 2): 5.0, (1, 3): 12.5, (2, 4): 5.0}
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """Independent cross-check: the explicit recurrence equals
+    pandas.ewm(adjust=False) on a longer random-ish series."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from mqtt_streamr_spark.operators.grouped import ewma_per_key
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [((i * 37) % 100) / 7.0 for i in range(50)]
+    rows = [(1, t0 + dt.timedelta(minutes=i), i, v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, id long, v double")
+    got = [r["ewma"] for r in ewma_per_key(df, "k", "ts", "v", alpha=0.25,
+                                           order_cols=["id"])
+           .orderBy("id").collect()]
+    want = pd.Series(vals).ewm(alpha=0.25, adjust=False).mean().tolist()
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, want))
