@@ -1679,3 +1679,124 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str
     historical = daily(ev.filter(col("ts") < cut))  # materialized once
     new_days = daily(ev.filter(col("ts") >= cut))   # the only new work
     return historical.unionByName(new_days)
+
+
+@query(
+    "events_type_cooccurrence_lift",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        FROM events),
+    s AS (SELECT user_id, event_type,
+                 sum(new_s) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x),
+    st AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+    n AS (SELECT count(DISTINCT (user_id, sid)) AS n_sessions FROM st),
+    sup AS (SELECT event_type, count(*) AS n FROM st GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_ab
+        FROM st a JOIN st b
+          ON a.user_id = b.user_id AND a.sid = b.sid
+         AND a.event_type < b.event_type
+        GROUP BY type_a, type_b)
+    SELECT p.type_a, p.type_b, p.n_ab,
+           round(p.n_ab * (SELECT n_sessions FROM n) * 1.0
+                 / (sa.n * sb.n), 6) AS lift
+    FROM pairs p
+    JOIN sup sa ON sa.event_type = p.type_a
+    JOIN sup sb ON sb.event_type = p.type_b
+    """,
+)
+def events_type_cooccurrence_lift(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Association mining over sessions: event-type pair support and
+    LIFT (P(ab)/(P(a)P(b)) — >1 means the types co-occur more than
+    independence predicts). Sessionize (one user-key shuffle), collapse
+    to distinct (session, type) — so the pair self-join is bounded by
+    types²/session, not events² — then pair counts against broadcast
+    per-type supports. The itemset step of market-basket analysis,
+    session-scoped."""
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type")
+    s = (
+        ev.withColumn(
+            "new_s",
+            F.when(
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+                >= 1800 * 1_000_000, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                wu.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    st = s.select("user_id", "sid", "event_type").distinct()
+    n_sessions = st.select("user_id", "sid").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions"))
+    sup = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select("user_id", "sid", col("event_type").alias("type_a"))
+    b = st.select("user_id", "sid", col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "sid"])
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(F.broadcast(sup.withColumnRenamed("event_type", "type_a")
+                               .withColumnRenamed("n", "n_a")), "type_a")
+        .join(F.broadcast(sup.withColumnRenamed("event_type", "type_b")
+                          .withColumnRenamed("n", "n_b")), "type_b")
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "type_a", "type_b", "n_ab",
+            F.round(col("n_ab") * col("n_sessions")
+                    / (col("n_a") * col("n_b")), 6).alias("lift"),
+        )
+    )
+
+
+@query(
+    "events_burstiness",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               count(*) AS n
+        FROM events GROUP BY user_id, day)
+    SELECT user_id,
+           count(*) AS n_active_days,
+           round(avg(n), 4) AS mean_daily,
+           round(var_samp(n) / avg(n), 4) AS fano
+    FROM d GROUP BY user_id HAVING count(*) > 1
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor = var/mean of daily event counts) per
+    user: ~1 means Poisson-like steady activity, >>1 means bursty —
+    the overdispersion feature behind bot detection and engagement
+    segmentation. Two stacked aggregates, both partial-aggregating;
+    the second runs over user×day cardinality."""
+    ev = load(spark, "events", sf_dir)
+    d = ev.groupBy(
+        "user_id", F.date_trunc("day", col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_days"),
+            F.round(F.avg("n"), 4).alias("mean_daily"),
+            F.round(F.var_samp("n") / F.avg("n"), 4).alias("fano"),
+        )
+        .filter(col("n_active_days") > 1)
+    )

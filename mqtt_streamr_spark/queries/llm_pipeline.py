@@ -2691,3 +2691,43 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(id, struct(n_chars, id))").alias("keeper_id"),
         F.max("n_chars").alias("keeper_chars"),
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH w AS (SELECT unnest(toks) AS term
+               FROM (SELECT {_TOKS} AS toks FROM documents)),
+    f AS (SELECT term, count(*) AS freq FROM w GROUP BY term),
+    r AS (SELECT freq,
+                 row_number() OVER (ORDER BY freq DESC, term) AS rk
+          FROM f)
+    SELECT count(*) AS n_terms,
+           round(regr_slope(ln(freq), ln(rk)), 6) AS zipf_slope,
+           round(regr_r2(ln(freq), ln(rk)), 6) AS fit_r2
+    FROM r
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law (Zipf) fit of the term distribution: regression of
+    log-frequency on log-rank — natural corpora slope near −1, and a
+    flat or broken slope flags synthetic/templated text. Corpus-sized
+    work is the one term-count shuffle; the rank window and the
+    regression (constant-state aggregate) run over the vocabulary."""
+    from pyspark.sql import Window
+
+    docs = spread(load(spark, "documents", sf_dir))
+    f = (
+        docs.select(F.explode(T.tokens("text")).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    r = f.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), "term")),
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(F.log("freq"), F.log("rk")), 6)
+        .alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("freq"), F.log("rk")), 6).alias("fit_r2"),
+    )
