@@ -1800,3 +1800,44 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(col("n_active_days") > 1)
     )
+
+
+@query(
+    "events_weekly_growth",
+    oracle="""
+    WITH w AS (
+        SELECT CAST(date_trunc('week', ts) AS VARCHAR) AS week,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY 1)
+    SELECT week, n, total,
+           round((n - lag(n) OVER (ORDER BY week)) * 1.0
+                 / lag(n) OVER (ORDER BY week), 6) AS wow_growth,
+           round(avg(n) OVER (ORDER BY week
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2)
+               AS ma4
+    FROM w
+    """,
+)
+def events_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth + 4-week moving average — the reporting
+    staple on top of any rollup. The weekly aggregate is the only
+    data-sized shuffle; lag/moving-average windows run over the
+    week-cardinality table (single partition by construction, and
+    correctly so — it IS metadata)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    w = ev.groupBy(
+        F.date_format(F.date_trunc("week", col("ts")), "yyyy-MM-dd")
+        .alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    wo = Window.orderBy("week")
+    return w.select(
+        "week", "n", "total",
+        F.round((col("n") - F.lag("n").over(wo))
+                / F.lag("n").over(wo), 6).alias("wow_growth"),
+        F.round(F.avg("n").over(wo.rowsBetween(-3, 0)), 2).alias("ma4"),
+    )

@@ -1870,3 +1870,40 @@ def drift_psi_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.log(col("pr") / col("qr")), 6).alias("psi_term"),
         )
     )
+
+
+@query(
+    "q_fulfillment_latency",
+    oracle="""
+    WITH g AS (
+        SELECT o.o_orderpriority AS priority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS lat
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    SELECT priority, count(*) AS n,
+           round(avg(lat), 4) AS mean_days,
+           round(quantile_cont(lat, 0.5), 1) AS p50_days,
+           round(quantile_cont(lat, 0.95), 1) AS p95_days,
+           max(lat) AS max_days
+    FROM g GROUP BY priority
+    """,
+)
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority — the supply-chain
+    SLA view over the two fact tables: one shuffled equi-join on the
+    order key (AQE-planned), percentiles per priority group. Exact
+    percentile for oracle parity; approx_percentile is the scale path
+    (same contract as the percentile pair)."""
+    o = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    g = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        col("o_orderpriority").alias("priority"),
+        F.datediff(col("l_shipdate"), col("o_orderdate")).alias("lat"),
+    )
+    return g.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("lat"), 4).alias("mean_days"),
+        F.round(F.expr("percentile(lat, 0.5)"), 1).alias("p50_days"),
+        F.round(F.expr("percentile(lat, 0.95)"), 1).alias("p95_days"),
+        F.max("lat").alias("max_days"),
+    )
