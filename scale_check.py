@@ -319,6 +319,18 @@ def vocab_encode_docs(spark, k):
     return enc.agg(F.count(F.lit(1)), F.sum(F.size("token_ids")))
 
 
+def multimodal_pipeline(spark, k):
+    from mqtt_streamr_spark.operators import multimodal as M
+
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k,
+        id_cols=("doc_id",), tag_text_col="text",
+    )
+    media = M.documents_as_media(docs)
+    feats = M.extract_features(media)
+    return feats.agg(F.count(F.lit(1)), F.sum("n_bytes"))
+
+
 OPS = {
     "scan_agg_lineitem": scan_agg,
     "minhash_lsh_buckets": minhash_buckets,
@@ -340,6 +352,7 @@ OPS = {
     "fuzzy_join_names": fuzzy_join_names,
     "ewma_events": ewma_events,
     "vocab_encode_docs": vocab_encode_docs,
+    "multimodal_pipeline": multimodal_pipeline,
 }
 
 

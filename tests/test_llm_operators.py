@@ -926,3 +926,20 @@ def test_incremental_dedup_finds_cross_pair_only(spark):
     assert set(rows) == {10, 11}
     assert rows[10]["n_corpus_dups"] == 1
     assert 0.5 <= rows[10]["max_sim"] <= 1.0
+
+
+def test_resize_image_mime_without_pillow_falls_back(spark):
+    """With Pillow absent an image/* blob still flows through the
+    deterministic fallback (never a crash, never a silent skip)."""
+    from mqtt_streamr_spark.operators import multimodal as M
+
+    if M._pil_image is not None:  # pragma: no cover - container has none
+        import pytest
+
+        pytest.skip("Pillow installed; real branch covered elsewhere")
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG-fake-bytes", "image/png")],
+        "content_id long, media binary, mime string",
+    )
+    row = M.resize_media(df, target_w=2, target_h=2).collect()[0]
+    assert row["out_chars"] <= 4 and row["out_sha"]
