@@ -1907,3 +1907,36 @@ def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lat, 0.95)"), 1).alias("p95_days"),
         F.max("lat").alias("max_days"),
     )
+
+
+@query(
+    "q_revenue_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+               AS revenue_exact,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS VARCHAR)
+               AS disc_revenue_exact,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_revenue_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PENNY-EXACT money aggregation: sums over DECIMAL(18,2) (and a
+    decimal product for discounted revenue) rendered as strings, so the
+    check is exact to the last cent with no float rounding anywhere —
+    the finance-grade path every revenue pipeline eventually needs. Decimal
+    aggregation partial-aggregates like any sum (128-bit accumulators),
+    so exactness costs nothing structural at scale."""
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        (F.lit(1) - col("l_discount")).cast("decimal(18,2)").alias("keep"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.sum("price").cast("string").alias("revenue_exact"),
+        F.sum(col("price") * col("keep")).cast("string")
+        .alias("disc_revenue_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )
