@@ -292,3 +292,51 @@ def test_ewma_matches_pandas_ewm(spark):
            .orderBy("id").collect()]
     want = pd.Series(vals).ewm(alpha=0.25, adjust=False).mean().tolist()
     assert all(abs(a - b) < 1e-9 for a, b in zip(got, want))
+
+
+def test_zorder_key_monotone_per_dimension(spark):
+    """Bit-spreading is strictly increasing, so for a fixed other
+    dimension the z-key is monotone in each input — the property that
+    makes z-ranges usable as scan ranges."""
+    from mqtt_streamr_spark.operators.layout import zorder_key
+
+    rows = sorted({(x, 7) for x in range(16)} | {(7, y) for y in range(16)})
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = df.select("x", "y", zorder_key(["x", "y"], bits=4).alias("z")) \
+            .collect()
+    xs = sorted([(r["x"], r["z"]) for r in got if r["y"] == 7])
+    ys = sorted([(r["y"], r["z"]) for r in got if r["x"] == 7])
+    assert all(a[1] < b[1] for a, b in zip(xs, xs[1:]))
+    assert all(a[1] < b[1] for a, b in zip(ys, ys[1:]))
+
+
+def test_snapshot_diff_identity_is_empty(spark):
+    from mqtt_streamr_spark.operators.merge import snapshot_diff
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5)], "k long, v string, x int")
+    assert snapshot_diff(df, df, ["k"]).count() == 0
+
+
+def test_scd2_noop_batch_preserves_snapshot(spark):
+    """A change batch restating current values exactly must return the
+    snapshot unchanged — no phantom versions, no lost rows."""
+    import datetime as dt
+
+    from mqtt_streamr_spark.operators.merge import scd2_merge
+
+    d = dt.date
+    snap = spark.createDataFrame(
+        [(1, "x", d(2010, 1, 1), d(2015, 1, 1)),
+         (1, "y", d(2015, 1, 1), None),
+         (2, "z", d(2015, 1, 1), None)],
+        "k long, seg string, valid_from date, valid_to date",
+    )
+    chg = spark.createDataFrame(
+        [(1, "y", d(2020, 1, 1)), (2, "z", d(2020, 1, 1))],
+        "k long, seg string, change_ts date",
+    )
+    got = sorted(map(tuple, scd2_merge(
+        snap, chg, "k", ["seg"], "change_ts").collect()))
+    want = sorted(map(tuple, snap.collect()))
+    assert got == want
