@@ -120,7 +120,14 @@ def main() -> None:
         "streaming": streaming,
         **({"errors": errors} if errors else {}),
     }
-    with open(os.path.join(REPO, "bench_full.json"), "w") as f:
+    # smoke-mode runs (the contract test) must not clobber the last real
+    # measurement on disk
+    full_name = (
+        "bench_full_smoke.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_SMOKE")
+        else "bench_full.json"
+    )
+    with open(os.path.join(REPO, full_name), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
     top = dict(
