@@ -1841,3 +1841,240 @@ def events_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lag("n").over(wo), 6).alias("wow_growth"),
         F.round(F.avg("n").over(wo.rowsBetween(-3, 0)), 2).alias("ma4"),
     )
+
+
+@query(
+    "events_session_concurrency",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        FROM events),
+    s AS (SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x),
+    iv AS (SELECT min(ts) AS t0, max(ts) + INTERVAL '30 minutes' AS t1
+           FROM s GROUP BY user_id, sid),
+    d AS (SELECT t0 AS t, 1 AS dd FROM iv
+          UNION ALL SELECT t1, -1 FROM iv),
+    p AS (SELECT t, sum(dd)::BIGINT AS dd FROM d GROUP BY t),
+    r AS (SELECT t, sum(dd) OVER (ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) AS level
+          FROM p)
+    SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
+           max(level)::BIGINT AS peak_concurrency,
+           count(*) AS n_change_points
+    FROM r GROUP BY 1
+    """,
+)
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via a DISTRIBUTED boundary sweep
+    (segmented prefix-sum). The naive sweep — +1 at session start, -1 at
+    session end, one global running sum ordered by time — serializes onto
+    a single task at scale because change points grow with the data. The
+    scalable shape used here is the classic two-phase scan:
+
+      1. aggregate boundary deltas per change point, then per DAY — one
+         data-sized shuffle each;
+      2. exclusive-prefix the per-day nets over the DAY table (metadata-
+         sized: one row per day, so the unpartitioned window is cheap by
+         construction) to get the concurrency level entering each day;
+      3. running-sum within each day partition (parallel across days) and
+         add the broadcast day offset.
+
+    Peak per day = max level observed at that day's change points —
+    identical to the oracle's single global cumsum at any scale, but with
+    no global ordered window over data-sized input. Session intervals are
+    Spark ``session_window`` half-open [first, last+gap) spans, the same
+    contract events_session_windows pins against its gaps-and-islands
+    oracle."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    s = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(col("session_window.start").alias("t0"),
+                col("session_window.end").alias("t1"))
+    )
+    deltas = s.select(col("t0").alias("t"), F.lit(1).alias("dd")).unionAll(
+        s.select(col("t1").alias("t"), F.lit(-1).alias("dd"))
+    )
+    pts = (
+        deltas.groupBy("t")
+        .agg(F.sum("dd").alias("dd"))
+        .withColumn("day", F.to_date("t"))
+    )
+    day_net = pts.groupBy("day").agg(F.sum("dd").alias("net"))
+    w_days = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = day_net.select(
+        "day", F.coalesce(F.sum("net").over(w_days), F.lit(0)).alias("base")
+    )
+    w_in_day = Window.partitionBy("day").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0)
+    lev = (
+        pts.withColumn("run", F.sum("dd").over(w_in_day))
+        .join(F.broadcast(offsets), "day")
+        .withColumn("level", col("base") + col("run"))
+    )
+    return (
+        lev.groupBy("day")
+        .agg(F.max("level").alias("peak_concurrency"),
+             F.count(F.lit(1)).alias("n_change_points"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "peak_concurrency", "n_change_points")
+    )
+
+
+@query(
+    "events_forward_fill_daily",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+               FROM events WHERE value IS NOT NULL),
+    obs AS (SELECT user_id, day, value AS obs_value FROM (
+              SELECT *, row_number() OVER (
+                         PARTITION BY user_id, day
+                         ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+            WHERE rn = 1),
+    span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+             FROM obs GROUP BY user_id),
+    spine AS (SELECT user_id,
+                     CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                          AS DATE) AS day
+              FROM span),
+    f AS (SELECT s.user_id, s.day, o.obs_value,
+                 last_value(o.obs_value IGNORE NULLS) OVER (
+                     PARTITION BY s.user_id ORDER BY s.day
+                     ROWS UNBOUNDED PRECEDING) AS filled_value
+          FROM spine s LEFT JOIN obs o
+               ON o.user_id = s.user_id AND o.day = s.day)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           sum(CASE WHEN obs_value IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_observed,
+           sum(CASE WHEN obs_value IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_carried,
+           round(sum(filled_value), 2) AS filled_total
+    FROM f GROUP BY 1
+    """,
+)
+def events_forward_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample with forward fill (last observation carried
+    forward) — the time-series gap-repair staple (sensor panels, price
+    marks, feature snapshots). Per (user, day) keep the LAST reading
+    (row_number over ts DESC, event_id DESC — fully deterministic, no
+    arbitrary-tie max_by), explode each user's [first, last] day span into
+    a spine (sequence() on the 2-column span aggregate — no driver
+    collect), left-join observations, and carry values forward with
+    last(ignorenulls) over the per-user day window. The fill window is
+    partitioned BY USER, so the operator parallelizes across the key
+    space at 100 TB — no global ordered window anywhere; the spine adds
+    at most (days-span) rows per user, metadata-sized relative to the
+    event data that produced it."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir).filter(col("value").isNotNull())
+    w_pick = Window.partitionBy("user_id", "day").orderBy(
+        col("ts").desc(), col("event_id").desc())
+    obs = (
+        ev.withColumn("day", F.to_date("ts"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(col("rn") == 1)
+        .select("user_id", "day", col("value").alias("obs_value"))
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    w_fill = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0)
+    filled = spine.join(obs, ["user_id", "day"], "left").withColumn(
+        "filled_value", F.last("obs_value", ignorenulls=True).over(w_fill))
+    return (
+        filled.groupBy("day")
+        .agg(
+            F.sum(F.when(col("obs_value").isNotNull(), 1).otherwise(0))
+            .alias("n_observed"),
+            F.sum(F.when(col("obs_value").isNull(), 1).otherwise(0))
+            .alias("n_carried"),
+            F.round(F.sum("filled_value"), 2).alias("filled_total"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "n_observed", "n_carried", "filled_total")
+    )
+
+
+@query(
+    "agg_quantile_sketch_weekly",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+               CAST(ts AS DATE) AS day,
+               CAST(floor(value / 25.0) AS BIGINT) AS bin,
+               count(*) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+    weekly AS (SELECT week, bin, sum(n)::BIGINT AS n
+               FROM daily GROUP BY 1, 2),
+    c AS (SELECT week, bin, n,
+                 sum(n) OVER (PARTITION BY week ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(n) OVER (PARTITION BY week) AS total
+          FROM weekly)
+    SELECT week, total::BIGINT AS n_values, bin AS median_bin,
+           round(bin * 25.0 + (total * 0.5 - (cum - n)) * 25.0 / n, 4)
+               AS p50_est
+    FROM c WHERE cum >= total * 0.5 AND (cum - n) < total * 0.5
+    """,
+)
+def agg_quantile_sketch_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch rollup — the percentile complement of
+    agg_sketch_rollup_weekly's HLL distinct rollup: per-day fixed-bin
+    histogram sketches (bin width 25.0, deterministic boundaries) built
+    once from raw data, then the WEEKLY median answered by MERGING the
+    daily sketches — bin counts are associative, so the merge is a plain
+    sum per (week, bin), 7 tiny merges instead of a week of raw rescans.
+    The p50 estimate interpolates linearly inside the covering bin
+    (identical float expression order in Spark and the oracle, one
+    division each — bit-reproducible across engines). Sketch size is
+    O(value_range / bin_width) per day regardless of data volume, so the
+    post-shuffle state is metadata-sized at 100 TB; the per-week cumsum
+    window runs over ≤ a few dozen bins. Same fixed-boundary contract as
+    a t-digest/KLL rollup, chosen deterministic so the oracle can
+    hash-match exactly."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir).filter(col("value").isNotNull())
+    width = F.lit(25.0)
+    daily = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("week", col("ts")), "yyyy-MM-dd")
+            .alias("week"),
+            F.to_date("ts").alias("day"),
+            F.floor(col("value") / width).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    weekly = daily.groupBy("week", "bin").agg(F.sum("n").alias("n"))
+    w_cum = Window.partitionBy("week").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0)
+    c = (
+        weekly.withColumn("cum", F.sum("n").over(w_cum))
+        .withColumn("total", F.sum("n").over(Window.partitionBy("week")))
+    )
+    target = col("total") * F.lit(0.5)
+    hit = c.filter((col("cum") >= target) & ((col("cum") - col("n")) < target))
+    return hit.select(
+        "week",
+        col("total").alias("n_values"),
+        col("bin").alias("median_bin"),
+        F.round(
+            col("bin") * width
+            + (target - (col("cum") - col("n"))) * width / col("n"),
+            4,
+        ).alias("p50_est"),
+    )
