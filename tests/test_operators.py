@@ -340,3 +340,91 @@ def test_scd2_noop_batch_preserves_snapshot(spark):
         snap, chg, "k", ["seg"], "change_ts").collect()))
     want = sorted(map(tuple, snap.collect()))
     assert got == want
+
+
+def _write_events(spark, tmp_path, rows):
+    """Write hand-crafted rows in the events table layout so registry
+    queries can run on them via load()."""
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_forward_fill_carries_across_multiday_gap(spark, tmp_path):
+    """LOCF semantics on hand-computable data: a 2-day observation gap is
+    filled with the user's LAST reading of the preceding day (picked by
+    ts DESC), and fill never crosses users."""
+    import datetime as dt
+
+    from mqtt_streamr_spark.queries.events import events_forward_fill_daily
+
+    t = dt.datetime
+    sf = _write_events(spark, tmp_path, [
+        # user 1: two readings day 1 (last = 20.0), nothing day 2-3, day 4
+        (1, t(2024, 3, 1, 9), 1, "m", 10.0, "{}"),
+        (2, t(2024, 3, 1, 18), 1, "m", 20.0, "{}"),
+        (3, t(2024, 3, 4, 8), 1, "m", 40.0, "{}"),
+        # user 2: only day 2 — must not bleed into user 1's fill
+        (4, t(2024, 3, 2, 12), 2, "m", 7.0, "{}"),
+    ])
+    got = {r["day"]: r for r in events_forward_fill_daily(spark, sf).collect()}
+    assert got["2024-03-01"]["n_observed"] == 1   # one user observed
+    assert got["2024-03-01"]["filled_total"] == 20.0  # last-of-day pick
+    assert got["2024-03-02"]["n_carried"] == 1    # u1 carried, u2 observed
+    assert got["2024-03-02"]["filled_total"] == 27.0  # 20 carried + 7 obs
+    assert got["2024-03-03"]["n_carried"] == 1    # u1 still carried
+    assert got["2024-03-03"]["filled_total"] == 20.0  # u2 span ended day 2
+    assert got["2024-03-04"]["filled_total"] == 40.0
+
+
+def test_session_concurrency_day_offset_carries_midnight_sessions(
+        spark, tmp_path):
+    """The two-phase sweep must carry the concurrency level ACROSS days:
+    a session spanning midnight leaves day 2 starting at level 1, so day
+    2's peak is 2 when a second session overlaps — a per-day-only cumsum
+    would report 1."""
+    import datetime as dt
+
+    from mqtt_streamr_spark.queries.events import events_session_concurrency
+
+    t = dt.datetime
+    sf = _write_events(spark, tmp_path, [
+        # u1 session [23:50, 00:20 next day)
+        (1, t(2024, 3, 1, 23, 50), 1, "m", 1.0, "{}"),
+        # u2 session [00:05, 00:35) overlaps u1's tail on day 2
+        (2, t(2024, 3, 2, 0, 5), 2, "m", 1.0, "{}"),
+    ])
+    got = {r["day"]: r for r in
+           events_session_concurrency(spark, sf).collect()}
+    assert got["2024-03-01"]["peak_concurrency"] == 1
+    assert got["2024-03-02"]["peak_concurrency"] == 2
+    # change points: d1 has one (+1 at 23:50); d2 has three
+    assert got["2024-03-01"]["n_change_points"] == 1
+    assert got["2024-03-02"]["n_change_points"] == 3
+
+
+def test_quantile_sketch_median_interpolates_within_bin(spark, tmp_path):
+    """Hand-computed sketch median: 4 values in week bins [0,25) and
+    [25,50) — the covering bin and the interpolated estimate must match
+    the closed form lo + (0.5*total - cum_before)/n_bin * width."""
+    import datetime as dt
+
+    from mqtt_streamr_spark.queries.events import agg_quantile_sketch_weekly
+
+    t = dt.datetime
+    sf = _write_events(spark, tmp_path, [
+        (1, t(2024, 3, 4, 1), 1, "m", 10.0, "{}"),   # bin 0
+        (2, t(2024, 3, 5, 1), 1, "m", 12.0, "{}"),   # bin 0
+        (3, t(2024, 3, 6, 1), 1, "m", 30.0, "{}"),   # bin 1
+        (4, t(2024, 3, 7, 1), 1, "m", 49.0, "{}"),   # bin 1
+    ])
+    rows = agg_quantile_sketch_weekly(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_values"] == 4
+    assert r["median_bin"] == 0          # cum(bin0)=2 >= 2, cum_before=0
+    assert r["p50_est"] == 25.0          # 0 + (2-0)/2 * 25
