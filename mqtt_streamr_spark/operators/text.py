@@ -715,21 +715,27 @@ def dup_passage_stats(df, n: int = 5, text_col: str = "text",
 
     Returns (id_col, n_shingles, n_shared, dup_frac[rounded 4dp]).
 
-    Scale shape: shingles are md5-hashed to a narrow uniform key before the
-    doc-frequency aggregation, so both the agg and the join back to the
-    exploded shingle rows shuffle on the SAME key (the join reuses the
-    agg's partitioning — one logical shuffle family, never all-pairs).
-    Everything is linear in corpus shingles; hot boilerplate shingles are
-    exactly the rows the signal exists to find, and their doc-frequency
-    rows stay one row per distinct shingle."""
+    Scale shape: shingles are md5-hashed to a narrow uniform key, then the
+    doc frequency is attached with a COUNT WINDOW over that key — one
+    shuffle of the exploded shingles and ONE pass over the text. The
+    earlier agg-then-join-back shape recomputed the whole tokenize/
+    shingle/md5 subtree twice (Catalyst plans the two consumers as two
+    FileScans; no ReusedExchange fires because the agg side prunes to a
+    single column), and at 100 TB the sort-merge join would re-sort both
+    sides on ``sh`` anyway — the window pays that one sort once, on half
+    the compute. Everything stays linear in corpus shingles; hot
+    boilerplate shingles are exactly the rows the signal exists to
+    find."""
+    from pyspark.sql import Window
+
     sh = df.select(
         F.col(id_col),
         F.explode(shingles(text_col, n)).alias("shingle"),
     ).select(F.col(id_col), F.md5("shingle").alias("sh"))
     # shingles() dedupes per doc, so count(*) per shingle == doc frequency
-    docfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("doc_freq"))
     return (
-        sh.join(docfreq, "sh")
+        sh.withColumn(
+            "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
