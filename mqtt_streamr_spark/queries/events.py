@@ -1891,9 +1891,14 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark ``session_window`` half-open [first, last+gap) spans, the same
     contract events_session_windows pins against its gaps-and-islands
     oracle."""
+    return _concurrency_from_events(load(spark, "events", sf_dir))
+
+
+def _concurrency_from_events(ev: DataFrame) -> DataFrame:
+    """Core of events_session_concurrency on an arbitrary events-shaped
+    DataFrame (also driven by scale_check.py at 1x/4x/16x input)."""
     from pyspark.sql import Window
 
-    ev = load(spark, "events", sf_dir)
     s = (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1974,9 +1979,15 @@ def events_forward_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     space at 100 TB — no global ordered window anywhere; the spine adds
     at most (days-span) rows per user, metadata-sized relative to the
     event data that produced it."""
+    return _forward_fill_from_events(load(spark, "events", sf_dir))
+
+
+def _forward_fill_from_events(ev: DataFrame) -> DataFrame:
+    """Core of events_forward_fill_daily on an arbitrary events-shaped
+    DataFrame (also driven by scale_check.py at 1x/4x/16x input)."""
     from pyspark.sql import Window
 
-    ev = load(spark, "events", sf_dir).filter(col("value").isNotNull())
+    ev = ev.filter(col("value").isNotNull())
     w_pick = Window.partitionBy("user_id", "day").orderBy(
         col("ts").desc(), col("event_id").desc())
     obs = (
@@ -2046,9 +2057,15 @@ def agg_quantile_sketch_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over ≤ a few dozen bins. Same fixed-boundary contract as
     a t-digest/KLL rollup, chosen deterministic so the oracle can
     hash-match exactly."""
+    return _quantile_sketch_from_events(load(spark, "events", sf_dir))
+
+
+def _quantile_sketch_from_events(ev: DataFrame) -> DataFrame:
+    """Core of agg_quantile_sketch_weekly on an arbitrary events-shaped
+    DataFrame (also driven by scale_check.py at 1x/4x/16x input)."""
     from pyspark.sql import Window
 
-    ev = load(spark, "events", sf_dir).filter(col("value").isNotNull())
+    ev = ev.filter(col("value").isNotNull())
     width = F.lit(25.0)
     daily = (
         ev.groupBy(

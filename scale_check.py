@@ -331,6 +331,33 @@ def multimodal_pipeline(spark, k):
     return feats.agg(F.count(F.lit(1)), F.sum("n_bytes"))
 
 
+def concurrency_sweep_events(spark, k):
+    from mqtt_streamr_spark.queries.events import _concurrency_from_events
+
+    ev = replicate(load(spark, "events", SF_DIR), k,
+                   id_cols=("event_id", "user_id"))
+    return _concurrency_from_events(ev).agg(
+        F.count(F.lit(1)), F.sum("peak_concurrency"))
+
+
+def forward_fill_events(spark, k):
+    from mqtt_streamr_spark.queries.events import _forward_fill_from_events
+
+    ev = replicate(load(spark, "events", SF_DIR), k,
+                   id_cols=("event_id", "user_id"))
+    return _forward_fill_from_events(ev).agg(
+        F.count(F.lit(1)), F.sum("filled_total"))
+
+
+def quantile_sketch_events(spark, k):
+    from mqtt_streamr_spark.queries.events import _quantile_sketch_from_events
+
+    ev = replicate(load(spark, "events", SF_DIR), k,
+                   id_cols=("event_id", "user_id"))
+    return _quantile_sketch_from_events(ev).agg(
+        F.count(F.lit(1)), F.sum("p50_est"))
+
+
 OPS = {
     "scan_agg_lineitem": scan_agg,
     "minhash_lsh_buckets": minhash_buckets,
@@ -353,6 +380,9 @@ OPS = {
     "ewma_events": ewma_events,
     "vocab_encode_docs": vocab_encode_docs,
     "multimodal_pipeline": multimodal_pipeline,
+    "concurrency_sweep_events": concurrency_sweep_events,
+    "forward_fill_events": forward_fill_events,
+    "quantile_sketch_events": quantile_sketch_events,
 }
 
 
