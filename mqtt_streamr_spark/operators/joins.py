@@ -278,3 +278,48 @@ def symdel_fuzzy_join(left: DataFrame, right: DataFrame,
         .filter(F.col("dist") <= max_dist)
         .select("l_key", "r_key", "dist")
     )
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_lo: str, l_hi: str, r_lo: str, r_hi: str,
+                          bin_width_s: int = 900,
+                          on: list[str] | str | None = None) -> DataFrame:
+    """Interval × interval OVERLAP join at scale: pairs where
+    ``[l_lo, l_hi)`` and ``[r_lo, r_hi)`` intersect (strict half-open:
+    ``l_lo < r_hi AND r_lo < l_hi``). (No reference analog — the
+    reference is single-stream record-at-a-time, SURVEY.md §2.3; this
+    extends range_bin_join from point-in-interval to interval-interval.)
+
+    A naive theta join is a cross product with a post-filter
+    (BroadcastNestedLoop). The scale shape: explode BOTH sides over the
+    ``bin_width_s`` buckets each interval covers and equi-join on the
+    bucket. Overlapping intervals share at least the bucket containing
+    the overlap's start (``greatest(l_lo, r_lo)`` lies in both), so to
+    count each pair exactly ONCE — without a data-sized distinct — keep
+    only the join row whose bucket IS that start bucket, then apply the
+    exact overlap predicate. One uniform shuffle on (keys..., bucket);
+    fan-out per row is interval_width / bin_width (pick bin_width near
+    the median interval width). Left/right columns must not collide
+    (alias before calling); ``on`` adds optional equi-keys."""
+    on = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    w_us = int(bin_width_s) * 1_000_000
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "__bin",
+            F.explode(F.sequence(
+                F.floor(F.unix_micros(F.col(lo)) / w_us),
+                F.floor(F.unix_micros(F.col(hi)) / w_us),
+            )),
+        )
+
+    start_bin = F.floor(
+        F.unix_micros(F.greatest(F.col(l_lo), F.col(r_lo))) / w_us
+    )
+    return (
+        binned(left, l_lo, l_hi)
+        .join(binned(right, r_lo, r_hi), on + ["__bin"])
+        .filter(F.col("__bin") == start_bin)
+        .filter((F.col(l_lo) < F.col(r_hi)) & (F.col(r_lo) < F.col(l_hi)))
+        .drop("__bin")
+    )

@@ -958,3 +958,63 @@ def encode_tokens(df, vocab, vocab_size: int, oov_buckets: int = 16,
             ).alias("token_ids")
         )
     )
+
+
+def frequent_terms(df, text_col: str = "text", min_support: float = 0.005,
+                   counters: int = 512):
+    """Guaranteed heavy hitters: every term whose corpus frequency is
+    >= ``min_support`` of all token occurrences — found WITHOUT a
+    full-vocabulary shuffle. (No reference analog — north-star
+    LLM-pipeline extension; the mergeable-summary construction follows
+    Misra-Gries / Agarwal et al. "Mergeable Summaries".)
+
+    Two passes:
+      1. CANDIDATES: per-partition Misra-Gries over the exploded token
+         stream (``mapInPandas``, batch-merged: add batch value_counts,
+         then subtract the (counters+1)-th largest and drop non-positive
+         — the standard mergeable-summary step). MG guarantees any term
+         with partition frequency > n_p/(counters+1) survives; by
+         pigeonhole a term with GLOBAL frequency >= min_support*N (for
+         min_support >= 1/(counters+1)) exceeds that bound in at least
+         one partition, so the candidate union is COMPLETE. Output is
+         <= counters rows per partition — broadcast-sized.
+      2. VERIFY: exact count of candidate terms only (broadcast semi
+         join), filtered to min_support — false candidates die here, so
+         the result is EXACT and partitioning-independent, while the
+         only full-data shuffle aggregates a candidate-bounded key set.
+
+    Returns (term, cnt, frac[6dp]). At 100 TB the vocabulary-sized
+    groupBy this replaces is billions of keys; here the shuffled key
+    space is <= counters * partitions."""
+    if min_support < 1.0 / (counters + 1):
+        raise ValueError(
+            f"min_support {min_support} below the completeness bound "
+            f"1/(counters+1) = {1.0 / (counters + 1):.6f}; raise counters"
+        )
+
+    toks = df.select(F.explode(tokens(text_col)).alias("term"))
+
+    def mg(batches):
+        import pandas as pd
+
+        acc = pd.Series(dtype="int64")
+        for pdf in batches:
+            acc = acc.add(pdf["term"].value_counts(), fill_value=0)
+            if len(acc) > counters:
+                thresh = acc.nlargest(counters + 1).iloc[-1]
+                acc = acc[acc > thresh] - thresh
+        yield pd.DataFrame({"term": acc.index.astype(str)})
+
+    cand = toks.mapInPandas(mg, "term string").distinct()
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("n_tokens"))
+    return (
+        toks.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.col("n_tokens") * F.lit(min_support))
+        .select(
+            "term", "cnt",
+            F.round(F.col("cnt") / F.col("n_tokens"), 6).alias("frac"),
+        )
+    )

@@ -2095,3 +2095,124 @@ def _quantile_sketch_from_events(ev: DataFrame) -> DataFrame:
             4,
         ).alias("p50_est"),
     )
+
+
+@query(
+    "join_interval_overlap_sessions",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        FROM events),
+    s AS (SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x),
+    iv AS (SELECT user_id, min(ts) AS t0,
+                  max(ts) + INTERVAL '30 minutes' AS t1
+           FROM s GROUP BY user_id, sid),
+    vip AS (SELECT * FROM iv WHERE user_id % 10 = 0),
+    oth AS (SELECT * FROM iv WHERE user_id % 10 <> 0)
+    SELECT v.user_id AS v_user,
+           count(*) AS n_overlaps,
+           count(DISTINCT o.user_id) AS n_other_users
+    FROM vip v JOIN oth o ON v.t0 < o.t1 AND o.t0 < v.t1
+    GROUP BY 1
+    """,
+)
+def join_interval_overlap_sessions(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """Interval × interval overlap join (whose sessions ran concurrently
+    with each VIP user's sessions) via the binned overlap join: both
+    interval sets explode over the 15-min buckets they cover, equi-join
+    on the bucket, and each overlapping pair is kept exactly once at the
+    bucket containing the overlap's start — a plain shuffled equi-join
+    with bounded fan-out instead of the BroadcastNestedLoop a theta
+    overlap predicate plans. The oracle states the naive theta join
+    directly; results agree because the start-bucket trick is a pure
+    dedup, not an approximation. Session intervals are the same half-open
+    [first, last+gap) session_window spans events_session_windows pins."""
+    from mqtt_streamr_spark.operators.joins import interval_overlap_join
+
+    ev = load(spark, "events", sf_dir)
+    s = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id",
+                col("session_window.start").alias("t0"),
+                col("session_window.end").alias("t1"))
+    )
+    vip = s.filter(col("user_id") % 10 == 0).select(
+        col("user_id").alias("v_user"),
+        col("t0").alias("v_lo"), col("t1").alias("v_hi"))
+    oth = s.filter(col("user_id") % 10 != 0).select(
+        col("user_id").alias("o_user"),
+        col("t0").alias("o_lo"), col("t1").alias("o_hi"))
+    j = interval_overlap_join(vip, oth, "v_lo", "v_hi", "o_lo", "o_hi",
+                              bin_width_s=900)
+    return j.groupBy("v_user").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.countDistinct("o_user").alias("n_other_users"),
+    )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                          count(*)::BIGINT AS n
+                   FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, avg(n) AS mu, stddev(n) AS sd,
+                  count(*)::BIGINT AS n_days
+           FROM daily GROUP BY 1),
+    c AS (SELECT d.event_type, d.day, st.sd, st.n_days,
+                 sum(d.n - st.mu) OVER (PARTITION BY d.event_type
+                                        ORDER BY d.day
+                                        ROWS UNBOUNDED PRECEDING) AS s
+          FROM daily d JOIN st USING (event_type)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs(s) DESC, day) AS rn
+          FROM c)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+           round(abs(s) / (sd * sqrt(n_days)), 6) AS cusum_stat,
+           n_days
+    FROM r WHERE rn = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation of daily volume from its mean peaks, with the
+    standardized statistic |S|/(sd*sqrt(n)) — the classic level-shift
+    detector behind data-quality volume monitors. The daily aggregate is
+    the only data-sized shuffle; every window after it runs over the
+    (type x day) table, metadata-sized at any scale, and the running
+    cumsum is evaluated in the same day order in both engines so the
+    float stream is bit-identical."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    st = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev("n").alias("sd"),
+        F.count(F.lit(1)).alias("n_days"))
+    w_cum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0)
+    c = daily.join(F.broadcast(st), "event_type").withColumn(
+        "s", F.sum(col("n") - col("mu")).over(w_cum))
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(col("s")).desc(), col("day").asc())
+    return (
+        c.withColumn("rn", F.row_number().over(w_pick))
+        .filter(col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+            F.round(F.abs(col("s")) / (col("sd") * F.sqrt("n_days")), 6)
+            .alias("cusum_stat"),
+            "n_days",
+        )
+    )

@@ -2731,3 +2731,26 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("zipf_slope"),
         F.round(F.regr_r2(F.log("freq"), F.log("rk")), 6).alias("fit_r2"),
     )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH t AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    n AS (SELECT count(*)::DOUBLE AS total FROM t),
+    c AS (SELECT term, count(*)::BIGINT AS cnt FROM t GROUP BY term)
+    SELECT term, cnt,
+           round(cnt / (SELECT total FROM n), 6) AS frac
+    FROM c WHERE cnt >= (SELECT total FROM n) * 0.005
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (terms >= 0.5% of all token occurrences) via
+    the Misra-Gries candidates + exact-verify two-pass — the oracle
+    states the naive full-vocabulary aggregate; results agree exactly
+    because the candidate set is provably complete above the support
+    threshold and verification is exact (see operators/text.frequent_terms
+    for the bound). The shuffled key space is counters*partitions, not
+    vocabulary-sized."""
+    docs = spread(load(spark, "documents", sf_dir))
+    return T.frequent_terms(docs, min_support=0.005, counters=512)

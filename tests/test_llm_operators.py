@@ -943,3 +943,32 @@ def test_resize_image_mime_without_pillow_falls_back(spark):
     )
     row = M.resize_media(df, target_w=2, target_h=2).collect()[0]
     assert row["out_chars"] <= 4 and row["out_sha"]
+
+
+def test_frequent_terms_exact_regardless_of_partitioning(spark):
+    """The MG candidate pass is partitioning-dependent, but the verify
+    pass must make the result EXACT: any repartitioning returns exactly
+    the terms >= min_support, with exact counts."""
+    import pyspark.sql.functions as F
+
+    from mqtt_streamr_spark.operators.text import frequent_terms
+
+    rows = (
+        [("hot " * 40).strip()] * 5          # 200 occurrences of 'hot'
+        + [f"rare{i} word word" for i in range(50)]  # 100 'word', 50 rares
+    )
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    # total tokens = 200 + 150; support 0.1 -> {hot: 200, word: 100}
+    for parts in (1, 7):
+        got = {
+            r["term"]: r["cnt"]
+            for r in frequent_terms(
+                df.repartition(parts), min_support=0.1, counters=16
+            ).collect()
+        }
+        assert got == {"hot": 200, "word": 100}, got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        frequent_terms(df, min_support=0.001, counters=16)

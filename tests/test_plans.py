@@ -490,3 +490,14 @@ def test_upsert_query_no_eval_python(spark):
         p = plan_str(QUERIES[name](spark, SF))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
             name, p)
+
+
+def test_interval_overlap_join_no_nested_loop(spark):
+    """The binned interval-overlap join must plan as a shuffled EQUI-join
+    on the bucket — never BroadcastNestedLoop/cartesian, which is what
+    the naive overlap theta predicate plans."""
+    p = plan_str(QUERIES["join_interval_overlap_sessions"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Join" in p, p
+    assert "Python" not in p, p
