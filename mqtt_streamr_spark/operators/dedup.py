@@ -391,3 +391,80 @@ def near_dups_against_corpus(batch: DataFrame, corpus: DataFrame,
         F.count(F.lit(1)).alias("n_corpus_dups"),
         F.round(F.max("j"), 6).alias("max_sim"),
     )
+
+
+def jaccard_prefix_join(df: DataFrame, threshold: float = 0.9,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        set_expr: Column | None = None) -> DataFrame:
+    """EXACT set-similarity self-join: ALL pairs with token-set Jaccard
+    >= ``threshold``, via prefix filtering (Chaudhuri et al. SSJoin /
+    Bayardo et al. All-Pairs) — the exact complement of the MinHash-LSH
+    family, which is probabilistic and can miss pairs. (No reference
+    analog — north-star LLM-pipeline extension.)
+
+    Principle: order every document's distinct tokens by ascending
+    global document frequency (rarest first, ties by token). If
+    J(A,B) >= t then |A∩B| >= ceil(t·|A|) (since the union is at least
+    |A|), so A and B MUST share a token within their first
+    |X| - ceil(t·|X|) + 1 tokens — sharing only suffix (common) tokens
+    cannot reach the overlap bound. Candidates = pairs sharing a PREFIX
+    token; exact Jaccard verification then makes the result exact, so
+    correctness never depends on the pruning.
+
+    Scale shape: doc frequency attaches via a count window over the
+    token key (one shuffle, same pattern as dup_passage_stats); the
+    prefix keeps ~(1-t)·|T|+1 tokens per doc, and those are the RAREST
+    tokens, exactly the ones with short join postings — boilerplate
+    tokens (the quadratic-blowup risk) sit in suffixes and never
+    generate candidates. Verification joins token arrays only for
+    candidate pairs.
+
+    ``set_expr`` overrides the element set (default: distinct word
+    tokens of ``text_col``); pass e.g. distinct char-4-grams for a more
+    discriminative domain. NOTE the output itself can be quadratic on a
+    heavily templated corpus regardless of algorithm — pick the domain/
+    threshold so the TRUE pair set is sparse; the pruning then keeps the
+    candidate set near it."""
+    from pyspark.sql import Window
+
+    elems = (F.array_distinct(tokens(text_col))
+             if set_expr is None else set_expr)
+    d = df.select(
+        F.col(id_col),
+        elems.alias("t"),
+    ).withColumn("sz", F.size("t"))
+    tok = d.select(id_col, "sz", F.explode("t").alias("term"))
+    ranked = tok.withColumn(
+        "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("df_t", "term")),
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select(id_col, "term")
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "term")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "term"), "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = d.select(F.col(id_col).alias("id_a"), F.col("t").alias("ta"),
+                 F.col("sz").alias("sza"))
+    b = d.select(F.col(id_col).alias("id_b"), F.col("t").alias("tb"),
+                 F.col("sz").alias("szb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "j",
+            inter * F.lit(1.0)
+            / (F.col("sza") + F.col("szb") - inter),
+        )
+        .filter(F.col("j") >= threshold)
+        .select("id_a", "id_b", F.round("j", 6).alias("jaccard_sim"))
+    )

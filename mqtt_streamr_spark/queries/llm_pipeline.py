@@ -2754,3 +2754,37 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized."""
     docs = spread(load(spark, "documents", sf_dir))
     return T.frequent_terms(docs, min_support=0.005, counters=512)
+
+
+@query(
+    "dedup_exact_jaccard_prefix",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      list_distinct({_TOKS}) AS t
+               FROM documents WHERE doc_id % 10 = 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_filter(a.t, x -> list_contains(b.t, x))) * 1.0 /
+                 (len(a.t) + len(b.t) -
+                  len(list_filter(a.t, x -> list_contains(b.t, x)))), 6)
+               AS jaccard_sim
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_filter(a.t, x -> list_contains(b.t, x))) * 1.0 /
+          (len(a.t) + len(b.t) -
+           len(list_filter(a.t, x -> list_contains(b.t, x)))) >= 0.9
+    """,
+)
+def dedup_exact_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-Jaccard >= 0.9 self-join via prefix filtering — unlike
+    the MinHash family this provably finds EVERY qualifying pair, and the
+    oracle here is the genuinely independent ground truth (a naive
+    all-pairs scan), so the check proves completeness of the pruning, not
+    just agreement on a shared candidate recipe. Runs on a 10% systematic
+    sample because this synthetic corpus is pathologically templated: the
+    TRUE >= 0.9 pair set over the full corpus is itself quadratic
+    (measured ~1M pairs at sf0.1), which no join algorithm outruns —
+    exact SSJoin is for the sparse regime; quadratic-output corpora get
+    MinHash-clustered first (dedup_duplicate_clusters) and exact-joined
+    within. See operators/dedup.jaccard_prefix_join for the bound."""
+    docs = spread(load(spark, "documents", sf_dir)).filter(
+        col("doc_id") % 10 == 0)
+    return D.jaccard_prefix_join(docs, threshold=0.9)
