@@ -528,3 +528,103 @@ def test_snapshot_diff_apply_roundtrip(spark, old_rows, new_rows):
     got = {(r["k"], r["v"]) for r in rebuilt.collect()}
     want = {(r["k"], r["v"]) for r in new.collect()}
     assert got == want
+
+
+@SLOW
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(1, 2000)),
+        min_size=0, max_size=40,
+    ),
+)
+def test_interval_overlap_join_matches_naive(spark, ivs):
+    """Binned interval-overlap join == the naive all-pairs overlap filter
+    for arbitrary interval sets (including bin-boundary-touching and
+    multi-bin-spanning intervals)."""
+    import datetime as dt
+
+    from mqtt_streamr_spark.operators.joins import interval_overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=lo), base + dt.timedelta(seconds=lo + w))
+        for i, (lo, w) in enumerate(ivs)
+    ]
+    left = spark.createDataFrame(
+        rows or [(0, base, base)], "l_id long, l_lo timestamp, l_hi timestamp"
+    )
+    right = (
+        left.selectExpr("l_id + 1000 AS r_id", "l_lo AS r_lo", "l_hi AS r_hi")
+    )
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            left, right, "l_lo", "l_hi", "r_lo", "r_hi", bin_width_s=600
+        ).collect()
+    )
+    naive = sorted(
+        (a_id, b_id + 1000)
+        for (a_id, a_lo, a_hi) in (rows or [(0, base, base)])
+        for (b_id, b_lo, b_hi) in (rows or [(0, base, base)])
+        if a_lo < b_hi and b_lo < a_hi
+    )
+    assert got == naive
+
+
+@SLOW
+@given(
+    words=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+        min_size=1, max_size=300,
+    ),
+)
+def test_frequent_terms_matches_exact_count(spark, words):
+    """frequent_terms == the exact full-vocabulary aggregate filtered at
+    min_support, for arbitrary skew."""
+    from collections import Counter
+
+    from mqtt_streamr_spark.operators.text import frequent_terms
+
+    docs = [" ".join(words[i:i + 7]) for i in range(0, len(words), 7)]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    got = {
+        r["term"]: r["cnt"]
+        for r in frequent_terms(
+            df.repartition(3), min_support=0.25, counters=8
+        ).collect()
+    }
+    c = Counter(words)
+    n = sum(c.values())
+    want = {t: k for t, k in c.items() if k >= n * 0.25}
+    assert got == want
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abcdefghij")), min_size=1,
+                 max_size=12).map(lambda xs: " ".join(xs)),
+        min_size=2, max_size=15,
+    ),
+)
+def test_jaccard_prefix_join_matches_naive(spark, docs):
+    """Prefix-filter exact Jaccard join finds EXACTLY the naive all-pairs
+    result — completeness of the pruning on arbitrary token sets."""
+    from mqtt_streamr_spark.operators.dedup import jaccard_prefix_join
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_join(df, threshold=0.6).collect()
+    )
+    sets = [set(t.split()) for t in docs]
+    naive = sorted(
+        (a, b)
+        for a in range(len(sets))
+        for b in range(a + 1, len(sets))
+        if len(sets[a] & sets[b])
+        / max(len(sets[a] | sets[b]), 1) >= 0.6
+    )
+    assert got == naive
