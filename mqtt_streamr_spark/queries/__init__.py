@@ -82,9 +82,12 @@ from mqtt_streamr_spark.queries.registry import ORACLES, QUERIES
 # RFM + decayed value + trend + gaps + journeys + cohorts; PSI +
 # centroid drift; DQ expectations; sketch rollup; domain stats; schema
 # evolution; incremental dedup/rollup; containment + threshold sweep;
-# split leakage + cluster-aware splits; streaming session windows) — all
-# hash-checked by tests/test_correctness.py; rotate one representative
-# of each family into the r6 window.
+# split leakage + cluster-aware splits; streaming session windows;
+# session-concurrency sweep + LOCF forward fill + quantile-sketch
+# rollup; interval-overlap join; Misra-Gries heavy hitters; CUSUM
+# changepoint; exact prefix-filter Jaccard join) — all hash-checked by
+# tests/test_correctness.py; rotate one representative of each family
+# into the r6 window.
 MUST_VERIFY: list[str] = [
     # §2.2/2.7 events: parse, routing, windows
     "events_variant_parse_drop",

@@ -2216,3 +2216,54 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+@query(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH hourly AS (SELECT CAST(ts AS DATE) AS day,
+                           extract(hour FROM ts)::BIGINT AS hr,
+                           count(*)::BIGINT AS n
+                    FROM events GROUP BY 1, 2),
+    base AS (SELECT dayofweek(day) AS dow, hr,
+                    avg(n) AS mu, stddev(n) AS sd
+             FROM hourly GROUP BY 1, 2),
+    z AS (SELECT h.day, h.hr, h.n,
+                 round((h.n - b.mu) / b.sd, 4) AS zscore
+          FROM hourly h JOIN base b
+               ON dayofweek(h.day) = b.dow AND h.hr = b.hr
+          WHERE b.sd > 0)
+    SELECT strftime(day, '%Y-%m-%d') AS day, hr, n, zscore
+    FROM z WHERE abs(zscore) >= 1.4
+    """,
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each (day, hour) traffic count
+    scored against the mean/std of the SAME weekday-hour cell across the
+    dataset — the volume monitor that CUSUM complements (CUSUM finds the
+    level shift; this finds hours that break their own weekly rhythm).
+    The hourly rollup is the only data-sized shuffle; the 168-cell
+    baseline broadcasts back onto it, so the plan is one aggregation +
+    one broadcast join at any scale. z is rounded AFTER the same
+    (n-mu)/sd expression order in both engines. Threshold 1.4: with only
+    ~4-5 weekly samples per cell in this dataset the sample-z is bounded
+    by (k-1)/sqrt(k) < 1.8, so the classic 2-sigma cut can never fire —
+    at production history depth (> 10 weeks) raise it back."""
+    ev = load(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = hourly.groupBy(
+        F.dayofweek("day").alias("dow"), "hr"
+    ).agg(F.avg("n").alias("mu"), F.stddev("n").alias("sd"))
+    z = (
+        hourly.withColumn("dow", F.dayofweek("day"))
+        .join(F.broadcast(base), ["dow", "hr"])
+        .filter(col("sd") > 0)
+        .withColumn("zscore", F.round((col("n") - col("mu")) / col("sd"), 4))
+    )
+    return (
+        z.filter(F.abs(col("zscore")) >= 1.4)
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                col("hr").cast("long").alias("hr"), "n", "zscore")
+    )

@@ -543,3 +543,66 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).localCheckpoint()
+
+
+@query(
+    "streaming_windowed_topk",
+    oracle="""
+    WITH c AS (SELECT date_trunc('day', ts) AS day, event_type,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY day
+                                       ORDER BY n DESC, event_type) AS rk
+          FROM c)
+    SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n, rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per window under the STREAMING engine: daily per-type counts
+    maintained as streaming window state (the part that must be
+    incremental), ranked to top-3 AT READ TIME over the drained state —
+    the standard serving split, since rank is not an incremental
+    streaming operator (Spark rejects window functions on streaming
+    DataFrames): the state store holds the windowed counts, the serving
+    query ranks the (windows x types)-sized materialization, metadata-
+    sized next to the event stream that fed it."""
+    from pyspark.sql import Window
+
+    from mqtt_streamr_spark.streaming.pipeline import replay_source
+
+    src = replay_source(
+        spark, os.path.join(sf_dir, "events.parquet"), streaming=True,
+    )
+    parsed = src.select(
+        F.get_json_object("payload", "$.event_type").alias("event_type"),
+        F.get_json_object("payload", "$.ts").cast("timestamp")
+        .alias("ev_ts"),
+    )
+    agg = (
+        parsed.withWatermark("ev_ts", "60 days")
+        .groupBy(F.window("ev_ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("day"), "event_type", "n")
+    )
+    name = "streaming_windowed_topk_sink"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.table(name)
+    rk = F.row_number().over(
+        Window.partitionBy("day").orderBy(
+            F.col("n").desc(), F.col("event_type").asc()))
+    return (
+        state.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type", "n", "rk",
+        )
+        .localCheckpoint()
+    )
