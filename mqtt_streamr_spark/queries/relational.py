@@ -1940,3 +1940,131 @@ def q_revenue_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("disc_revenue_exact"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_weighted_median_price",
+    oracle="""
+    WITH x AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               sum(l_quantity) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+        FROM lineitem)
+    SELECT flag, round(min(price), 2) AS weighted_median_price
+    FROM x WHERE cum >= tot * 0.5 GROUP BY flag
+    """,
+)
+def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted median extended price per return
+    flag): cumulative weight over the value-ordered partition, first value
+    whose cumulative share reaches half the total — the weighted-quantile
+    primitive percentile() does not provide. One shuffle on the group key;
+    the sort is per group inside the window (the same cost class as any
+    exact per-group quantile — swap in a fixed-bin sketch cumsum, as in
+    agg_quantile_sketch_weekly, when exactness can be traded at scale).
+    The cumulative float stream is evaluated in the same deterministic
+    (value, orderkey, linenumber) order in both engines."""
+    li = load(spark, "lineitem", sf_dir)
+    w_cum = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    x = li.select(
+        col("l_returnflag").alias("flag"),
+        col("l_extendedprice").alias("price"),
+        F.sum("l_quantity").over(w_cum).alias("cum"),
+        F.sum("l_quantity").over(
+            Window.partitionBy("l_returnflag")).alias("tot"),
+    )
+    return (
+        x.filter(col("cum") >= col("tot") * 0.5)
+        .groupBy("flag")
+        .agg(F.round(F.min("price"), 2).alias("weighted_median_price"))
+    )
+
+
+@query(
+    "agg_trimmed_mean_value",
+    oracle="""
+    WITH b AS (SELECT event_type,
+                      quantile_cont(value, 0.05) AS lo,
+                      quantile_cont(value, 0.95) AS hi
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+    j AS (SELECT e.event_type, e.value, b.lo, b.hi
+          FROM events e JOIN b USING (event_type)
+          WHERE e.value IS NOT NULL)
+    SELECT event_type,
+           round(avg(CASE WHEN value BETWEEN lo AND hi
+                          THEN value END), 4) AS trimmed_mean,
+           round(avg(least(greatest(value, lo), hi)), 4)
+               AS winsorized_mean,
+           sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+               ::BIGINT AS n_clipped
+    FROM j GROUP BY event_type
+    """,
+)
+def agg_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust aggregation: 5% two-sided trimmed mean AND
+    winsorized (clamped) mean per event type — the robust-stats
+    complement of the MAD outlier detector. Exact interpolated
+    percentile bounds for oracle parity (approx_percentile is the
+    documented scale path, same contract as agg_value_percentiles_approx);
+    the per-type bound table collapses to group cardinality and
+    broadcasts back, so the robust pass costs one extra broadcast join
+    over the plain mean."""
+    ev = load(spark, "events", sf_dir).filter(col("value").isNotNull())
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    j = ev.join(broadcast(b), "event_type")
+    return j.groupBy("event_type").agg(
+        F.round(F.avg(F.when(
+            col("value").between(col("lo"), col("hi")), col("value"))), 4)
+        .alias("trimmed_mean"),
+        F.round(F.avg(
+            F.least(F.greatest(col("value"), col("lo")), col("hi"))), 4)
+        .alias("winsorized_mean"),
+        F.sum(F.when(
+            (col("value") < col("lo")) | (col("value") > col("hi")), 1)
+            .otherwise(0)).alias("n_clipped"),
+    )
+
+
+@query(
+    "profile_join_key_skew",
+    oracle="""
+    WITH c AS (SELECT l_orderkey AS key, count(*)::BIGINT AS n
+               FROM lineitem GROUP BY 1)
+    SELECT count(*) AS n_keys,
+           max(n) AS max_rows,
+           round(avg(n), 4) AS avg_rows,
+           round(max(n) / avg(n), 4) AS skew_factor,
+           quantile_disc(n, 0.99)::BIGINT AS p99_rows,
+           sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons
+    FROM c
+    """,
+)
+def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile — the diagnostic run BEFORE choosing a join
+    strategy (plain shuffle vs salting vs AQE skew split): per-key row
+    counts of the fact-side join key collapsed to distribution stats.
+    skew_factor = max/avg is the headline number (1 = uniform; >> 1 =
+    salt or split). Two stacked aggregations, both map-side partial; the
+    key-count table is the only shuffled data and it is key-cardinality
+    sized. percentile here is DISCRETE (type-preserving), exact for
+    oracle parity — approx_percentile at scale."""
+    li = load(spark, "lineitem", sf_dir)
+    c = li.groupBy(col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_rows"),
+        F.round(F.avg("n"), 4).alias("avg_rows"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_factor"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)")
+        .cast("long").alias("p99_rows"),
+        F.sum(F.when(col("n") == 1, 1).otherwise(0)).alias("n_singletons"),
+    )
