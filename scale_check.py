@@ -331,6 +331,51 @@ def multimodal_pipeline(spark, k):
     return feats.agg(F.count(F.lit(1)), F.sum("n_bytes"))
 
 
+def interval_overlap_sessions(spark, k):
+    from mqtt_streamr_spark.operators.joins import interval_overlap_join
+
+    ev = replicate(load(spark, "events", SF_DIR), k,
+                   id_cols=("event_id", "user_id"))
+    s = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id",
+                F.col("session_window.start").alias("t0"),
+                F.col("session_window.end").alias("t1"))
+    )
+    vip = s.filter(F.col("user_id") % 10 == 0).select(
+        F.col("user_id").alias("v_user"),
+        F.col("t0").alias("v_lo"), F.col("t1").alias("v_hi"))
+    oth = s.filter(F.col("user_id") % 10 != 0).select(
+        F.col("user_id").alias("o_user"),
+        F.col("t0").alias("o_lo"), F.col("t1").alias("o_hi"))
+    j = interval_overlap_join(vip, oth, "v_lo", "v_hi", "o_lo", "o_hi",
+                              bin_width_s=900)
+    return j.agg(F.count(F.lit(1)), F.count_distinct("v_user"))
+
+
+def heavy_hitters_docs(spark, k):
+    from mqtt_streamr_spark.operators.text import frequent_terms
+
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k,
+        id_cols=("doc_id",), tag_text_col="text",
+    )
+    return frequent_terms(docs, min_support=0.005, counters=512).agg(
+        F.count(F.lit(1)), F.sum("cnt"))
+
+
+def jaccard_prefix_docs(spark, k):
+    from mqtt_streamr_spark.operators.dedup import jaccard_prefix_join
+
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k,
+        id_cols=("doc_id",), tag_text_col="text",
+    ).filter(F.col("doc_id") % 10 == 0)
+    return jaccard_prefix_join(docs, threshold=0.9).agg(
+        F.count(F.lit(1)), F.sum("jaccard_sim"))
+
+
 def concurrency_sweep_events(spark, k):
     from mqtt_streamr_spark.queries.events import _concurrency_from_events
 
@@ -380,6 +425,9 @@ OPS = {
     "ewma_events": ewma_events,
     "vocab_encode_docs": vocab_encode_docs,
     "multimodal_pipeline": multimodal_pipeline,
+    "interval_overlap_sessions": interval_overlap_sessions,
+    "heavy_hitters_docs": heavy_hitters_docs,
+    "jaccard_prefix_docs": jaccard_prefix_docs,
     "concurrency_sweep_events": concurrency_sweep_events,
     "forward_fill_events": forward_fill_events,
     "quantile_sketch_events": quantile_sketch_events,
