@@ -2761,7 +2761,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH d AS (SELECT doc_id,
                       list_distinct({_TOKS}) AS t
-               FROM documents WHERE doc_id % 10 = 0)
+               FROM documents WHERE doc_id % 20 = 0)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_filter(a.t, x -> list_contains(b.t, x))) * 1.0 /
                  (len(a.t) + len(b.t) -
@@ -2778,7 +2778,7 @@ def dedup_exact_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash family this provably finds EVERY qualifying pair, and the
     oracle here is the genuinely independent ground truth (a naive
     all-pairs scan), so the check proves completeness of the pruning, not
-    just agreement on a shared candidate recipe. Runs on a 10% systematic
+    just agreement on a shared candidate recipe. Runs on a 5% systematic
     sample because this synthetic corpus is pathologically templated: the
     TRUE >= 0.9 pair set over the full corpus is itself quadratic
     (measured ~1M pairs at sf0.1), which no join algorithm outruns —
@@ -2786,5 +2786,5 @@ def dedup_exact_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-clustered first (dedup_duplicate_clusters) and exact-joined
     within. See operators/dedup.jaccard_prefix_join for the bound."""
     docs = spread(load(spark, "documents", sf_dir)).filter(
-        col("doc_id") % 10 == 0)
+        col("doc_id") % 20 == 0)
     return D.jaccard_prefix_join(docs, threshold=0.9)
