@@ -501,3 +501,36 @@ def test_interval_overlap_join_no_nested_loop(spark):
     assert "CartesianProduct" not in p, p
     assert "Join" in p, p
     assert "Python" not in p, p
+
+
+def test_heavy_hitters_plan_shape(spark):
+    """frequent_terms: the MG candidate pass must run as Arrow-batched
+    MapInPandas (not row-at-a-time Python), candidates must come back as
+    a broadcast join, and the only nested-loop node allowed is the 1-row
+    corpus-total crossJoin (the accepted broadcast-scalar pattern)."""
+    df = QUERIES["text_heavy_hitters"](spark, SF)
+    p = plan_str(df)
+    assert "MapInPandas" in p, p
+    assert "BroadcastHashJoin" in p, p
+    # simple mode lists each node once — count nested-loop nodes there
+    assert plan_str(df, "simple").count("BroadcastNestedLoopJoin") <= 1, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_robust_mean_baseline_broadcasts(spark):
+    """Trimmed/winsorized mean: the per-type percentile-bound table must
+    come back as a BROADCAST join (group-cardinality sized), never a
+    shuffled or nested-loop join."""
+    p = plan_str(QUERIES["agg_trimmed_mean_value"](spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Python" not in p, p
+
+
+def test_seasonal_anomaly_baseline_broadcasts(spark):
+    """Seasonal anomaly: the 168-cell weekday-hour baseline must join
+    back by broadcast; the hourly rollup is the only data shuffle."""
+    p = plan_str(QUERIES["events_seasonal_anomaly"](spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Python" not in p, p
