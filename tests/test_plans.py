@@ -534,3 +534,47 @@ def test_seasonal_anomaly_baseline_broadcasts(spark):
     assert "BroadcastHashJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "Python" not in p, p
+
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin: every
+# one is the scalar-broadcast pattern (a crossJoin of a 1-row / K-row
+# broadcast aggregate — corpus stats, query vector, avg-balance subquery),
+# audited individually. Anything NEW showing a nested-loop join must either
+# be added here with that justification or replanned.
+SCALAR_CROSS_OK = {
+    "q11_important_parts", "q22_global_sales_opportunity",
+    "join_salted_skew",
+    "events_gapfill_islands", "events_rolling_7d_active_users",
+    "events_rfm_scores", "events_decayed_user_value",
+    "events_type_cooccurrence_lift",
+    "mix_temperature_sampled", "drift_psi_price",
+    "text_bm25_topdocs", "text_unigram_logprob", "text_bpe_apply_merge",
+    "text_heavy_hitters",
+    "sim_topk_cosine", "sim_ann_ivf", "sim_ann_ivf_multiprobe",
+    "sim_ann_ivf_kmeans", "sim_quantized_topk", "sim_ivf_recall",
+    "sim_semantic_dedup", "sim_random_projection_topk",
+    "sim_centroid_drift",
+}
+
+
+def test_registry_wide_no_cartesian_no_rowwise_python(spark):
+    """GLOBAL plan guard over every batch query in the registry: no
+    CartesianProduct, no row-at-a-time Python (BatchEvalPython), and any
+    BroadcastNestedLoopJoin must be an audited scalar-broadcast cross
+    join from SCALAR_CROSS_OK. Streaming queries are skipped (their
+    functions execute a streaming drain eagerly; their plans are pinned
+    by the streaming tests instead)."""
+    from tests.conftest import SF_SMOKE
+
+    bad = []
+    for name, fn in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue
+        p = plan_str(fn(spark, SF_SMOKE), "simple")
+        if "CartesianProduct" in p:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in p:
+            bad.append((name, "BatchEvalPython"))
+        if "BroadcastNestedLoopJoin" in p and name not in SCALAR_CROSS_OK:
+            bad.append((name, "unaudited BroadcastNestedLoopJoin"))
+    assert not bad, bad
