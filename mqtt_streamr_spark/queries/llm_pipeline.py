@@ -487,6 +487,7 @@ def _coeff_sql(p: int) -> str:
 
 
 _BUCKET_SQL = " || ".join(_coeff_sql(p) for p in range(8))
+_BUCKET4_SQL = " || ".join(_coeff_sql(p) for p in range(4))
 
 
 @query(
@@ -522,38 +523,46 @@ def sim_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
            round({_DOT.format(a='a.nv', b='b.nv')}, 6) AS cos_sim
     FROM n a JOIN n b ON a.label = b.label
     WHERE a.vec_id < b.vec_id
-      AND round({_DOT.format(a='a.nv', b='b.nv')}, 6) >= 0.9
+      AND round({_DOT.format(a='a.nv', b='b.nv')}, 6) >= 0.42
     """,
 )
 def sim_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (the scale
-    path swaps the label block for an LSH bucket — same join shape)."""
+    path swaps the label block for an LSH bucket — same join shape).
+    Threshold 0.42 sits just under this synthetic embedding table's max
+    pairwise cosine (0.51): the old 0.9 cut matched the oracle only
+    vacuously (zero pairs exist above it at any SF)."""
     emb = spread(load(spark, "embeddings", sf_dir))
-    return S.embedding_near_dups(emb, threshold=0.9)
+    return S.embedding_near_dups(emb, threshold=0.42)
 
 
 @query(
     "sim_near_dups_lsh_blocked",
     oracle=f"""
     WITH b AS (SELECT vec_id, {_norm_sql('embedding')} AS nv,
-                      {_BUCKET_SQL} AS bucket
+                      {_BUCKET4_SQL} AS bucket
                FROM embeddings)
     SELECT a.vec_id AS id_a, c.vec_id AS id_b,
            round({_DOT.format(a='a.nv', b='c.nv')}, 6) AS cos_sim
     FROM b a JOIN b c ON a.bucket = c.bucket
     WHERE a.vec_id < c.vec_id
-      AND round({_DOT.format(a='a.nv', b='c.nv')}, 6) >= 0.8
+      AND round({_DOT.format(a='a.nv', b='c.nv')}, 6) >= 0.42
     """,
 )
 def sim_near_dups_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs blocked by the LSH bucket instead of the
     label column — the actual 100 TB shape (data-independent uniform block
-    key, no labels needed; same join as sim_embedding_near_dups)."""
+    key, no labels needed; same join as sim_embedding_near_dups). Planes
+    and threshold sized to this table's cosine distribution (max pairwise
+    0.51): 4 planes keep same-bucket recall non-zero at 0.42, where the
+    old 8-plane/0.8 pair matched its oracle only vacuously (zero pairs);
+    at production cardinality raise planes with the corpus so buckets
+    stay verify-sized."""
     emb = spread(load(spark, "embeddings", sf_dir))
     bucketed = emb.withColumn(
-        "bucket", S.lsh_bucket(F.col("embedding"), planes=8, dim=64)
+        "bucket", S.lsh_bucket(F.col("embedding"), planes=4, dim=64)
     )
-    return S.embedding_near_dups(bucketed, threshold=0.8,
+    return S.embedding_near_dups(bucketed, threshold=0.42,
                                  block_col="bucket")
 
 

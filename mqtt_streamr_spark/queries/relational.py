@@ -364,13 +364,19 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '1998-01-01')
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS)."""
+    """Left-anti join (NOT EXISTS): customers with no orders since 1998.
+    The date filter makes the result NON-EMPTY at every SF (the
+    unfiltered variant anti-joined to zero rows — a vacuously-true
+    oracle check) and pushes down to the orders scan."""
     cust = load(spark, "customer", sf_dir)
-    orders = load(spark, "orders", sf_dir).select("o_custkey")
+    orders = load(spark, "orders", sf_dir).filter(
+        col("o_orderdate") >= "1998-01-01").select("o_custkey")
     return cust.join(
         orders, col("c_custkey") == col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
