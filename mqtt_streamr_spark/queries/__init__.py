@@ -57,9 +57,11 @@ from mqtt_streamr_spark.queries.registry import ORACLES, QUERIES
 #     llm_prep_corpus_end_to_end (r5-NEW, the bigger composite).
 #   - sim_ann_ivf → the IVF family row is covered by sim_ann_ivf_indexed +
 #     sim_ann_ivf_kmeans + sim_quantized_topk (all r5-NEW).
-#   - sim_embedding_near_dups (0 rows at sf0.01 — the weakest external
-#     check) → near-dup coverage via dedup_minhash_lsh_pairs and the
-#     incoming IVF family.
+#   - sim_embedding_near_dups → near-dup coverage via
+#     dedup_minhash_lsh_pairs and the incoming IVF family. (At rotation
+#     time it returned 0 rows at sf0.01; its threshold has since been
+#     sized to the real cosine distribution so the check is non-vacuous
+#     — a good r6 rotation candidate.)
 #   - text_token_stats / text_quality_scores / text_fingerprints → same
 #     LLM text-analysis row as text_lang_id; the text family gains
 #     text_bm25_topdocs, text_pii_scrub, text_chunking (r5-NEW).
