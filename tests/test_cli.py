@@ -107,3 +107,26 @@ def test_bench_emits_one_json_line():
     for k in ("metric", "value", "unit", "queries", "sf"):
         assert k in d, d.keys()
     assert d["unit"] == "sec" and d["n_errors"] == 0, d
+
+
+def test_coverage_ledger_in_sync():
+    """COVERAGE.md's generated registry ledger must match the live
+    registry — every query name present, counts current. Regenerate with
+    scripts/gen_registry_ledger.py after adding queries."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_registry_ledger",
+        os.path.join(repo, "scripts", "gen_registry_ledger.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cov = open(os.path.join(repo, "COVERAGE.md")).read()
+    assert mod.BEGIN in cov and mod.END in cov
+    current = cov[cov.index(mod.BEGIN):cov.index(mod.END) + len(mod.END)]
+    assert current == mod.render(), (
+        "COVERAGE.md registry ledger is stale — run "
+        "python scripts/gen_registry_ledger.py"
+    )
