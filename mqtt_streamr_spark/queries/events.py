@@ -2267,3 +2267,51 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                 col("hr").cast("long").alias("hr"), "n", "zscore")
     )
+
+
+@query(
+    "events_benford_first_digit",
+    oracle="""
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL
+                                          AND value > 0),
+    d AS (SELECT CAST(floor(value / power(10, floor(log10(value))))
+                      AS BIGINT) AS digit
+          FROM v),
+    c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n)::DOUBLE AS total FROM c)
+    SELECT digit, n,
+           round(n / t.total, 6) AS obs_share,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+           round((n / t.total) / log10(1.0 + 1.0 / digit), 4)
+               AS lift
+    FROM c, t
+    """,
+)
+def events_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit profile — the classic
+    fabricated-data / instrumentation-bug screen: observed share of each
+    leading digit vs the log10(1+1/d) expectation, with the lift ratio
+    per digit (uniform synthetic values read far from Benford, which is
+    exactly what the profile should say). One data-sized aggregation to
+    9 digit rows; the expectation join is a constant expression, so the
+    whole report costs a single shuffle at any scale."""
+    ev = load(spark, "events", sf_dir).filter(
+        col("value").isNotNull() & (col("value") > 0))
+    d = ev.select(
+        F.floor(col("value") / F.pow(F.lit(10.0),
+                                     F.floor(F.log10("value"))))
+        .cast("long").alias("digit"))
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit", "n",
+            F.round(col("n") / col("total"), 6).alias("obs_share"),
+            F.round(F.log10(F.lit(1.0) + F.lit(1.0) / col("digit")), 6)
+            .alias("benford_share"),
+            F.round((col("n") / col("total"))
+                    / F.log10(F.lit(1.0) + F.lit(1.0) / col("digit")), 4)
+            .alias("lift"),
+        )
+    )
