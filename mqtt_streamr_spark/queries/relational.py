@@ -2074,3 +2074,69 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("p99_rows"),
         F.sum(F.when(col("n") == 1, 1).otherwise(0)).alias("n_singletons"),
     )
+
+
+@query(
+    "agg_revenue_concentration",
+    oracle="""
+    WITH per_part AS (SELECT l_partkey, sum(l_extendedprice) AS rev
+                      FROM lineitem GROUP BY 1),
+    r AS (SELECT rev,
+                 row_number() OVER (ORDER BY rev DESC, l_partkey) AS rk,
+                 row_number() OVER (ORDER BY rev ASC, l_partkey DESC)
+                     AS rk_asc,
+                 count(*) OVER () AS n,
+                 sum(rev) OVER () AS tot,
+                 sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM per_part)
+    SELECT max(n)::BIGINT AS n_parts,
+           round(max(CASE WHEN rk <= ceil(n * 0.01) THEN cum END)
+                 / max(tot), 6) AS top1_share,
+           round(max(CASE WHEN rk <= ceil(n * 0.10) THEN cum END)
+                 / max(tot), 6) AS top10_share,
+           round(2.0 * sum(rk_asc * rev) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM r
+    """,
+)
+def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration report: share of revenue held by the top 1%
+    and top 10% of parts plus the Gini coefficient (the inequality
+    summary behind catalog-curation and inventory-skew decisions), via
+    the rank-weighted closed form G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
+    over ascending revenue. The line-level scan collapses to per-part
+    revenue first (one data shuffle); every window after that runs over
+    the part-cardinality table — smaller than the fact table by the
+    lines-per-part factor, and the global windows are single-partition
+    over that reduced table only (swap in a sketch cumsum at extreme
+    part cardinality). Cumulative float order is pinned by (rev, key)
+    ties in both engines."""
+    li = load(spark, "lineitem", sf_dir)
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("rev"))
+    w_desc = Window.orderBy(col("rev").desc(), col("l_partkey").asc())
+    w_asc = Window.orderBy(col("rev").asc(), col("l_partkey").desc())
+    r = per_part.select(
+        "rev",
+        F.row_number().over(w_desc).alias("rk"),
+        F.row_number().over(w_asc).alias("rk_asc"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()).alias("n"),
+        F.sum("rev").over(Window.partitionBy()).alias("tot"),
+        F.sum("rev").over(
+            w_desc.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    return r.agg(
+        F.max("n").alias("n_parts"),
+        F.round(
+            F.max(F.when(col("rk") <= F.ceil(col("n") * 0.01), col("cum")))
+            / F.max("tot"), 6).alias("top1_share"),
+        F.round(
+            F.max(F.when(col("rk") <= F.ceil(col("n") * 0.10), col("cum")))
+            / F.max("tot"), 6).alias("top10_share"),
+        F.round(
+            F.lit(2.0) * F.sum(col("rk_asc") * col("rev"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"), 6).alias("gini"),
+    )
