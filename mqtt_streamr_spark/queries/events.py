@@ -2315,3 +2315,51 @@ def events_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift"),
         )
     )
+
+
+@query(
+    "events_freshness_panel",
+    oracle="""
+    WITH g AS (SELECT max(ts) AS gmax FROM events)
+    SELECT event_type,
+           count(*) AS n,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+           (epoch(g.gmax) - epoch(max(ts)))::BIGINT // 60 AS lag_minutes,
+           sum(CASE WHEN ts >= g.gmax - INTERVAL 1 DAY
+                    THEN 1 ELSE 0 END)::BIGINT AS rows_last_day,
+           round(avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6)
+               AS null_value_rate
+    FROM events, g GROUP BY event_type, g.gmax
+    """,
+)
+def events_freshness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/completeness panel per stream (event type): last-seen
+    timestamp, staleness lag vs the dataset high-water mark, last-day
+    volume, and null rate — the temporal data-quality complement of
+    dq_expectations' constraint checks (a stale feed passes every
+    constraint while silently serving old data). The high-water mark is
+    a 1-row broadcast aggregate (the audited scalar-cross pattern); the
+    per-type aggregation is the only data-sized shuffle. Lag is integer
+    epoch arithmetic — exact in both engines."""
+    ev = load(spark, "events", sf_dir)
+    g = ev.agg(F.max("ts").alias("gmax"))
+    return (
+        ev.crossJoin(F.broadcast(g))
+        .groupBy("event_type", "gmax")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("last_seen"),
+            ((F.unix_timestamp(F.max("gmax"))
+              - F.unix_timestamp(F.max("ts"))) / 60).cast("long")
+            .alias("lag_minutes"),
+            F.sum(F.when(
+                col("ts") >= col("gmax") - F.expr("INTERVAL 1 DAY"), 1)
+                .otherwise(0)).alias("rows_last_day"),
+            F.round(F.avg(F.when(col("value").isNull(), 1.0)
+                          .otherwise(0.0)), 6).alias("null_value_rate"),
+        )
+        .drop("gmax")
+        .select("event_type", "n", "last_seen", "lag_minutes",
+                "rows_last_day", "null_value_rate")
+    )

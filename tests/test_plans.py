@@ -545,7 +545,7 @@ SCALAR_CROSS_OK = {
     "q11_important_parts", "q22_global_sales_opportunity",
     "join_salted_skew",
     "events_gapfill_islands", "events_rolling_7d_active_users",
-    "events_benford_first_digit",
+    "events_benford_first_digit", "events_freshness_panel",
     "events_rfm_scores", "events_decayed_user_value",
     "events_type_cooccurrence_lift",
     "mix_temperature_sampled", "drift_psi_price",
