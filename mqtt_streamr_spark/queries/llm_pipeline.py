@@ -2797,3 +2797,67 @@ def dedup_exact_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, "documents", sf_dir)).filter(
         col("doc_id") % 20 == 0)
     return D.jaccard_prefix_join(docs, threshold=0.9)
+
+
+@query(
+    "llm_budget_selection",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    q AS (
+        SELECT doc_id, len(toks) AS n_toks,
+               CAST(floor((
+                 0.4 * least((len(list_filter(toks,
+                       t -> list_contains({_ALL_STOP_SQL}, t)))
+                       / len(toks)) * 5, 1.0)
+               + 0.3 * least((list_sum(list_transform(toks,
+                       t -> length(t))) / len(toks)) / 8, 1.0)
+               + 0.3 * (1 - least((length(regexp_replace(text,
+                       '[^0-9]', '', 'g')) / length(text)) * 10, 1.0))
+               ) * 1000) AS BIGINT) AS qb
+        FROM d),
+    c AS (SELECT *, sum(n_toks) OVER (ORDER BY qb DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+          FROM q)
+    SELECT count(*) AS n_selected,
+           sum(n_toks)::BIGINT AS tokens_selected,
+           min(qb) AS min_quality_bucket
+    FROM c WHERE cum <= 20000
+    """,
+)
+def llm_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: admit documents best-quality-first
+    until a 20k-token training budget is filled — the budgeted-curation
+    step between scoring and packing in a data pipeline. Selection needs
+    a cumulative token count over the quality-ordered corpus; the naive
+    global ordered window serializes, so this reuses the two-phase
+    segmented prefix-sum from events_session_concurrency with the
+    quality BUCKET (floor(score*1000)) as the coarse segment: per-bucket
+    token sums prefix over the ~1000-row bucket table, per-doc cumsums
+    run bucket-partitioned in parallel, and the bucket key doubles as
+    the deterministic cross-engine order (integer compare; the oracle
+    states the naive single cumsum)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_toks"),
+        F.floor(T.quality_score("text") * 1000).cast("long").alias("qb"),
+    )
+    bucket_net = d.groupBy("qb").agg(F.sum("n_toks").alias("net"))
+    w_b = Window.orderBy(col("qb").desc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = bucket_net.select(
+        "qb", F.coalesce(F.sum("net").over(w_b), F.lit(0)).alias("base"))
+    w_in = Window.partitionBy("qb").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = (
+        d.withColumn("run", F.sum("n_toks").over(w_in))
+        .join(F.broadcast(offsets), "qb")
+        .withColumn("cum", col("base") + col("run"))
+    )
+    return cum.filter(col("cum") <= 20000).agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_toks").alias("tokens_selected"),
+        F.min("qb").alias("min_quality_bucket"),
+    )
