@@ -628,3 +628,44 @@ def test_jaccard_prefix_join_matches_naive(spark, docs):
         / max(len(sets[a] | sets[b]), 1) >= 0.6
     )
     assert got == naive
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 999), st.integers(1, 400)),
+        min_size=1, max_size=60,
+    ),
+)
+def test_budget_selection_two_phase_equals_naive_cumsum(spark, docs):
+    """The segmented prefix-sum inside llm_budget_selection must equal
+    the naive global cumulative sum for arbitrary (quality-bucket,
+    token-count) distributions — including many docs in one bucket and
+    budget boundaries landing mid-bucket."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rows = [(i, qb, toks) for i, (qb, toks) in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, qb long, n_toks long")
+    budget = max(sum(t for _, _, t in rows) // 2, 1)
+
+    bucket_net = d.groupBy("qb").agg(F.sum("n_toks").alias("net"))
+    w_b = Window.orderBy(F.col("qb").desc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = bucket_net.select(
+        "qb", F.coalesce(F.sum("net").over(w_b), F.lit(0)).alias("base"))
+    w_in = Window.partitionBy("qb").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0)
+    got = sorted(
+        r["doc_id"]
+        for r in d.withColumn("run", F.sum("n_toks").over(w_in))
+        .join(F.broadcast(offsets), "qb")
+        .filter(F.col("base") + F.col("run") <= budget)
+        .collect()
+    )
+    cum, want = 0, []
+    for i, qb, toks in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += toks
+        if cum <= budget:
+            want.append(i)
+    assert got == sorted(want)
