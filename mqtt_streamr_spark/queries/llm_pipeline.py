@@ -1889,24 +1889,17 @@ def _rep_sql(n: int, alias: str) -> str:
 )
 def text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition report per source: average and
-    worst top-bigram occupancy plus average duplicated-trigram mass (see
-    operators/text.ngram_repetition — the repetition-filter inputs a
-    cleaning pipeline thresholds on)."""
+    worst top-bigram occupancy plus average duplicated-trigram mass. One
+    tokenize pass builds bi+tri grams together and the count shuffle is
+    keyed on xxhash64(gram), not the raw gram string (see
+    operators/text.ngram_repetition_profile for the one-exchange plan)."""
     docs = spread(load(spark, "documents", sf_dir))
-    src = docs.select("doc_id", "source")
-    bi = T.ngram_repetition(docs, n=2).join(src, "doc_id")
-    tri = T.ngram_repetition(docs, n=3).select(
-        "doc_id", col("dup_frac").alias("tri_dup_frac")
-    )
-    return (
-        bi.join(tri, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("top_frac"), 4).alias("avg_top_bigram_frac"),
-            F.round(F.max("top_frac"), 4).alias("max_top_bigram_frac"),
-            F.round(F.avg("tri_dup_frac"), 4).alias("avg_dup_trigram_frac"),
-        )
+    per = T.ngram_repetition_profile(docs, ns=(2, 3), keep_cols=("source",))
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("top2_frac"), 4).alias("avg_top_bigram_frac"),
+        F.round(F.max("top2_frac"), 4).alias("max_top_bigram_frac"),
+        F.round(F.avg("dup3_frac"), 4).alias("avg_dup_trigram_frac"),
     )
 
 

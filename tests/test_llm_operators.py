@@ -787,6 +787,33 @@ def test_ngram_repetition_hand_computed(spark):
     assert out[2] == (3, round(1 / 3, 4), 0.0)
 
 
+def test_ngram_repetition_profile_matches_per_n(spark):
+    # the single-pass multi-n profile must agree with the one-n operator
+    # for every n, doc by doc (hashed gram keys change nothing but the
+    # shuffle width), and keep_cols must ride along unchanged
+    df = spark.createDataFrame(
+        [(1, "a a a b", "web"), (2, "x y z w", "book"),
+         (3, "p q p q p q", "web"), (4, "lone", "book")],
+        "doc_id long, text string, source string",
+    )
+    prof = {
+        r["doc_id"]: r.asDict()
+        for r in T.ngram_repetition_profile(
+            df, ns=(2, 3), keep_cols=("source",)
+        ).collect()
+    }
+    for n in (2, 3):
+        single = {
+            r["doc_id"]: r
+            for r in T.ngram_repetition(df, n=n).collect()
+        }
+        for doc_id, row in single.items():
+            assert prof[doc_id][f"n{n}_grams"] == row["n_grams"]
+            assert prof[doc_id][f"top{n}_frac"] == row["top_frac"]
+            assert prof[doc_id][f"dup{n}_frac"] == row["dup_frac"]
+    assert prof[1]["source"] == "web" and prof[4]["source"] == "book"
+
+
 def test_hashed_linear_score_matches_python(spark):
     # ground truth from hashlib, independent of both engines
     import math
