@@ -473,28 +473,56 @@ def ann_topk_ivf_trained(df: DataFrame, query_id: int,
     )
 
 
-def semantic_dedup(df: DataFrame, centroid_ids: list[int],
+def semantic_dedup(df: DataFrame, centroid_ids: list[int] | None = None,
                    threshold: float = 0.85, vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
+                   id_col: str = "vec_id", blocking: str = "lsh",
+                   planes: int | None = None, dim: int = 64) -> DataFrame:
     """Semantic deduplication in the SemDeDup shape (Abbas et al. 2023,
-    arXiv:2303.09540): coarse-cluster the embedding space, then inside each
-    cluster flag every vector that has a smaller-id neighbor with cosine
+    arXiv:2303.09540): block the embedding space, then inside each block
+    flag every vector that has a smaller-id neighbor with cosine
     >= ``threshold``. The minimum id of each near-duplicate neighborhood
     survives as the exemplar; everything else is a semantic duplicate.
 
-    Scale shape: pairwise work is confined to intra-cell equi-joins on the
-    cluster id, so cost is sum(|cell|^2) over cells — never corpus^2 — and
-    both join sides share one shuffle key. Two regimes (measured in
-    scale_check.py / BASELINE.md): the coarse assignment here is a
-    broadcast K-way scoring, O(N*K) — ideal while K stays model-sized
-    (trained ``kmeans_centroids``), but K cannot chase corpus growth
-    (fixed K=8 at 16x input measured ~26x: cells grow with N and the
-    intra-cell join goes quadratic). At extreme scale swap the blocking
-    stage for ``lsh_bucket`` with planes ~ log(N): O(planes) per vector,
-    bucket SIZE stays constant as bucket count grows — same intra-block
-    join, linear overall (that swap is one argument: the flagging logic
-    below only needs SOME block column). Returns (id, cid, is_dup)."""
-    assigned = ivf_assign(df, centroid_ids, vec_col, id_col)
+    Blocking (the part that decides whether this survives 100 TB):
+
+    - ``blocking="lsh"`` (DEFAULT — the scale path): random-hyperplane
+      signature buckets. O(planes) per vector, and with planes ~ log4(N)
+      the bucket COUNT grows with the corpus while bucket SIZE stays
+      ~flat, keeping the intra-block pair join linear overall (measured
+      1.7x wall-clock at 16x input in scale_check.py vs ~26x for fixed-K
+      IVF). ``planes=None`` auto-sizes to ~log4(count) via one cheap
+      count job; pass an explicit ``planes`` to skip the job and keep the
+      bucket function N-independent (required for cross-engine oracles).
+      Recall per extra plane drops as cos-angle collision probability —
+      raise recall by lowering planes or unioning rotated plane sets.
+    - ``blocking="ivf"``: coarse K-cell assignment against broadcast
+      ``centroid_ids`` (ideally ``kmeans_centroids``-trained). Better
+      recall per block at small/medium corpus, but the O(N*K) scoring
+      means K cannot chase N: fixed K=8 at 16x input measured ~26x
+      wall-clock (cells grow with the corpus and the intra-cell join
+      goes quadratic). Keep for model-sized K; not the default.
+
+    Both regimes share the flagging logic — pairwise work is confined to
+    intra-block equi-joins on the block id, so cost is sum(|block|^2),
+    never corpus^2, and both join sides share one shuffle key.
+    Returns (id, cid, is_dup) where cid is the block key."""
+    if blocking == "lsh":
+        if planes is None:
+            import math
+
+            n = df.count()
+            planes = max(4, int(math.log(max(n, 2), 4)))
+        assigned = df.select(
+            F.col(id_col),
+            l2_normalize(F.col(vec_col)).alias("nv"),
+            lsh_bucket(F.col(vec_col), planes, dim).alias("cid"),
+        )
+    elif blocking == "ivf":
+        if centroid_ids is None:
+            raise ValueError("blocking='ivf' requires centroid_ids")
+        assigned = ivf_assign(df, centroid_ids, vec_col, id_col)
+    else:
+        raise ValueError(f"unknown blocking {blocking!r}")
     a = assigned.select(F.col(id_col).alias("id_a"),
                         F.col("nv").alias("n_a"), "cid")
     b = assigned.select(F.col(id_col).alias("id_b"),

@@ -1757,17 +1757,9 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_semantic_dedup",
     oracle=f"""
-    WITH n AS (SELECT vec_id, {_norm_sql('embedding')} AS nv
-               FROM embeddings),
-    c AS (SELECT vec_id AS cid, nv AS cv FROM n
-          WHERE vec_id IN ({_IVF_SEEDS_SQL})),
-    scored AS (SELECT n.vec_id, n.nv, c.cid,
-                      {_DOT.format(a='n.nv', b='c.cv')} AS dotc
-               FROM n CROSS JOIN c),
-    assigned AS (SELECT vec_id, nv, cid FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY vec_id ORDER BY dotc DESC, cid) AS rn
-        FROM scored) WHERE rn = 1),
+    WITH assigned AS (SELECT vec_id, {_norm_sql('embedding')} AS nv,
+                             {_BUCKET4_SQL} AS cid
+                      FROM embeddings),
     dup AS (SELECT DISTINCT b.vec_id
             FROM assigned a JOIN assigned b
               ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -1785,17 +1777,20 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup: coarse-cluster the embeddings into 8
-    IVF cells, flag intra-cell cosine near-duplicates (>= 0.85) keeping the
-    min-id exemplar, and report per-cell dedup stats. The pairwise stage is
-    bounded by the cell partition — the embedding-space counterpart of the
-    text MinHash-LSH family (see operators/similarity.semantic_dedup).
+    """SemDeDup-style semantic dedup on the SCALE-DEFAULT blocking: LSH
+    hyperplane buckets (planes sized to this corpus; at production, planes
+    ~ log4(N) keeps bucket size flat as the corpus grows — measured 1.7x
+    at 16x input in scale_check.py, vs ~26x for fixed-K IVF cells, which
+    remain available via blocking="ivf"). Flags intra-bucket cosine
+    near-duplicates keeping the min-id exemplar; reports per-bucket dedup
+    stats (see operators/similarity.semantic_dedup).
     Threshold note: the synthetic corpus has no >=0.85 cosine pairs at the
     verification SF, so the query runs at 0.4 to actually exercise the
-    drop/exemplar path (same spirit as the text_lang_id determinism note);
-    the operator default stays 0.85 — the realistic SemDeDup setting."""
+    drop/exemplar path; the operator default stays 0.85 — the realistic
+    SemDeDup setting. planes=4 likewise keeps same-bucket recall non-zero
+    at this corpus's cosine ceiling (max pairwise 0.51)."""
     emb = spread(load(spark, "embeddings", sf_dir))
-    flagged = S.semantic_dedup(emb, _IVF_SEEDS, threshold=0.4)
+    flagged = S.semantic_dedup(emb, threshold=0.4, blocking="lsh", planes=4)
     return flagged.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(F.when(col("is_dup"), 1).otherwise(0)).alias("n_dups"),

@@ -217,12 +217,12 @@ def semantic_dedup_emb(spark, k):
         id_cols=("vec_id",), vec_col="embedding",
     )
     planes = {1: 8, 4: 10, 16: 12}[k]
-    bucketed = emb.withColumn(
-        "bucket", S.lsh_bucket(F.col("embedding"), planes=planes, dim=64)
+    flagged = S.semantic_dedup(emb, threshold=0.4, blocking="lsh",
+                               planes=planes)
+    return flagged.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)),
     )
-    pairs = S.embedding_near_dups(bucketed, threshold=0.4,
-                                  block_col="bucket")
-    return pairs.agg(F.count(F.lit(1)), F.count_distinct(F.col("id_b")))
 
 
 def bpe_pairs(spark, k):

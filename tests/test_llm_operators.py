@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from mqtt_streamr_spark.operators import dedup as D
@@ -751,9 +753,34 @@ def test_semantic_dedup_min_id_exemplar_survives(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = {
         r["vec_id"]: r["is_dup"]
-        for r in S.semantic_dedup(df, [10, 20], threshold=0.95).collect()
+        for r in S.semantic_dedup(
+            df, [10, 20], threshold=0.95, blocking="ivf"
+        ).collect()
     }
     assert out == {10: False, 11: True, 12: False, 20: False, 21: True}
+
+
+def test_semantic_dedup_lsh_default_blocking(spark):
+    # default blocking is LSH buckets (the scale path): exact duplicates
+    # always share a bucket (identical signatures), so the min-id
+    # exemplar logic behaves as in the IVF variant without any centroids;
+    # planes=None auto-sizes from a count
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [1.0, 0.0, 0.0, 0.0]),
+        (20, [0.0, 1.0, 0.0, 0.0]),
+        (21, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["is_dup"]
+        for r in S.semantic_dedup(df, threshold=0.95, dim=4).collect()
+    }
+    assert out == {10: False, 11: True, 20: False, 21: True}
+    with pytest.raises(ValueError):
+        S.semantic_dedup(df, blocking="ivf")  # no centroids
+    with pytest.raises(ValueError):
+        S.semantic_dedup(df, blocking="nope")
 
 
 def test_dup_passage_stats_hand_computed(spark):
