@@ -22,6 +22,39 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mqtt_streamr_spark.queries.registry import query
 
+_PAYLOAD_TYPES = {
+    "event_id": "BIGINT", "user_id": "BIGINT", "event_type": "STRING",
+    "value": "DOUBLE", "props": "STRING", "ts": "STRING",
+}
+
+
+def with_payload(src: DataFrame, *fields: str) -> DataFrame:
+    """Parse the replay payload ONCE per row — a single ``from_json``
+    whose declared schema contains ONLY the requested fields — and
+    return (topic, payload, *fields) with proper types. Request
+    ``"ev_ts"`` for the event-time timestamp (cast from the payload's
+    ``ts`` string); no fields = all of them. The previous shape called
+    ``get_json_object`` 3-5 times per row, and every call re-tokenizes
+    the JSON string from scratch; relying on Catalyst's json-schema
+    pruning instead doesn't work here (CollapseProject refuses to
+    duplicate a multi-referenced from_json, so the GetStructField-over-
+    from_json pattern the pruning rule rewrites never forms), so the
+    minimal schema is built explicitly. Single-parse is plan-asserted in
+    tests/test_plans.py."""
+    want = fields or ("event_id", "user_id", "event_type", "value",
+                      "props", "ev_ts")
+    json_fields = dict.fromkeys("ts" if f == "ev_ts" else f for f in want)
+    schema = ", ".join(f"{f} {_PAYLOAD_TYPES[f]}" for f in json_fields)
+    cols = [F.col("topic"), F.col("payload")]
+    for f in want:
+        if f == "ev_ts":
+            cols.append(F.col("_p.ts").cast("timestamp").alias("ev_ts"))
+        else:
+            cols.append(F.col(f"_p.{f}").alias(f))
+    return src.withColumn(
+        "_p", F.from_json("payload", schema)
+    ).select(*cols)
+
 
 @query(
     "streaming_replay_pipeline",
@@ -105,10 +138,7 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         doubled = src.union(src)
         deduped = (
-            doubled.withColumn(
-                "event_id",
-                F.get_json_object("payload", "$.event_id").cast("long"),
-            )
+            with_payload(doubled, "event_id")
             .dropDuplicates(["event_id"])
         )
         q = (
@@ -160,10 +190,8 @@ def streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, os.path.join(sf_dir, "events.parquet"), streaming=True,
             split_files=2,
         )
-        typed = src.select(
-            F.get_json_object("payload", "$.event_type").alias("kind"),
-            F.get_json_object("payload", "$.value").cast("double")
-            .alias("value"),
+        typed = with_payload(src, "event_type", "value").select(
+            F.col("event_type").alias("kind"), "value"
         )
         q = (
             running_stats(typed, "kind", "value")
@@ -222,14 +250,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str
         )
         doubled = src.union(src)
         deduped = (
-            doubled.withColumn(
-                "event_id",
-                F.get_json_object("payload", "$.event_id").cast("long"),
-            )
-            .withColumn(
-                "ev_ts",
-                F.get_json_object("payload", "$.ts").cast("timestamp"),
-            )
+            with_payload(doubled, "event_id", "ev_ts")
             .withWatermark("ev_ts", "60 days")
             .dropDuplicatesWithinWatermark(["event_id"])
         )
@@ -282,22 +303,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str
         spark, os.path.join(sf_dir, "events.parquet"), streaming=True,
         split_files=2,
     )
-    parsed = (
-        src.withColumn(
-            "user_id",
-            F.get_json_object("payload", "$.user_id").cast("long"),
-        )
-        .withColumn(
-            "event_type", F.get_json_object("payload", "$.event_type")
-        )
-        .withColumn(
-            "value",
-            F.get_json_object("payload", "$.value").cast("double"),
-        )
-        .withColumn(
-            "ev_ts", F.get_json_object("payload", "$.ts").cast("timestamp")
-        )
-    )
+    parsed = with_payload(src, "user_id", "event_type", "value", "ev_ts")
     p = (
         parsed.filter(F.col("event_type") == "purchase")
         .select("user_id", F.col("ev_ts").alias("p_ts"),
@@ -370,12 +376,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str
         spark, os.path.join(sf_dir, "events.parquet"), streaming=True,
         split_files=2,
     )
-    parsed = src.select(
-        F.get_json_object("payload", "$.user_id").cast("long")
-        .alias("user_id"),
-        F.get_json_object("payload", "$.value").cast("double")
-        .alias("value"),
-    )
+    parsed = with_payload(src, "user_id", "value").select("user_id", "value")
     enriched = parsed.join(dim, "user_id")
     d = tempfile.mkdtemp(prefix="streaming_enrich_q_")
     try:
@@ -433,15 +434,11 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(sf_dir, "events.parquet"), streaming=True,
         split_files=2,
     )
-    changes = src.select(
-        F.get_json_object("payload", "$.event_id").cast("long")
-        .alias("event_id"),
-        F.get_json_object("payload", "$.user_id").cast("long")
-        .alias("user_id"),
-        F.get_json_object("payload", "$.event_type").alias("event_type"),
-        F.get_json_object("payload", "$.value").cast("double")
-        .alias("value"),
-        F.get_json_object("payload", "$.ts").cast("timestamp").alias("ts"),
+    changes = with_payload(
+        src, "event_id", "user_id", "event_type", "value", "ev_ts"
+    ).select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("ev_ts").alias("ts"),
     )
     d = tempfile.mkdtemp(prefix="streaming_cdc_q_")
     state = {"version": 0}  # pointer to the current snapshot dir
@@ -517,13 +514,8 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = replay_source(
         spark, os.path.join(sf_dir, "events.parquet"), streaming=True,
     )
-    parsed = src.select(
-        F.get_json_object("payload", "$.user_id").cast("long")
-        .alias("user_id"),
-        F.get_json_object("payload", "$.value").cast("double")
-        .alias("value"),
-        F.get_json_object("payload", "$.ts").cast("timestamp")
-        .alias("ev_ts"),
+    parsed = with_payload(src, "user_id", "value", "ev_ts").select(
+        "user_id", "value", "ev_ts"
     )
     agg = (
         parsed.withWatermark("ev_ts", "60 days")
@@ -574,10 +566,8 @@ def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = replay_source(
         spark, os.path.join(sf_dir, "events.parquet"), streaming=True,
     )
-    parsed = src.select(
-        F.get_json_object("payload", "$.event_type").alias("event_type"),
-        F.get_json_object("payload", "$.ts").cast("timestamp")
-        .alias("ev_ts"),
+    parsed = with_payload(src, "event_type", "ev_ts").select(
+        "event_type", "ev_ts"
     )
     agg = (
         parsed.withWatermark("ev_ts", "60 days")

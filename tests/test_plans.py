@@ -553,9 +553,34 @@ SCALAR_CROSS_OK = {
     "text_heavy_hitters",
     "sim_topk_cosine", "sim_ann_ivf", "sim_ann_ivf_multiprobe",
     "sim_ann_ivf_kmeans", "sim_quantized_topk", "sim_ivf_recall",
-    "sim_semantic_dedup", "sim_random_projection_topk",
+    "sim_random_projection_topk",
     "sim_centroid_drift",
 }
+
+
+def test_payload_from_json_single_parse_minimal_schema(spark):
+    """The shared streaming-payload parser (with_payload) must produce
+    exactly ONE from_json per row (not one get_json_object re-parse per
+    field) and its declared schema must contain only the requested
+    fields — otherwise every streaming query would pay a 6-field parse
+    per row at 100 TB."""
+    from mqtt_streamr_spark.queries.streaming_queries import with_payload
+    from mqtt_streamr_spark.streaming.pipeline import replay_source
+
+    src = replay_source(spark, f"{SF}/events.parquet", streaming=False)
+    two = with_payload(src, "user_id", "value")
+    opt = (
+        plan_str(two, "extended")
+        .split("== Optimized Logical Plan ==")[1]
+        .split("== Physical Plan ==")[0]
+    )
+    assert opt.count("from_json") == 1, opt
+    assert "get_json_object" not in opt, opt
+    m = re.search(r"from_json\((?:StructField\([^)]*\),?\s*)+", opt)
+    assert m, opt
+    assert "user_id" in m.group(0) and "value" in m.group(0), m.group(0)
+    for dropped in ("event_id", "event_type", "props"):
+        assert dropped not in m.group(0), m.group(0)
 
 
 def test_registry_wide_no_cartesian_no_rowwise_python(spark):
