@@ -300,12 +300,18 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     exact overlap predicate. One uniform shuffle on (keys..., bucket);
     fan-out per row is interval_width / bin_width (pick bin_width near
     the median interval width). Left/right columns must not collide
-    (alias before calling); ``on`` adds optional equi-keys."""
+    (alias before calling); ``on`` adds optional equi-keys.
+
+    Well-formedness: intervals must satisfy ``lo < hi`` — a half-open
+    empty/inverted interval like [10, 5) overlaps NOTHING. Malformed
+    rows are filtered out in the bin stage (they would otherwise both
+    satisfy the pairwise predicate against a spanning partner AND feed
+    ``sequence(start, stop)`` a descending range)."""
     on = [] if on is None else ([on] if isinstance(on, str) else list(on))
     w_us = int(bin_width_s) * 1_000_000
 
     def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
-        return df.withColumn(
+        return df.filter(F.col(lo) < F.col(hi)).withColumn(
             "__bin",
             F.explode(F.sequence(
                 F.floor(F.unix_micros(F.col(lo)) / w_us),

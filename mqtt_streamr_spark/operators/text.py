@@ -1036,11 +1036,16 @@ def frequent_terms(df, text_col: str = "text", min_support: float = 0.005,
          stream (``mapInPandas``, batch-merged: add batch value_counts,
          then subtract the (counters+1)-th largest and drop non-positive
          — the standard mergeable-summary step). MG guarantees any term
-         with partition frequency > n_p/(counters+1) survives; by
-         pigeonhole a term with GLOBAL frequency >= min_support*N (for
-         min_support >= 1/(counters+1)) exceeds that bound in at least
-         one partition, so the candidate union is COMPLETE. Output is
-         <= counters rows per partition — broadcast-sized.
+         with partition frequency STRICTLY > n_p/(counters+1) survives;
+         by pigeonhole a term with GLOBAL frequency >= min_support*N
+         (for min_support strictly > 1/(counters+1)) exceeds that bound
+         in at least one partition, so the candidate union is COMPLETE.
+         The strictness matters: at min_support == 1/(counters+1)
+         exactly, a term with counts exactly n_p/(counters+1) in every
+         partition can be dropped by every per-partition MG pass while
+         still passing the inclusive verify filter — so that boundary is
+         rejected below. Output is <= counters rows per partition —
+         broadcast-sized.
       2. VERIFY: exact count of candidate terms only (broadcast semi
          join), filtered to min_support — false candidates die here, so
          the result is EXACT and partitioning-independent, while the
@@ -1049,10 +1054,11 @@ def frequent_terms(df, text_col: str = "text", min_support: float = 0.005,
     Returns (term, cnt, frac[6dp]). At 100 TB the vocabulary-sized
     groupBy this replaces is billions of keys; here the shuffled key
     space is <= counters * partitions."""
-    if min_support < 1.0 / (counters + 1):
+    if min_support <= 1.0 / (counters + 1):
         raise ValueError(
-            f"min_support {min_support} below the completeness bound "
-            f"1/(counters+1) = {1.0 / (counters + 1):.6f}; raise counters"
+            f"min_support {min_support} at or below the completeness "
+            f"bound 1/(counters+1) = {1.0 / (counters + 1):.6f} "
+            f"(completeness needs STRICT inequality); raise counters"
         )
 
     toks = df.select(F.explode(tokens(text_col)).alias("term"))

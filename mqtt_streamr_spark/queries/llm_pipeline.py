@@ -2787,6 +2787,33 @@ def dedup_exact_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_prefix_join(docs, threshold=0.9)
 
 
+def segmented_cumsum(d: DataFrame, seg_col: str, order_col: str,
+                     val_col: str) -> DataFrame:
+    """Two-phase segmented prefix-sum: the global running total of
+    ``val_col`` in (``seg_col`` DESC, ``order_col`` ASC) order WITHOUT a
+    global ordered window (which serializes on one task at scale).
+    Phase 1 prefixes per-segment sums over the segment-count-sized
+    table (broadcast back); phase 2 runs segment-partitioned per-row
+    cumsums in parallel; cum = segment base + in-segment running sum.
+    Returns ``d`` plus a ``cum`` column. Property-tested against the
+    naive global cumsum in tests/test_properties.py."""
+    from pyspark.sql import Window
+
+    seg_net = d.groupBy(seg_col).agg(F.sum(val_col).alias("net"))
+    w_b = Window.orderBy(col(seg_col).desc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = seg_net.select(
+        seg_col, F.coalesce(F.sum("net").over(w_b), F.lit(0)).alias("base"))
+    w_in = Window.partitionBy(seg_col).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0)
+    return (
+        d.withColumn("run", F.sum(val_col).over(w_in))
+        .join(F.broadcast(offsets), seg_col)
+        .withColumn("cum", col("base") + col("run"))
+        .drop("run", "base")
+    )
+
+
 @query(
     "llm_budget_selection",
     oracle=f"""
@@ -2823,27 +2850,16 @@ def llm_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     token sums prefix over the ~1000-row bucket table, per-doc cumsums
     run bucket-partitioned in parallel, and the bucket key doubles as
     the deterministic cross-engine order (integer compare; the oracle
-    states the naive single cumsum)."""
-    from pyspark.sql import Window
-
+    states the naive single cumsum). The prefix-sum itself lives in
+    ``segmented_cumsum`` (shared with the property test, which checks
+    it against the naive cumsum)."""
     docs = load(spark, "documents", sf_dir)
     d = docs.select(
         "doc_id",
         T.token_count("text").alias("n_toks"),
         F.floor(T.quality_score("text") * 1000).cast("long").alias("qb"),
     )
-    bucket_net = d.groupBy("qb").agg(F.sum("n_toks").alias("net"))
-    w_b = Window.orderBy(col("qb").desc()).rowsBetween(
-        Window.unboundedPreceding, -1)
-    offsets = bucket_net.select(
-        "qb", F.coalesce(F.sum("net").over(w_b), F.lit(0)).alias("base"))
-    w_in = Window.partitionBy("qb").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0)
-    cum = (
-        d.withColumn("run", F.sum("n_toks").over(w_in))
-        .join(F.broadcast(offsets), "qb")
-        .withColumn("cum", col("base") + col("run"))
-    )
+    cum = segmented_cumsum(d, "qb", "doc_id", "n_toks")
     return cum.filter(col("cum") <= 20000).agg(
         F.count(F.lit(1)).alias("n_selected"),
         F.sum("n_toks").alias("tokens_selected"),

@@ -1026,3 +1026,8 @@ def test_frequent_terms_exact_regardless_of_partitioning(spark):
 
     with _pytest.raises(ValueError):
         frequent_terms(df, min_support=0.001, counters=16)
+    # the exact boundary is ALSO rejected: completeness needs strict
+    # inequality (a term at exactly n_p/(counters+1) per partition can be
+    # dropped by every MG pass yet pass the inclusive verify filter)
+    with _pytest.raises(ValueError):
+        frequent_terms(df, min_support=1.0 / 17, counters=16)

@@ -533,14 +533,18 @@ def test_snapshot_diff_apply_roundtrip(spark, old_rows, new_rows):
 @SLOW
 @given(
     ivs=st.lists(
-        st.tuples(st.integers(0, 5000), st.integers(1, 2000)),
+        st.tuples(st.integers(0, 5000), st.integers(-500, 2000)),
         min_size=0, max_size=40,
     ),
 )
 def test_interval_overlap_join_matches_naive(spark, ivs):
     """Binned interval-overlap join == the naive all-pairs overlap filter
     for arbitrary interval sets (including bin-boundary-touching and
-    multi-bin-spanning intervals)."""
+    multi-bin-spanning intervals). Degenerate intervals (width <= 0,
+    i.e. empty/inverted half-open ranges) overlap NOTHING — the naive
+    reference enforces well-formedness on both sides, and the operator
+    must agree instead of emitting phantom pairs against spanning
+    partners."""
     import datetime as dt
 
     from mqtt_streamr_spark.operators.joins import interval_overlap_join
@@ -566,7 +570,7 @@ def test_interval_overlap_join_matches_naive(spark, ivs):
         (a_id, b_id + 1000)
         for (a_id, a_lo, a_hi) in (rows or [(0, base, base)])
         for (b_id, b_lo, b_hi) in (rows or [(0, base, base)])
-        if a_lo < b_hi and b_lo < a_hi
+        if a_lo < a_hi and b_lo < b_hi and a_lo < b_hi and b_lo < a_hi
     )
     assert got == naive
 
@@ -638,30 +642,20 @@ def test_jaccard_prefix_join_matches_naive(spark, docs):
     ),
 )
 def test_budget_selection_two_phase_equals_naive_cumsum(spark, docs):
-    """The segmented prefix-sum inside llm_budget_selection must equal
-    the naive global cumulative sum for arbitrary (quality-bucket,
-    token-count) distributions — including many docs in one bucket and
-    budget boundaries landing mid-bucket."""
-    import pyspark.sql.functions as F
-    from pyspark.sql import Window
+    """The PRODUCTION segmented prefix-sum (segmented_cumsum, the one
+    llm_budget_selection runs) must equal the naive global cumulative
+    sum for arbitrary (quality-bucket, token-count) distributions —
+    including many docs in one bucket and budget boundaries landing
+    mid-bucket."""
+    from mqtt_streamr_spark.queries.llm_pipeline import segmented_cumsum
 
     rows = [(i, qb, toks) for i, (qb, toks) in enumerate(docs)]
     d = spark.createDataFrame(rows, "doc_id long, qb long, n_toks long")
     budget = max(sum(t for _, _, t in rows) // 2, 1)
 
-    bucket_net = d.groupBy("qb").agg(F.sum("n_toks").alias("net"))
-    w_b = Window.orderBy(F.col("qb").desc()).rowsBetween(
-        Window.unboundedPreceding, -1)
-    offsets = bucket_net.select(
-        "qb", F.coalesce(F.sum("net").over(w_b), F.lit(0)).alias("base"))
-    w_in = Window.partitionBy("qb").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0)
+    cum = segmented_cumsum(d, "qb", "doc_id", "n_toks")
     got = sorted(
-        r["doc_id"]
-        for r in d.withColumn("run", F.sum("n_toks").over(w_in))
-        .join(F.broadcast(offsets), "qb")
-        .filter(F.col("base") + F.col("run") <= budget)
-        .collect()
+        r["doc_id"] for r in cum.filter(cum["cum"] <= budget).collect()
     )
     cum, want = 0, []
     for i, qb, toks in sorted(rows, key=lambda r: (-r[1], r[0])):
