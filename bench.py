@@ -25,6 +25,19 @@ from mqtt_streamr_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Pure-JVM sentinel queries with their recorded calm-boot sf0.1 values
+# (BASELINE.md boot-noise protocol): bench totals swing +/-50% across VM
+# boots with ALL of the inflation in Python-worker/Arrow and streaming
+# queries, while these whole-stage-codegen batch queries sit at their
+# baselines on any healthy boot. The emitted sentinel ratio
+# (measured / recorded) lets the reader normalize the total against the
+# current boot instead of mistaking ambient noise for a regression.
+CALIBRATION_BASELINE = {
+    "q1_pricing_summary": 0.73,
+    "dedup_exact": 0.71,
+    "text_winnowing_fingerprints": 2.84,
+}
+
 
 def sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
@@ -38,8 +51,9 @@ def _run_queries(spark, jvm, timings: dict, errors: dict) -> None:
     names = sorted(QUERIES)
     if os.environ.get("SPARK_GRAFT_BENCH_SMOKE"):
         # contract-test mode (tests/test_cli.py): exercise the harness
-        # shape on a handful of queries, not the full registry
-        names = names[:8]
+        # shape on a handful of queries, not the full registry — plus the
+        # calibration sentinels so the calibration path is exercised too
+        names = sorted(set(names[:8]) | set(CALIBRATION_BASELINE))
     for name in names:
         # JMH-style hygiene: collect BEFORE the timed region so each query
         # measures its own cost, not the GC debt of the 70+ queries before
@@ -108,6 +122,34 @@ def main() -> None:
     streaming = listener.summary()  # rec/s + p50/p99 batch ms (BASELINE.md)
     listener.detach()
 
+    # per-boot calibration: sentinel ratio vs recorded calm-boot values
+    # (only meaningful at the recorded SF; at other SFs emit raw times)
+    at_recorded_sf = abs(sf_from_dir(SF_DIR) - 0.1) < 1e-9
+    sentinels = {
+        name: {
+            "sec": timings[name],
+            **(
+                {
+                    "baseline_sec": base,
+                    "ratio": round(timings[name] / base, 3),
+                }
+                if at_recorded_sf
+                else {}
+            ),
+        }
+        for name, base in CALIBRATION_BASELINE.items()
+        if name in timings
+    }
+    ratios = [s["ratio"] for s in sentinels.values() if "ratio" in s]
+    calibration = {
+        "sentinels": sentinels,
+        **(
+            {"boot_ratio": round(sum(ratios) / len(ratios), 3)}
+            if ratios
+            else {}
+        ),
+    }
+
     # Full per-query map + streaming detail goes to a file; stdout gets ONE
     # compact bounded line (round 1's full 64-entry line exceeded the
     # driver's capture tail and parsed as null).
@@ -118,6 +160,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
         "streaming": streaming,
+        "calibration": calibration,
         **({"errors": errors} if errors else {}),
     }
     # smoke-mode runs (the contract test) must not clobber the last real
@@ -151,6 +194,7 @@ def main() -> None:
             "n_errors": len(errors),
             "queries": top,
             "streaming": stream_compact,
+            "calibration": calibration,
             "full": "bench_full.json",
         },
         separators=(",", ":"),
