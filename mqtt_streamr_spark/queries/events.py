@@ -108,6 +108,48 @@ def events_variant_parse_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_variant_pruned_scan",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(k), 4) AS avg_k
+    FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    WHERE k > 50
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_variant_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless scan on the SHREDDED variant layout (SURVEY §4's
+    variant scan pushdown, materialized via tables.ensure_shredded_events
+    — ingest paid once per sf_dir, amortized like the bucketed tables):
+    PushVariantIntoScan rewrites the ``$.k`` access into a pruned struct
+    scan schema, so the parquet reader decodes only the shredded ``k``
+    subcolumn and the ``k > 50`` predicate pushes down to row-group
+    stats — the full variant binary is never touched. Plan-asserted in
+    tests/test_plans.py; contrast events_json_extract_stats, which
+    re-tokenizes the raw JSON string per row."""
+    from mqtt_streamr_spark.tables import ensure_shredded_events
+
+    ev = spark.read.parquet(ensure_shredded_events(spark, sf_dir))
+    return (
+        ev.select(
+            "event_type",
+            F.try_variant_get(col("v"), "$.k", "long").alias("k"),
+        )
+        .filter(col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "events_daily_windows",
     oracle="""
     SELECT date_trunc('day', ts) AS day,

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -128,6 +129,52 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view so spark.sql() can reference it."""
     for name in TABLES:
         load(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def ensure_shredded_events(spark: SparkSession,
+                           sf_dir: str = DEFAULT_SF_DIR) -> str:
+    """Materialize the events table with ``props`` parsed into a SHREDDED
+    variant parquet column ``v`` and return the path. Idempotent per
+    sf_dir (deterministic location + _SUCCESS check).
+
+    This is the 100 TB schemaless-scan primitive (SURVEY §4's "variant
+    path extraction into parquet scans"): Spark 4.x writes the variant
+    with inferred typed subcolumns (spark.sql.variant.writeShredding +
+    inferShreddingSchema), and at read time PushVariantIntoScan rewrites
+    a query's ``variant_get`` paths into a pruned struct scan schema —
+    the parquet reader then decodes ONLY the accessed paths and pushes
+    comparison predicates on them down to row-group statistics, instead
+    of decoding the full variant binary per row. Plan-asserted in
+    tests/test_plans.py. Shredding is paid once at ingest and amortized
+    over every subsequent scan, the same economics as ensure_bucketed."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.sha1(f"{sf_dir}|events_shredded_v1".encode()) \
+        .hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"events_shredded_{tag}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        shutil.rmtree(d, ignore_errors=True)
+        prev = {
+            k: spark.conf.get(k, None)
+            for k in ("spark.sql.variant.writeShredding.enabled",
+                      "spark.sql.variant.inferShreddingSchema")
+        }
+        try:
+            spark.conf.set("spark.sql.variant.writeShredding.enabled",
+                           "true")
+            spark.conf.set("spark.sql.variant.inferShreddingSchema",
+                           "true")
+            (load(spark, "events", sf_dir)
+             .withColumn("v", F.parse_json(F.col("props")))
+             .drop("props")
+             .write.mode("overwrite").parquet(d))
+        finally:
+            for k, v in prev.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+    return d
 
 
 def ensure_bucketed(spark: SparkSession, name: str, key: str,

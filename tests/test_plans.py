@@ -583,6 +583,21 @@ def test_payload_from_json_single_parse_minimal_schema(spark):
         assert dropped not in m.group(0), m.group(0)
 
 
+def test_variant_scan_pruned_to_accessed_paths(spark):
+    """The shredded-variant query must scan a PRUNED struct (only the
+    accessed $.k path, typed), not the full variant binary, and the
+    k > 50 comparison must push down to the parquet reader — the scan
+    economics that make schemaless 100 TB pipelines viable."""
+    p = plan_str(QUERIES["events_variant_pruned_scan"](spark, SF))
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read, p
+    # pruned: variant replaced by struct<...> of requested fields
+    assert "variant" not in read[0], read
+    assert "v:struct<" in read[0].replace(" ", ""), read
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and "GreaterThan" in pushed[0], pushed
+
+
 def test_registry_wide_no_cartesian_no_rowwise_python(spark):
     """GLOBAL plan guard over every batch query in the registry: no
     CartesianProduct, no row-at-a-time Python (BatchEvalPython), and any
