@@ -69,12 +69,22 @@ class Ctx:
     bindings: dict[str, TypedCol] = field(default_factory=dict)
     root_kind: str = "variant"
     root_schema: object | None = None
+    # raw JSON STRING of the message root (key order preserved) — enables
+    # compiling the ordered-object functions ($keys/$each/$sift/$spread)
+    # on the variant path, whose binary encoding sorts object keys. Only
+    # valid while root IS the message root: derived contexts that rebase
+    # the root (predicates, group-by) drop it.
+    raw: Column | None = None
 
 
-def compile_column(source_or_ast, input_col: Column) -> TypedCol:
-    """Compile a JSONata expression to a typed Column over a variant input."""
+def compile_column(source_or_ast, input_col: Column,
+                   raw_col: Column | None = None) -> TypedCol:
+    """Compile a JSONata expression to a typed Column over a variant input.
+    ``raw_col``: the original JSON STRING the variant was parsed from;
+    when provided, the ordered-object functions compile too (they need
+    source key order, which the variant encoding discards)."""
     ast = parse(source_or_ast) if isinstance(source_or_ast, str) else source_or_ast
-    return _compile(ast, Ctx(root=input_col))
+    return _compile(ast, Ctx(root=input_col, raw=raw_col))
 
 
 def compile_typed(source_or_ast, input_col: Column, schema) -> TypedCol:
@@ -142,10 +152,11 @@ def _typed_navigate(col: Column, dt, steps: list) -> TypedCol:
     return _typed_from(col, dt)
 
 
-def compile_to_json(source_or_ast, input_col: Column) -> Column:
+def compile_to_json(source_or_ast, input_col: Column,
+                    raw_col: Column | None = None) -> Column:
     """Compile to a JSON-string output column (the sink payload shape the
     reference publishes, bin/mqtt-streamr.js:193)."""
-    tc = compile_column(source_or_ast, input_col)
+    tc = compile_column(source_or_ast, input_col, raw_col=raw_col)
     return to_json_string(tc)
 
 
@@ -154,7 +165,7 @@ def to_json_string(tc: TypedCol) -> Column:
     # represent ABSENT optional fields as NULL (module docstring), so the
     # serialization must drop them even if the user session flips
     # spark.sql.jsonGenerator.ignoreNullFields to false.
-    if tc.kind == "object" or tc.kind.startswith("array"):
+    if tc.kind in ("object", "omap") or tc.kind.startswith("array"):
         return F.to_json(tc.col, {"ignoreNullFields": "true"})
     if tc.kind == "variant":
         return F.cast("string", tc.col)
@@ -206,7 +217,7 @@ def as_string(tc: TypedCol) -> Column:
         # string variant -> raw string; others -> JSON text
         s = F.try_variant_get(tc.col, "$", "string")
         return s
-    if tc.kind == "object" or tc.kind.startswith("array"):
+    if tc.kind in ("object", "omap") or tc.kind.startswith("array"):
         return F.to_json(tc.col, {"ignoreNullFields": "true"})
     if tc.kind == "null":
         # undefined, not the string "null": concat treats it as '', and
@@ -385,6 +396,32 @@ def _json_path(steps: list) -> str:
         else:
             raise NotCompilable(f"field name {s!r} not JSON-path-safe")
     return "".join(out)
+
+
+def _raw_json_str(arg_node, ctx: Ctx) -> Column:
+    """Raw JSON TEXT of the value at a literal path from the message root,
+    in ORIGINAL key order. The variant binary sorts object keys, so the
+    ordered-object functions re-read their argument from the raw payload
+    string (``get_json_object`` preserves source order). Compilable only
+    when the raw column is available, the context root IS the message
+    root, and the argument is a pure name/index path."""
+    if ctx.raw is None or ctx.root_kind != "variant":
+        raise NotCompilable(
+            "ordered-object op needs the raw JSON column (variant root)"
+        )
+    steps = _path_steps(arg_node)
+    if steps is None:
+        raise NotCompilable("ordered-object op needs a literal path arg")
+    if not steps:
+        return ctx.raw
+    return F.get_json_object(ctx.raw, _json_path(steps))
+
+
+def _ordered_map(arg_node, ctx: Ctx) -> Column:
+    """The argument object as ``map<string, variant>`` with keys in source
+    order (Spark maps preserve parse order; only the variant binary
+    sorts). NULL for non-object values — undefined downstream."""
+    return F.from_json(_raw_json_str(arg_node, ctx), "map<string, variant>")
 
 
 def _c_name(node, ctx):
@@ -620,7 +657,8 @@ def _c_variable(node, ctx):
 
 def _c_block(node, ctx):
     child = Ctx(root=ctx.root, bindings=dict(ctx.bindings),
-                root_kind=ctx.root_kind, root_schema=ctx.root_schema)
+                root_kind=ctx.root_kind, root_schema=ctx.root_schema,
+                raw=ctx.raw)
     result: TypedCol | None = None
     for expr in node["expressions"]:
         result = _compile(expr, child)
@@ -863,7 +901,8 @@ def _bind_lambda(lam, bindings: list[TypedCol], ctx: Ctx) -> TypedCol:
     Spark invokes the Python callback once at expression-build time, so the
     body is compiled exactly once — no per-row Python."""
     child = Ctx(root=ctx.root, bindings=dict(ctx.bindings),
-                root_kind=ctx.root_kind, root_schema=ctx.root_schema)
+                root_kind=ctx.root_kind, root_schema=ctx.root_schema,
+                raw=ctx.raw)
     for name, tc in zip(lam["params"], bindings):
         child.bindings[name] = tc
     return _compile(lam["body"], child)
@@ -1593,20 +1632,30 @@ def _fc_zip(args, node, ctx):
     return TypedCol(col, f"array<array<{ae}>>", elem=f"array<{ae}>")
 
 
-# NOTE: $keys is NOT compiled on the VARIANT path — the variant encoding
-# stores object keys sorted, while JSONata preserves insertion order; the
-# interpreter fallback keeps the correct order. On the TYPED path the
-# declared schema order IS the insertion order, so it compiles:
+# $keys on the VARIANT path compiles via the RAW JSON string (r6): the
+# variant encoding stores object keys sorted, but json_object_keys over
+# the original payload text preserves insertion order. Requires the raw
+# column (compile_column raw_col=...) and a literal-path argument;
+# everything else still falls back to the interpreter. On the TYPED path
+# the declared schema order IS the insertion order, so it compiles too.
 
 @_fn("keys")
 def _fc_keys(args, node, ctx):
-    """$keys(obj) for statically-typed or statically-constructed objects:
-    field names in schema/declaration order. A NULL-valued field reads as
+    """$keys(obj): field names in source/declaration order.
+
+    TYPED path: statically-known fields; a NULL-valued field reads as
     absent (the typed path cannot distinguish JSON null from a missing
-    key — same documented divergence as $exists)."""
+    key — same documented divergence as $exists). VARIANT path: keys
+    read from the raw payload text in insertion order; non-object values
+    yield undefined — including an ARRAY of objects, where the
+    interpreter merges member keys (documented divergence of the
+    compiled path; rare input, order-correct everywhere else)."""
     obj = args[0]
+    if obj.kind == "variant":
+        col = F.json_object_keys(_raw_json_str(node["args"][0], ctx))
+        return TypedCol(col, "array<string>", elem="string")
     if obj.kind != "object":
-        raise NotCompilable("$keys compiles for typed objects only")
+        raise NotCompilable("$keys compiles for typed/variant objects only")
     if obj.dtype is not None:
         names = list(obj.dtype.fieldNames())
     elif obj.fields is not None:
@@ -1618,6 +1667,24 @@ def _fc_keys(args, node, ctx):
     ])
     col = F.filter(tagged, lambda x: x.isNotNull())
     return TypedCol(col, "array<string>", elem="string")
+
+
+@_fn("spread")
+def _fc_spread(args, node, ctx):
+    """$spread(obj) on the VARIANT path: array of single-key objects in
+    source key order, built from the raw payload text via an ordered
+    map (the variant binary would sort the keys). Typed/constructed
+    objects stay on the interpreter (their single-pair objects have
+    per-field value types a uniform Spark array cannot hold)."""
+    obj = args[0]
+    if obj.kind != "variant":
+        raise NotCompilable("$spread compiles for variant objects only")
+    m = _ordered_map(node["args"][0], ctx)
+    col = F.transform(
+        F.map_entries(m),
+        lambda e: F.map_from_entries(F.array(e)),
+    )
+    return TypedCol(col, "array<omap>", elem="omap")
 
 
 @_fn("now")
@@ -1662,12 +1729,35 @@ def _fc_merge(args, node, ctx):
 
 @_fn("each")
 def _fc_each(args, node, ctx):
-    """$each(obj, fn($v, $k)) on the TYPED path only: the object's fields
-    are statically known, so the iteration expands at compile time into an
-    array of per-field results (variant objects have dynamic keys — the
-    interpreter handles those)."""
+    """$each(obj, fn($v, $k)): array of per-entry lambda results.
+
+    TYPED path: the object's fields are statically known, so the
+    iteration expands at compile time into an array of per-field
+    results. VARIANT path (r6): iterate an ordered map built from the
+    raw payload text — one ``transform`` over ``map_entries``, values
+    bound as variants, keys as strings, source key order preserved."""
     lam = _lambda_arg(node, 1, 2, "$each")
     obj = args[0]
+    if obj.kind == "variant":
+        m = _ordered_map(node["args"][0], ctx)
+        out: dict = {}
+
+        def body(e: Column) -> Column:
+            binds = [TypedCol(e.getField("value"), "variant")]
+            if len(lam["params"]) == 2:
+                binds.append(TypedCol(e.getField("key"), "string"))
+            tc = _bind_lambda(lam, binds, ctx)
+            out["kind"] = tc.kind
+            return tc.col
+
+        col = F.transform(F.map_entries(m), body)
+        kind = out["kind"]
+        if kind.startswith("array") or kind in ("object", "omap"):
+            raise NotCompilable(
+                "$each body producing nested arrays/objects on the "
+                "variant path (flatten semantics) stays interpreted"
+            )
+        return TypedCol(col, f"array<{kind}>", elem=kind)
     if obj.kind != "object" or obj.dtype is None:
         raise NotCompilable("$each compiles for typed objects only")
     items: list[Column] = []
@@ -1700,8 +1790,20 @@ def _fc_sift(args, node, ctx):
     one (documented null/undefined conflation of the compiled path)."""
     lam = _lambda_arg(node, 1, 2, "$sift")
     obj = args[0]
-    if obj.kind != "object" or obj.dtype is None:
-        raise NotCompilable("$sift compiles for typed objects only")
+    if obj.kind == "variant":
+        # VARIANT path (r6): map_filter over the ordered map from the raw
+        # payload text — entries whose predicate fails are REMOVED (true
+        # key-dropping, no null conflation), source key order preserved
+        m = _ordered_map(node["args"][0], ctx)
+
+        def pred(k: Column, v: Column) -> Column:
+            binds = [TypedCol(v, "variant")]
+            if len(lam["params"]) == 2:
+                binds.append(TypedCol(k, "string"))
+            keep = as_boolean(_bind_lambda(lam, binds, ctx))
+            return F.coalesce(keep, F.lit(False))
+
+        return TypedCol(F.map_filter(m, pred), "omap")
     fields: list[Column] = []
     names: list[str] = []
     for fname in obj.dtype.fieldNames():

@@ -51,7 +51,10 @@ def transform_to_json(expr: str, payload_col: Column, *,
             pass  # fall through to the variant path, then the interpreter
     if mode in ("auto", "compiled"):
         try:
-            col = compile_to_json(parsed.ast, F.try_parse_json(payload_col))
+            col = compile_to_json(
+                parsed.ast, F.try_parse_json(payload_col),
+                raw_col=payload_col,
+            )
             return col, "compiled"
         except NotCompilable:
             if mode == "compiled":

@@ -45,7 +45,8 @@ DOC = {
 
 def run_compiled(spark, expr, data):
     df = spark.createDataFrame([(json.dumps(data),)], "payload string")
-    tc = compile_column(expr, F.try_parse_json("payload"))
+    tc = compile_column(expr, F.try_parse_json("payload"),
+                        raw_col=F.col("payload"))
     value = df.select(tc.col.alias("r")).collect()[0]["r"]
     return _to_python(value)
 
@@ -57,6 +58,8 @@ def _to_python(v):
         return v.toPython()
     if isinstance(v, Row):
         return {k: _to_python(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):  # omap (ordered map) results
+        return {k: _to_python(x) for k, x in v.items()}
     if isinstance(v, list):
         return [_to_python(x) for x in v]
     return v
@@ -292,6 +295,20 @@ COMPILABLE = [
     "$match('concat cat cat', /c\\w+t/)",       # overlapping-ish occurrences
     "$match('a-b a-c', /a-(b|d)/)",             # alternation group
     "kind ~> $match(/e.s/)",                    # chained context form
+    # ordered-object functions on the VARIANT path (compiled r6 via the
+    # raw JSON string — key order is the whole point, and lists compare
+    # order-sensitively here)
+    "$keys($)",
+    "$keys(nested)",
+    "$keys(nested.deep)",
+    "$keys(user)",                              # non-object -> undefined
+    "$each(nested, function($v){ $string($v) })",
+    "$each(nested, function($v, $k){ $k })",
+    '$each(nested, function($v, $k){ $k & "=" & $string($v) })',
+    '$sift($, function($v, $k){ $k = "user" })',
+    "$sift(nested, function($v){ $boolean($v) })",
+    "$spread(nested)",
+    "$count($spread($))",
 ]
 
 
@@ -309,7 +326,13 @@ NOT_COMPILABLE = [
     "$match(kind, /t\\b/)",          # word boundary: position-dependent
     "$match('ab12cd34', /\\d+/).match",   # nav needs singleton collapse
     "$match('ab12cd34', /\\d+/).index",   # nav needs singleton collapse
+    # ordered-object ops WITHOUT the raw JSON column (compile_column below
+    # passes no raw_col): key order is unrecoverable from the variant
+    # binary alone, so these must refuse rather than emit sorted keys
+    "$keys(nested)",
     "$each(nested, function($v,$k){ $v })",
+    "$sift(nested, function($v){ $boolean($v) })",
+    "$spread(nested)",
     "$formatNumber(value, kind)",    # run-time picture -> interpreter
     '$formatNumber(value, "000,000.0")',  # grouped zero-pad: interpreter
 ]
@@ -401,7 +424,13 @@ DOC_SCHEMA = (
 
 # typed path cannot distinguish a JSON null from an absent field after
 # from_json (both are SQL NULL); JSONata's $exists sees them differently
-TYPED_DIVERGENT = {"$exists(empty)"}
+TYPED_DIVERGENT = {
+    "$exists(empty)",
+    # same root cause: typed $keys drops the null-valued "empty" key
+    # (JSON null indistinguishable from absent in a struct); the variant
+    # path keeps it via the raw-JSON ordered map
+    "$keys($)",
+}
 
 
 @pytest.mark.parametrize("expr", COMPILABLE)

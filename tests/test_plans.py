@@ -82,6 +82,28 @@ def test_compiled_jsonata_stays_jvm_side(spark):
         assert "Batched: true" in p, (name, p)
 
 
+def test_ordered_object_ops_compile_no_python(spark):
+    """$keys/$each/$sift/$spread on the VARIANT path (schemaless input)
+    compile to native Columns via the raw-JSON ordered-map encoding (r6):
+    transform_to_json must pick the 'compiled' backend and the plan must
+    contain no Python evaluation nodes."""
+    import pyspark.sql.functions as FN
+
+    from mqtt_streamr_spark.streaming.transform import transform_to_json
+
+    df = spark.read.parquet(f"{SF}/events.parquet").select(
+        FN.col("props").alias("payload")
+    )
+    expr = ('{"ks": $keys($), "vals": $each($, function($v, $k) '
+            '{ $string($v) }), "kept": $sift($, function($v, $k) '
+            '{ $k = "k" }), "pairs": $spread($)}')
+    out_col, backend = transform_to_json(expr, FN.col("payload"))
+    assert backend == "compiled", backend
+    p = plan_str(df.select(out_col.alias("m")))
+    assert "EvalPython" not in p, p
+    assert "Batched: true" in p, p
+
+
 def test_compiled_match_objects_stay_jvm_side(spark):
     """$match match-objects compile to native Columns (round 5): the plan
     must contain no Python evaluation nodes for match/index/groups
