@@ -1,0 +1,278 @@
+"""Wire-level MQTT 3.1.1 mini-broker + minimal socket client (QoS 0).
+
+The container ships neither an MQTT broker nor paho-mqtt, so the
+real-socket leg of the source (SURVEY §2.1 "MQTT connect") previously ran
+only against the file-loopback double. This module closes that gap with
+a from-the-spec implementation of the tiny MQTT 3.1.1 subset the
+reference exercises (OASIS MQTT 3.1.1, §2-3: CONNECT/CONNACK,
+SUBSCRIBE/SUBACK, QoS-0 PUBLISH, PINGREQ/PINGRESP, DISCONNECT):
+
+- :class:`MiniBroker` — a threaded TCP broker routing QoS-0 publishes to
+  subscribers by MQTT wildcard match (``+``/``#`` via
+  ``mqtt_wildcard_to_regex``). A test double with REAL sockets — enough
+  to soak the DataSource across the Spark python-worker process boundary
+  — not a production broker (no QoS 1/2, retain, wills, auth, or
+  sessions).
+- :class:`SocketMqttClient` — the matching minimal client with the same
+  drain/reconnect/close surface as ``PahoClient`` (sources/mqtt.py), so
+  the "mqtt" DataSource can speak to any broker at QoS 0 even without
+  paho installed (paho remains preferred when importable: full protocol,
+  keepalive management, backoff).
+
+Everything here is the public wire format; payload bytes are decoded
+UTF-8 (replace) to match the source schema's string payload column.
+"""
+
+from __future__ import annotations
+
+import re
+import socket
+import struct
+import threading
+import time
+from datetime import datetime, timezone
+
+from mqtt_streamr_spark.operators.routing import mqtt_wildcard_to_regex
+
+# packet types (spec §2.2.1)
+CONNECT, CONNACK = 1, 2
+PUBLISH = 3
+SUBSCRIBE, SUBACK = 8, 9
+PINGREQ, PINGRESP = 12, 13
+DISCONNECT = 14
+
+
+def _encode_remaining(n: int) -> bytes:
+    """Variable-length remaining-length encoding (spec §2.2.3)."""
+    out = bytearray()
+    while True:
+        b = n % 128
+        n //= 128
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("socket closed")
+        buf += chunk
+    return buf
+
+
+def read_packet(sock: socket.socket) -> tuple[int, int, bytes]:
+    """Read one MQTT control packet -> (type, flags, body)."""
+    h = _read_exact(sock, 1)[0]
+    n, shift = 0, 0
+    for _ in range(4):
+        b = _read_exact(sock, 1)[0]
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    else:
+        raise ConnectionError("malformed remaining length")
+    return h >> 4, h & 0x0F, _read_exact(sock, n) if n else b""
+
+
+def write_packet(sock: socket.socket, ptype: int, flags: int,
+                 body: bytes) -> None:
+    sock.sendall(
+        bytes([(ptype << 4) | flags]) + _encode_remaining(len(body)) + body
+    )
+
+
+def _mqtt_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack(">H", len(b)) + b
+
+
+class MiniBroker:
+    """Threaded QoS-0 MQTT 3.1.1 broker on an ephemeral port."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, port))
+        self._srv.listen(16)
+        self.host, self.port = self._srv.getsockname()
+        self._subs: list[tuple[list[re.Pattern], socket.socket,
+                               threading.Lock]] = []
+        self._lock = threading.Lock()
+        self._closing = False
+        self.n_connects = 0
+        self._accept_thread = threading.Thread(
+            target=self._accept_loop, daemon=True
+        )
+        self._accept_thread.start()
+
+    @property
+    def url(self) -> str:
+        return f"mqtt://{self.host}:{self.port}"
+
+    def _accept_loop(self) -> None:
+        while not self._closing:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve, args=(conn,), daemon=True
+            ).start()
+
+    def _serve(self, conn: socket.socket) -> None:
+        patterns: list[re.Pattern] = []
+        wlock = threading.Lock()
+        try:
+            ptype, _, _ = read_packet(conn)
+            if ptype != CONNECT:
+                return
+            with self._lock:
+                self.n_connects += 1
+            write_packet(conn, CONNACK, 0, b"\x00\x00")  # accepted
+            while True:
+                ptype, flags, body = read_packet(conn)
+                if ptype == SUBSCRIBE:
+                    pid = body[:2]
+                    i, codes = 2, b""
+                    while i < len(body):
+                        ln = struct.unpack(">H", body[i:i + 2])[0]
+                        topic = body[i + 2:i + 2 + ln].decode("utf-8")
+                        i += 2 + ln + 1  # + requested-QoS byte
+                        patterns.append(
+                            re.compile(mqtt_wildcard_to_regex(topic))
+                        )
+                        codes += b"\x00"  # granted QoS 0
+                    with self._lock:
+                        self._subs.append((patterns, conn, wlock))
+                    write_packet(conn, SUBACK, 0, pid + codes)
+                elif ptype == PUBLISH:
+                    ln = struct.unpack(">H", body[:2])[0]
+                    topic = body[2:2 + ln].decode("utf-8")
+                    i = 2 + ln
+                    if (flags >> 1) & 0x03:  # qos > 0: skip packet id
+                        i += 2
+                    self._route(topic, body[i:])
+                elif ptype == PINGREQ:
+                    write_packet(conn, PINGRESP, 0, b"")
+                elif ptype == DISCONNECT:
+                    return
+        except (ConnectionError, OSError):
+            return
+        finally:
+            with self._lock:
+                self._subs = [s for s in self._subs if s[1] is not conn]
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _route(self, topic: str, payload: bytes) -> None:
+        body = _mqtt_str(topic) + payload  # QoS 0: no packet id
+        with self._lock:
+            targets = list(self._subs)
+        for patterns, sock, wlock in targets:
+            if any(p.match(topic) for p in patterns):
+                try:
+                    with wlock:
+                        write_packet(sock, PUBLISH, 0, body)
+                except OSError:
+                    pass  # subscriber died; its serve loop cleans up
+
+    def close(self) -> None:
+        self._closing = True
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+
+class SocketMqttClient:
+    """Minimal QoS-0 MQTT 3.1.1 client with the PahoClient surface
+    (drain/reconnect/close) plus publish() for test producers."""
+
+    def __init__(self, url: str, topics: list[str], qos: int = 0,
+                 client_id: str | None = None):
+        host, _, port = url.replace("mqtt://", "").partition(":")
+        self._addr = (host, int(port or 1883))
+        self._topics = topics
+        self._client_id = client_id or f"mss-{time.time_ns() % 10**9}"
+        self._lock = threading.Lock()
+        self._buffer: list[tuple[str, str, datetime]] = []
+        self._closing = False
+        self._sock: socket.socket | None = None
+        self._wlock = threading.Lock()
+        self._connect()
+
+    def _connect(self) -> None:
+        s = socket.create_connection(self._addr, timeout=10)
+        # CONNECT: proto "MQTT" level 4, clean session, keepalive 60
+        body = (_mqtt_str("MQTT") + b"\x04" + b"\x02" +
+                struct.pack(">H", 60) + _mqtt_str(self._client_id))
+        write_packet(s, CONNECT, 0, body)
+        ptype, _, ack = read_packet(s)
+        if ptype != CONNACK or ack[1] != 0:
+            raise ConnectionError(f"CONNACK refused: {ack!r}")
+        if self._topics:
+            sub = struct.pack(">H", 1)
+            for t in self._topics:
+                sub += _mqtt_str(t) + b"\x00"
+            write_packet(s, SUBSCRIBE, 0x02, sub)
+            ptype, _, _ = read_packet(s)
+            if ptype != SUBACK:
+                raise ConnectionError("no SUBACK")
+        self._sock = s
+        threading.Thread(target=self._reader, args=(s,),
+                         daemon=True).start()
+
+    def _reader(self, s: socket.socket) -> None:
+        try:
+            while not self._closing:
+                ptype, flags, body = read_packet(s)
+                if ptype != PUBLISH:
+                    continue
+                ln = struct.unpack(">H", body[:2])[0]
+                topic = body[2:2 + ln].decode("utf-8")
+                i = 2 + ln
+                if (flags >> 1) & 0x03:
+                    i += 2
+                payload = body[i:].decode("utf-8", "replace")
+                with self._lock:
+                    self._buffer.append(
+                        (topic, payload, datetime.now(timezone.utc))
+                    )
+        except (ConnectionError, OSError):
+            return
+
+    def publish(self, topic: str, payload: str) -> None:
+        assert self._sock is not None
+        with self._wlock:
+            write_packet(
+                self._sock, PUBLISH, 0,
+                _mqtt_str(topic) + payload.encode("utf-8"),
+            )
+
+    def reconnect(self) -> None:  # watchdog hook (bin:92-95 parity)
+        try:
+            if self._sock is not None:
+                self._sock.close()
+        except OSError:
+            pass
+        self._connect()
+
+    def drain(self) -> list[tuple[str, str, datetime]]:
+        with self._lock:
+            out, self._buffer = self._buffer, []
+        return out
+
+    def close(self) -> None:
+        self._closing = True
+        try:
+            if self._sock is not None:
+                write_packet(self._sock, DISCONNECT, 0, b"")
+                self._sock.close()
+        except OSError:
+            pass

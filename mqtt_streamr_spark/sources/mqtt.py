@@ -19,9 +19,13 @@ at-least-once. Usage:
           .option("topics", "sensors/#,home/+/lamp")
           .load())
 
-Two client backends:
-- paho-mqtt (real broker) — gated behind an import-try; this container
-  ships no MQTT libs, so it raises a clear error if requested;
+Three client backends:
+- paho-mqtt (real broker, full protocol) — preferred for ``mqtt://``
+  URLs when importable;
+- the built-in minimal QoS-0 socket client (sources/minibroker.py) —
+  automatic fallback for ``mqtt://`` URLs when paho is absent, so the
+  source still speaks live MQTT 3.1.1 over TCP (soak-tested against the
+  in-repo MiniBroker in tests/test_mqtt_source.py);
 - the in-process loopback broker (``broker://<name>``) — the deterministic
   test double for the full DataSource plumbing (subscribe wildcards,
   buffering, offsets, watchdog).
@@ -204,7 +208,21 @@ class MqttStreamReader(SimpleDataSourceStreamReader):
                 broker = LoopbackBroker.get(self.url[len("broker://"):])
                 self._client = LoopbackClient(broker, self.topics)
             else:
-                self._client = PahoClient(self.url, self.topics, self.qos)
+                # real TCP broker: paho when importable (full protocol);
+                # otherwise the built-in minimal QoS-0 socket client — a
+                # live MQTT 3.1.1 connection either way
+                try:
+                    self._client = PahoClient(
+                        self.url, self.topics, self.qos
+                    )
+                except ImportError:
+                    from mqtt_streamr_spark.sources.minibroker import (
+                        SocketMqttClient,
+                    )
+
+                    self._client = SocketMqttClient(
+                        self.url, self.topics, self.qos
+                    )
             if self.data_timeout > 0:
                 from mqtt_streamr_spark.streaming.stats import (
                     DataTimeoutWatchdog,
