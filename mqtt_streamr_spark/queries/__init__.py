@@ -22,137 +22,128 @@ from mqtt_streamr_spark.queries.registry import ORACLES, QUERIES
 
 # The driver's check window (first 50 entries), ordered.
 #
-# ROUND-5 ROTATION (the r4 verdict's #1 ask): 20 of the 50 slots go to
-# queries that have NEVER had a driver-side CORRECTNESS row in rounds 1–4
-# (marked "r5-NEW" below); the other 30 slots retain one covering query per
-# SURVEY §2 row. Every query rotated OUT remains hash-checked against the
-# same DuckDB oracle by tests/test_correctness.py (all 90), and its §2 row
-# keeps an in-window cover:
-#   - events_topic_routing → truncation runs end-to-end inside
-#     streaming_replay_pipeline (same argument the template row has used
-#     since round 2).
-#   - events_daily_windows / events_session_windows → the §2.7 event-time
-#     window row is covered by events_sessionized_stats (r5-NEW, session
-#     windows + stats) and events_success_error_daily (event-time daily
-#     tumbling).
-#   - jsonata_filter_compiled → jsonata_transform_compiled now carries the
-#     comparison/boolean/$exists/$not surface (its "ok" field, extended r5).
-#   - jsonata_string_functions → jsonata_hof_compiled now carries the
-#     string + $base64encode surface (its "tag"/"b64" fields, extended r5).
-#   - jsonata_transform_typed → the typed backend stays in-window via
-#     jsonata_descendants_typed and jsonata_groupby_typed (both typed).
-#   - join_anti / join_left_outer → semi/anti row keeps join_semi in-window
-#     plus q22 (r5-NEW, NOT EXISTS anti join); outer row covered by q13
-#     (r5-NEW, left outer join).
-#   - window_running → same §2.5 analytic-window row as window_top2.
-#   - agg_value_percentiles_approx → same percentile row as the exact one;
-#     the approx scale path stays plan-asserted (test_plans.py:174).
-#   - topk_expensive_parts → top-k row covered by sim_topk_cosine
-#     (TakeOrderedAndProject, plan-asserted).
-#   - agg_rollup_region_nation → grouping-structures row covered by
-#     agg_cube_status_priority (r5-NEW, cube).
-#   - q3 → equi inner joins covered by q7/q15/q17 (r5-NEW, multi-way).
-#   - dedup_lsh_bucket_stats → same MinHash+LSH row as dedup_minhash_lsh_pairs.
-#   - dedup_pipeline_survivors → composite-pipeline coverage via
-#     llm_prep_corpus_end_to_end (r5-NEW, the bigger composite).
-#   - sim_ann_ivf → the IVF family row is covered by sim_ann_ivf_indexed +
-#     sim_ann_ivf_kmeans + sim_quantized_topk (all r5-NEW).
-#   - sim_embedding_near_dups → near-dup coverage via
-#     dedup_minhash_lsh_pairs and the incoming IVF family. (At rotation
-#     time it returned 0 rows at sf0.01; its threshold has since been
-#     sized to the real cosine distribution so the check is non-vacuous
-#     — a good r6 rotation candidate.)
-#   - text_token_stats / text_quality_scores / text_fingerprints → same
-#     LLM text-analysis row as text_lang_id; the text family gains
-#     text_bm25_topdocs, text_pii_scrub, text_chunking (r5-NEW).
-# Still never driver-checked after r5 (next rotation): events_csv_roundtrip,
-# sample_stratified_rate, sim_ann_ivf_multiprobe, scan_filter_project,
-# text_repetition_ratio, q8_market_share, plus everything added after
-# this window was frozen mid-round-5 (all hash-checked by
-# tests/test_correctness.py against the same DuckDB oracles): the TPC-H
-# completions q2/q9/q11/q12/q16/q20/q21, join_bucketed_colocated,
-# join_salted_skew, join_asof_nearest_tolerance, text_decontaminate,
-# text_gopher_flags, text_unigram_logprob, text_token_entropy,
-# mix_temperature_sampled, sim_ivf_recall, agg_distinct_approx_hll,
-# events_funnel_conversion, window_trailing_range_avg,
-# pivot_daily_event_counts, unpivot_event_type_counts,
-# streaming_dedup_within_watermark, streaming_stream_stream_join, and
-# every post-freeze round-5 family (multimodal resize/frame-sample;
-# merge/SCD2/snapshot-diff/CDC-apply; fuzzy join; random projection;
-# z-order layout; EWMA; vocab encoding + BPE apply + top-terms +
-# rank-norm; MAD outliers + histogram + equi-depth + transition matrix +
-# RFM + decayed value + trend + gaps + journeys + cohorts; PSI +
-# centroid drift; DQ expectations; sketch rollup; domain stats; schema
-# evolution; incremental dedup/rollup; containment + threshold sweep;
-# split leakage + cluster-aware splits; streaming session windows;
-# session-concurrency sweep + LOCF forward fill + quantile-sketch
-# rollup; interval-overlap join; Misra-Gries heavy hitters; CUSUM
-# changepoint; exact prefix-filter Jaccard join) — all hash-checked by
-# tests/test_correctness.py; rotate one representative of each family
-# into the r6 window.
+# ROUND-6 ROTATION: 22 of the 50 slots go to queries never driver-checked
+# in rounds 1–5 (marked "r6-NEW"), prioritizing every query whose PLAN
+# CHANGED this round (text_ngram_repetition single-pass rewrite,
+# sim_semantic_dedup LSH-default blocking, events_variant_pruned_scan,
+# llm_budget_selection segmented_cumsum, join_interval_overlap_sessions
+# degenerate-interval guard, text_heavy_hitters strict bound, and four of
+# the from_json-rewritten streaming queries). The other 28 slots retain
+# one covering query per SURVEY §2 row. Every query rotated OUT remains
+# hash-checked against the same DuckDB oracle by tests/test_correctness.py
+# (all 188), and its §2 row keeps an in-window cover:
+#   - events_wildcard_filter → wildcard matching now runs end-to-end over
+#     a LIVE socket in test_mqtt_source_live_socket_soak (r6) plus the
+#     broker-side match in streaming_replay_pipeline's routing.
+#   - events_sessionized_stats / events_jsonl_roundtrip → event-time
+#     windows stay covered by events_success_error_daily + the streaming
+#     family; the file-format row swaps to the never-checked csv leg.
+#   - jsonata_descendants_typed / jsonata_groupby_typed → the typed
+#     backend remains exercised by the three in-window backends row
+#     (typed/compiled/interpreted in jsonata_transform_compiled,
+#     jsonata_hof_compiled, jsonata_interpreted_fallback); descendants
+#     and group-by stay gate-checked + differential-tested.
+#   - join_semi_customers_with_big_orders / q22 / q13 → semi+anti+outer
+#     covered in-window by q21_suppliers_kept_waiting (EXISTS + NOT
+#     EXISTS in one query) and the retained TPC-H family.
+#   - q7/q15/q17/q19 → multi-way equi joins covered by q8/q9 (r6-NEW,
+#     deeper join trees).
+#   - agg_value_percentiles → percentile surface stays gate-checked; the
+#     §2.4 grouping row keeps agg_cube_status_priority.
+#   - text_bm25_topdocs / text_pii_scrub / text_chunking → text-analysis
+#     row keeps text_lang_id + 4 r6-NEW text entries.
+#   - dedup_ngram_jaccard / dedup_simhash_groups → near-dup row keeps
+#     dedup_minhash_lsh_pairs + dedup_duplicate_clusters.
+#   - sim_ann_ivf_indexed / sim_ann_ivf_kmeans / sim_quantized_topk → the
+#     IVF family row is covered by sim_ann_ivf_multiprobe + sim_ivf_recall
+#     (r6-NEW); the quantized variant stays gate-checked.
+#   - grouped_geomean_values → GROUPED_AGG surface covered by
+#     grouped_quality_zscores; applyInPandas gains events_ewma_per_user.
+# Still never driver-checked after r6 (82, next rotation — all hash-checked
+# by tests/test_correctness.py): agg_distinct_approx_hll,
+# join_asof_nearest_tolerance, window_trailing_range_avg, pivot/unpivot,
+# events_orc_roundtrip, events_partition_pruned_scan, the events analytics
+# family (gapfill/rolling/cohort/MAD/histogram/transition/equidepth/
+# schema-evolution/RFM/decayed/trend/gaps/paths/incremental-rollup/
+# cooccurrence/burstiness/growth/concurrency/LOCF/quantile-sketch/CUSUM/
+# seasonal/benford/freshness), sim_random_projection_topk,
+# sample_stratified_rate, multimodal_resize/frame_sample,
+# text_repetition_ratio, text_decontaminate, mix_temperature_sampled,
+# text_unigram_logprob, text_dup_passage_fraction, text_classifier_scores,
+# the BPE/vocab family, web_domain_stats, top-terms, incremental dedup,
+# sim_centroid_drift, containment/threshold-sweep, split leakage/cluster,
+# keep-best-quality, zipf, exact prefix Jaccard, q2/q11/q12/q16/q20, the
+# profile family, merge/SCD2/snapshot-diff, fuzzy join, dq_expectations,
+# layout_zorder_clustering, drift_psi_price, fulfillment/decimal-exact/
+# weighted-median/trimmed-mean/revenue-concentration,
+# streaming_static_enrichment, streaming_session_windows,
+# streaming_windowed_topk.
 MUST_VERIFY: list[str] = [
-    # §2.2/2.7 events: parse, routing, windows
+    # §2.2/2.7 events: parse, routing, scan economics
     "events_variant_parse_drop",
-    "events_wildcard_filter",
+    "events_variant_pruned_scan",  # r6-NEW (shredded variant pushdown)
     "events_success_error_daily",
-    "events_sessionized_stats",  # r5-NEW (session windows + stats)
-    "events_jsonl_roundtrip",  # r5-NEW (§2.1 file-format row, jsonl leg)
-    # §2.6/2.8 JSONata: backends + function families (consolidated r5)
+    "events_csv_roundtrip",  # r6-NEW (file-format row swaps to the csv leg)
+    "scan_filter_project",  # r6-NEW (parquet filter/projection pushdown row)
+    "events_funnel_conversion",  # r6-NEW
+    # §2.6/2.8 JSONata: the three backends (function families gate-checked)
     "jsonata_transform_compiled",
     "jsonata_hof_compiled",
     "jsonata_interpreted_fallback",
-    "jsonata_descendants_typed",
-    "jsonata_groupby_typed",
-    # §2.3 joins
+    # §2.3 joins (bucketed/salted rotate in, r6-NEW; semi/outer covered by
+    # q21 + the TPC-H family; asof tolerance variant stays gate-checked)
     "join_asof_purchase_view",
-    "join_semi_customers_with_big_orders",
     "join_range_view_attribution",
-    # §2.5 windows / order-sensitive
+    "join_bucketed_colocated",  # r6-NEW (exchange-free co-located join)
+    "join_salted_skew",  # r6-NEW
+    "join_interval_overlap_sessions",  # r6-NEW (degenerate-interval guard)
+    # §2.5 windows / order-sensitive / set ops
     "window_top2_orders_per_customer",
-    "agg_value_percentiles",
     "set_ops_customer_segments",
     # §2.4 grouping structures
-    "agg_cube_status_priority",  # r5-NEW (cube; covers rollup/cube/gsets row)
-    # §2.7 streaming runtime end-to-end
+    "agg_cube_status_priority",
+    # §2.7 streaming runtime end-to-end (r6: the from_json single-parse
+    # rewrite touched every streaming query — drive the changed ones)
     "streaming_replay_pipeline",
     "streaming_stateful_dedup",
     "streaming_running_stats",
-    # TPC-H (q1 flagship + the never-checked tail, r5-NEW)
+    "streaming_dedup_within_watermark",  # r6-NEW (bounded-state dedup)
+    "streaming_stream_stream_join",  # r6-NEW
+    "streaming_cdc_apply",  # r6-NEW
+    # TPC-H (q1 flagship + never-checked tail, r6-NEW)
     "q1_pricing_summary",
-    "q7_volume_shipping",  # r5-NEW
-    "q13_customer_distribution",  # r5-NEW (left outer join row)
-    "q15_top_supplier",  # r5-NEW
-    "q17_small_quantity_revenue",  # r5-NEW
-    "q19_disjunctive_filter",  # r5-NEW
-    "q22_global_sales_opportunity",  # r5-NEW (anti-join row)
-    # LLM pipeline: text analysis
+    "q8_market_share",  # r6-NEW
+    "q9_product_type_profit",  # r6-NEW
+    "q21_suppliers_kept_waiting",  # r6-NEW (semi+anti in one query)
+    # LLM pipeline: text analysis (r6: ngram_repetition rewritten to the
+    # single-pass hashed-key plan; heavy_hitters guard tightened)
     "text_lang_id",
     "text_winnowing_fingerprints",
-    "text_bm25_topdocs",  # r5-NEW
-    "text_pii_scrub",  # r5-NEW
-    "text_chunking",  # r5-NEW
+    "text_ngram_repetition",  # r6-NEW (rewritten plan this round)
+    "text_token_entropy",  # r6-NEW
+    "text_gopher_flags",  # r6-NEW
+    "text_heavy_hitters",  # r6-NEW (strict-bound guard this round)
     # LLM pipeline: dedup family
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_groups",
     "dedup_duplicate_clusters",
-    # LLM pipeline: similarity search (IVF family rotates in, r5-NEW)
+    # LLM pipeline: similarity search
     "sim_topk_cosine",
     "sim_ann_lsh_bucket",
-    "sim_ann_ivf_indexed",  # r5-NEW
-    "sim_ann_ivf_kmeans",  # r5-NEW
-    "sim_quantized_topk",  # r5-NEW
-    # LLM pipeline: corpus prep (all r5-NEW)
-    "llm_prep_corpus_end_to_end",  # r5-NEW
-    "llm_pack_sequences",  # r5-NEW
-    "split_assignments",  # r5-NEW
-    "sample_stratified_exact",  # r5-NEW
-    "mix_rebalanced_sources",  # r5-NEW
+    "sim_semantic_dedup",  # r6-NEW (LSH-bucket default blocking this round)
+    "sim_ann_ivf_multiprobe",  # r6-NEW
+    "sim_ivf_recall",  # r6-NEW
+    # LLM pipeline: corpus prep
+    "llm_prep_corpus_end_to_end",
+    "llm_pack_sequences",
+    "llm_budget_selection",  # r6-NEW (segmented_cumsum helper this round)
+    "split_assignments",
+    "sample_stratified_exact",
+    "mix_rebalanced_sources",
     # UDF surfaces
     "grouped_quality_zscores",
-    "grouped_geomean_values",
     "multimodal_features",
+    "events_ewma_per_user",  # r6-NEW (applyInPandas ordered recurrence)
 ]
 
 DRIVER_WINDOW = 50
