@@ -403,6 +403,44 @@ def quantile_sketch_events(spark, k):
         F.count(F.lit(1)), F.sum("p50_est"))
 
 
+def ngram_repetition_docs(spark, k):
+    # r6 single-pass multi-n repetition profile: one tokenize, bi+tri
+    # grams off the same token array, ONE shuffle keyed on
+    # (doc_id, n, xxhash64(gram)) — should scale ~linearly; the old
+    # call-per-n shape paid two raw-string shuffles plus a join
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k,
+        id_cols=("doc_id",), tag_text_col="text",
+    )
+    per = T.ngram_repetition_profile(docs, ns=(2, 3))
+    return per.agg(
+        F.count(F.lit(1)), F.round(F.avg("top2_frac"), 4),
+        F.round(F.avg("dup3_frac"), 4),
+    )
+
+
+def variant_pruned_scan_events(spark, k):
+    # r6 shredded-variant scan: ingest cost is amortized (paid once per
+    # replica set, like the bucketed tables); the probe reads ONLY the
+    # shredded $.k subcolumn with the predicate pushed to row-group
+    # stats — time should track the pruned column's bytes, ~linear
+    import tempfile
+
+    ev = replicate(load(spark, "events", SF_DIR), k, id_cols=("event_id",))
+    d = os.path.join(tempfile.gettempdir(), f"scale_shred_{k}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        (ev.withColumn("v", F.parse_json(F.col("props"))).drop("props")
+         .write.mode("overwrite").parquet(d))
+    shredded = spark.read.parquet(d)
+    probed = shredded.select(
+        "event_type",
+        F.try_variant_get(F.col("v"), "$.k", "long").alias("kv"),
+    ).filter(F.col("kv") > 50)
+    return probed.groupBy("event_type").agg(
+        F.count(F.lit(1)), F.round(F.avg("kv"), 4)
+    )
+
+
 OPS = {
     "scan_agg_lineitem": scan_agg,
     "minhash_lsh_buckets": minhash_buckets,
@@ -431,6 +469,8 @@ OPS = {
     "concurrency_sweep_events": concurrency_sweep_events,
     "forward_fill_events": forward_fill_events,
     "quantile_sketch_events": quantile_sketch_events,
+    "ngram_repetition_docs": ngram_repetition_docs,
+    "variant_pruned_scan_events": variant_pruned_scan_events,
 }
 
 

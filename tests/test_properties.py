@@ -663,3 +663,45 @@ def test_budget_selection_two_phase_equals_naive_cumsum(spark, docs):
         if cum <= budget:
             want.append(i)
     assert got == sorted(want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    topic=st.text(
+        st.characters(codec="utf-8", exclude_characters="\x00"),
+        min_size=1, max_size=80,
+    ),
+    payload=st.text(max_size=2000),
+)
+def test_mqtt_packet_codec_roundtrip(topic, payload):
+    """The mini-broker's MQTT 3.1.1 packet codec round-trips arbitrary
+    topics/payloads through a socketpair — covers multi-byte UTF-8
+    topics, empty payloads, and remaining-length boundaries (127/128,
+    16383/16384 — the varint continuation edges, spec 2.2.3)."""
+    import socket
+    import struct
+
+    from mqtt_streamr_spark.sources.minibroker import (
+        PUBLISH,
+        _encode_remaining,
+        _mqtt_str,
+        read_packet,
+        write_packet,
+    )
+
+    a, b = socket.socketpair()
+    try:
+        body = _mqtt_str(topic) + payload.encode("utf-8")
+        write_packet(a, PUBLISH, 0, body)
+        ptype, flags, got = read_packet(b)
+        assert (ptype, flags) == (PUBLISH, 0)
+        ln = struct.unpack(">H", got[:2])[0]
+        assert got[2:2 + ln].decode("utf-8") == topic
+        assert got[2 + ln:].decode("utf-8") == payload
+    finally:
+        a.close()
+        b.close()
+    # varint edges explicitly (one byte -> two -> three)
+    for n, want in [(0, b"\x00"), (127, b"\x7f"), (128, b"\x80\x01"),
+                    (16383, b"\xff\x7f"), (16384, b"\x80\x80\x01")]:
+        assert _encode_remaining(n) == want
