@@ -1646,13 +1646,24 @@ def _fc_keys(args, node, ctx):
     TYPED path: statically-known fields; a NULL-valued field reads as
     absent (the typed path cannot distinguish JSON null from a missing
     key — same documented divergence as $exists). VARIANT path: keys
-    read from the raw payload text in insertion order; non-object values
-    yield undefined — including an ARRAY of objects, where the
-    interpreter merges member keys (documented divergence of the
-    compiled path; rare input, order-correct everywhere else)."""
+    read from the raw payload text in insertion order; arrays merge
+    member-object keys in first-appearance order (JSONata's recursive
+    $keys-over-array rule) and arrays of non-objects yield [], both
+    matching the interpreter; scalars yield undefined."""
     obj = args[0]
     if obj.kind == "variant":
-        col = F.json_object_keys(_raw_json_str(node["args"][0], ctx))
+        raw = _raw_json_str(node["args"][0], ctx)
+        arr_keys = F.array_distinct(F.flatten(F.filter(
+            F.transform(
+                F.from_json(raw, "array<map<string, variant>>"),
+                lambda m: F.map_keys(m),
+            ),
+            lambda ks: ks.isNotNull(),
+        )))
+        col = F.when(
+            F.startswith(F.ltrim(raw), F.lit("[")),
+            F.coalesce(arr_keys, F.array().cast("array<string>")),
+        ).otherwise(F.json_object_keys(raw))
         return TypedCol(col, "array<string>", elem="string")
     if obj.kind != "object":
         raise NotCompilable("$keys compiles for typed/variant objects only")
@@ -1820,11 +1831,23 @@ def _fc_sift(args, node, ctx):
 
 @_fn("lookup")
 def _fc_lookup(args, node, ctx):
-    """$lookup(obj, key) with a literal key -> variant path extraction."""
+    """$lookup(obj, key). Literal key -> variant path extraction (or
+    typed struct navigation). DYNAMIC key (r6): variant_get paths must
+    be foldable, so a computed key reads through the ordered-map
+    encoding instead — element_at(map<string,variant>, key) — which
+    needs the raw column + a literal-path object argument. Divergence
+    (documented, same class as $keys): a runtime ARRAY of objects maps
+    $lookup over members in the interpreter; here it yields undefined."""
     key_node = node["args"][1] if len(node["args"]) > 1 else None
-    if key_node is None or key_node["type"] != "string":
-        raise NotCompilable("$lookup needs a literal string key")
+    if key_node is None:
+        raise NotCompilable("$lookup needs two args")
     obj = args[0]
+    if key_node["type"] != "string":
+        if obj.kind != "variant":
+            raise NotCompilable("dynamic $lookup needs a variant object")
+        key = as_string(args[1])
+        m = _ordered_map(node["args"][0], ctx)
+        return TypedCol(F.element_at(m, key), "variant")
     if obj.kind == "object" and obj.dtype is not None:
         return _typed_navigate(obj.col, obj.dtype, [key_node["value"]])
     if obj.kind != "variant":

@@ -309,6 +309,12 @@ COMPILABLE = [
     "$sift(nested, function($v){ $boolean($v) })",
     "$spread(nested)",
     "$count($spread($))",
+    # array/merged and dynamic-key forms (compiled r6, interpreter-exact)
+    "$keys(items)",                             # merged member keys
+    "$keys(nums)",                              # array of scalars -> []
+    "$lookup(nested, user)",                    # dynamic key ('ada' absent)
+    '$lookup(nested, "name")',
+    '$lookup(nested, $lowercase("K"))',         # computed key
 ]
 
 
