@@ -1718,11 +1718,49 @@ def _fc_millis(args, node, ctx):
 
 @_fn("merge")
 def _fc_merge(args, node, ctx):
-    """$merge([o1, o2, ...]) for statically-constructed objects: later
-    fields override earlier ones at compile time (struct field merge)."""
+    """$merge([o1, o2, ...]).
+
+    VARIANT path (r6): items that are literal paths merge as ordered
+    maps — later values override earlier ones IN PLACE (first-appearance
+    key position, the JS object-spread rule the interpreter follows),
+    using the JSON-null-vs-missing distinction the map encoding keeps
+    (a json null is a non-SQL-null variant, so coalesce-override is
+    exact). A runtime non-object item contributes nothing (type-error →
+    undefined, the compiled path's documented divergence class).
+    Otherwise: statically-constructed objects merge at compile time
+    (struct field merge)."""
     arr_node = node["args"][0] if node["args"] else None
     if arr_node is None or arr_node["type"] != "array":
         raise NotCompilable("$merge compiles for literal object arrays")
+    empty = F.from_json(F.lit("{}"), "map<string, variant>")
+    try:
+        maps = [
+            F.coalesce(_ordered_map(it, ctx), empty)
+            for it in arr_node["items"]
+        ]
+    except NotCompilable:
+        maps = None
+    if maps is not None:
+        merged_m = maps[0] if maps else empty
+        for nxt in maps[1:]:
+            overridden = F.transform(
+                F.map_entries(merged_m),
+                lambda e: F.struct(
+                    e.getField("key").alias("key"),
+                    F.coalesce(
+                        F.element_at(nxt, e.getField("key")),
+                        e.getField("value"),
+                    ).alias("value"),
+                ),
+            )
+            fresh = F.filter(
+                F.map_entries(nxt),
+                lambda e: ~F.array_contains(
+                    F.map_keys(merged_m), e.getField("key")
+                ),
+            )
+            merged_m = F.map_from_entries(F.concat(overridden, fresh))
+        return TypedCol(merged_m, "omap")
     merged: dict[str, Column] = {}
     for item in arr_node["items"]:
         tc = _compile(item, ctx)

@@ -315,6 +315,8 @@ COMPILABLE = [
     "$lookup(nested, user)",                    # dynamic key ('ada' absent)
     '$lookup(nested, "name")',
     '$lookup(nested, $lowercase("K"))',         # computed key
+    "$merge([nested.deep, nested])",            # override + key-position
+    "$merge([nested, nested.deep])",
 ]
 
 
