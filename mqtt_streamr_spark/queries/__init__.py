@@ -85,11 +85,12 @@ MUST_VERIFY: list[str] = [
     "events_success_error_daily",
     "events_csv_roundtrip",  # r6-NEW (file-format row swaps to the csv leg)
     "scan_filter_project",  # r6-NEW (parquet filter/projection pushdown row)
-    "events_funnel_conversion",  # r6-NEW
     # §2.6/2.8 JSONata: the three backends (function families gate-checked)
+    # + the r6 ordered-object compiled surface
     "jsonata_transform_compiled",
     "jsonata_hof_compiled",
     "jsonata_interpreted_fallback",
+    "jsonata_object_ops_compiled",  # r6-NEW (compiled $keys/$lookup/$sift/$merge)
     # §2.3 joins (bucketed/salted rotate in, r6-NEW; semi/outer covered by
     # q21 + the TPC-H family; asof tolerance variant stays gate-checked)
     "join_asof_purchase_view",

@@ -429,3 +429,63 @@ def jsonata_groupby_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("hi"), 2).alias("hi_sum"),
         )
     )
+
+
+@query(
+    "jsonata_object_ops_compiled",
+    oracle="""
+    WITH m AS (
+        SELECT event_type AS kind,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS kv
+        FROM events)
+    SELECT kind, count(*) AS n,
+           sum(kv)::BIGINT AS sum_kv,
+           3 AS n_keys,
+           'props' AS sifted_first,
+           2 AS n_merged,
+           'big' AS merged_last
+    FROM m GROUP BY kind
+    """,
+)
+def jsonata_object_ops_compiled(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """The r6 ordered-object surface on the COMPILED variant path, end to
+    end: $keys (insertion order from the raw payload), dynamic-key
+    $lookup (ordered-map element_at), $sift (map_filter key-dropping)
+    and $merge (in-place override) — schemaless input, no declared
+    schema, no Python (jsonata/compiler.py ordered-map encoding; plan-
+    asserted no-EvalPython in tests/test_plans.py). The oracle restates
+    the structure constants (key counts/orderings are fixed by the
+    payload shape) plus the data-dependent $lookup sum."""
+    ev = load(spark, "events", sf_dir)
+    df = ev.withColumn(
+        "payload",
+        F.to_json(F.struct(
+            "event_type",
+            F.from_json("props", "k long").alias("props"),
+            F.struct((col("value") > 50).alias("big")).alias("extra"),
+        )),
+    )
+    v = F.try_parse_json("payload")
+    raw = col("payload")
+    keys_tc = compile_column("$keys($)", v, raw_col=raw)
+    kv_tc = compile_column('$lookup(props, $lowercase("K"))', v, raw_col=raw)
+    sift_tc = compile_column(
+        '$sift($, function($v, $k){ $k = "props" })', v, raw_col=raw)
+    merge_tc = compile_column("$merge([props, extra])", v, raw_col=raw)
+    out = df.select(
+        col("event_type").alias("kind"),
+        F.size(keys_tc.col).alias("n_keys"),
+        kv_tc.col.cast("long").alias("kv"),
+        F.element_at(F.map_keys(sift_tc.col), 1).alias("sifted_first"),
+        F.size(F.map_keys(merge_tc.col)).alias("n_merged"),
+        F.element_at(F.map_keys(merge_tc.col), -1).alias("merged_last"),
+    )
+    return out.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("kv").alias("sum_kv"),
+        F.max("n_keys").alias("n_keys"),
+        F.min("sifted_first").alias("sifted_first"),
+        F.max("n_merged").alias("n_merged"),
+        F.max("merged_last").alias("merged_last"),
+    )
