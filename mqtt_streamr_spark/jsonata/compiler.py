@@ -398,13 +398,21 @@ def _json_path(steps: list) -> str:
     return "".join(out)
 
 
-def _raw_json_str(arg_node, ctx: Ctx) -> Column:
+def _raw_json_str(arg_node, ctx: Ctx, variant_col: Column | None = None,
+                  allow: tuple = ("OBJECT",)) -> Column:
     """Raw JSON TEXT of the value at a literal path from the message root,
     in ORIGINAL key order. The variant binary sorts object keys, so the
     ordered-object functions re-read their argument from the raw payload
     string (``get_json_object`` preserves source order). Compilable only
     when the raw column is available, the context root IS the message
-    root, and the argument is a pure name/index path."""
+    root, and the argument is a pure name/index path.
+
+    ``variant_col`` guards against the STRING-scalar trap: a string field
+    whose CONTENT is JSON text (an embedded serialized payload) looks
+    identical in the raw stream — ``get_json_object`` strips the quotes —
+    so without a runtime type check $keys on it would read the embedded
+    keys. The guard nulls the text unless ``schema_of_variant`` of the
+    parsed value at the same path starts with one of ``allow``."""
     if ctx.raw is None or ctx.root_kind != "variant":
         raise NotCompilable(
             "ordered-object op needs the raw JSON column (variant root)"
@@ -412,16 +420,26 @@ def _raw_json_str(arg_node, ctx: Ctx) -> Column:
     steps = _path_steps(arg_node)
     if steps is None:
         raise NotCompilable("ordered-object op needs a literal path arg")
-    if not steps:
-        return ctx.raw
-    return F.get_json_object(ctx.raw, _json_path(steps))
+    raw = ctx.raw if not steps else F.get_json_object(
+        ctx.raw, _json_path(steps))
+    if variant_col is not None:
+        t = F.schema_of_variant(variant_col)
+        cond = t.startswith(allow[0])
+        for a in allow[1:]:
+            cond = cond | t.startswith(a)
+        raw = F.when(cond, raw)
+    return raw
 
 
-def _ordered_map(arg_node, ctx: Ctx) -> Column:
+def _ordered_map(arg_node, ctx: Ctx,
+                 variant_col: Column | None = None) -> Column:
     """The argument object as ``map<string, variant>`` with keys in source
     order (Spark maps preserve parse order; only the variant binary
-    sorts). NULL for non-object values — undefined downstream."""
-    return F.from_json(_raw_json_str(arg_node, ctx), "map<string, variant>")
+    sorts). NULL for non-object values (type-guarded when ``variant_col``
+    is given) — undefined downstream."""
+    return F.from_json(
+        _raw_json_str(arg_node, ctx, variant_col), "map<string, variant>"
+    )
 
 
 def _c_name(node, ctx):
@@ -1652,7 +1670,8 @@ def _fc_keys(args, node, ctx):
     matching the interpreter; scalars yield undefined."""
     obj = args[0]
     if obj.kind == "variant":
-        raw = _raw_json_str(node["args"][0], ctx)
+        raw = _raw_json_str(node["args"][0], ctx, variant_col=obj.col,
+                            allow=("OBJECT", "ARRAY"))
         arr_keys = F.array_distinct(F.flatten(F.filter(
             F.transform(
                 F.from_json(raw, "array<map<string, variant>>"),
@@ -1661,7 +1680,7 @@ def _fc_keys(args, node, ctx):
             lambda ks: ks.isNotNull(),
         )))
         col = F.when(
-            F.startswith(F.ltrim(raw), F.lit("[")),
+            F.schema_of_variant(obj.col).startswith("ARRAY"),
             F.coalesce(arr_keys, F.array().cast("array<string>")),
         ).otherwise(F.json_object_keys(raw))
         return TypedCol(col, "array<string>", elem="string")
@@ -1686,11 +1705,16 @@ def _fc_spread(args, node, ctx):
     source key order, built from the raw payload text via an ordered
     map (the variant binary would sort the keys). Typed/constructed
     objects stay on the interpreter (their single-pair objects have
-    per-field value types a uniform Spark array cannot hold)."""
+    per-field value types a uniform Spark array cannot hold).
+    Divergence (documented): the interpreter passes non-object arguments
+    through unchanged (scalars as-is, arrays member-wise) — a per-row
+    output-type dispatch a static Column cannot express — so the
+    compiled path yields undefined for runtime non-objects (the
+    type-guard in _raw_json_str)."""
     obj = args[0]
     if obj.kind != "variant":
         raise NotCompilable("$spread compiles for variant objects only")
-    m = _ordered_map(node["args"][0], ctx)
+    m = _ordered_map(node["args"][0], ctx, variant_col=obj.col)
     col = F.transform(
         F.map_entries(m),
         lambda e: F.map_from_entries(F.array(e)),
@@ -1735,7 +1759,7 @@ def _fc_merge(args, node, ctx):
     empty = F.from_json(F.lit("{}"), "map<string, variant>")
     try:
         maps = [
-            F.coalesce(_ordered_map(it, ctx), empty)
+            F.coalesce(_ordered_map(it, ctx, variant_col=_compile(it, ctx).col), empty)
             for it in arr_node["items"]
         ]
     except NotCompilable:
@@ -1788,7 +1812,7 @@ def _fc_each(args, node, ctx):
     lam = _lambda_arg(node, 1, 2, "$each")
     obj = args[0]
     if obj.kind == "variant":
-        m = _ordered_map(node["args"][0], ctx)
+        m = _ordered_map(node["args"][0], ctx, variant_col=obj.col)
         out: dict = {}
 
         def body(e: Column) -> Column:
@@ -1843,7 +1867,7 @@ def _fc_sift(args, node, ctx):
         # VARIANT path (r6): map_filter over the ordered map from the raw
         # payload text — entries whose predicate fails are REMOVED (true
         # key-dropping, no null conflation), source key order preserved
-        m = _ordered_map(node["args"][0], ctx)
+        m = _ordered_map(node["args"][0], ctx, variant_col=obj.col)
 
         def pred(k: Column, v: Column) -> Column:
             binds = [TypedCol(v, "variant")]
@@ -1884,7 +1908,7 @@ def _fc_lookup(args, node, ctx):
         if obj.kind != "variant":
             raise NotCompilable("dynamic $lookup needs a variant object")
         key = as_string(args[1])
-        m = _ordered_map(node["args"][0], ctx)
+        m = _ordered_map(node["args"][0], ctx, variant_col=obj.col)
         return TypedCol(F.element_at(m, key), "variant")
     if obj.kind == "object" and obj.dtype is not None:
         return _typed_navigate(obj.col, obj.dtype, [key_node["value"]])

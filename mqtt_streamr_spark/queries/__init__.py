@@ -31,7 +31,8 @@ from mqtt_streamr_spark.queries.registry import ORACLES, QUERIES
 # the from_json-rewritten streaming queries). The other 28 slots retain
 # one covering query per SURVEY §2 row. Every query rotated OUT remains
 # hash-checked against the same DuckDB oracle by tests/test_correctness.py
-# (all 188), and its §2 row keeps an in-window cover:
+# (the whole registry — len(QUERIES), 189 as of r6), and its §2 row keeps
+# an in-window cover:
 #   - events_wildcard_filter → wildcard matching now runs end-to-end over
 #     a LIVE socket in test_mqtt_source_live_socket_soak (r6) plus the
 #     broker-side match in streaming_replay_pipeline's routing.

@@ -477,9 +477,13 @@ def jsonata_object_ops_compiled(spark: SparkSession, sf_dir: str
         col("event_type").alias("kind"),
         F.size(keys_tc.col).alias("n_keys"),
         kv_tc.col.cast("long").alias("kv"),
-        F.element_at(F.map_keys(sift_tc.col), 1).alias("sifted_first"),
+        # try_element_at: under ANSI mode element_at THROWS on an empty
+        # array (a row with missing props/extra would crash the query)
+        F.try_element_at(F.map_keys(sift_tc.col), F.lit(1))
+        .alias("sifted_first"),
         F.size(F.map_keys(merge_tc.col)).alias("n_merged"),
-        F.element_at(F.map_keys(merge_tc.col), -1).alias("merged_last"),
+        F.try_element_at(F.map_keys(merge_tc.col), F.lit(-1))
+        .alias("merged_last"),
     )
     return out.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),

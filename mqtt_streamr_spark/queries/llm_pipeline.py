@@ -2795,22 +2795,27 @@ def segmented_cumsum(d: DataFrame, seg_col: str, order_col: str,
     Phase 1 prefixes per-segment sums over the segment-count-sized
     table (broadcast back); phase 2 runs segment-partitioned per-row
     cumsums in parallel; cum = segment base + in-segment running sum.
-    Returns ``d`` plus a ``cum`` column. Property-tested against the
-    naive global cumsum in tests/test_properties.py."""
+    Returns ``d`` plus a ``cum`` column (overwriting any existing
+    ``cum`` — the one reserved output name; internals are
+    __seg_-prefixed so caller columns can't collide). Property-tested
+    against the naive global cumsum in tests/test_properties.py."""
     from pyspark.sql import Window
 
-    seg_net = d.groupBy(seg_col).agg(F.sum(val_col).alias("net"))
+    seg_net = d.groupBy(seg_col).agg(F.sum(val_col).alias("__seg_net"))
     w_b = Window.orderBy(col(seg_col).desc()).rowsBetween(
         Window.unboundedPreceding, -1)
     offsets = seg_net.select(
-        seg_col, F.coalesce(F.sum("net").over(w_b), F.lit(0)).alias("base"))
+        seg_col,
+        F.coalesce(F.sum("__seg_net").over(w_b), F.lit(0))
+        .alias("__seg_base"),
+    )
     w_in = Window.partitionBy(seg_col).orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0)
     return (
-        d.withColumn("run", F.sum(val_col).over(w_in))
+        d.withColumn("__seg_run", F.sum(val_col).over(w_in))
         .join(F.broadcast(offsets), seg_col)
-        .withColumn("cum", col("base") + col("run"))
-        .drop("run", "base")
+        .withColumn("cum", col("__seg_base") + col("__seg_run"))
+        .drop("__seg_run", "__seg_base")
     )
 
 

@@ -126,6 +126,7 @@ class MiniBroker:
     def _serve(self, conn: socket.socket) -> None:
         patterns: list[re.Pattern] = []
         wlock = threading.Lock()
+        registered = False
         try:
             ptype, _, _ = read_packet(conn)
             if ptype != CONNECT:
@@ -146,9 +147,18 @@ class MiniBroker:
                             re.compile(mqtt_wildcard_to_regex(topic))
                         )
                         codes += b"\x00"  # granted QoS 0
-                    with self._lock:
-                        self._subs.append((patterns, conn, wlock))
-                    write_packet(conn, SUBACK, 0, pid + codes)
+                    # SUBACK under wlock BEFORE registering: _route writes
+                    # under the same lock, so no PUBLISH can interleave
+                    # ahead of the SUBACK the client is waiting for; and
+                    # register the connection ONCE — later SUBSCRIBEs only
+                    # extend the shared pattern list (double registration
+                    # would deliver every match once per entry)
+                    with wlock:
+                        write_packet(conn, SUBACK, 0, pid + codes)
+                    if not registered:
+                        with self._lock:
+                            self._subs.append((patterns, conn, wlock))
+                        registered = True
                 elif ptype == PUBLISH:
                     ln = struct.unpack(">H", body[:2])[0]
                     topic = body[2:2 + ln].decode("utf-8")
@@ -221,29 +231,39 @@ class SocketMqttClient:
             for t in self._topics:
                 sub += _mqtt_str(t) + b"\x00"
             write_packet(s, SUBSCRIBE, 0x02, sub)
-            ptype, _, _ = read_packet(s)
-            if ptype != SUBACK:
+            # a broker with this client already subscribed elsewhere may
+            # interleave PUBLISH deliveries ahead of the SUBACK — buffer
+            # them rather than failing the connect
+            for _ in range(64):
+                ptype, flags, body = read_packet(s)
+                if ptype == SUBACK:
+                    break
+                if ptype == PUBLISH:
+                    self._buffer_publish(flags, body)
+            else:
                 raise ConnectionError("no SUBACK")
         self._sock = s
         threading.Thread(target=self._reader, args=(s,),
                          daemon=True).start()
 
+    def _buffer_publish(self, flags: int, body: bytes) -> None:
+        ln = struct.unpack(">H", body[:2])[0]
+        topic = body[2:2 + ln].decode("utf-8")
+        i = 2 + ln
+        if (flags >> 1) & 0x03:
+            i += 2
+        payload = body[i:].decode("utf-8", "replace")
+        with self._lock:
+            self._buffer.append(
+                (topic, payload, datetime.now(timezone.utc))
+            )
+
     def _reader(self, s: socket.socket) -> None:
         try:
             while not self._closing:
                 ptype, flags, body = read_packet(s)
-                if ptype != PUBLISH:
-                    continue
-                ln = struct.unpack(">H", body[:2])[0]
-                topic = body[2:2 + ln].decode("utf-8")
-                i = 2 + ln
-                if (flags >> 1) & 0x03:
-                    i += 2
-                payload = body[i:].decode("utf-8", "replace")
-                with self._lock:
-                    self._buffer.append(
-                        (topic, payload, datetime.now(timezone.utc))
-                    )
+                if ptype == PUBLISH:
+                    self._buffer_publish(flags, body)
         except (ConnectionError, OSError):
             return
 

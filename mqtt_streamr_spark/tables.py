@@ -156,6 +156,11 @@ def ensure_shredded_events(spark: SparkSession,
     d = os.path.join(tempfile.gettempdir(), f"events_shredded_{tag}")
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
         shutil.rmtree(d, ignore_errors=True)
+        # both confs default to true on Spark 4.1 (verified: the written
+        # footer carries typed_value subcolumns without touching them),
+        # but set them explicitly so the shredded layout survives a user
+        # session that flipped the defaults. conf.get(k, None) is None
+        # for never-set keys — restore via unset, not a skipped set.
         prev = {
             k: spark.conf.get(k, None)
             for k in ("spark.sql.variant.writeShredding.enabled",
@@ -172,7 +177,9 @@ def ensure_shredded_events(spark: SparkSession,
              .write.mode("overwrite").parquet(d))
         finally:
             for k, v in prev.items():
-                if v is not None:
+                if v is None:
+                    spark.conf.unset(k)
+                else:
                     spark.conf.set(k, v)
     return d
 

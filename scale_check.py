@@ -429,6 +429,10 @@ def variant_pruned_scan_events(spark, k):
     ev = replicate(load(spark, "events", SF_DIR), k, id_cols=("event_id",))
     d = os.path.join(tempfile.gettempdir(), f"scale_shred_{k}")
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        # explicit, not default-dependent: the row measures the SHREDDED
+        # layout (typed_value subcolumns in the parquet footer)
+        spark.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+        spark.conf.set("spark.sql.variant.inferShreddingSchema", "true")
         (ev.withColumn("v", F.parse_json(F.col("props"))).drop("props")
          .write.mode("overwrite").parquet(d))
     shredded = spark.read.parquet(d)

@@ -327,6 +327,38 @@ def test_compiled_matches_interpreter(spark, expr):
     assert_same(expected, actual, expr)
 
 
+def test_ordered_object_ops_string_content_trap(spark):
+    """A STRING field whose CONTENT is JSON text (an embedded serialized
+    payload) must NOT be treated as an object/array by the ordered-object
+    ops: get_json_object strips the quotes, so without the runtime
+    schema_of_variant guard $keys('{\"a\":1}') would return ['a'] instead
+    of the interpreter's undefined."""
+    doc = {
+        "emb_arr": '[{"a":1},{"b":2}]',
+        "emb_obj": '{"x": 1}',
+        "o": {"q": 7},
+    }
+    for expr in (
+        "$keys(emb_arr)",
+        "$keys(emb_obj)",
+        '$lookup(emb_obj, $lowercase("X"))',
+    ):
+        expected = jsonata(expr).evaluate(doc)
+        assert expected is UNDEFINED, expr  # interpreter: string -> undef
+        assert run_compiled(spark, expr, doc) is None, expr
+    # $each/$sift error in the interpreter on a string arg and $spread
+    # passes it through; the compiled path's documented divergence class
+    # maps all three to undefined — NEVER to the embedded content
+    for expr in (
+        '$sift(emb_obj, function($v){ true })',
+        '$each(emb_obj, function($v){ $string($v) })',
+        "$spread(emb_obj)",
+    ):
+        assert run_compiled(spark, expr, doc) is None, expr
+    # $merge skips the string item instead of absorbing its content
+    assert run_compiled(spark, "$merge([o, emb_obj])", doc) == {"q": 7}
+
+
 NOT_COMPILABLE = [
     "**.leaf",                       # descendants
     "nums{$string($): $}",           # group-by

@@ -227,6 +227,47 @@ def test_mini_broker_socket_client_roundtrip():
         b.close()
 
 
+def test_mini_broker_no_duplicate_delivery_on_second_subscribe():
+    """A client issuing TWO SUBSCRIBE packets (the normal
+    one-packet-per-subscribe() paho pattern) must receive a matching
+    message ONCE — the broker extends the connection's pattern list
+    instead of registering the connection twice."""
+    import struct
+    import time as _time
+
+    from mqtt_streamr_spark.sources.minibroker import (
+        SUBSCRIBE,
+        MiniBroker,
+        SocketMqttClient,
+        _mqtt_str,
+        write_packet,
+    )
+
+    b = MiniBroker()
+    try:
+        sub = SocketMqttClient(b.url, ["a/#"])
+        # second SUBSCRIBE on the same connection, raw (the client's
+        # reader thread owns the socket reads, so just fire and wait)
+        write_packet(sub._sock, SUBSCRIBE, 0x02,
+                     struct.pack(">H", 2) + _mqtt_str("b/#") + b"\x00")
+        _time.sleep(0.3)  # SUBACK consumed (skipped) by the reader thread
+        pub = SocketMqttClient(b.url, [])
+        pub.publish("a/x", "1")
+        pub.publish("b/y", "2")
+        deadline = _time.time() + 5
+        msgs = []
+        while len(msgs) < 2 and _time.time() < deadline:
+            _time.sleep(0.05)
+            msgs += sub.drain()
+        _time.sleep(0.3)
+        msgs += sub.drain()  # any late duplicates would show up here
+        assert [(t, p) for t, p, _ in msgs] == [("a/x", "1"), ("b/y", "2")]
+        sub.close()
+        pub.close()
+    finally:
+        b.close()
+
+
 def test_mqtt_source_live_socket_soak(spark):
     """The r5 verdict's real-broker soak, runnable HERE: the MqttDataSource
     connects over a REAL TCP socket from Spark's python-worker process to
