@@ -705,3 +705,38 @@ def test_mqtt_packet_codec_roundtrip(topic, payload):
     for n, want in [(0, b"\x00"), (127, b"\x7f"), (128, b"\x80\x01"),
                     (16383, b"\xff\x7f"), (16384, b"\x80\x80\x01")]:
         assert _encode_remaining(n) == want
+
+
+@SLOW
+@given(doc=st.dictionaries(
+    st.text(
+        st.characters(codec="utf-8", exclude_characters='\x00"\\'),
+        min_size=1, max_size=12,
+    ),
+    st.one_of(
+        st.none(), st.booleans(), st.integers(-1000, 1000),
+        st.text(max_size=8), st.lists(st.integers(0, 9), max_size=3),
+        st.dictionaries(st.text("ab", min_size=1, max_size=2),
+                        st.integers(0, 9), max_size=2),
+    ),
+    min_size=0, max_size=12,
+))
+def test_compiled_keys_preserves_insertion_order(spark, doc):
+    """$keys($) on the compiled variant path returns keys in INSERTION
+    order for arbitrary schemaless documents — the whole point of the
+    raw-JSON ordered-map encoding (the variant binary sorts keys). The
+    interpreter (python dicts are insertion-ordered) is the reference;
+    the comparison is order-SENSITIVE."""
+    from mqtt_streamr_spark.jsonata import jsonata
+    from mqtt_streamr_spark.jsonata.compiler import compile_column
+    from mqtt_streamr_spark.jsonata.values import UNDEFINED
+
+    expected = jsonata("$keys($)").evaluate(doc)
+    df = spark.createDataFrame([(json.dumps(doc),)], "payload string")
+    tc = compile_column("$keys($)", F.try_parse_json("payload"),
+                        raw_col=F.col("payload"))
+    actual = df.select(tc.col.alias("r")).collect()[0]["r"]
+    if expected is UNDEFINED or expected == []:
+        assert actual in (None, []), (doc, actual)
+    else:
+        assert actual == expected, (doc, actual, expected)
