@@ -1765,10 +1765,13 @@ def _fc_merge(args, node, ctx):
     except NotCompilable:
         maps = None
     if maps is not None:
-        merged_m = maps[0] if maps else empty
-        for nxt in maps[1:]:
+        def fold(acc: Column, nxt: Column) -> Column:
+            # acc/nxt are HOF lambda vars (bound ONCE per row by the
+            # zip_with below) — building the fold on the raw map
+            # expressions instead re-parses each map's JSON 2-3x per row
+            # (measured ~2.5x slower on the object-ops bench query)
             overridden = F.transform(
-                F.map_entries(merged_m),
+                F.map_entries(acc),
                 lambda e: F.struct(
                     e.getField("key").alias("key"),
                     F.coalesce(
@@ -1780,10 +1783,16 @@ def _fc_merge(args, node, ctx):
             fresh = F.filter(
                 F.map_entries(nxt),
                 lambda e: ~F.array_contains(
-                    F.map_keys(merged_m), e.getField("key")
+                    F.map_keys(acc), e.getField("key")
                 ),
             )
-            merged_m = F.map_from_entries(F.concat(overridden, fresh))
+            return F.map_from_entries(F.concat(overridden, fresh))
+
+        merged_m = maps[0] if maps else empty
+        for nxt_m in maps[1:]:
+            merged_m = F.element_at(
+                F.zip_with(F.array(merged_m), F.array(nxt_m), fold), 1
+            )
         return TypedCol(merged_m, "omap")
     merged: dict[str, Column] = {}
     for item in arr_node["items"]:
