@@ -1669,6 +1669,9 @@ def _fc_keys(args, node, ctx):
     $keys-over-array rule) and arrays of non-objects yield [], both
     matching the interpreter; scalars yield undefined."""
     obj = args[0]
+    if obj.kind == "omap":  # $sift/$merge output composes directly
+        return TypedCol(F.map_keys(obj.col), "array<string>",
+                        elem="string")
     if obj.kind == "variant":
         raw = _raw_json_str(node["args"][0], ctx, variant_col=obj.col,
                             allow=("OBJECT", "ARRAY"))
@@ -1712,9 +1715,12 @@ def _fc_spread(args, node, ctx):
     compiled path yields undefined for runtime non-objects (the
     type-guard in _raw_json_str)."""
     obj = args[0]
-    if obj.kind != "variant":
-        raise NotCompilable("$spread compiles for variant objects only")
-    m = _ordered_map(node["args"][0], ctx, variant_col=obj.col)
+    if obj.kind == "omap":
+        m = obj.col
+    elif obj.kind == "variant":
+        m = _ordered_map(node["args"][0], ctx, variant_col=obj.col)
+    else:
+        raise NotCompilable("$spread compiles for variant/omap objects")
     col = F.transform(
         F.map_entries(m),
         lambda e: F.map_from_entries(F.array(e)),
@@ -1757,11 +1763,15 @@ def _fc_merge(args, node, ctx):
     if arr_node is None or arr_node["type"] != "array":
         raise NotCompilable("$merge compiles for literal object arrays")
     empty = F.from_json(F.lit("{}"), "map<string, variant>")
+
+    def item_map(it) -> Column:
+        tc = _compile(it, ctx)
+        if tc.kind == "omap":  # composed $sift/$merge output
+            return tc.col
+        return _ordered_map(it, ctx, variant_col=tc.col)
+
     try:
-        maps = [
-            F.coalesce(_ordered_map(it, ctx, variant_col=_compile(it, ctx).col), empty)
-            for it in arr_node["items"]
-        ]
+        maps = [F.coalesce(item_map(it), empty) for it in arr_node["items"]]
     except NotCompilable:
         maps = None
     if maps is not None:
@@ -1820,8 +1830,9 @@ def _fc_each(args, node, ctx):
     bound as variants, keys as strings, source key order preserved."""
     lam = _lambda_arg(node, 1, 2, "$each")
     obj = args[0]
-    if obj.kind == "variant":
-        m = _ordered_map(node["args"][0], ctx, variant_col=obj.col)
+    if obj.kind in ("variant", "omap"):
+        m = (obj.col if obj.kind == "omap"
+             else _ordered_map(node["args"][0], ctx, variant_col=obj.col))
         out: dict = {}
 
         def body(e: Column) -> Column:
@@ -1872,11 +1883,13 @@ def _fc_sift(args, node, ctx):
     one (documented null/undefined conflation of the compiled path)."""
     lam = _lambda_arg(node, 1, 2, "$sift")
     obj = args[0]
-    if obj.kind == "variant":
+    if obj.kind in ("variant", "omap"):
         # VARIANT path (r6): map_filter over the ordered map from the raw
         # payload text — entries whose predicate fails are REMOVED (true
-        # key-dropping, no null conflation), source key order preserved
-        m = _ordered_map(node["args"][0], ctx, variant_col=obj.col)
+        # key-dropping, no null conflation), source key order preserved;
+        # omap inputs ($sift/$merge outputs) compose directly
+        m = (obj.col if obj.kind == "omap"
+             else _ordered_map(node["args"][0], ctx, variant_col=obj.col))
 
         def pred(k: Column, v: Column) -> Column:
             binds = [TypedCol(v, "variant")]
@@ -1913,6 +1926,10 @@ def _fc_lookup(args, node, ctx):
     if key_node is None:
         raise NotCompilable("$lookup needs two args")
     obj = args[0]
+    if obj.kind == "omap":  # composed $sift/$merge output: direct access
+        key = (F.lit(key_node["value"]) if key_node["type"] == "string"
+               else as_string(args[1]))
+        return TypedCol(F.element_at(obj.col, key), "variant")
     if key_node["type"] != "string":
         if obj.kind != "variant":
             raise NotCompilable("dynamic $lookup needs a variant object")

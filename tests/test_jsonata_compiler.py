@@ -317,6 +317,15 @@ COMPILABLE = [
     '$lookup(nested, $lowercase("K"))',         # computed key
     "$merge([nested.deep, nested])",            # override + key-position
     "$merge([nested, nested.deep])",
+    # omap composition: ordered-object ops consuming each other's output
+    '$keys($sift(nested, function($v){ $boolean($v) }))',
+    "$keys($merge([nested.deep, nested]))",
+    '$lookup($merge([nested.deep, nested]), "leaf")',
+    '$each($sift(nested, function($v, $k){ $k != "deep" }), '
+    'function($v){ $string($v) })',
+    "$count($spread($merge([nested.deep, nested])))",
+    '$sift($merge([nested.deep, nested]), function($v, $k){ $k = "k" })',
+    '$merge([$sift(nested, function($v, $k){ $k = "k" }), nested.deep])',
 ]
 
 
@@ -470,6 +479,13 @@ TYPED_DIVERGENT = {
     # (JSON null indistinguishable from absent in a struct); the variant
     # path keeps it via the raw-JSON ordered map
     "$keys($)",
+    # typed $sift NULLs failing fields instead of removing them (a struct
+    # cannot drop a field) — composing over the sifted struct surfaces
+    # the null slot ($each iterates it; downstream ops see it); the
+    # variant omap path removes entries for real and matches exactly
+    '$each($sift(nested, function($v, $k){ $k != "deep" }), '
+    'function($v){ $string($v) })',
+    '$sift($merge([nested.deep, nested]), function($v, $k){ $k = "k" })',
 }
 
 
