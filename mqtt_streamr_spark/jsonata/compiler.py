@@ -1899,6 +1899,8 @@ def _fc_sift(args, node, ctx):
             return F.coalesce(keep, F.lit(False))
 
         return TypedCol(F.map_filter(m, pred), "omap")
+    if obj.kind != "object" or obj.dtype is None:
+        raise NotCompilable("$sift compiles for typed/variant objects")
     fields: list[Column] = []
     names: list[str] = []
     for fname in obj.dtype.fieldNames():
