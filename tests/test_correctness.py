@@ -65,6 +65,19 @@ def test_query_matches_oracle(spark, duck, name):
     )
 
 
+def test_no_vacuous_oracles(duck):
+    """Every oracle must return >= 1 row at the verification SF: an
+    empty-vs-empty hash match proves nothing (round 5 found three
+    thresholds sized past the data's distribution this way). DuckDB-side
+    only — cheap — and the count-match assert in the main gate ties the
+    Spark side to the same cardinality."""
+    empty = [
+        name for name, sql in ORACLES.items()
+        if not duck.execute(sql).fetchall()
+    ]
+    assert not empty, f"vacuous (zero-row) oracles at sf0.01: {empty}"
+
+
 def test_every_query_has_entry():
     assert QUERIES, "registry must not be empty"
     for name in ORACLES:
