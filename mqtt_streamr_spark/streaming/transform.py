@@ -62,6 +62,40 @@ def transform_to_json(expr: str, payload_col: Column, *,
     return _interpreted_udf(expr)(payload_col), "interpreted"
 
 
+def infer_message_schema(df, payload_col: str = "payload",
+                         sample_rows: int | None = 10_000) -> str:
+    """Infer a message-schema DDL from observed payloads, for feeding
+    ``transform_to_json(schema=...)`` / ``PipelineSpec.message_schema`` —
+    the bridge from schemaless ingestion to the TYPED compile path
+    (struct navigation inside whole-stage codegen, the fastest backend).
+
+    Uses Spark's own JSON schema inference (the same machinery as
+    ``spark.read.json``) over up to ``sample_rows`` payloads
+    (None = all). At 100 TB infer on the bounded sample ONCE and treat
+    the result as a declared contract: ``from_json`` is PERMISSIVE, so
+    fields absent from the inferred schema read as undefined and
+    type-mismatched rows null out — same semantics as a hand-declared
+    schema, documented in compile_typed. Rows whose payload is NULL or
+    invalid JSON are ignored by inference (they are dropped by the
+    pipeline's invalid-drop stage anyway)."""
+    ds = df.select(F.col(payload_col).cast("string").alias("payload"))
+    if sample_rows is not None:
+        ds = ds.limit(sample_rows)
+    spark = ds.sparkSession
+    inferred = spark.read.json(
+        ds.rdd.map(lambda r: r["payload"]).filter(lambda s: s is not None)
+    ).schema
+    # spark.read.json adds a corrupt-record column when some sampled rows
+    # are invalid JSON — that column is inference noise, not a field
+    corrupt = spark.conf.get(
+        "spark.sql.columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    fields = [f for f in inferred.fields if f.name != corrupt]
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    )
+
+
 def _interpreted_udf(expr: str):
     """Arrow-batched fallback. The expression string (not the AST closure)
     is captured so the UDF pickles cheaply to executors; each executor

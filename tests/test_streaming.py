@@ -361,6 +361,50 @@ def test_typed_schema_pipeline(spark, tmpdirs):
     assert set(msg) == {"u", "kind", "v2"} and msg["kind"].isupper()
 
 
+def test_inferred_schema_reaches_typed_backend(spark, tmpdirs):
+    """infer_message_schema bridges schemaless ingestion to the TYPED
+    compile path without a hand-written schema: the inferred DDL drives
+    the typed backend and the routed output matches the variant-path
+    (schema-free) run row for row."""
+    from mqtt_streamr_spark.streaming.transform import infer_message_schema
+
+    src = replay_source(spark, EVENTS, streaming=False)
+    ddl = infer_message_schema(src)
+    assert "event_type string" in ddl and "user_id bigint" in ddl
+
+    out_cols = {}
+    for tag, schema in (("variant", None), ("typed", ddl)):
+        spec = PipelineSpec(
+            transform=TRANSFORM, stream_id_template="/s/$topic",
+            topic_levels=1, sink_dir=tmpdirs["sink"] + "_" + tag,
+            log_interval=3600, message_schema=schema,
+        )
+        bridge = StreamingBridge(spec)
+        bridge.run_batch(src)
+        if schema is not None:
+            assert bridge.transform_backend == "typed"
+        rows = {
+            r["stream_id"]: r["n"]
+            for r in spark.read.parquet(spec.sink_dir)
+            .groupBy("stream_id").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        out_cols[tag] = rows
+    assert out_cols["typed"] == out_cols["variant"]
+
+    # malformed payloads in the sample must not poison the inference
+    corrupted = src.withColumn(
+        "payload",
+        F.when(
+            F.get_json_object("payload", "$.event_id").cast("long") % 7
+            == 0,
+            F.expr("substring(payload, 1, length(payload) - 1)"),
+        ).otherwise(F.col("payload")),
+    )
+    ddl2 = infer_message_schema(corrupted)
+    assert "event_type string" in ddl2 and "_corrupt" not in ddl2
+
+
 def test_topics_subscription_filter(spark, tmpdirs):
     """PipelineSpec.topics applies MQTT wildcard subscription semantics to
     replay/batch sources (the broker does this for the real MQTT source —
