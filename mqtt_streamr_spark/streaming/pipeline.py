@@ -48,7 +48,10 @@ class PipelineSpec:
     transform: str | None = None                      # bin:48-51
     transform_mode: str = "auto"
     # optional declared message schema (DDL) -> typed fast path (engine
-    # extension; the reference is schemaless-only)
+    # extension; the reference is schemaless-only). The sentinel "infer"
+    # derives the DDL from the first planned batch's payloads
+    # (transform.infer_message_schema) and then pins it for the rest of
+    # the pipeline's life — sample once, declared contract thereafter.
     message_schema: str | None = None
     stream_id: str | None = None                      # bin:40-42 fixed bypass
     stream_id_template: str = "/$topic"               # bin:36-39 default
@@ -180,10 +183,31 @@ class StreamingBridge:
 
         # transform (bin:157-159)
         if self.spec.transform:
+            schema = self.spec.message_schema
+            if schema == "infer":
+                from mqtt_streamr_spark.streaming.transform import (
+                    infer_message_schema,
+                )
+
+                if getattr(self, "_inferred_schema", None) is None:
+                    if df.isStreaming:
+                        # a streaming plan cannot run the sampling action;
+                        # infer from a bounded batch read first and pass
+                        # the resulting DDL instead
+                        raise ValueError(
+                            "message_schema='infer' needs a batch source "
+                            "to sample; run infer_message_schema over a "
+                            "batch/replay read and pass the DDL"
+                        )
+                    # infer once from this (first-planned) batch, then
+                    # pin — later runs reuse the same contract even if
+                    # their data would infer differently
+                    self._inferred_schema = infer_message_schema(df)
+                schema = self._inferred_schema
             out_col, backend = transform_to_json(
                 self.spec.transform, F.col("payload"),
                 mode=self.spec.transform_mode,
-                schema=self.spec.message_schema,
+                schema=schema,
             )
             self.transform_backend = backend
             df = df.withColumn("message", out_col)

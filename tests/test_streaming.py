@@ -392,6 +392,30 @@ def test_inferred_schema_reaches_typed_backend(spark, tmpdirs):
         out_cols[tag] = rows
     assert out_cols["typed"] == out_cols["variant"]
 
+    # message_schema="infer": the bridge self-infers on the first batch,
+    # pins the DDL, and lands on the typed backend
+    spec = PipelineSpec(
+        transform=TRANSFORM, stream_id_template="/s/$topic",
+        topic_levels=1, sink_dir=tmpdirs["sink"] + "_auto",
+        log_interval=3600, message_schema="infer",
+    )
+    bridge = StreamingBridge(spec)
+    bridge.run_batch(src)
+    assert bridge.transform_backend == "typed"
+    auto_rows = {
+        r["stream_id"]: r["n"]
+        for r in spark.read.parquet(spec.sink_dir)
+        .groupBy("stream_id").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert auto_rows == out_cols["variant"]
+    # a STREAMING source cannot run the sampling action — clear error
+    import pytest as _pytest
+
+    streaming_src = replay_source(spark, EVENTS, streaming=True)
+    with _pytest.raises(ValueError, match="batch source"):
+        StreamingBridge(spec).plan(streaming_src)
+
     # malformed payloads in the sample must not poison the inference
     corrupted = src.withColumn(
         "payload",
