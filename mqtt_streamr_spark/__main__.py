@@ -55,7 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sink-format", default="parquet")
     p.add_argument("--dead-letter-dir", default=None)
     p.add_argument("--schema", default=None,
-                   help="declared message schema (DDL) -> typed fast path")
+                   help="declared message schema (DDL) -> typed fast "
+                        "path; 'infer' samples the first batch")
     p.add_argument("--transform-mode", default="auto",
                    choices=["auto", "compiled", "interpreted"])
     p.add_argument("--checkpoint-dir", default=None)
