@@ -740,3 +740,41 @@ def test_compiled_keys_preserves_insertion_order(spark, doc):
         assert actual in (None, []), (doc, actual)
     else:
         assert actual == expected, (doc, actual, expected)
+
+
+@SLOW
+@given(
+    a=st.dictionaries(st.text("abcdefgh", min_size=1, max_size=3),
+                      st.integers(-99, 99), max_size=6),
+    b=st.dictionaries(st.text("abcdefgh", min_size=1, max_size=3),
+                      st.one_of(st.none(), st.integers(-99, 99)),
+                      max_size=6),
+)
+def test_compiled_merge_sift_order_parity(spark, a, b):
+    """$merge and $sift on the compiled variant path match the
+    interpreter for random overlapping objects — values, KEY ORDER
+    (in-place override), and the JSON-null-vs-missing distinction.
+    Comparison goes through the JSON serialization: the ENGINE-side map
+    preserves order everywhere (map_keys/map_entries/to_json), but
+    PySpark's collect() of a MapType builds the Python dict in arbitrary
+    order — collecting the map directly would test the pickler, not the
+    plan."""
+    from mqtt_streamr_spark.jsonata import jsonata
+    from mqtt_streamr_spark.jsonata.compiler import (
+        compile_column,
+        to_json_string,
+    )
+
+    doc = {"a": a, "b": b}
+    df = spark.createDataFrame([(json.dumps(doc),)], "payload string")
+
+    for expr in ("$merge([a, b])",
+                 "$sift(a, function($v){ $v >= 0 })"):
+        expected = jsonata(expr).evaluate(doc)
+        tc = compile_column(expr, F.try_parse_json("payload"),
+                            raw_col=F.col("payload"))
+        got_json = df.select(
+            to_json_string(tc).alias("r")).collect()[0]["r"]
+        got = json.loads(got_json)  # python dicts keep insertion order
+        assert list(got) == list(expected), (expr, doc, got, expected)
+        assert got == expected, (expr, doc, got, expected)
