@@ -279,10 +279,25 @@ def snapshot_diff_events(spark, k):
 def fuzzy_join_names(spark, k):
     from mqtt_streamr_spark.operators.joins import symdel_fuzzy_join
 
+    # Length-preserving replica perturbation: overwrite the first two
+    # chars with a replica code whose members pairwise differ in BOTH
+    # positions (chr(65+i), chr(90-i)), so cross-replica names sit at
+    # Levenshtein distance 2 > max_dist and replicas are genuinely new
+    # entities. Appending a tag (replicate's tag_text_col) is wrong for
+    # THIS op: SymSpell variant count scales with string length, so a
+    # 3x longer name inflates the variant shuffle ~2.7x beyond the
+    # input ratio — measuring the harness, not the plan (r6 sweep read
+    # 38.5x shuffle at 16x input from exactly that artifact).
     cust = replicate(
-        load(spark, "customer", SF_DIR), k,
-        id_cols=("c_custkey",), tag_text_col="c_name",
-    ).select("c_custkey", "c_name")
+        load(spark, "customer", SF_DIR), k, id_cols=("c_custkey",)
+    ).select(
+        "c_custkey",
+        F.concat(
+            F.expr("char(65 + (c_custkey div 1000000000) % 26)"),
+            F.expr("char(90 - (c_custkey div 1000000000) % 26)"),
+            F.expr("substring(c_name, 3)"),
+        ).alias("c_name"),
+    )
     pert = cust.filter(F.col("c_custkey") % 3 == 0).select(
         F.col("c_custkey").alias("r_key"),
         F.expr(
