@@ -24,7 +24,13 @@ in tests/test_jsonata_compiler.py):
   sink output;
 - array truthiness is any-member-truthy (JSONata 1.6 values.boolean) with
   nested-array recursion unrolled ``_ARRAY_TRUTHY_UNROLL`` (=3) levels on
-  the variant path; arrays nested deeper than 3 fall back to non-empty.
+  the variant path; arrays nested deeper than 3 fall back to non-empty;
+- variant-path ``**.k`` (r6) unrolls to ``VARIANT_DESC_DEPTH`` (=10)
+  nesting levels — deeper rows fail LOUDLY (assert_true) rather than
+  silently truncate — and flattens array-valued matches
+  ``_SEQ_FLATTEN_UNROLL`` (=4) levels; JSON-null matches drop (the
+  null==absent class). Bare ``**`` (no trailing name step) stays on the
+  interpreter.
 """
 
 from __future__ import annotations
@@ -500,20 +506,20 @@ def _c_path(node, ctx):
         # bounds the hierarchy, so descendant traversal expands to a finite
         # concat of struct navigations + array flattens (document order,
         # jsonata.js fn.descendants semantics: arrays are flattened into
-        # the sequence, objects recursed). Variant inputs stay on the
-        # interpreter (depth is unbounded without a schema).
+        # the sequence, objects recursed). Variant inputs (r6) take the
+        # depth-bounded raw-text recursion in _c_desc_variant instead.
         base = (TypedCol(ctx.root, ctx.root_kind, dtype=ctx.root_schema)
                 if is_desc else _compile(lhs_node["lhs"], ctx))
         import pyspark.sql.types as T
 
-        if base.kind != "object" or not isinstance(base.dtype, T.StructType):
-            raise NotCompilable("descendants need a statically-typed object")
-        seg = _desc_matches(base.col, base.dtype, rhs_steps)
-        if seg is None:
-            return TypedCol(F.lit(None), "null")
-        merged, kind = seg
-        kept = F.filter(merged, lambda v: v.isNotNull())
-        return TypedCol(kept, f"array<{kind}>", elem=kind)
+        if base.kind == "object" and isinstance(base.dtype, T.StructType):
+            seg = _desc_matches(base.col, base.dtype, rhs_steps)
+            if seg is None:
+                return TypedCol(F.lit(None), "null")
+            merged, kind = seg
+            kept = F.filter(merged, lambda v: v.isNotNull())
+            return TypedCol(kept, f"array<{kind}>", elem=kind)
+        return _c_desc_variant(lhs_node, is_desc, rhs_steps, ctx)
     lhs = _compile(node["lhs"], ctx)
     if lhs.kind == "object" and lhs.dtype is not None:
         # typed struct navigation (e.g. lambda var $x.f on the typed path)
@@ -624,6 +630,150 @@ _KIND_SPARK = {"number": "double", "string": "string", "boolean": "boolean"}
 
 def _empty_arr(kind: str) -> Column:
     return F.array().cast(f"array<{_KIND_SPARK[kind]}>")
+
+
+# Max JSON nesting depth the compiled variant-path `**` unrolls to. Deeper
+# rows fail LOUDLY (assert_true) instead of silently truncating — route
+# such payloads to the interpreter backend. 10 levels covers any sane
+# message payload; the unrolled expression stays O(depth). The ceiling is
+# the ANALYZER, not runtime: each unroll level adds nested lambdas whose
+# resolution costs analyzer iterations, and the default
+# spark.sql.analyzer.maxIterations=100 resolves ~12 levels — 10 leaves
+# margin for wrapping expressions ($sum(**.k), comparisons, constructors).
+VARIANT_DESC_DEPTH = 10
+
+
+def _empty_varr() -> Column:
+    return F.from_json(F.lit("[]"), "array<variant>")
+
+
+def _c_desc_variant(lhs_node, is_desc: bool, rhs_steps: list,
+                    ctx: Ctx) -> TypedCol:
+    """`**.k` / `a.b.**.k` on the VARIANT path (r6): no schema bounds the
+    hierarchy, so traversal is a depth-bounded (``VARIANT_DESC_DEPTH``)
+    pre-order recursion over RAW JSON text — ``from_json`` into
+    ``map<string, string>`` / ``array<string>`` yields each child's source
+    text in DOCUMENT order (the variant binary sorts object keys, so
+    recursing through variant casts would break jsonata.js descendant
+    order), while child container-ness is read from the parallel
+    ``map<string, variant>`` parse of the SAME node, so a string field
+    whose content is JSON text types as STRING and is never recursed into
+    (the quote-stripping trap ``_raw_json_str`` guards against). Matches
+    follow the compiled name-step conventions: array-valued matches
+    flatten into the sequence (interpreter seq_append), JSON-null matches
+    drop (the documented null==absent divergence class)."""
+    if ctx.raw is None or ctx.root_kind != "variant":
+        raise NotCompilable(
+            "variant descendants need the raw JSON column "
+            "(key/document order is unrecoverable from the variant binary)")
+    steps = [] if is_desc else _path_steps(lhs_node["lhs"])
+    if steps is None:
+        raise NotCompilable("descendants need a literal path prefix")
+    if steps:
+        raw = F.get_json_object(ctx.raw, _json_path(steps))
+        guard = F.try_variant_get(ctx.root, _json_path(steps), "variant")
+    else:
+        raw, guard = ctx.raw, ctx.root
+    t = F.schema_of_variant(guard)
+    raw = F.when(t.startswith("OBJECT") | t.startswith("ARRAY"), raw)
+    arr = _desc_matches_variant(raw, _json_path(rhs_steps))
+    return TypedCol(arr, "array<variant>", elem="variant")
+
+
+def _desc_matches_variant(raw: Column, json_path: str,
+                          depth: int = VARIANT_DESC_DEPTH) -> Column:
+    """All ``json_path`` matches under every descendant of the container
+    whose raw JSON text is ``raw`` (which must be type-guarded by the
+    caller), as ``array<variant>`` in pre-order document order. One
+    recursion level per unroll step; each level binds its node's parsed
+    pieces ONCE via a 1-element transform (interpreted variant expressions
+    get no common-subexpression elimination, and naive inlining would blow
+    up 2^depth)."""
+
+    def level(n: Column, d: int) -> Column:
+        pieces = F.struct(n.alias("n"), F.parse_json(n).alias("v"))
+
+        def body(p):
+            m = F.try_variant_get(p["v"], json_path, "variant")
+            # matches are emitted UNFLATTENED here; _flatten_variant_seq
+            # applies the jsonata.js data-array flattening once, outside
+            # the recursion (per-level flattening would burn analyzer
+            # iteration budget that is better spent on nesting depth)
+            m_arr = F.when(
+                m.isNull() | F.is_variant_null(m), _empty_varr()
+            ).otherwise(F.array(m))
+
+            def pair(s, vv):
+                return F.struct(
+                    s.alias("s"), F.schema_of_variant(vv).alias("t"))
+
+            kids_pairs = F.when(
+                F.schema_of_variant(p["v"]).startswith("OBJECT"),
+                F.zip_with(
+                    F.map_values(F.from_json(p["n"], "map<string, string>")),
+                    F.map_values(F.from_json(p["n"], "map<string, variant>")),
+                    pair,
+                ),
+            ).otherwise(
+                F.zip_with(
+                    F.from_json(p["n"], "array<string>"),
+                    F.from_json(p["n"], "array<variant>"),
+                    pair,
+                )
+            )
+            kid_texts = F.transform(
+                F.filter(
+                    kids_pairs,
+                    lambda kp: kp["t"].startswith("OBJECT")
+                    | kp["t"].startswith("ARRAY"),
+                ),
+                lambda kp: kp["s"],
+            )
+            if d == 0:
+                deeper = F.when(
+                    F.assert_true(
+                        F.size(kid_texts) <= 0,
+                        f"jsonata compiled ** exceeded max nesting depth "
+                        f"{depth}; use the interpreter backend for deeper "
+                        f"payloads",
+                    ).isNull(),
+                    _empty_varr(),
+                )
+            else:
+                deeper = F.flatten(
+                    F.transform(kid_texts, lambda c: level(c, d - 1)))
+            return F.concat(m_arr, deeper)
+
+        return F.element_at(F.transform(F.array(pieces), body), 1)
+
+    return _flatten_variant_seq(level(raw, depth))
+
+
+# Data arrays in a JSONata path sequence flatten RECURSIVELY (seq_append:
+# `[[1,2],3]` contributes 1,2,3). The compiled post-pass unrolls that
+# recursion _SEQ_FLATTEN_UNROLL levels — arrays nested deeper inside a
+# matched value stay nested, the same bounded-unroll divergence class as
+# _ARRAY_TRUTHY_UNROLL (asserted in tests).
+_SEQ_FLATTEN_UNROLL = 4
+
+
+def _flatten_variant_seq(arr: Column) -> Column:
+    """Flatten array-valued members of an ``array<variant>`` sequence into
+    their elements (dropping JSON nulls, the null==absent class), one
+    level per pass, ``_SEQ_FLATTEN_UNROLL`` passes."""
+    out = arr
+    for _ in range(_SEQ_FLATTEN_UNROLL):
+        out = F.flatten(F.transform(
+            out,
+            lambda e: F.when(
+                F.schema_of_variant(e).startswith("ARRAY"),
+                F.filter(
+                    F.try_variant_get(e, "$", "array<variant>"),
+                    lambda x: x.isNotNull() & ~F.is_variant_null(x),
+                ),
+            ).otherwise(F.array(e)),
+        ))
+    return out
 
 
 def _c_predicate(node, ctx):

@@ -274,10 +274,12 @@ def jsonata_hof_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def jsonata_interpreted_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The interpreter fallback end-to-end (SURVEY.md §2.8 path 2): ``**``
-    descendants are not compilable, so transform_to_json transparently
-    drops to the Arrow-batched interpreter pandas UDF — same semantics,
-    slower path, still fully distributed."""
+    """The interpreter fallback end-to-end (SURVEY.md §2.8 path 2): BARE
+    ``**`` as a function argument is not compilable (no trailing name step
+    bounds the match shape — ``**.k`` paths compile since r6, see
+    jsonata_descendants_variant), so transform_to_json transparently drops
+    the WHOLE expression to the Arrow-batched interpreter pandas UDF —
+    same semantics, slower path, still fully distributed."""
     from mqtt_streamr_spark.streaming.transform import transform_to_json
 
     ev = load(spark, "events", sf_dir)
@@ -288,7 +290,8 @@ def jsonata_interpreted_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )),
     )
     out_col, backend = transform_to_json(
-        '{"kind": event_type, "k": $sum(**.k)}', F.col("payload")
+        '{"kind": event_type, "k": $sum(**.k), "nd": $count(**)}',
+        F.col("payload"),
     )
     assert backend == "interpreted", backend
     m = df.withColumn("m", out_col)
@@ -360,6 +363,56 @@ def jsonata_descendants_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="auto", schema="event_type string, props struct<k: double>",
     )
     assert backend == "typed", backend
+    m = df.withColumn(
+        "m", F.from_json(out_col, "kind string, k double")  # parse ONCE
+    )
+    return (
+        m.select(col("m.kind").alias("kind"), col("m.k").alias("k"))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("k"), 2).alias("sum_k"),
+        )
+    )
+
+
+@query(
+    "jsonata_descendants_variant",
+    oracle="""
+    SELECT event_type AS kind, count(*) AS n,
+           round(sum(coalesce(CAST(json_extract_string(props, '$.k')
+                                   AS DOUBLE), 0)
+                     + CAST(user_id % 7 AS DOUBLE)), 2) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def jsonata_descendants_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``**`` descendants on the SCHEMALESS variant path (r6, previously
+    interpreter-only): with no declared schema, ``$sum(**.k)`` compiles to
+    a depth-bounded pre-order recursion over the raw JSON text (document
+    order; the variant binary sorts keys) — no Python in the hot path.
+    The payload nests ``k`` at two different depths so the traversal is
+    genuinely recursive (reference: arbitrary --transform,
+    bin/mqtt-streamr.js:158)."""
+    from mqtt_streamr_spark.streaming.transform import transform_to_json
+
+    ev = load(spark, "events", sf_dir)
+    df = ev.withColumn(
+        "payload",
+        F.to_json(F.struct(
+            "event_type",
+            F.struct(
+                F.from_json("props", "k double").getField("k").alias("k"),
+                F.struct(
+                    (col("user_id") % 7).cast("double").alias("k")
+                ).alias("inner"),
+            ).alias("outer"),
+        )),
+    )
+    out_col, backend = transform_to_json(
+        '{"kind": event_type, "k": $sum(**.k)}', F.col("payload"),
+    )
+    assert backend == "compiled", backend
     m = df.withColumn(
         "m", F.from_json(out_col, "kind string, k double")  # parse ONCE
     )

@@ -326,6 +326,17 @@ COMPILABLE = [
     "$count($spread($merge([nested.deep, nested])))",
     '$sift($merge([nested.deep, nested]), function($v, $k){ $k = "k" })',
     '$merge([$sift(nested, function($v, $k){ $k = "k" }), nested.deep])',
+    # ** descendants on the VARIANT path (compiled r6: depth-bounded
+    # pre-order recursion over raw JSON text). Aggregate contexts avoid
+    # the singleton-unwrap rule so both backends agree exactly; these
+    # also run on the TYPED path via test_typed_matches_interpreter.
+    "$sum(**.k)",
+    "$count(**.k)",
+    "$sum(**.p)",
+    "$count(**.p)",
+    "$max(**.p)",
+    "$count(nested.**.leaf)",
+    "$count(items.**.p)",
 ]
 
 
@@ -368,8 +379,77 @@ def test_ordered_object_ops_string_content_trap(spark):
     assert run_compiled(spark, "$merge([o, emb_obj])", doc) == {"q": 7}
 
 
+DESC_DOC = {
+    "b": {"k": 1, "a": {"k": 2, "z": [{"k": [30, 31]}, "noise"]}},
+    "arr": [{"k": 3}, "txt", 5, [{"k": 4}]],
+    "k": "top",
+    "s": '{"k": 9}',   # embedded JSON text inside a STRING: never matched
+    "n": {"k2": 7},
+}
+
+
+def test_variant_descendants_preorder_parity(spark):
+    """Compiled variant-path ``**.k`` (r6): pre-order DOCUMENT order across
+    sibling branches, array-valued matches flattened (seq_append), nested
+    arrays recursed without pushing the array itself, and the
+    embedded-JSON-string trap guarded — all exactly the interpreter's
+    ``_descend`` semantics."""
+    for expr in ("**.k", "b.**.k", "arr.**.k", "$count(**.k)"):
+        expected = jsonata(expr).evaluate(DESC_DOC)
+        actual = run_compiled(spark, expr, DESC_DOC)
+        assert_same(expected, actual, expr)
+    # spot-check the full order once, literally
+    assert run_compiled(spark, "**.k", DESC_DOC) == \
+        ["top", 1, 2, 30, 31, 3, 4]
+
+
+def test_variant_descendants_depth_guard_raises(spark):
+    """Rows nested deeper than VARIANT_DESC_DEPTH must fail LOUDLY (never
+    silently truncate the descendant sequence): the correct escape hatch
+    is the interpreter backend, and the error message says so."""
+    from mqtt_streamr_spark.jsonata.compiler import VARIANT_DESC_DEPTH
+
+    deep = {"k": 0}
+    for _ in range(VARIANT_DESC_DEPTH + 2):
+        deep = {"a": deep}
+    with pytest.raises(Exception, match="exceeded max nesting"):
+        run_compiled(spark, "**.k", deep)
+    # ...and exactly-at-the-bound documents still evaluate fine
+    at_bound = {"k": 1}
+    for _ in range(VARIANT_DESC_DEPTH):
+        at_bound = {"a": at_bound}
+    assert run_compiled(spark, "$sum(**.k)", at_bound) == 1
+
+
+def test_variant_descendants_null_match_divergence(spark):
+    """JSON-null matches: the interpreter keeps them in the sequence; the
+    compiled variant path drops them — the same documented null==absent
+    divergence class as $exists/$keys. Assert it stays put."""
+    doc = {"a": {"k": None}, "b": {"k": 1}}
+    assert list(jsonata("**.k").evaluate(doc)) == [None, 1]
+    assert run_compiled(spark, "**.k", doc) == [1]
+
+
+def test_variant_descendants_match_flatten_bounded(spark):
+    """Array-valued matches flatten recursively like the interpreter's
+    seq_append — unrolled _SEQ_FLATTEN_UNROLL (=4) levels on the compiled
+    path. Inside the bound: exact parity. Beyond it: the residual nesting
+    survives — the documented bounded-unroll divergence class (same as
+    _ARRAY_TRUTHY_UNROLL). Assert both stay put."""
+    doc4 = {"k": [[[[40], 3], 2], 1]}          # 4 levels: exact
+    assert run_compiled(spark, "**.k", doc4) == \
+        list(jsonata("**.k").evaluate(doc4)) == [40, 3, 2, 1]
+    doc6 = {"k": [[[[[[60]]]]]]}               # 6 levels: residual nesting
+    assert jsonata("**.k").evaluate(doc6) == 60   # singleton-unwrapped
+    assert run_compiled(spark, "**.k", doc6) == [[[60]]]
+
+
 NOT_COMPILABLE = [
-    "**.leaf",                       # descendants
+    # descendants WITHOUT the raw JSON column (compile_column below passes
+    # no raw_col): document order is unrecoverable from the variant
+    # binary (sorted keys), so ** must refuse rather than emit a
+    # wrong-order sequence
+    "**.leaf",
     "nums{$string($): $}",           # group-by
     "$match(kind, /^t.mp/)",         # anchored: position-dependent
     "$match(kind, /t\\b/)",          # word boundary: position-dependent
@@ -508,14 +588,10 @@ def test_typed_matches_interpreter(spark, expr):
 
 
 TYPED_ONLY = [
-    # ** descendants + group-by {} compile ONLY with a declared schema
-    # (variant depth is unbounded); aggregate contexts avoid JSONata's
-    # singleton-unwrap rule so both backends agree exactly
-    "$sum(**.k)",
-    "$count(**.k)",
-    "$sum(**.p)",
-    "$count(**.p)",
-    "$max(**.p)",
+    # group-by {} compiles ONLY with a declared schema; aggregate contexts
+    # avoid JSONata's singleton-unwrap rule so both backends agree exactly.
+    # (** descendants moved to COMPILABLE in r6: the variant path now
+    # compiles them too, via depth-bounded raw-text recursion.)
     # $keys: schema order IS insertion order on the typed path. (On a
     # doc-with-null-fields, typed $keys drops the null-valued key — the
     # documented null==absent divergence, same as $exists.)

@@ -778,3 +778,82 @@ def test_compiled_merge_sift_order_parity(spark, a, b):
         got = json.loads(got_json)  # python dicts keep insertion order
         assert list(got) == list(expected), (expr, doc, got, expected)
         assert got == expected, (expr, doc, got, expected)
+
+
+@SLOW
+@given(doc=st.dictionaries(
+    st.sampled_from(["k", "a", "b", "zz"]),
+    st.recursive(
+        st.one_of(st.none(), st.booleans(), st.integers(-99, 99),
+                  st.text("xy", max_size=4)),
+        lambda c: st.one_of(
+            st.lists(c, max_size=3),
+            st.dictionaries(st.sampled_from(["k", "a", "b", "zz"]), c,
+                            max_size=4),
+        ),
+        max_leaves=12,
+    ),
+    min_size=0, max_size=4,
+))
+def test_compiled_descendants_preorder_parity(spark, doc):
+    """``**.k`` on the compiled variant path matches the interpreter's
+    pre-order document-order descendant walk for arbitrary schemaless
+    documents (r6 raw-text recursion). Order-SENSITIVE comparison; the
+    one normalization applied is the documented null==absent divergence
+    (compiled drops JSON-null matches) plus JSONata's top-level
+    singleton unwrap."""
+    from hypothesis import assume
+
+    from mqtt_streamr_spark.jsonata import jsonata
+    from mqtt_streamr_spark.jsonata.compiler import (
+        VARIANT_DESC_DEPTH,
+        compile_column,
+    )
+    from mqtt_streamr_spark.jsonata.values import UNDEFINED
+
+    def depth(v):
+        if isinstance(v, dict):
+            return 1 + max((depth(x) for x in v.values()), default=0)
+        if isinstance(v, list):
+            return 1 + max((depth(x) for x in v), default=0)
+        return 0
+
+    def arr_chain(v):
+        """Longest run of consecutive array nesting anywhere in v (a dict
+        breaks the run; its values start fresh runs)."""
+        if isinstance(v, list):
+            here = 1 + max(
+                (arr_chain(x) for x in v if isinstance(x, list)), default=0
+            )
+            inner = max(
+                (arr_chain(x) for x in v if isinstance(x, dict)), default=0
+            )
+            return max(here, inner)
+        if isinstance(v, dict):
+            return max((arr_chain(x) for x in v.values()), default=0)
+        return 0
+
+    assume(depth(doc) <= VARIANT_DESC_DEPTH - 1)
+    # matched arrays flatten recursively only _SEQ_FLATTEN_UNROLL deep —
+    # the documented bounded-unroll divergence; keep inputs inside it
+    from mqtt_streamr_spark.jsonata.compiler import _SEQ_FLATTEN_UNROLL
+
+    assume(arr_chain(doc) <= _SEQ_FLATTEN_UNROLL)
+
+    expected = jsonata("**.k").evaluate(doc)
+    if expected is UNDEFINED:
+        exp_list = []
+    elif isinstance(expected, list):
+        exp_list = list(expected)
+    else:
+        exp_list = [expected]
+    exp_list = [e for e in exp_list if e is not None]
+
+    df = spark.createDataFrame([(json.dumps(doc),)], "payload string")
+    tc = compile_column("**.k", F.try_parse_json("payload"),
+                        raw_col=F.col("payload"))
+    actual = df.select(tc.col.alias("r")).collect()[0]["r"]
+    act_list = [] if actual is None else list(actual)
+    act_list = [v.toPython() if hasattr(v, "toPython") else v
+                for v in act_list]
+    assert act_list == exp_list, (doc, act_list, exp_list)

@@ -107,8 +107,10 @@ def test_fixed_stream_id_and_dry_run(spark, tmpdirs):
 def test_interpreted_fallback(spark, tmpdirs):
     """A transform the compiler can't express must still run (interpreter
     UDF) and agree with direct interpretation. ($merge/$map used to be the
-    uncompilable example until the compiler learned them — ``**``
-    descendants remain interpreter-only by design.)"""
+    uncompilable example until the compiler learned them, then ``**.k``
+    paths in r6 — BARE ``**`` as a function argument remains
+    interpreter-only: without a trailing name step there is no bounded
+    match shape to emit.)"""
     expr = "{'a': value, 'n': $count(**), 'b': $map([1,2], function($x){ $x * 2 })}"
     spec = PipelineSpec(
         transform=expr, sink_dir=tmpdirs["sink"], log_interval=3600,
