@@ -504,11 +504,11 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained with availableNow. Complete mode + memory sink: session
     windows reject update mode, and append only emits sessions the
     watermark has SEALED — which a deterministic drain of a finite
-    replay never reaches without dropping data. Complete recomputes the
-    full window state each trigger, which is exactly the batch answer
-    at drain end; production runs append mode with a real watermark and
-    a distributed sink — the memory sink is the drain harness, not the
-    scale path."""
+    replay never reaches without help. Complete recomputes the full
+    window state each trigger, which is exactly the batch answer at
+    drain end. The APPEND path — the one that runs unchanged on an
+    unbounded stream — is demonstrated by the sibling
+    streaming_session_windows_append via sentinel-sealed watermarks."""
     from mqtt_streamr_spark.streaming.pipeline import replay_source
 
     src = replay_source(
@@ -535,6 +535,135 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).localCheckpoint()
+
+
+def _sealed_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch replay directory for APPEND-mode watermark drains: the real
+    events file plus two far-future '__seal__' sentinel rows in their own
+    files with strictly increasing mtimes. The file-stream source (with
+    ``max_files_per_trigger=1``) takes them oldest-first, one micro-batch
+    each, so the drain runs three genuine batches:
+
+      batch 1  real data         watermark still at epoch, nothing emits
+      batch 2  sentinel @2100-01 input watermark = max(real ts) - delay
+      batch 3  sentinel @2100-03 input watermark = 2100-01 - delay, which
+                                 is PAST every real session's end + gap —
+                                 append mode seals and emits them all
+
+    The sentinels' own sessions stay unsealed in the state store at drain
+    end (no fourth batch) and are filtered by user_id at read anyway.
+    Fixed epoch mtimes keep the ordering deterministic across runs."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.sha1(f"sealed|{src}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"replay_sealed_{tag}")
+    if os.path.exists(os.path.join(d, "_READY")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    shutil.copyfile(src, os.path.join(d, "00_events.parquet"))
+    base = spark.read.parquet(src)
+    import pyspark.sql.types as T
+
+    ts_dt = base.schema["ts"].dataType
+    for i, iso in ((1, "2100-01-01 00:00:00"), (2, "2100-03-01 00:00:00")):
+        if isinstance(ts_dt, T.LongType):  # TIMESTAMP(NANOS) data layout
+            import datetime as _dt
+
+            ns = int(_dt.datetime.fromisoformat(iso).timestamp() * 1e9)
+            ts_col = F.lit(ns).cast("long")
+        else:
+            ts_col = F.to_timestamp(F.lit(iso)).cast(ts_dt)
+        cols = []
+        for f in base.schema.fields:
+            if f.name == "ts":
+                cols.append(ts_col.alias("ts"))
+            elif f.name == "event_id":
+                cols.append(F.lit(-i).cast(f.dataType).alias(f.name))
+            elif f.name == "user_id":
+                cols.append(F.lit(-1).cast(f.dataType).alias(f.name))
+            elif f.name == "event_type":
+                cols.append(F.lit("__seal__").cast("string").alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        tmp = os.path.join(d, f"_build_{i}")
+        base.limit(1).select(*cols).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        import glob
+
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(d, f"{i:02d}_seal.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    t0 = 1_000_000_000  # fixed, deterministic mtimes
+    for i, name in enumerate(
+        ("00_events.parquet", "01_seal.parquet", "02_seal.parquet")
+    ):
+        os.utime(os.path.join(d, name), (t0 + i * 60, t0 + i * 60))
+    open(os.path.join(d, "_READY"), "w").close()
+    return d
+
+
+@query(
+    "streaming_session_windows_append",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        FROM events),
+    s AS (SELECT user_id, ts, value,
+                 sum(new_s) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_windows_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session windows in APPEND mode — the 100 TB serving path (the
+    complete-mode sibling streaming_session_windows recomputes full state
+    per trigger, which only a test drain can afford). Append emits a
+    session exactly once, when the WATERMARK passes its end + gap — on a
+    finite replay that moment never comes, so the drain injects two
+    far-future sentinel rows in their own tail micro-batches
+    (_sealed_replay_dir): the first advances the watermark past every
+    real session, the second's batch emits them. State is
+    watermark-bounded and each session leaves the store when sealed —
+    this plan runs unchanged, incrementally, on an unbounded stream."""
+    from mqtt_streamr_spark.streaming.pipeline import replay_source
+
+    d = _sealed_replay_dir(spark, sf_dir)
+    src = replay_source(spark, d, streaming=True, max_files_per_trigger=1)
+    parsed = with_payload(src, "user_id", "value", "ev_ts").select(
+        "user_id", "value", "ev_ts"
+    )
+    agg = (
+        parsed.withWatermark("ev_ts", "60 days")
+        .groupBy("user_id", F.session_window("ev_ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select("user_id",
+                F.col("session_window.start").alias("session_start"),
+                "n_events", "total_value")
+    )
+    name = "streaming_session_windows_append_sink"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)  # drop the sentinels' own sessions
+        .localCheckpoint()
+    )
 
 
 @query(

@@ -372,7 +372,8 @@ class StreamingBridge:
 def replay_source(spark: SparkSession, events_path: str,
                   streaming: bool = True,
                   malformed_every: int | None = None,
-                  split_files: int | None = None) -> DataFrame:
+                  split_files: int | None = None,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
     """Deterministic test double for the MQTT source (SURVEY.md §5.3):
     replays the events table as (topic, payload) messages with
     ``topic = /events/<event_type>/u<user_id%10>``. ``malformed_every``
@@ -382,7 +383,10 @@ def replay_source(spark: SparkSession, events_path: str,
     ``event_id % N``, deterministic) and caps the reader at one file per
     trigger, so a run produces N genuine micro-batches — without it, a
     single-file availableNow drain is ONE batch and "cross-batch" state
-    never actually crosses a batch."""
+    never actually crosses a batch. ``max_files_per_trigger`` applies the
+    same reader cap to a caller-prepared DIRECTORY of replay files (the
+    file-stream source takes them oldest-mtime-first, one batch each —
+    how the sentinel-sealed append drains sequence their batches)."""
     # the events parquet has shipped as TIMESTAMP(NANOS) in some data
     # generations; nanosAsLong lets the scan read that layout (as int64)
     # and is inert for µs layouts. ts never reaches the payload, so no
@@ -425,6 +429,9 @@ def replay_source(spark: SparkSession, events_path: str,
         reader = spark.readStream.schema(schema)
         if split_files:
             reader = reader.option("maxFilesPerTrigger", 1)
+        elif max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger)
         base = reader.parquet(src_dir)
     else:
         base = spark.read.parquet(events_path)

@@ -460,6 +460,34 @@ def variant_pruned_scan_events(spark, k):
     )
 
 
+def jsonata_descendants_events(spark, k):
+    # r6 compiled variant-path ** descendants: map-only per-row recursion
+    # over raw JSON text + a tiny group agg — time should track input
+    # ~linearly with near-zero shuffle (the agg rows are kind-cardinality)
+    from mqtt_streamr_spark.streaming.transform import transform_to_json
+
+    ev = replicate(load(spark, "events", SF_DIR), k,
+                   id_cols=("event_id", "user_id"))
+    df = ev.withColumn(
+        "payload",
+        F.to_json(F.struct(
+            "event_type",
+            F.struct(
+                F.from_json("props", "k double").getField("k").alias("k"),
+                F.struct(
+                    (F.col("user_id") % 7).cast("double").alias("k")
+                ).alias("inner"),
+            ).alias("outer"),
+        )),
+    )
+    out_col, backend = transform_to_json(
+        '{"kind": event_type, "k": $sum(**.k)}', F.col("payload"))
+    assert backend == "compiled", backend
+    m = df.withColumn("m", F.from_json(out_col, "kind string, k double"))
+    return m.groupBy("m.kind").agg(
+        F.count(F.lit(1)), F.sum("m.k"))
+
+
 OPS = {
     "scan_agg_lineitem": scan_agg,
     "minhash_lsh_buckets": minhash_buckets,
@@ -490,6 +518,7 @@ OPS = {
     "quantile_sketch_events": quantile_sketch_events,
     "ngram_repetition_docs": ngram_repetition_docs,
     "variant_pruned_scan_events": variant_pruned_scan_events,
+    "jsonata_descendants_events": jsonata_descendants_events,
 }
 
 
