@@ -40,10 +40,13 @@ from mqtt_streamr_spark.queries.registry import ORACLES, QUERIES
 #     windows stay covered by events_success_error_daily + the streaming
 #     family; the file-format row swaps to the never-checked csv leg.
 #   - jsonata_descendants_typed / jsonata_groupby_typed → the typed
-#     backend remains exercised by the three in-window backends row
-#     (typed/compiled/interpreted in jsonata_transform_compiled,
-#     jsonata_hof_compiled, jsonata_interpreted_fallback); descendants
-#     and group-by stay gate-checked + differential-tested.
+#     backend remains exercised by the in-window backends row
+#     (jsonata_transform_compiled, jsonata_interpreted_fallback);
+#     descendants now driver-checked on the VARIANT path instead
+#     (jsonata_descendants_variant, the new r6 plan); group-by stays
+#     gate-checked + differential-tested. jsonata_hof_compiled and
+#     streaming_stateful_dedup rotate out late-r6 (both driver-checked
+#     in earlier rounds; see inline notes) for the two new r6 plans.
 #   - join_semi_customers_with_big_orders / q22 / q13 → semi+anti+outer
 #     covered in-window by q21_suppliers_kept_waiting (EXISTS + NOT
 #     EXISTS in one query) and the retained TPC-H family.
@@ -87,9 +90,11 @@ MUST_VERIFY: list[str] = [
     "events_csv_roundtrip",  # r6-NEW (file-format row swaps to the csv leg)
     "scan_filter_project",  # r6-NEW (parquet filter/projection pushdown row)
     # §2.6/2.8 JSONata: the three backends (function families gate-checked)
-    # + the r6 ordered-object compiled surface
+    # + the r6 compiled surfaces (ordered-object ops, variant descendants).
+    # jsonata_hof_compiled rotates OUT (driver-checked r4+r5, gate-checked
+    # always) for the brand-new variant ** path, whose plan must be driven.
     "jsonata_transform_compiled",
-    "jsonata_hof_compiled",
+    "jsonata_descendants_variant",  # r6-NEW (compiled variant-path **)
     "jsonata_interpreted_fallback",
     "jsonata_object_ops_compiled",  # r6-NEW (compiled $keys/$lookup/$sift/$merge)
     # §2.3 joins (bucketed/salted rotate in, r6-NEW; semi/outer covered by
@@ -105,9 +110,12 @@ MUST_VERIFY: list[str] = [
     # §2.4 grouping structures
     "agg_cube_status_priority",
     # §2.7 streaming runtime end-to-end (r6: the from_json single-parse
-    # rewrite touched every streaming query — drive the changed ones)
+    # rewrite touched every streaming query — drive the changed ones).
+    # streaming_stateful_dedup rotates OUT (its bounded-state dedup row is
+    # covered in-window by streaming_dedup_within_watermark) for the new
+    # append-mode session-window drain, whose plan must be driven.
     "streaming_replay_pipeline",
-    "streaming_stateful_dedup",
+    "streaming_session_windows_append",  # r6-NEW (watermark-sealed append)
     "streaming_running_stats",
     "streaming_dedup_within_watermark",  # r6-NEW (bounded-state dedup)
     "streaming_stream_stream_join",  # r6-NEW
