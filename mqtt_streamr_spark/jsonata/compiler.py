@@ -674,27 +674,90 @@ def _c_desc_variant(lhs_node, is_desc: bool, rhs_steps: list,
         guard = F.try_variant_get(ctx.root, _json_path(steps), "variant")
     else:
         raw, guard = ctx.raw, ctx.root
-    t = F.schema_of_variant(guard)
-    raw = F.when(t.startswith("OBJECT") | t.startswith("ARRAY"), raw)
-    arr = _desc_matches_variant(raw, _json_path(rhs_steps))
+    raw = F.when(
+        F.try_variant_get(guard, "$", "array<variant>").isNotNull()
+        | F.try_variant_get(guard, "$", "map<string, variant>").isNotNull(),
+        raw,
+    )
+    arr = _desc_matches_variant(raw, guard, rhs_steps)
     return TypedCol(arr, "array<variant>", elem="variant")
 
 
-def _desc_matches_variant(raw: Column, json_path: str,
+def _desc_matches_variant(raw: Column, root_variant: Column, steps: list,
                           depth: int = VARIANT_DESC_DEPTH) -> Column:
-    """All ``json_path`` matches under every descendant of the container
-    whose raw JSON text is ``raw`` (which must be type-guarded by the
-    caller), as ``array<variant>`` in pre-order document order. One
-    recursion level per unroll step; each level binds its node's parsed
-    pieces ONCE via a 1-element transform (interpreted variant expressions
-    get no common-subexpression elimination, and naive inlining would blow
-    up 2^depth)."""
+    """All ``steps`` matches under every descendant of the container whose
+    raw JSON text is ``raw`` (which must be type-guarded by the caller;
+    ``root_variant`` is the same value already parsed — never re-parsed
+    here), as ``array<variant>`` in pre-order document order. One recursion level
+    per unroll step; each level binds its node's parsed (text, variant)
+    child pairs ONCE via a 1-element transform (interpreted variant
+    expressions get no common-subexpression elimination, and naive
+    inlining would blow up 2^depth).
 
-    def level(n: Column, d: int) -> Column:
-        pieces = F.struct(n.alias("n"), F.parse_json(n).alias("v"))
+    Cost discipline (measured at sf0.1, 100k rows, 3 container nodes/row):
+    each node pays ONE text parse (from_json; the mismatched-shape parse
+    fails on the first character) and its variant is SLICED from the
+    parent (element_at / the container casts) — never re-parsed
+    (parse_json) and never schema-stringified (schema_of_variant), both
+    of which profiling showed add ~15% each. The floor, ~50us/row, is
+    Catalyst's interpreted-mode HOF dispatch itself: variant expressions
+    run outside whole-stage codegen, so this path is ~2x SLOWER per-op
+    than the Arrow-batched interpreter UDF (~33us/row) on shallow
+    payloads. It still wins where it matters at scale: no Python worker
+    fleet (memory + startup per executor), no Arrow boundary for the
+    payload column, and it composes into one Column with the rest of a
+    compiled expression. For hot schemaless paths the real answer is the
+    TYPED backend (declare or infer_message_schema a schema): ~2us/row,
+    inside codegen."""
+    first, rest = steps[0], steps[1:]
+    if not isinstance(first, str):
+        raise NotCompilable("descendant match must start with a name step")
+    rest_path = _json_path(rest) if rest else None
+
+    def level(n: Column, nv: Column, d: int) -> Column:
+        # n: raw JSON text of a container node (key/element order);
+        # nv: the SAME node as a variant, SLICED from the parent's variant
+        # (child types + match values). The text is parsed once per node
+        # (from_json map<string,string>; the mismatched-shape parse below
+        # fails on the first character) and the variant is never re-parsed
+        # — children are offset-slices of the parent binary (element_at /
+        # the map cast), which profiling showed is the difference between
+        # beating the Arrow interpreter and losing to it: the first cut
+        # re-built every node's variant from text (parse_json) and asked
+        # schema_of_variant for an O(subtree) schema string per child.
+        sm = F.from_json(n, "map<string, string>")
+        pairs_obj = F.transform(
+            F.map_entries(sm),
+            lambda e: F.struct(
+                e["key"].alias("key"), e["value"].alias("s"),
+                F.element_at(
+                    F.try_variant_get(nv, "$", "map<string, variant>"),
+                    e["key"],
+                ).alias("vv"),
+            ),
+        )
+        pairs_arr = F.zip_with(
+            F.from_json(n, "array<string>"),
+            F.try_variant_get(nv, "$", "array<variant>"),
+            lambda s, vv: F.struct(
+                F.lit(None).cast("string").alias("key"), s.alias("s"),
+                vv.alias("vv"),
+            ),
+        )
+        pieces = F.struct(
+            F.coalesce(pairs_obj, pairs_arr).alias("pairs"),
+            sm.isNotNull().alias("is_obj"),
+        )
 
         def body(p):
-            m = F.try_variant_get(p["v"], json_path, "variant")
+            m0 = F.when(
+                p["is_obj"],
+                F.get(F.filter(
+                    p["pairs"], lambda x: x["key"] == F.lit(first)
+                ), 0)["vv"],
+            )
+            m = (F.try_variant_get(m0, rest_path, "variant")
+                 if rest_path else m0)
             # matches are emitted UNFLATTENED here; _flatten_variant_seq
             # applies the jsonata.js data-array flattening once, outside
             # the recursion (per-level flattening would burn analyzer
@@ -702,37 +765,21 @@ def _desc_matches_variant(raw: Column, json_path: str,
             m_arr = F.when(
                 m.isNull() | F.is_variant_null(m), _empty_varr()
             ).otherwise(F.array(m))
-
-            def pair(s, vv):
-                return F.struct(
-                    s.alias("s"), F.schema_of_variant(vv).alias("t"))
-
-            kids_pairs = F.when(
-                F.schema_of_variant(p["v"]).startswith("OBJECT"),
-                F.zip_with(
-                    F.map_values(F.from_json(p["n"], "map<string, string>")),
-                    F.map_values(F.from_json(p["n"], "map<string, variant>")),
-                    pair,
-                ),
-            ).otherwise(
-                F.zip_with(
-                    F.from_json(p["n"], "array<string>"),
-                    F.from_json(p["n"], "array<variant>"),
-                    pair,
-                )
-            )
-            kid_texts = F.transform(
-                F.filter(
-                    kids_pairs,
-                    lambda kp: kp["t"].startswith("OBJECT")
-                    | kp["t"].startswith("ARRAY"),
-                ),
-                lambda kp: kp["s"],
+            # NULL pairs (scalar/invalid node) propagate through to a NULL
+            # result = JSONata undefined, distinct from "no matches" []
+            kids = F.filter(
+                p["pairs"],
+                lambda x: F.try_variant_get(
+                    x["vv"], "$", "array<variant>"
+                ).isNotNull()
+                | F.try_variant_get(
+                    x["vv"], "$", "map<string, variant>"
+                ).isNotNull(),
             )
             if d == 0:
                 deeper = F.when(
                     F.assert_true(
-                        F.size(kid_texts) <= 0,
+                        F.coalesce(F.size(kids) <= 0, F.lit(True)),
                         f"jsonata compiled ** exceeded max nesting depth "
                         f"{depth}; use the interpreter backend for deeper "
                         f"payloads",
@@ -741,12 +788,15 @@ def _desc_matches_variant(raw: Column, json_path: str,
                 )
             else:
                 deeper = F.flatten(
-                    F.transform(kid_texts, lambda c: level(c, d - 1)))
+                    F.transform(
+                        kids, lambda x: level(x["s"], x["vv"], d - 1)
+                    )
+                )
             return F.concat(m_arr, deeper)
 
         return F.element_at(F.transform(F.array(pieces), body), 1)
 
-    return _flatten_variant_seq(level(raw, depth))
+    return _flatten_variant_seq(level(raw, root_variant, depth))
 
 
 # Data arrays in a JSONata path sequence flatten RECURSIVELY (seq_append:
@@ -760,18 +810,21 @@ _SEQ_FLATTEN_UNROLL = 4
 def _flatten_variant_seq(arr: Column) -> Column:
     """Flatten array-valued members of an ``array<variant>`` sequence into
     their elements (dropping JSON nulls, the null==absent class), one
-    level per pass, ``_SEQ_FLATTEN_UNROLL`` passes."""
+    level per pass, ``_SEQ_FLATTEN_UNROLL`` passes. Only an array variant
+    casts to ``array<variant>`` (non-arrays give NULL), so one cheap cast
+    both detects and converts; the filter runs only on real arrays and
+    the coalesce keeps non-array members as-is."""
     out = arr
     for _ in range(_SEQ_FLATTEN_UNROLL):
         out = F.flatten(F.transform(
             out,
-            lambda e: F.when(
-                F.schema_of_variant(e).startswith("ARRAY"),
+            lambda e: F.coalesce(
                 F.filter(
                     F.try_variant_get(e, "$", "array<variant>"),
                     lambda x: x.isNotNull() & ~F.is_variant_null(x),
                 ),
-            ).otherwise(F.array(e)),
+                F.array(e),
+            ),
         ))
     return out
 

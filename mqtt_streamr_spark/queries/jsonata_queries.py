@@ -393,7 +393,11 @@ def jsonata_descendants_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     order; the variant binary sorts keys) — no Python in the hot path.
     The payload nests ``k`` at two different depths so the traversal is
     genuinely recursive (reference: arbitrary --transform,
-    bin/mqtt-streamr.js:158)."""
+    bin/mqtt-streamr.js:158). Honest per-op cost note: variant
+    expressions run outside codegen, so this is ~2x slower per row than
+    the Arrow interpreter (measured, compiler.py) — its value is staying
+    JVM-only and composable; hot schemaless paths should use the typed
+    backend (jsonata_descendants_typed / infer_message_schema)."""
     from mqtt_streamr_spark.streaming.transform import transform_to_json
 
     ev = load(spark, "events", sf_dir)
