@@ -707,8 +707,9 @@ def _desc_matches_variant(raw: Column, root_variant: Column, steps: list,
     fleet (memory + startup per executor), no Arrow boundary for the
     payload column, and it composes into one Column with the rest of a
     compiled expression. For hot schemaless paths the real answer is the
-    TYPED backend (declare or infer_message_schema a schema): ~2us/row,
-    inside codegen."""
+    TYPED backend (declare or infer_message_schema a schema): ~19us/row
+    measured on the same transform — the residual cost is the payload
+    from_json itself; the traversal is codegen'd."""
     first, rest = steps[0], steps[1:]
     if not isinstance(first, str):
         raise NotCompilable("descendant match must start with a name step")

@@ -397,7 +397,8 @@ def jsonata_descendants_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions run outside codegen, so this is ~2x slower per row than
     the Arrow interpreter (measured, compiler.py) — its value is staying
     JVM-only and composable; hot schemaless paths should use the typed
-    backend (jsonata_descendants_typed / infer_message_schema)."""
+    backend (jsonata_descendants_typed / infer_message_schema — measured
+    ~19us/row on the same transform, parse-dominated)."""
     from mqtt_streamr_spark.streaming.transform import transform_to_json
 
     ev = load(spark, "events", sf_dir)

@@ -682,19 +682,23 @@ def streaming_session_windows_append(
 def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per window under the STREAMING engine: daily per-type counts
     maintained as streaming window state (the part that must be
-    incremental), ranked to top-3 AT READ TIME over the drained state —
+    incremental), ranked to top-3 AT READ TIME over the drained output —
     the standard serving split, since rank is not an incremental
     streaming operator (Spark rejects window functions on streaming
     DataFrames): the state store holds the windowed counts, the serving
     query ranks the (windows x types)-sized materialization, metadata-
-    sized next to the event stream that fed it."""
+    sized next to the event stream that fed it. APPEND mode (late-r6,
+    was complete): each sealed day-window emits exactly once and leaves
+    the state store — complete mode re-emitted the FULL window history
+    every trigger, a rewrite that grows with stream lifetime. The finite
+    replay is drained by the same sentinel-sealed watermark trick as
+    streaming_session_windows_append (_sealed_replay_dir)."""
     from pyspark.sql import Window
 
     from mqtt_streamr_spark.streaming.pipeline import replay_source
 
-    src = replay_source(
-        spark, os.path.join(sf_dir, "events.parquet"), streaming=True,
-    )
+    d = _sealed_replay_dir(spark, sf_dir)
+    src = replay_source(spark, d, streaming=True, max_files_per_trigger=1)
     parsed = with_payload(src, "event_type", "ev_ts").select(
         "event_type", "ev_ts"
     )
@@ -707,12 +711,12 @@ def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "streaming_windowed_topk_sink"
     q = (
         agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    state = spark.table(name)
+    state = spark.table(name).filter(F.col("event_type") != "__seal__")
     rk = F.row_number().over(
         Window.partitionBy("day").orderBy(
             F.col("n").desc(), F.col("event_type").asc()))

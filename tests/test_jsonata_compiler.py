@@ -403,6 +403,17 @@ def test_variant_descendants_preorder_parity(spark):
         ["top", 1, 2, 30, 31, 3, 4]
 
 
+def test_variant_descendants_scalar_base_undefined(spark):
+    """`<scalar>.**.x` is undefined, and the embedded-JSON-string trap
+    applies to the BASE too: `s.**.k` where s is a STRING whose content
+    is JSON text must be undefined (the interpreter sees a string), not
+    the embedded object's matches."""
+    for expr in ("s.**.k", "k.**.x", "missing.**.x"):
+        expected = jsonata(expr).evaluate(DESC_DOC)
+        assert expected is UNDEFINED, expr
+        assert run_compiled(spark, expr, DESC_DOC) is None, expr
+
+
 def test_variant_descendants_depth_guard_raises(spark):
     """Rows nested deeper than VARIANT_DESC_DEPTH must fail LOUDLY (never
     silently truncate the descendant sequence): the correct escape hatch
