@@ -533,3 +533,43 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmpdirs):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_descendants_depth_overflow_loud_with_interpreter_escape(
+    spark, tmpdirs
+):
+    """The compiled variant-path ``**`` is depth-bounded: a payload nested
+    deeper than VARIANT_DESC_DEPTH must fail the pipeline LOUDLY (never
+    silently truncate the descendant walk), and the documented escape
+    hatch — transform_mode='interpreted' — must process the same message
+    correctly end-to-end."""
+    import pytest
+
+    from mqtt_streamr_spark.jsonata.compiler import VARIANT_DESC_DEPTH
+
+    deep = {"k": 2}
+    for _ in range(VARIANT_DESC_DEPTH + 2):
+        deep = {"a": deep}
+    src = spark.createDataFrame(
+        [("/t/deep", json.dumps({"value": 1, "nest": deep}))],
+        "topic string, payload string",
+    )
+    expr = "{'s': $sum(**.k)}"
+
+    spec = PipelineSpec(
+        transform=expr, sink_dir=tmpdirs["sink"], log_interval=3600,
+    )
+    bridge = StreamingBridge(spec)
+    with pytest.raises(Exception, match="exceeded max nesting"):
+        bridge.run_batch(src)
+    assert bridge.transform_backend == "compiled"
+
+    spec2 = PipelineSpec(
+        transform=expr, transform_mode="interpreted",
+        sink_dir=tmpdirs["sink"] + "_interp", log_interval=3600,
+    )
+    bridge2 = StreamingBridge(spec2)
+    bridge2.run_batch(src)
+    assert bridge2.transform_backend == "interpreted"
+    out = spark.read.parquet(tmpdirs["sink"] + "_interp")
+    assert json.loads(out.collect()[0]["message"]) == {"s": 2}
