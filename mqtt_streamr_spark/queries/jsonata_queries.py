@@ -270,7 +270,7 @@ def jsonata_hof_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type AS kind, count(*) AS n,
            sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
            AS sum_k
-    FROM events GROUP BY event_type
+    FROM events WHERE event_id % 5 = 0 GROUP BY event_type
     """,
 )
 def jsonata_interpreted_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,10 +279,13 @@ def jsonata_interpreted_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the match shape — ``**.k`` paths compile since r6, see
     jsonata_descendants_variant), so transform_to_json transparently drops
     the WHOLE expression to the Arrow-batched interpreter pandas UDF —
-    same semantics, slower path, still fully distributed."""
+    same semantics, slower path, still fully distributed. Like the other
+    demo queries, runs on a 20% systematic sample (event_id % 5 = 0,
+    restated in the oracle) — the point is the fallback contract, not
+    pushing the corpus through the deliberately-slow backend."""
     from mqtt_streamr_spark.streaming.transform import transform_to_json
 
-    ev = load(spark, "events", sf_dir)
+    ev = load(spark, "events", sf_dir).filter(col("event_id") % 5 == 0)
     df = ev.withColumn(
         "payload",
         F.to_json(F.struct(
