@@ -148,7 +148,9 @@ def _typed_navigate(col: Column, dt, steps: list) -> TypedCol:
         if isinstance(s, int):
             if not isinstance(dt, T.ArrayType):
                 raise NotCompilable("index step on non-array typed value")
-            col, dt = F.element_at(col, s + 1), dt.elementType
+            # try_: out-of-range is JSONata undefined, and ANSI
+            # element_at would raise
+            col, dt = F.try_element_at(col, F.lit(s + 1)), dt.elementType
         else:
             if not isinstance(dt, T.StructType):
                 raise NotCompilable("name step on non-struct typed value")
@@ -364,6 +366,24 @@ def _c_boolean(node, ctx):
 
 def _c_null(node, ctx):
     return TypedCol(F.lit(None), "null")
+
+
+def _reads_context(node) -> bool:
+    """True if the AST reads the evaluation context: a relative name /
+    wildcard / descendant step, or `$` / `$$` (`$$` conservatively — the
+    compiler resolves it to the local root). Bound `$var` references and
+    literals are context-free. Used to detect index predicates whose
+    value is the same for every item."""
+    if isinstance(node, dict):
+        t = node.get("type")
+        if t in ("name", "wildcard", "descendants"):
+            return True
+        if t == "variable" and node.get("value") in ("", "$"):
+            return True
+        return any(_reads_context(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_reads_context(v) for v in node)
+    return False
 
 
 def _path_steps(node) -> list | None:
@@ -843,17 +863,46 @@ def _c_predicate(node, ctx):
     if base.kind == "null":  # predicate over undefined -> undefined
         return base
     arr, elem, elem_dt = _hof_array(base)
-    idx_node, sign = cond, 1
-    if cond["type"] == "unary-" and cond["expr"]["type"] == "number":
-        idx_node, sign = cond["expr"], -1
-    if idx_node["type"] == "number" and float(idx_node["value"]).is_integer():
-        # positional index; negative counts from the end (JSONata arr[-1]
-        # = element_at(-1)). Non-negative on a pure path is handled by the
-        # fast steps path above; this covers computed bases and negatives.
-        idx = sign * int(idx_node["value"])
-        return _elem_tc(
-            F.element_at(arr, idx + 1 if idx >= 0 else idx), elem, elem_dt
-        )
+    if not _reads_context(cond):
+        # JSONata evaluates the predicate per item and treats a NUMERIC
+        # result as index selection (floor; negative from the end;
+        # out-of-range dropped), and an ARRAY-of-numbers result as
+        # membership over item positions (each item kept at most once,
+        # in item order — `a[[2,0]]` is ['a0','a2']). A context-free
+        # cond evaluates identically for every item, so both forms
+        # compile to one outer-scope column; context-DEPENDENT conds
+        # (and every boolean cond) keep the filter path below.
+        try:
+            child = Ctx(root=ctx.root, bindings=dict(ctx.bindings),
+                        root_kind=ctx.root_kind, root_schema=ctx.root_schema,
+                        raw=ctx.raw)
+            ctc = _compile(cond, child)
+        except NotCompilable:
+            ctc = None
+        n = F.size(arr).cast("long")
+        if ctc is not None and ctc.kind == "number":
+            idx = F.floor(ctc.col).cast("long")
+            w = F.when(idx < 0, idx + n).otherwise(idx)
+            # guarded: ANSI element_at raises on out-of-bounds; JSONata
+            # yields undefined
+            return _elem_tc(
+                F.when((w >= 0) & (w < n),
+                       F.try_element_at(arr, (w + 1).cast("int"))),
+                elem, elem_dt,
+            )
+        if ctc is not None and ctc.kind == "array<number>":
+            wanted = F.transform(
+                ctc.col,
+                lambda i: F.when(F.floor(i) < 0,
+                                 F.floor(i).cast("long") + n)
+                           .otherwise(F.floor(i).cast("long")),
+            )
+            return TypedCol(
+                F.filter(arr,
+                         lambda x, i: F.array_contains(wanted,
+                                                       i.cast("long"))),
+                f"array<{elem}>", elem=elem, dtype=elem_dt,
+            )
     # filter predicate: evaluate cond with each element as context.
     # NOTE: applies to arrays; JSONata's scalar-as-singleton-sequence rule
     # is not reproducible in a statically-typed column (documented
@@ -1052,10 +1101,15 @@ def _c_object(node, ctx):
 def _c_range(node, ctx):
     lo = as_number(_compile(node["lhs"], ctx))
     hi = as_number(_compile(node["rhs"], ctx))
-    return TypedCol(
-        F.sequence(lo.cast("long"), hi.cast("long")), "array<number>",
-        elem="number",
+    # JSONata `a..b`: empty when a > b (Spark's sequence would count DOWN);
+    # non-integer bounds are a type error (T2003) -> the documented
+    # error->null divergence class on the compiled path.
+    ok = (lo == F.floor(lo)) & (hi == F.floor(hi))
+    col = (
+        F.when(ok & (lo <= hi), F.sequence(lo.cast("long"), hi.cast("long")))
+        .when(ok, F.array().cast("array<long>"))
     )
+    return TypedCol(col, "array<number>", elem="number")
 
 
 def _c_apply(node, ctx):

@@ -102,7 +102,29 @@ COMPILABLE = [
     "nested.missing",
     "tags[0]",
     "tags[2]",
+    "tags[-1]",
+    "tags[9]",                                  # out of range -> undefined
+    "tags[-9]",                                 # out of range -> undefined
+    "tags[1+1]",                                # computed index, floor+wrap
+    "tags[2-4]",                                # computed negative index
+    "tags[0.5]",                                # fractional index floors
     "$",
+    # index-ARRAY predicates: numeric-array predicate selects by position
+    # (membership in item order, at-most-once, negatives from the end)
+    "tags[[0..1]]",
+    "tags[[1..2]]",
+    "tags[[0,2]]",
+    "nums[[0..1]]",
+    "tags[[-2..-1]]",
+    "tags[[0, -1]]",
+    "tags[[2, 0]]",                             # item order, not index order
+    "tags[[1..9]]",                             # overrun clipped
+    "items[[0,2]].p",                           # nav over selected objects
+    "tags[0..1]",                               # bare range predicate
+    # range well-formedness
+    "[5..1]",                                   # descending -> empty
+    "[1..3, 7..9]",
+    "$count([0..9])",
     # arithmetic / comparison / boolean
     "value * 2",
     "value + count",
