@@ -62,6 +62,11 @@ class TypedCol:
     #   static Column type cannot express) — navigation raises NotCompilable
     #   instead of silently diverging; whole-value/aggregate/indexed uses
     #   stay compiled ($match results)
+    is_seq: bool = False  # array that is a JSONata SEQUENCE (HOF/predicate/
+    #   name-step-mapping result), not an array VALUE: at the result
+    #   boundary an empty sequence is undefined and a singleton is its
+    #   item (_seq_boundary); internal consumers ($sum, indexing, further
+    #   HOFs) keep operating on the array form
 
 
 @dataclass
@@ -90,7 +95,7 @@ def compile_column(source_or_ast, input_col: Column,
     when provided, the ordered-object functions compile too (they need
     source key order, which the variant encoding discards)."""
     ast = parse(source_or_ast) if isinstance(source_or_ast, str) else source_or_ast
-    return _compile(ast, Ctx(root=input_col, raw=raw_col))
+    return _seq_boundary(_compile(ast, Ctx(root=input_col, raw=raw_col)))
 
 
 def compile_typed(source_or_ast, input_col: Column, schema) -> TypedCol:
@@ -105,10 +110,10 @@ def compile_typed(source_or_ast, input_col: Column, schema) -> TypedCol:
     ast = parse(source_or_ast) if isinstance(source_or_ast, str) else source_or_ast
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
-    return _compile(
+    return _seq_boundary(_compile(
         ast,
         Ctx(root=input_col, root_kind="object", root_schema=schema),
-    )
+    ))
 
 
 def _typed_from(col: Column, dt) -> TypedCol:
@@ -173,6 +178,14 @@ def to_json_string(tc: TypedCol) -> Column:
     # represent ABSENT optional fields as NULL (module docstring), so the
     # serialization must drop them even if the user session flips
     # spark.sql.jsonGenerator.ignoreNullFields to false.
+    if tc.is_seq and tc.kind.startswith("array"):
+        # JSONata sequence rules, string-side (no variant round-trip):
+        # empty -> undefined (NULL payload), singleton -> the item's JSON
+        n = F.size(tc.col)
+        one = to_json_string(_elem_tc(F.element_at(tc.col, 1),
+                                      tc.elem or "variant", tc.dtype))
+        return F.when(n == 1, one).when(
+            n > 1, F.to_json(tc.col, {"ignoreNullFields": "true"}))
     if tc.kind in ("object", "omap") or tc.kind.startswith("array"):
         return F.to_json(tc.col, {"ignoreNullFields": "true"})
     if tc.kind == "variant":
@@ -206,6 +219,10 @@ def as_number(tc: TypedCol) -> Column:
         return tc.col.try_cast("double")
     if tc.kind == "null":
         return F.lit(None).cast("double")
+    if tc.is_seq and tc.kind.startswith("array"):
+        # a singleton sequence is its item; numbering a larger sequence
+        # is a JSONata type error -> NULL (error->null divergence class)
+        return as_number(_seq_scalar(tc))
     raise NotCompilable(f"cannot use kind {tc.kind} as number")
 
 
@@ -225,6 +242,14 @@ def as_string(tc: TypedCol) -> Column:
         # string variant -> raw string; others -> JSON text
         s = F.try_variant_get(tc.col, "$", "string")
         return s
+    if tc.is_seq and tc.kind.startswith("array"):
+        # sequence rules: empty -> undefined (NULL), singleton -> its
+        # item's string form, larger sequences -> JSON text
+        n = F.size(tc.col)
+        one = as_string(_elem_tc(F.element_at(tc.col, 1),
+                                 tc.elem or "variant", tc.dtype))
+        return F.when(n == 1, one).when(
+            n > 1, F.to_json(tc.col, {"ignoreNullFields": "true"}))
     if tc.kind in ("object", "omap") or tc.kind.startswith("array"):
         return F.to_json(tc.col, {"ignoreNullFields": "true"})
     if tc.kind == "null":
@@ -332,7 +357,15 @@ def as_boolean(tc: TypedCol) -> Column:
 
 def _as_array(tc: TypedCol, elem_type: str) -> Column:
     if tc.kind == "variant":
-        return F.try_variant_get(tc.col, "$", f"array<{elem_type}>")
+        # a non-array value is a singleton sequence (JSONata wraps
+        # scalars for array-consuming contexts: $sum(5) = 5); absent /
+        # JSON-null values stay undefined
+        arr = F.try_variant_get(tc.col, "$", f"array<{elem_type}>")
+        one = F.when(
+            tc.col.isNotNull() & ~F.is_variant_null(tc.col),
+            F.array(F.try_variant_get(tc.col, "$", elem_type)),
+        )
+        return F.coalesce(arr, one)
     if tc.kind.startswith("array"):
         if (tc.elem or "variant") == "variant" and elem_type != "variant":
             return F.transform(
@@ -340,6 +373,141 @@ def _as_array(tc: TypedCol, elem_type: str) -> Column:
             )
         return tc.col
     raise NotCompilable(f"cannot use kind {tc.kind} as array")
+
+
+# --- JSONata sequence semantics over dynamic (variant) values ----------------
+#
+# JSONata name steps MAP over array values: `items.q` is a sequence of
+# every item's q, array-valued members spliced in (one level), missing
+# members dropped, explicit JSON nulls kept; an empty sequence is
+# undefined, a singleton is its item (jsonata 1.6 evaluateName/lookup
+# semantics — the reference reaches them via bin/mqtt-streamr.js:158).
+# A plain `try_variant_get(root, '$.items.q')` can't express that (it
+# navigates OBJECTS only and yields NULL when an array is crossed), so
+# compiled variant paths take `fast-path WHEN NOT NULL, ELSE dynamic
+# sequence walk`: object-shaped data pays one variant_get; data with
+# arrays mid-path gets the full mapping semantics. Nested-array splicing
+# beyond one level per step is the same bounded-unroll divergence class
+# as _ARRAY_TRUTHY_UNROLL (documented).
+
+def _group_steps(steps: list) -> list[tuple[str | None, list[int]]]:
+    """Group a flat step list into (name, trailing-int-indexes) composite
+    steps — JSONata binds `a.b[0]` per-ITEM (the index applies to each
+    b value), so ints attach to the preceding name step. Leading ints
+    (no preceding name) index the root sequence itself."""
+    groups: list[tuple[str | None, list[int]]] = []
+    for s in steps:
+        if isinstance(s, int):
+            if groups:
+                groups[-1][1].append(s)
+            else:
+                groups.append((None, [s]))
+        else:
+            groups.append((s, []))
+    return groups
+
+
+def _variant_index_value(v: Column, i: int) -> Column:
+    """JSONata index into ONE dynamic value: arrays select (negative from
+    the end, out-of-range -> undefined); a non-array is a singleton
+    sequence, so [0] and [-1] yield the value itself."""
+    arr = F.try_variant_get(v, "$", "array<variant>")
+    n = F.size(arr)
+    w = F.lit(i) + (F.when(F.lit(i) < 0, n).otherwise(F.lit(0)))
+    got = F.when((w >= 0) & (w < n),
+                 F.try_element_at(arr, (w + 1).cast("int")))
+    out = F.when(arr.isNotNull(), got)
+    return out.otherwise(v) if i in (0, -1) else out
+
+
+def _vseq_step(seq: Column, name: str | None, ints: list[int]) -> Column:
+    """One composite path step over a SEQUENCE (array<variant>)."""
+    path = _json_path([name]) if name is not None else None
+
+    def per_item(v: Column) -> Column:
+        if path is None:
+            picked = F.array(v)
+        else:
+            arr = F.try_variant_get(v, "$", "array<variant>")
+            # v is an array: map the lookup over members (missing dropped)
+            in_arr = F.filter(
+                F.transform(
+                    arr, lambda x: F.try_variant_get(x, path, "variant")),
+                lambda r: r.isNotNull(),
+            )
+            direct = F.try_variant_get(v, path, "variant")
+            picked = F.when(arr.isNotNull(), in_arr).otherwise(
+                F.filter(F.array(direct), lambda r: r.isNotNull()))
+        def _index_step(j: int):
+            # NOTE: a plain `lambda r, _j=j: ...` would be 2-arity and
+            # F.transform would bind the array INDEX column to _j
+            return lambda r: _variant_index_value(r, j)
+
+        for i in ints:
+            picked = F.filter(
+                F.transform(picked, _index_step(i)),
+                lambda r: r.isNotNull(),
+            )
+        # splice array-valued results into the sequence (one level;
+        # explicit JSON nulls kept — they are values, not undefined)
+        return F.flatten(F.transform(
+            picked,
+            lambda r: F.coalesce(
+                F.try_variant_get(r, "$", "array<variant>"), F.array(r)),
+        ))
+
+    return F.flatten(F.transform(seq, per_item))
+
+
+def _variant_path_dynamic(root: Column, steps: list) -> Column:
+    """Full dynamic walk: fold composite steps over the singleton sequence
+    [root], then apply sequence rules (empty -> NULL, singleton -> item,
+    else re-encode the sequence as ONE variant array)."""
+    seq = F.array(root)
+    for name, ints in _group_steps(steps):
+        seq = _vseq_step(seq, name, ints)
+    n = F.size(seq)
+    return (
+        F.when(n == 1, F.element_at(seq, 1))
+        .when(n > 1, F.parse_json(F.to_json(seq)))
+    )
+
+
+def _variant_nav(root: Column, steps: list) -> Column:
+    """Variant path navigation: single-get fast path for object-shaped
+    data, dynamic sequence walk when it misses (array mid-path, index
+    on a scalar, or a genuinely absent path — the walk re-derives NULL
+    for the last case)."""
+    fast = F.try_variant_get(root, _json_path(steps), "variant")
+    return F.when(fast.isNotNull(), fast).otherwise(
+        _variant_path_dynamic(root, steps))
+
+
+def _seq_boundary(tc: TypedCol) -> TypedCol:
+    """Apply JSONata sequence rules at the RESULT boundary of the public
+    compile entry points: empty sequence -> undefined (NULL), singleton
+    -> its item, larger sequences stay arrays (re-encoded as variant so
+    one static Column type covers all three). Internal consumers use
+    _compile directly and keep the array form."""
+    if not tc.is_seq or not tc.kind.startswith("array"):
+        return tc
+    n = F.size(tc.col)
+    if (tc.elem or "variant") == "variant":
+        one = F.element_at(tc.col, 1)
+        many = F.parse_json(F.to_json(tc.col))
+    else:
+        one = F.parse_json(to_json_string(
+            _elem_tc(F.element_at(tc.col, 1), tc.elem, tc.dtype)))
+        many = F.parse_json(F.to_json(tc.col, {"ignoreNullFields": "true"}))
+    return TypedCol(F.when(n == 1, one).when(n > 1, many), "variant")
+
+
+def _seq_scalar(tc: TypedCol) -> TypedCol:
+    """A sequence used where a scalar is expected (comparison operand):
+    singleton -> its item; larger sequences -> NULL (JSONata raises a
+    type error there — the documented error->null divergence class)."""
+    one = F.when(F.size(tc.col) == 1, F.element_at(tc.col, 1))
+    return _elem_tc(one, tc.elem or "variant", tc.dtype)
 
 
 # --- compiler core -----------------------------------------------------------
@@ -486,7 +654,7 @@ def _c_name(node, ctx):
         )
         kept = F.filter(mapped, lambda v: v.isNotNull())
         return TypedCol(kept, f"array<{out.kind}>", elem=out.kind,
-                        dtype=out.dtype)
+                        dtype=out.dtype, is_seq=True)
     if ctx.root_kind == "array<variant>":
         # variant ARRAY context (group-by value position, variant path):
         # name step maps over members and drops undefined
@@ -497,13 +665,10 @@ def _c_name(node, ctx):
         kept = F.filter(
             mapped, lambda v: v.isNotNull() & ~F.is_variant_null(v)
         )
-        return TypedCol(kept, "array<variant>", elem="variant")
+        return TypedCol(kept, "array<variant>", elem="variant", is_seq=True)
     if ctx.root_schema is not None:
         return _typed_navigate(ctx.root, ctx.root_schema, [node["value"]])
-    return TypedCol(
-        F.try_variant_get(ctx.root, _json_path([node["value"]]), "variant"),
-        "variant",
-    )
+    return TypedCol(_variant_nav(ctx.root, [node["value"]]), "variant")
 
 
 def _c_path(node, ctx):
@@ -511,9 +676,7 @@ def _c_path(node, ctx):
     if steps is not None:
         if ctx.root_schema is not None:
             return _typed_navigate(ctx.root, ctx.root_schema, steps)
-        return TypedCol(
-            F.try_variant_get(ctx.root, _json_path(steps), "variant"), "variant"
-        )
+        return TypedCol(_variant_nav(ctx.root, steps), "variant")
     rhs_steps = _path_steps(node["rhs"])
     if rhs_steps is None:
         raise NotCompilable("non-trivial path rhs")
@@ -538,7 +701,7 @@ def _c_path(node, ctx):
                 return TypedCol(F.lit(None), "null")
             merged, kind = seg
             kept = F.filter(merged, lambda v: v.isNotNull())
-            return TypedCol(kept, f"array<{kind}>", elem=kind)
+            return TypedCol(kept, f"array<{kind}>", elem=kind, is_seq=True)
         return _c_desc_variant(lhs_node, is_desc, rhs_steps, ctx)
     lhs = _compile(node["lhs"], ctx)
     if lhs.kind == "object" and lhs.dtype is not None:
@@ -566,13 +729,12 @@ def _c_path(node, ctx):
         )
         kept = F.filter(mapped, lambda v: v.isNotNull())
         return TypedCol(kept, f"array<{out.kind}>", elem=out.kind,
-                        dtype=out.dtype)
+                        dtype=out.dtype, is_seq=True)
     path = _json_path(rhs_steps)
     if lhs.kind == "variant":
-        # navigation within a bound variant value (e.g. a lambda var $x.f);
-        # NOTE compiled paths NAVIGATE objects — JSONata's map-over-array
-        # step on a dynamically-array value stays on the interpreter path
-        return TypedCol(F.try_variant_get(lhs.col, path, "variant"), "variant")
+        # navigation within a bound variant value (e.g. a lambda var $x.f):
+        # full dynamic dispatch — maps over array values per _variant_nav
+        return TypedCol(_variant_nav(lhs.col, rhs_steps), "variant")
     if lhs.kind.startswith("array") and (lhs.elem or "variant") == "variant":
         # statically-known array (predicate/HOF result): name step maps over
         # elements and drops undefined, per JSONata sequence semantics
@@ -582,7 +744,7 @@ def _c_path(node, ctx):
         kept = F.filter(
             mapped, lambda v: v.isNotNull() & ~F.is_variant_null(v)
         )
-        return TypedCol(kept, "array<variant>", elem="variant")
+        return TypedCol(kept, "array<variant>", elem="variant", is_seq=True)
     raise NotCompilable(f"path over kind {lhs.kind}")
 
 
@@ -700,7 +862,7 @@ def _c_desc_variant(lhs_node, is_desc: bool, rhs_steps: list,
         raw,
     )
     arr = _desc_matches_variant(raw, guard, rhs_steps)
-    return TypedCol(arr, "array<variant>", elem="variant")
+    return TypedCol(arr, "array<variant>", elem="variant", is_seq=True)
 
 
 def _desc_matches_variant(raw: Column, root_variant: Column, steps: list,
@@ -855,9 +1017,7 @@ def _c_predicate(node, ctx):
     if steps is not None:
         if ctx.root_schema is not None:
             return _typed_navigate(ctx.root, ctx.root_schema, steps)
-        return TypedCol(
-            F.try_variant_get(ctx.root, _json_path(steps), "variant"), "variant"
-        )
+        return TypedCol(_variant_nav(ctx.root, steps), "variant")
     cond = node["cond"]
     base = _compile(node["expr"], ctx)
     if base.kind == "null":  # predicate over undefined -> undefined
@@ -885,11 +1045,14 @@ def _c_predicate(node, ctx):
             w = F.when(idx < 0, idx + n).otherwise(idx)
             # guarded: ANSI element_at raises on out-of-bounds; JSONata
             # yields undefined
-            return _elem_tc(
-                F.when((w >= 0) & (w < n),
-                       F.try_element_at(arr, (w + 1).cast("int"))),
-                elem, elem_dt,
-            )
+            got = F.when((w >= 0) & (w < n),
+                         F.try_element_at(arr, (w + 1).cast("int")))
+            if base.kind == "variant":
+                # non-array base is a singleton sequence: [0]/[-1] yield
+                # the value itself (JSONata scalar-as-singleton rule)
+                got = F.when(arr.isNotNull(), got).otherwise(
+                    F.when(idx.isin(0, -1), base.col))
+            return _elem_tc(got, elem, elem_dt)
         if ctc is not None and ctc.kind == "array<number>":
             wanted = F.transform(
                 ctc.col,
@@ -901,7 +1064,7 @@ def _c_predicate(node, ctx):
                 F.filter(arr,
                          lambda x, i: F.array_contains(wanted,
                                                        i.cast("long"))),
-                f"array<{elem}>", elem=elem, dtype=elem_dt,
+                f"array<{elem}>", elem=elem, dtype=elem_dt, is_seq=True,
             )
     # filter predicate: evaluate cond with each element as context.
     # NOTE: applies to arrays; JSONata's scalar-as-singleton-sequence rule
@@ -914,7 +1077,7 @@ def _c_predicate(node, ctx):
         return as_boolean(_compile(cond, child))
 
     return TypedCol(F.filter(arr, pred), f"array<{elem}>", elem=elem,
-                    dtype=elem_dt)
+                    dtype=elem_dt, is_seq=True)
 
 
 def _c_variable(node, ctx):
@@ -1046,6 +1209,12 @@ def _coerce_to(tc: TypedCol, kind: str | None) -> Column:
 
 
 def _comparable(a: TypedCol, b: TypedCol) -> tuple[Column, Column, str]:
+    # sequences compare as their singleton item (JSONata sequence rule);
+    # a larger sequence against a scalar is never equal -> NULL operand
+    if a.is_seq and a.kind.startswith("array"):
+        a = _seq_scalar(a)
+    if b.is_seq and b.kind.startswith("array"):
+        b = _seq_scalar(b)
     kinds = {a.kind, b.kind}
     if kinds == {"variant"}:
         raise NotCompilable("comparison with both sides of unknown type")
@@ -1138,17 +1307,31 @@ def _c_call(node, ctx):
     args = [
         TypedCol(F.lit(None), "regex") if a["type"] == "regex"
         else TypedCol(F.lit(None), "lambda") if a["type"] == "lambda"
-        else _compile(a, ctx)
+        else _seq_arg(_compile(a, ctx))
         for a in node["args"]
     ]
     return fn(args, node, ctx)
+
+
+def _seq_arg(tc: TypedCol) -> TypedCol:
+    """Function-argument sequence rule: an EMPTY sequence is undefined and
+    propagates as NULL into the callee ($reverse(empty-seq) -> undefined,
+    $sum(empty-seq) -> undefined, $exists(empty-seq) -> false), unlike an
+    empty array VALUE ($reverse([]) -> [], $sum([]) -> 0) which keeps
+    kind array un-flagged and passes through untouched."""
+    if tc.is_seq and tc.kind.startswith("array"):
+        return TypedCol(F.when(F.size(tc.col) > 0, tc.col), tc.kind,
+                        elem=tc.elem, dtype=tc.dtype, is_seq=True)
+    return tc
 
 
 def _hof_array(tc: TypedCol) -> tuple[Column, str, object | None]:
     """Coerce a compiled value to (array Column, element kind, element
     Spark dtype — typed path only) for HOFs."""
     if tc.kind == "variant":
-        return F.try_variant_get(tc.col, "$", "array<variant>"), "variant", None
+        # non-array values are singleton sequences (`$map(one.q, fn)`
+        # where the navigation collapsed to the item)
+        return _as_array(tc, "variant"), "variant", None
     if tc.kind.startswith("array"):
         return tc.col, tc.elem or "variant", tc.dtype
     raise NotCompilable(f"kind {tc.kind} is not an array")
@@ -1208,24 +1391,39 @@ def _c_sort(node, ctx):
     elif not (elem == "object" and elem_dt is not None):
         raise NotCompilable("order-by terms need variant/struct elements")
 
-    def key_of(term, x: Column) -> Column:
+    def key_of(term, x: Column) -> TypedCol:
         tc = _compile(term["expr"], Ctx(root=x, bindings=dict(ctx.bindings),
                                         root_kind=elem,
                                         root_schema=elem_dt))
-        if tc.kind in ("number", "string"):
-            return tc.col
-        if tc.kind == "variant":
-            # JSONata sorts numbers or strings; numeric keys are by far the
-            # common case and the only statically safe coercion here
-            return as_number(tc)
+        if tc.kind in ("number", "string", "variant"):
+            return tc
         raise NotCompilable(f"order-by key of kind {tc.kind}")
 
     def comp(le: Column, r: Column) -> Column:
         out = F.lit(0)
         for term in reversed(terms):
-            lk, rk = key_of(term, le), key_of(term, r)
+            ltc, rtc = key_of(term, le), key_of(term, r)
             lt, gt = (1, -1) if term["descending"] else (-1, 1)
-            out = F.when(lk < rk, F.lit(lt)).when(lk > rk, F.lit(gt)) \
+            if "variant" in (ltc.kind, rtc.kind):
+                # JSONata sorts all-number or all-string keys; dispatch
+                # per row — STRING keys compare lexically, anything else
+                # numerically (mixed keys are a JSONata type error -> the
+                # error->null divergence class leaves order unchanged)
+                ls, rs = as_string(ltc), as_string(rtc)
+                ln, rn = as_number(ltc), as_number(rtc)
+                both_str = (
+                    (F.schema_of_variant(ltc.col) == "STRING")
+                    if ltc.kind == "variant" else F.lit(ltc.kind == "string")
+                ) & (
+                    (F.schema_of_variant(rtc.col) == "STRING")
+                    if rtc.kind == "variant" else F.lit(rtc.kind == "string")
+                )
+                is_lt = F.when(both_str, ls < rs).otherwise(ln < rn)
+                is_gt = F.when(both_str, ls > rs).otherwise(ln > rn)
+            else:
+                lk, rk = ltc.col, rtc.col
+                is_lt, is_gt = lk < rk, lk > rk
+            out = F.when(is_lt, F.lit(lt)).when(is_gt, F.lit(gt)) \
                 .otherwise(out)
         return out
 
@@ -1732,7 +1930,13 @@ def _fc_average(args, node, ctx):
 def _fc_count(args, node, ctx):
     tc = args[0]
     if tc.kind.startswith("array"):
-        return TypedCol(F.size(tc.col).cast("double"), "number")
+        # NULL array = undefined sequence: $count(undefined) is 0 (and
+        # guards against size()'s legacy -1-for-NULL behavior)
+        return TypedCol(
+            F.when(tc.col.isNotNull(), F.size(tc.col).cast("double"))
+            .otherwise(F.lit(0.0)),
+            "number",
+        )
     if tc.kind == "variant":
         arr = F.try_variant_get(tc.col, "$", "array<variant>")
         return TypedCol(
@@ -1749,7 +1953,16 @@ def _fc_append(args, node, ctx):
     a, b = args
     if a.kind.startswith("array") and b.kind.startswith("array") \
             and a.elem == b.elem:
-        return TypedCol(F.concat(a.col, b.col), a.kind, elem=a.elem)
+        # $append(undefined, x) -> x and vice versa; both undefined ->
+        # undefined; the result is a SEQUENCE (a singleton unwraps at the
+        # boundary: $append(seq-of-1, empty-seq) -> the item)
+        ea, eb = F.slice(b.col, 1, 0), F.slice(a.col, 1, 0)
+        col = F.when(
+            a.col.isNotNull() | b.col.isNotNull(),
+            F.concat(F.coalesce(a.col, ea), F.coalesce(b.col, eb)),
+        )
+        return TypedCol(col, a.kind, elem=a.elem,
+                        is_seq=a.is_seq or b.is_seq)
     raise NotCompilable("$append needs same-kind compiled arrays")
 
 
@@ -1781,7 +1994,7 @@ def _fc_map(args, node, ctx):
     else:
         col = F.transform(arr, lambda x, i: body(x, i))
     return TypedCol(col, f"array<{out[0].kind}>", elem=out[0].kind,
-                    dtype=out[0].dtype)
+                    dtype=out[0].dtype, is_seq=True)
 
 
 @_fn("filter")
@@ -1799,7 +2012,8 @@ def _fc_filter(args, node, ctx):
         col = F.filter(arr, lambda x: body(x))
     else:
         col = F.filter(arr, lambda x, i: body(x, i))
-    return TypedCol(col, f"array<{elem}>", elem=elem, dtype=elem_dt)
+    return TypedCol(col, f"array<{elem}>", elem=elem, dtype=elem_dt,
+                    is_seq=True)
 
 
 @_fn("reduce")
@@ -2108,7 +2322,7 @@ def _fc_each(args, node, ctx):
                 "$each body producing nested arrays/objects on the "
                 "variant path (flatten semantics) stays interpreted"
             )
-        return TypedCol(col, f"array<{kind}>", elem=kind)
+        return TypedCol(col, f"array<{kind}>", elem=kind, is_seq=True)
     if obj.kind != "object" or obj.dtype is None:
         raise NotCompilable("$each compiles for typed objects only")
     items: list[Column] = []
@@ -2128,8 +2342,10 @@ def _fc_each(args, node, ctx):
             )
         items.append(tc.col)
     if not items:
-        return TypedCol(F.array(), "array<string>", elem="string")
-    return TypedCol(F.array(*items), f"array<{out_kind}>", elem=out_kind)
+        return TypedCol(F.array(), "array<string>", elem="string",
+                        is_seq=True)
+    return TypedCol(F.array(*items), f"array<{out_kind}>", elem=out_kind,
+                    is_seq=True)
 
 
 @_fn("sift")

@@ -1,0 +1,269 @@
+"""Random JSONata expression generator for differential fuzzing.
+
+Generates syntactically valid JSONata 1.6 expressions over a fixed
+document, spanning the COMPILED surface (SURVEY.md §2.6): paths,
+predicates, index arrays, order-by, arithmetic, comparison/boolean,
+string/numeric/array/object functions, HOF lambdas, variable binds,
+blocks, conditionals and ``~>`` chaining. Deterministic productions
+only — ``$random``/``$now``/``$millis``/``$shuffle`` are excluded so
+both backends can be compared value-for-value.
+
+Two consumers share this grammar:
+- ``tests/test_properties.py`` (hypothesis: seed -> expression), and
+- ``scripts/fuzz_jsonata.py`` (batched deep-fuzz CLI — hundreds of
+  expressions per Spark action).
+
+The generator is seeded-``random.Random`` based (NOT hypothesis
+strategies) so the deep-fuzz script needs no test dependencies.
+"""
+
+from __future__ import annotations
+
+import random
+
+# The fuzz document. Mirrors tests/test_jsonata_compiler.py DOC so any
+# divergence found here reproduces directly in the differential suite.
+FUZZ_DOC = {
+    "user": "ada",
+    "kind": "sensor/temp",
+    "value": 21.5,
+    "count": 3,
+    "ok": True,
+    "tags": ["a", "b", "c"],
+    "nums": [1.5, 2.5, 3.0],
+    "nested": {"k": 42, "name": "x y z", "deep": {"leaf": "v"}},
+    "items": [{"p": 3, "q": "c"}, {"p": 1, "q": "a"}, {"p": 2, "q": "b"}],
+    "zeros": [0],
+    "mixed": [0, 0, 2],
+}
+
+_NUM_ATOMS = ["value", "count", "nums[0]", "nested.k", "items[1].p",
+              "2", "7.5", "0", "-3", "10"]
+_STR_ATOMS = ["user", "kind", "tags[1]", "'lit'", "nested.name",
+              "nested.deep.leaf", "items[0].q", "'x/y/z'"]
+_BOOL_ATOMS = ["ok", "true", "false"]
+# array atoms by element kind (so lambda bodies can type-match)
+_ARRNUM_ATOMS = ["nums", "items.p", "[1..4]", "mixed", "zeros"]
+_ARRSTR_ATOMS = ["tags", "items.q", "['a','b','b']"]
+_OBJ_ATOMS = ["nested", "items[0]", "nested.deep"]
+
+# small deterministic pictures / patterns for format & regex productions
+_PICTURES = ["'#,##0.00'", "'0000'", "'#0.0%'"]
+_REGEXES = ["/se?n/", "/[aeiou]/", "/\\d+/", "/a.b/"]
+
+
+def _n(rng: random.Random, d: int) -> str:
+    """Numeric-valued expression."""
+    if d <= 0:
+        return rng.choice(_NUM_ATOMS)
+    pick = rng.randrange(18)
+    if pick < 4:
+        return rng.choice(_NUM_ATOMS)
+    if pick < 7:
+        op = rng.choice(["+", "-", "*"])
+        return f"({_n(rng, d - 1)} {op} {_n(rng, d - 1)})"
+    if pick == 7:
+        # division / modulo with non-zero literal denominators only
+        op = rng.choice(["/", "%"])
+        return f"({_n(rng, d - 1)} {op} {rng.choice(['2', '4', '2.5'])})"
+    if pick == 8:
+        fn = rng.choice(["$sum", "$max", "$min", "$average", "$count"])
+        return f"{fn}({_arr_num(rng, d - 1)})"
+    if pick == 9:
+        fn = rng.choice(["$abs", "$floor", "$ceil", "$round"])
+        return f"{fn}({_n(rng, d - 1)})"
+    if pick == 10:
+        return f"$round({_n(rng, d - 1)}, {rng.choice([1, 2])})"
+    if pick == 11:
+        return rng.choice([
+            f"$power({_n(rng, 0)}, 2)",
+            f"$sqrt($abs({_n(rng, d - 1)}) + 1)",
+        ])
+    if pick == 12:
+        return f"$length({_s(rng, d - 1)})"
+    if pick == 13:
+        return f"$count({_arr(rng, d - 1)})"
+    if pick == 14:
+        return f"({_b(rng, d - 1)} ? {_n(rng, d - 1)} : {_n(rng, d - 1)})"
+    if pick == 15:
+        return f"($v := {_n(rng, d - 1)}; $v + {_n(rng, 0)})"
+    if pick == 16:
+        return f"$reduce({_arr_num(rng, d - 1)}, function($a, $b){{ $a + $b }}, 0)"
+    return f"$number($string({_n(rng, d - 1)}))"
+
+
+def _s(rng: random.Random, d: int) -> str:
+    """String-valued expression."""
+    if d <= 0:
+        return rng.choice(_STR_ATOMS)
+    pick = rng.randrange(14)
+    if pick < 4:
+        return rng.choice(_STR_ATOMS)
+    if pick == 4:
+        return f"({_s(rng, d - 1)} & {_s(rng, d - 1)})"
+    if pick == 5:
+        fn = rng.choice(["$uppercase", "$lowercase", "$trim"])
+        return f"{fn}({_s(rng, d - 1)})"
+    if pick == 6:
+        return f"$substring({_s(rng, d - 1)}, {rng.choice([0, 1, -2])}, {rng.choice([2, 3])})"
+    if pick == 7:
+        fn = rng.choice(["$substringBefore", "$substringAfter"])
+        return f"{fn}({_s(rng, d - 1)}, '/')"
+    if pick == 8:
+        return f"$pad({_s(rng, 0)}, {rng.choice([-8, 8])}, '*')"
+    if pick == 9:
+        return f"$join({_arr_str(rng, d - 1)}, '-')"
+    if pick == 10:
+        return f"$string({_n(rng, d - 1)})"
+    if pick == 11:
+        pat = rng.choice(["'a'", rng.choice(_REGEXES)])
+        return f"$replace({_s(rng, d - 1)}, {pat}, 'Z')"
+    if pick == 12:
+        return rng.choice([
+            f"$base64decode($base64encode({_s(rng, d - 1)}))",
+            f"$formatBase({rng.choice(['10', '42', '255'])}, 16)",
+            f"$formatNumber({_n(rng, 0)}, {rng.choice(_PICTURES)})",
+        ])
+    return f"({_b(rng, d - 1)} ? {_s(rng, d - 1)} : {_s(rng, d - 1)})"
+
+
+def _b(rng: random.Random, d: int) -> str:
+    """Boolean-valued expression."""
+    if d <= 0:
+        return rng.choice(_BOOL_ATOMS)
+    pick = rng.randrange(12)
+    if pick < 2:
+        return rng.choice(_BOOL_ATOMS)
+    if pick < 5:
+        op = rng.choice(["<", "<=", ">", ">=", "=", "!="])
+        return f"({_n(rng, d - 1)} {op} {_n(rng, d - 1)})"
+    if pick == 5:
+        op = rng.choice(["=", "!="])
+        return f"({_s(rng, d - 1)} {op} {_s(rng, d - 1)})"
+    if pick == 6:
+        op = rng.choice(["and", "or"])
+        return f"({_b(rng, d - 1)} {op} {_b(rng, d - 1)})"
+    if pick == 7:
+        return f"$not({_b(rng, d - 1)})"
+    if pick == 8:
+        pat = rng.choice(["'a'", "'en'", rng.choice(_REGEXES)])
+        return f"$contains({_s(rng, d - 1)}, {pat})"
+    if pick == 9:
+        path = rng.choice(["user", "missing", "nested.k", "nested.nope",
+                           "items[9]", "tags[1]"])
+        return f"$exists({path})"
+    if pick == 10:
+        return f"({_s(rng, 0)} in {_arr_str(rng, d - 1)})"
+    return f"$boolean({rng.choice(['mixed', 'zeros', 'tags', _n(rng, 0)])})"
+
+
+def _lambda_num(rng: random.Random) -> str:
+    """A one-arg numeric lambda body over $x."""
+    op = rng.choice(["+", "-", "*"])
+    return f"function($x){{ $x {op} {rng.choice(['1', '2', '0.5'])} }}"
+
+
+def _lambda_bool(rng: random.Random) -> str:
+    cmp_ = rng.choice(["<", "<=", ">", ">=", "!="])
+    return f"function($x){{ $x {cmp_} {rng.choice(['1', '2', '2.5'])} }}"
+
+
+def _arr_num(rng: random.Random, d: int) -> str:
+    if d <= 0:
+        return rng.choice(_ARRNUM_ATOMS)
+    pick = rng.randrange(10)
+    if pick < 3:
+        return rng.choice(_ARRNUM_ATOMS)
+    if pick == 3:
+        return f"$map({_arr_num(rng, d - 1)}, {_lambda_num(rng)})"
+    if pick == 4:
+        return f"$filter({_arr_num(rng, d - 1)}, {_lambda_bool(rng)})"
+    if pick == 5:
+        return f"$sort({_arr_num(rng, d - 1)})"
+    if pick == 6:
+        return f"$reverse({_arr_num(rng, d - 1)})"
+    if pick == 7:
+        return f"$append({_arr_num(rng, d - 1)}, {_arr_num(rng, d - 1)})"
+    if pick == 8:
+        return rng.choice([
+            "nums[$ > 2]", "items[p > 1].p", "items^(p).p", "items^(>p).p",
+            "nums[[0..1]]", "mixed[[0, 2]]",
+            f"[{_n(rng, 0)}, {_n(rng, 0)}]",
+        ])
+    return f"[{rng.choice(['1..3', '0..4', '2..2'])}]"
+
+
+def _arr_str(rng: random.Random, d: int) -> str:
+    if d <= 0:
+        return rng.choice(_ARRSTR_ATOMS)
+    pick = rng.randrange(8)
+    if pick < 3:
+        return rng.choice(_ARRSTR_ATOMS)
+    if pick == 3:
+        return f"$sort({_arr_str(rng, d - 1)})"
+    if pick == 4:
+        return f"$reverse({_arr_str(rng, d - 1)})"
+    if pick == 5:
+        return f"$split({_s(rng, d - 1)}, '/')"
+    if pick == 6:
+        return rng.choice([
+            "items[p >= 2].q", "items^(p).q", "items^(>q).q",
+            "tags[[0, 2]]", "$keys(nested)",
+        ])
+    return f"$append({_arr_str(rng, d - 1)}, {_arr_str(rng, d - 1)})"
+
+
+def _arr(rng: random.Random, d: int) -> str:
+    pick = rng.randrange(6)
+    if pick < 2:
+        return _arr_num(rng, d)
+    if pick < 4:
+        return _arr_str(rng, d)
+    if pick == 4:
+        return "$zip(tags, nums)"
+    return "$spread(nested.deep)" if rng.random() < 0.5 else "$each(nested.deep, function($v, $k){ $k & '=' & $string($v) })"
+
+
+def _obj(rng: random.Random, d: int) -> str:
+    if d <= 0:
+        return rng.choice(_OBJ_ATOMS)
+    pick = rng.randrange(6)
+    if pick < 2:
+        return rng.choice(_OBJ_ATOMS)
+    if pick == 2:
+        return f"{{'a': {_n(rng, d - 1)}, 'b': {_s(rng, d - 1)}}}"
+    if pick == 3:
+        return f"$merge([{_obj(rng, d - 1)}, {{'z': {_n(rng, 0)}}}])"
+    if pick == 4:
+        return "$sift(nested, function($v){ $exists($v.leaf) })"
+    return "items{q: p}"
+
+
+_KINDS = ("num", "str", "bool", "arrnum", "arrstr", "arr", "obj", "chain")
+
+
+def gen_expr(seed: int, depth: int = 3, kind: str | None = None) -> str:
+    """Deterministically generate one JSONata expression from a seed."""
+    rng = random.Random(seed)
+    k = kind or rng.choice(_KINDS)
+    if k == "num":
+        return _n(rng, depth)
+    if k == "str":
+        return _s(rng, depth)
+    if k == "bool":
+        return _b(rng, depth)
+    if k == "arrnum":
+        return _arr_num(rng, depth)
+    if k == "arrstr":
+        return _arr_str(rng, depth)
+    if k == "arr":
+        return _arr(rng, depth)
+    if k == "obj":
+        return _obj(rng, depth)
+    # ~> chaining compositions
+    return rng.choice([
+        f"{_n(rng, depth - 1)} ~> $string ~> $length",
+        f"{_s(rng, depth - 1)} ~> $uppercase",
+        f"{_arr_num(rng, depth - 1)} ~> $sort ~> $reverse",
+        f"{_arr_str(rng, depth - 1)} ~> $join('-')",
+    ])

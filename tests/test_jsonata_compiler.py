@@ -256,6 +256,41 @@ COMPILABLE = [
     "nums^(>$)",
     "items^(p)",
     "items^(>p)",
+    "items^(q).q",                  # STRING keys sort too (r6 fuzz find)
+    "items^(>q).q",
+    # SEQUENCE semantics (r6 fuzz finds): name steps MAP over arrays,
+    # singletons unwrap at the boundary, empty sequences are undefined
+    "items.q",
+    "items.p",
+    "items.q[0]",                   # step-local index binding
+    "(items.q)[0]",                 # parenthesized: index the sequence
+    "$sum(items.p)",
+    "$count(items.p)",
+    "$join(items.q, '-')",
+    "$map(zeros, function($x){ $x * 2 })",      # singleton -> item
+    "$filter(nums, function($x){ $x > 2.9 })",  # singleton -> item
+    "$filter(nums, function($x){ $x > 9 })",    # empty -> undefined
+    "nums[$ > 2.9]",
+    "nums[$ > 9]",
+    "tags[[0, 9]]",                 # single index-array survivor unwraps
+    "items[p = 1].q",
+    "$string($map(zeros, function($x){ $x }))",
+    "($map(zeros, function($x){ $x }) = 0)",
+    "$each(nested.deep, function($v, $k){ $k })",
+    # empty sequences propagate as undefined into functions; empty
+    # ARRAYS are values and do not
+    "$reverse(nums[$ > 9])",
+    "$sort(nums[$ > 9])",
+    "$sum(nums[$ > 9])",
+    "$max(nums[$ > 9])",
+    "$count(nums[$ > 9])",
+    "$exists(nums[$ > 9])",
+    "$reverse([])",
+    "$sum([])",
+    "$append(nums[$ > 2.9], nums[$ > 9])",      # undefined arg -> other
+    "$append(nums[$ > 2.9], nums[$ > 2.9])",
+    "$append(nums[$ > 9], nums[$ > 9])",
+    "nested.k[0]",                  # index on a scalar: singleton rule
     # numeric / string edge cases
     "$round(-2.5)",
     "$round(0.5)",
@@ -460,7 +495,9 @@ def test_variant_descendants_null_match_divergence(spark):
     divergence class as $exists/$keys. Assert it stays put."""
     doc = {"a": {"k": None}, "b": {"k": 1}}
     assert list(jsonata("**.k").evaluate(doc)) == [None, 1]
-    assert run_compiled(spark, "**.k", doc) == [1]
+    # the null drop leaves a singleton sequence, which the result
+    # boundary unwraps (sequence rules applied on top of the divergence)
+    assert run_compiled(spark, "**.k", doc) == 1
 
 
 def test_variant_descendants_match_flatten_bounded(spark):
@@ -474,7 +511,31 @@ def test_variant_descendants_match_flatten_bounded(spark):
         list(jsonata("**.k").evaluate(doc4)) == [40, 3, 2, 1]
     doc6 = {"k": [[[[[[60]]]]]]}               # 6 levels: residual nesting
     assert jsonata("**.k").evaluate(doc6) == 60   # singleton-unwrapped
-    assert run_compiled(spark, "**.k", doc6) == [[[60]]]
+    # 4 flatten passes leave [[[60]]]; the boundary unwraps one more level
+    assert run_compiled(spark, "**.k", doc6) == [[60]]
+
+
+@pytest.mark.parametrize("expr", [
+    "arr.q",            # splice array values into the sequence
+    "one.q",            # singleton sequence -> the item
+    "arr.q[0]",         # per-item index (step-local binding)
+    "arr[0].q",         # index then name, result array splices
+    "mixedarr.q",       # explicit JSON nulls are values: kept
+    "$map(one.q, function($x){ $x + 1 })",
+    "$sum(one.q)",
+    "$sum(arr.q)",
+    "missing.q",        # undefined lhs stays undefined
+    "arr.missing",      # no matches -> undefined
+])
+def test_variant_array_navigation(spark, expr):
+    """Name steps over arrays of objects on the VARIANT path (r6 fuzz
+    finds): the dynamic sequence walk must agree with the interpreter —
+    mapping, splicing, step-local indexes, null-keeping, and the
+    singleton/empty boundary rules."""
+    doc = {"arr": [{"q": [2, 3]}, {"q": [4]}], "one": [{"q": 5}],
+           "mixedarr": [{"q": None}, {"q": 1}], "nested": {"k": 42}}
+    expected = jsonata(expr).evaluate(doc)
+    assert_same(expected, run_compiled(spark, expr, doc), expr)
 
 
 NOT_COMPILABLE = [

@@ -853,9 +853,15 @@ def test_compiled_descendants_preorder_parity(spark, doc):
     tc = compile_column("**.k", F.try_parse_json("payload"),
                         raw_col=F.col("payload"))
     actual = df.select(tc.col.alias("r")).collect()[0]["r"]
-    act_list = [] if actual is None else list(actual)
-    act_list = [v.toPython() if hasattr(v, "toPython") else v
-                for v in act_list]
+    if hasattr(actual, "toPython"):  # boundary-normalized variant result
+        actual = actual.toPython()
+    if actual is None:
+        act_list = []
+    elif isinstance(actual, list):
+        act_list = [v.toPython() if hasattr(v, "toPython") else v
+                    for v in actual]
+    else:
+        act_list = [actual]  # singleton sequence unwrapped at the boundary
     assert act_list == exp_list, (doc, act_list, exp_list)
 
 
