@@ -1075,7 +1075,12 @@ def frequent_terms(df, text_col: str = "text", min_support: float = 0.005,
         yield pd.DataFrame({"term": acc.index.astype(str)})
 
     cand = toks.mapInPandas(mg, "term string").distinct()
-    total = toks.agg(F.count(F.lit(1)).cast("double").alias("n_tokens"))
+    # token total as sum-of-array-sizes: map-only partial agg over the
+    # un-exploded rows — same value as count(explode) without paying a
+    # third per-token row expansion over the corpus
+    total = df.agg(
+        F.sum(F.size(tokens(text_col))).cast("double").alias("n_tokens")
+    )
     return (
         toks.join(F.broadcast(cand), "term")
         .groupBy("term")

@@ -297,11 +297,13 @@ def jsonata_interpreted_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("payload"),
     )
     assert backend == "interpreted", backend
-    m = df.withColumn("m", out_col)
+    m = df.withColumn(
+        "m", F.from_json(out_col, "kind string, k long")
+    )
     return (
         m.select(
-            F.get_json_object("m", "$.kind").alias("kind"),
-            F.get_json_object("m", "$.k").cast("long").alias("k"),
+            F.col("m.kind").alias("kind"),
+            F.col("m.k").alias("k"),
         )
         .groupBy("kind")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
