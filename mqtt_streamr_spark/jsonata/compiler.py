@@ -420,52 +420,61 @@ def _variant_index_value(v: Column, i: int) -> Column:
     return out.otherwise(v) if i in (0, -1) else out
 
 
-def _vseq_step(seq: Column, name: str | None, ints: list[int]) -> Column:
-    """One composite path step over a SEQUENCE (array<variant>)."""
-    path = _json_path([name]) if name is not None else None
+def _vseq_item_step(v: Column, name: str | None,
+                    ints: list[int]) -> Column:
+    """One composite path step applied to ONE value; returns the
+    array<variant> of results. Treating a non-array value as the
+    singleton [v] makes the object and array cases ONE code path —
+    expression size matters: analysis/codegen time is the first-run
+    cost of every compiled transform."""
+    if name is not None:
+        members = F.coalesce(
+            F.try_variant_get(v, "$", "array<variant>"), F.array(v))
+        picked = F.filter(
+            F.transform(members, lambda x: F.try_variant_get(
+                x, _json_path([name]), "variant")),
+            lambda r: r.isNotNull(),
+        )
+    else:
+        picked = F.array(v)
 
-    def per_item(v: Column) -> Column:
-        if path is None:
-            picked = F.array(v)
-        else:
-            arr = F.try_variant_get(v, "$", "array<variant>")
-            # v is an array: map the lookup over members (missing dropped)
-            in_arr = F.filter(
-                F.transform(
-                    arr, lambda x: F.try_variant_get(x, path, "variant")),
-                lambda r: r.isNotNull(),
-            )
-            direct = F.try_variant_get(v, path, "variant")
-            picked = F.when(arr.isNotNull(), in_arr).otherwise(
-                F.filter(F.array(direct), lambda r: r.isNotNull()))
-        def _index_step(j: int):
-            # NOTE: a plain `lambda r, _j=j: ...` would be 2-arity and
-            # F.transform would bind the array INDEX column to _j
-            return lambda r: _variant_index_value(r, j)
+    def _index_step(j: int):
+        # NOTE: a plain `lambda r, _j=j: ...` would be 2-arity and
+        # F.transform would bind the array INDEX column to _j
+        return lambda r: _variant_index_value(r, j)
 
-        for i in ints:
-            picked = F.filter(
-                F.transform(picked, _index_step(i)),
-                lambda r: r.isNotNull(),
-            )
-        # splice array-valued results into the sequence (one level;
-        # explicit JSON nulls kept — they are values, not undefined)
-        return F.flatten(F.transform(
-            picked,
-            lambda r: F.coalesce(
-                F.try_variant_get(r, "$", "array<variant>"), F.array(r)),
-        ))
-
-    return F.flatten(F.transform(seq, per_item))
+    for i in ints:
+        picked = F.filter(
+            F.transform(picked, _index_step(i)),
+            lambda r: r.isNotNull(),
+        )
+    # splice array-valued results into the sequence (one level;
+    # explicit JSON nulls kept — they are values, not undefined)
+    return F.flatten(F.transform(
+        picked,
+        lambda r: F.coalesce(
+            F.try_variant_get(r, "$", "array<variant>"), F.array(r)),
+    ))
 
 
 def _variant_path_dynamic(root: Column, steps: list) -> Column:
     """Full dynamic walk: fold composite steps over the singleton sequence
     [root], then apply sequence rules (empty -> NULL, singleton -> item,
-    else re-encode the sequence as ONE variant array)."""
-    seq = F.array(root)
+    else re-encode the sequence as ONE variant array). The first step
+    applies to the root value directly (no wrapper sequence)."""
+    def _step_fn(n: str | None, i: list[int]):
+        # closure factory — default-arg capture would change the lambda's
+        # arity and make F.transform bind the array index column to it
+        return lambda v: _vseq_item_step(v, n, i)
+
+    seq: Column | None = None
     for name, ints in _group_steps(steps):
-        seq = _vseq_step(seq, name, ints)
+        if seq is None:
+            seq = _vseq_item_step(root, name, ints)
+        else:
+            seq = F.flatten(F.transform(seq, _step_fn(name, ints)))
+    if seq is None:
+        seq = F.array(root)
     n = F.size(seq)
     return (
         F.when(n == 1, F.element_at(seq, 1))
@@ -477,10 +486,12 @@ def _variant_nav(root: Column, steps: list) -> Column:
     """Variant path navigation: single-get fast path for object-shaped
     data, dynamic sequence walk when it misses (array mid-path, index
     on a scalar, or a genuinely absent path — the walk re-derives NULL
-    for the last case)."""
-    fast = F.try_variant_get(root, _json_path(steps), "variant")
-    return F.when(fast.isNotNull(), fast).otherwise(
-        _variant_path_dynamic(root, steps))
+    for the last case). coalesce short-circuits, so object-shaped rows
+    never execute the walk."""
+    return F.coalesce(
+        F.try_variant_get(root, _json_path(steps), "variant"),
+        _variant_path_dynamic(root, steps),
+    )
 
 
 def _seq_boundary(tc: TypedCol) -> TypedCol:
