@@ -86,9 +86,15 @@ def _n(rng: random.Random, d: int) -> str:
     if pick == 14:
         return f"({_b(rng, d - 1)} ? {_n(rng, d - 1)} : {_n(rng, d - 1)})"
     if pick == 15:
-        return f"($v := {_n(rng, d - 1)}; $v + {_n(rng, 0)})"
+        return rng.choice([
+            f"($v := {_n(rng, d - 1)}; $v + {_n(rng, 0)})",
+            f"($v := {_n(rng, d - 1)}; $w := {_n(rng, 0)}; $v * $w)",
+            f"$lookup(nested, 'k') + {_n(rng, 0)}",
+        ])
     if pick == 16:
-        return f"$reduce({_arr_num(rng, d - 1)}, function($a, $b){{ $a + $b }}, 0)"
+        init = rng.choice(["", ", 0", ", 100"])
+        return (f"$reduce({_arr_num(rng, d - 1)}, "
+                f"function($a, $b){{ $a + $b }}{init})")
     return f"$number($string({_n(rng, d - 1)}))"
 
 
@@ -121,8 +127,15 @@ def _s(rng: random.Random, d: int) -> str:
     if pick == 12:
         return rng.choice([
             f"$base64decode($base64encode({_s(rng, d - 1)}))",
-            f"$formatBase({rng.choice(['10', '42', '255'])}, 16)",
+            f"$formatBase({rng.choice(['10', '42', '255'])}, "
+            f"{rng.choice(['2', '8', '16'])})",
             f"$formatNumber({_n(rng, 0)}, {rng.choice(_PICTURES)})",
+            "$lookup(nested, '%s')" % rng.choice(["name", "nope"]),
+            "$lookup(items[1], 'q')",
+            # $string of a VARIANT object re-serializes with sorted keys
+            # (documented divergence) — stick to objects whose key order
+            # is already sorted / single-key
+            f"$string({rng.choice(['nested.deep', 'items[0]'])})",
         ])
     return f"({_b(rng, d - 1)} ? {_s(rng, d - 1)} : {_s(rng, d - 1)})"
 
@@ -175,8 +188,14 @@ def _arr_num(rng: random.Random, d: int) -> str:
     if pick < 3:
         return rng.choice(_ARRNUM_ATOMS)
     if pick == 3:
+        if rng.random() < 0.25:   # 2-arg lambda: ($x, $i) index binding
+            return (f"$map({_arr_num(rng, d - 1)}, "
+                    f"function($x, $i){{ $x + $i }})")
         return f"$map({_arr_num(rng, d - 1)}, {_lambda_num(rng)})"
     if pick == 4:
+        if rng.random() < 0.25:
+            return (f"$filter({_arr_num(rng, d - 1)}, "
+                    f"function($x, $i){{ $i < 2 }})")
         return f"$filter({_arr_num(rng, d - 1)}, {_lambda_bool(rng)})"
     if pick == 5:
         return f"$sort({_arr_num(rng, d - 1)})"
@@ -204,11 +223,13 @@ def _arr_str(rng: random.Random, d: int) -> str:
     if pick == 4:
         return f"$reverse({_arr_str(rng, d - 1)})"
     if pick == 5:
-        return f"$split({_s(rng, d - 1)}, '/')"
+        lim = rng.choice(["", ", 1", ", 2"])
+        return f"$split({_s(rng, d - 1)}, '/'{lim})"
     if pick == 6:
         return rng.choice([
             "items[p >= 2].q", "items^(p).q", "items^(>q).q",
-            "tags[[0, 2]]", "$keys(nested)",
+            "tags[[0, 2]]", "$keys(nested)", "$keys(items[0])",
+            "$split(kind, /[/e]/)",
         ])
     return f"$append({_arr_str(rng, d - 1)}, {_arr_str(rng, d - 1)})"
 
@@ -235,8 +256,13 @@ def _obj(rng: random.Random, d: int) -> str:
     if pick == 3:
         return f"$merge([{_obj(rng, d - 1)}, {{'z': {_n(rng, 0)}}}])"
     if pick == 4:
-        return "$sift(nested, function($v){ $exists($v.leaf) })"
-    return "items{q: p}"
+        return rng.choice([
+            "$sift(nested, function($v){ $exists($v.leaf) })",
+            "$sift(items[0], function($v, $k){ $k = 'q' })",
+            "$merge([nested.deep, items[0]])",
+        ])
+    return rng.choice(["items{q: p}", "items{q: $sum(p)}",
+                       "items{'n': $count($)}"])
 
 
 _KINDS = ("num", "str", "bool", "arrnum", "arrstr", "arr", "obj", "chain")
