@@ -146,7 +146,10 @@ def _typed_from(col: Column, dt) -> TypedCol:
 
 def _typed_navigate(col: Column, dt, steps: list) -> TypedCol:
     """Walk name/index steps through a known schema; absent names are
-    JSONata undefined (NULL)."""
+    JSONata undefined (NULL). A name step over an array<struct> maps over
+    the members (JSONata sequence semantics: remaining steps apply
+    per-item, missing dropped, array-valued results spliced one level,
+    is_seq so the boundary applies singleton/empty rules)."""
     import pyspark.sql.types as T
 
     for i, s in enumerate(steps):
@@ -157,6 +160,27 @@ def _typed_navigate(col: Column, dt, steps: list) -> TypedCol:
             # element_at would raise
             col, dt = F.try_element_at(col, F.lit(s + 1)), dt.elementType
         else:
+            if isinstance(dt, T.ArrayType) \
+                    and isinstance(dt.elementType, T.StructType):
+                rest = steps[i:]
+                out = _typed_navigate(F.lit(None), dt.elementType, rest)
+                if out.kind == "null":
+                    return TypedCol(F.lit(None), "null")
+                def _nav_fn(et, r):
+                    # closure factory — a default-arg lambda would be
+                    # 2-arity and F.transform would bind the index to it
+                    return lambda x: _typed_navigate(x, et, r).col
+
+                mapped = F.transform(col, _nav_fn(dt.elementType, rest))
+                kept = F.filter(mapped, lambda v: v.isNotNull())
+                if out.kind.startswith("array"):
+                    # splice array-valued results into the sequence
+                    return TypedCol(F.flatten(kept),
+                                    f"array<{out.elem or 'variant'}>",
+                                    elem=out.elem, dtype=out.dtype,
+                                    is_seq=True)
+                return TypedCol(kept, f"array<{out.kind}>", elem=out.kind,
+                                dtype=out.dtype, is_seq=True)
             if not isinstance(dt, T.StructType):
                 raise NotCompilable("name step on non-struct typed value")
             if s not in dt.fieldNames():
@@ -1202,9 +1226,16 @@ def _c_binary(node, ctx):
             )
         if not rhs.kind.startswith("array"):
             raise NotCompilable("'in' requires a compiled array rhs")
+        rhs_col = rhs.col
+        if (rhs.elem or "variant") == "variant" \
+                and lhs.kind in ("number", "string"):
+            # cast variant members to the lhs kind so array_contains
+            # resolves (non-castable members become NULL = no match)
+            rhs_col = _as_array(
+                rhs, "double" if lhs.kind == "number" else "string")
         a = lhs.col if lhs.kind != "variant" else _coerce_to(lhs, rhs.elem)
         return TypedCol(
-            F.coalesce(F.array_contains(rhs.col, a), F.lit(False)), "boolean"
+            F.coalesce(F.array_contains(rhs_col, a), F.lit(False)), "boolean"
         )
     raise NotCompilable(f"operator {op!r}")
 
@@ -1241,27 +1272,58 @@ def _comparable(a: TypedCol, b: TypedCol) -> tuple[Column, Column, str]:
 
 
 def _c_array(node, ctx):
+    """JSONata cons semantics (pinned by interpreter probes): SEQUENCE
+    items (ranges, path maps, HOF results) flatten into the constructed
+    array and empty sequences contribute nothing; array VALUES nest as
+    single elements ([nums] is [[...]], [[1,2],[3]] stays nested);
+    undefined items drop ([missing, 1] is [1]) while literal nulls stay;
+    the result is an ARRAY VALUE (never boundary-unwrapped: [one.q]
+    stays a 1-element array)."""
     items = [_compile(i, ctx) for i in node["items"]]
     if not items:
         return TypedCol(F.array(), "array<string>", elem="string")
-    # sequences (ranges, splits) flatten into the constructed array
-    if len(items) == 1 and items[0].kind.startswith("array"):
-        return items[0]
-    scalar_kinds = {i.kind for i in items if not i.kind.startswith("array")}
-    elem_kinds = {i.elem for i in items if i.kind.startswith("array")}
-    all_kinds = scalar_kinds | elem_kinds
+
+    def is_splice(i: TypedCol) -> bool:
+        return i.kind.startswith("array") and i.is_seq
+
+    def part_kind(i: TypedCol) -> str:
+        return (i.elem or "variant") if is_splice(i) else i.kind
+
+    all_kinds = {part_kind(i) for i in items}
     if all_kinds <= {"number", "variant", "null"} and "number" in all_kinds:
-        elem, coerce = "number", as_number
+        elem, coerce, sql = "number", as_number, "double"
     elif all_kinds <= {"string", "variant", "null"} and "string" in all_kinds:
-        elem, coerce = "string", as_string
-    elif all_kinds == {"variant"}:
-        elem, coerce = "variant", lambda i: i.col
+        elem, coerce, sql = "string", as_string, "string"
+    elif all_kinds <= {"variant", "null"}:
+        elem, coerce, sql = "variant", (lambda i: i.col), "variant"
+    elif len(all_kinds) == 1 and next(iter(all_kinds)).startswith("array"):
+        # nested array values of one kind: [[1,2],[3]]
+        elem, coerce, sql = next(iter(all_kinds)), (lambda i: i.col), None
     else:
         raise NotCompilable(f"array constructor with mixed kinds {all_kinds}")
-    parts = [
-        i.col if i.kind.startswith("array") else F.array(coerce(i))
-        for i in items
-    ]
+
+    parts = []
+    for raw, i in zip(node["items"], items):
+        if is_splice(i):
+            part = (_as_array(i, sql)
+                    if elem != "variant" and (i.elem or "variant") == "variant"
+                    else i.col)
+            # an undefined (NULL) sequence contributes nothing — concat
+            # would otherwise null the whole constructed array
+            parts.append(F.coalesce(part, F.array()))
+        elif i.kind == "null" and raw["type"] != "null":
+            # statically-absent path: contributes nothing
+            continue
+        else:
+            one = F.array(coerce(i)) if not i.kind.startswith("array") \
+                else F.array(i.col)
+            if i.kind == "variant":
+                # runtime-undefined drops; explicit JSON null (variant
+                # null, not SQL null) stays
+                one = F.filter(one, lambda r: r.isNotNull())
+            parts.append(one)
+    if not parts:
+        return TypedCol(F.array(), "array<string>", elem="string")
     col = parts[0] if len(parts) == 1 else F.concat(*parts)
     return TypedCol(col, f"array<{elem}>", elem=elem)
 
@@ -1272,7 +1334,9 @@ def _c_object(node, ctx):
     for key_node, val_node in node["pairs"]:
         if key_node["type"] != "string":
             raise NotCompilable("object constructor with computed key")
-        val = _compile(val_node, ctx)
+        # sequence values obey the boundary rules inside constructors too:
+        # {"q": one.q} is the item, not a 1-element array
+        val = _seq_boundary(_compile(val_node, ctx))
         fields.append(val.col.alias(key_node["value"]))
         names.append(key_node["value"])
     return TypedCol(F.struct(*fields), "object", fields=names)
@@ -1289,7 +1353,9 @@ def _c_range(node, ctx):
         F.when(ok & (lo <= hi), F.sequence(lo.cast("long"), hi.cast("long")))
         .when(ok, F.array().cast("array<long>"))
     )
-    return TypedCol(col, "array<number>", elem="number")
+    # ranges are SEQUENCES: bare `5..5` is 5, `5..1` undefined, and
+    # `[1..3, 7..9]` splices — all from is_seq + the boundary rules
+    return TypedCol(col, "array<number>", elem="number", is_seq=True)
 
 
 def _c_apply(node, ctx):

@@ -291,6 +291,19 @@ COMPILABLE = [
     "$append(nums[$ > 2.9], nums[$ > 2.9])",
     "$append(nums[$ > 9], nums[$ > 9])",
     "nested.k[0]",                  # index on a scalar: singleton rule
+    # cons semantics: sequences flatten/drop, array VALUES nest,
+    # undefined items drop, literal nulls stay, ranges are sequences
+    "5..5",                          # bare singleton range unwraps
+    "5..1",                          # bare empty range is undefined
+    "[5..5]",
+    "[[1,2],[3]]",                   # nested constructors stay nested
+    "[nums]",                        # array value nests
+    "[nums, nums]",
+    "[missing, 1]",                  # undefined item drops
+    "[missing]",
+    "$count(5..5)",
+    "[$split(kind, '/')]",           # $split result is an array value
+    "[1..3][1]",
     # numeric / string edge cases
     "$round(-2.5)",
     "$round(0.5)",
