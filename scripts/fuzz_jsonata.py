@@ -10,6 +10,9 @@ tens of thousands of compositions in one session.
 
 Usage:
     python scripts/fuzz_jsonata.py --n 5000 --seed 0 [--depth 3]
+    python scripts/fuzz_jsonata.py --backend typed ...   # compile_typed
+                                                         # over the doc's
+                                                         # declared schema
 
 Exit code 1 iff any mismatch. Prints one JSON summary line at the end.
 
@@ -84,6 +87,8 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--batch", type=int, default=100)
+    ap.add_argument("--backend", choices=["variant", "typed"],
+                    default="variant")
     args = ap.parse_args()
 
     from mqtt_streamr_spark.session import get_spark
@@ -91,6 +96,25 @@ def main() -> int:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.createDataFrame([(json.dumps(FUZZ_DOC),)], "payload string")
+
+    # the FUZZ_DOC schema for the typed backend (declared, like a user's
+    # PipelineSpec.message_schema)
+    FUZZ_SCHEMA = (
+        "user string, kind string, value double, count long, ok boolean, "
+        "tags array<string>, nums array<double>, "
+        "nested struct<k:long, name:string, deep:struct<leaf:string>>, "
+        "items array<struct<p:long, q:string>>, "
+        "zeros array<long>, mixed array<long>"
+    )
+
+    def compile_expr(expr):
+        if args.backend == "typed":
+            from mqtt_streamr_spark.jsonata.compiler import compile_typed
+
+            return compile_typed(
+                expr, F.from_json("payload", FUZZ_SCHEMA), FUZZ_SCHEMA)
+        return compile_column(expr, F.try_parse_json("payload"),
+                              raw_col=F.col("payload"))
 
     n_err = n_nc = n_ok = 0
     mismatches: list[dict] = []
@@ -149,8 +173,7 @@ def main() -> int:
             n_err += 1
             continue
         try:
-            tc = compile_column(expr, F.try_parse_json("payload"),
-                                raw_col=F.col("payload"))
+            tc = compile_expr(expr)
         except NotCompilable:
             n_nc += 1
             continue
