@@ -205,11 +205,12 @@ def to_json_string(tc: TypedCol) -> Column:
     if tc.is_seq and tc.kind.startswith("array"):
         # JSONata sequence rules, string-side (no variant round-trip):
         # empty -> undefined (NULL payload), singleton -> the item's JSON
-        n = F.size(tc.col)
-        one = to_json_string(_elem_tc(F.element_at(tc.col, 1),
-                                      tc.elem or "variant", tc.dtype))
-        return F.when(n == 1, one).when(
-            n > 1, F.to_json(tc.col, {"ignoreNullFields": "true"}))
+        return _let(tc.col, lambda c: F.when(
+            F.size(c) == 1,
+            to_json_string(_elem_tc(F.element_at(c, 1),
+                                    tc.elem or "variant", tc.dtype)),
+        ).when(
+            F.size(c) > 1, F.to_json(c, {"ignoreNullFields": "true"})))
     if tc.kind in ("object", "omap") or tc.kind.startswith("array"):
         return F.to_json(tc.col, {"ignoreNullFields": "true"})
     if tc.kind == "variant":
@@ -269,11 +270,12 @@ def as_string(tc: TypedCol) -> Column:
     if tc.is_seq and tc.kind.startswith("array"):
         # sequence rules: empty -> undefined (NULL), singleton -> its
         # item's string form, larger sequences -> JSON text
-        n = F.size(tc.col)
-        one = as_string(_elem_tc(F.element_at(tc.col, 1),
-                                 tc.elem or "variant", tc.dtype))
-        return F.when(n == 1, one).when(
-            n > 1, F.to_json(tc.col, {"ignoreNullFields": "true"}))
+        return _let(tc.col, lambda c: F.when(
+            F.size(c) == 1,
+            as_string(_elem_tc(F.element_at(c, 1),
+                               tc.elem or "variant", tc.dtype)),
+        ).when(
+            F.size(c) > 1, F.to_json(c, {"ignoreNullFields": "true"})))
     if tc.kind in ("object", "omap") or tc.kind.startswith("array"):
         return F.to_json(tc.col, {"ignoreNullFields": "true"})
     if tc.kind == "null":
@@ -375,7 +377,10 @@ def as_boolean(tc: TypedCol) -> Column:
             F.lit(False),
         )
     if tc.kind == "variant":
-        return _variant_truthy(tc.col)
+        # _let-bound: _variant_truthy references its input ~6 times.
+        # (1-arg wrapper: _variant_truthy's depth default would change
+        # the lambda arity under F.transform)
+        return _let(tc.col, lambda v: _variant_truthy(v))
     raise NotCompilable(f"truthiness of kind {tc.kind} not statically known")
 
 
@@ -383,13 +388,16 @@ def _as_array(tc: TypedCol, elem_type: str) -> Column:
     if tc.kind == "variant":
         # a non-array value is a singleton sequence (JSONata wraps
         # scalars for array-consuming contexts: $sum(5) = 5); absent /
-        # JSON-null values stay undefined
-        arr = F.try_variant_get(tc.col, "$", f"array<{elem_type}>")
-        one = F.when(
-            tc.col.isNotNull() & ~F.is_variant_null(tc.col),
-            F.array(F.try_variant_get(tc.col, "$", elem_type)),
-        )
-        return F.coalesce(arr, one)
+        # JSON-null values stay undefined. _let-bound: referenced 4x.
+        def wrap(v: Column) -> Column:
+            arr = F.try_variant_get(v, "$", f"array<{elem_type}>")
+            one = F.when(
+                v.isNotNull() & ~F.is_variant_null(v),
+                F.array(F.try_variant_get(v, "$", elem_type)),
+            )
+            return F.coalesce(arr, one)
+
+        return _let(tc.col, wrap)
     if tc.kind.startswith("array"):
         if (tc.elem or "variant") == "variant" and elem_type != "variant":
             return F.transform(
@@ -413,6 +421,19 @@ def _as_array(tc: TypedCol, elem_type: str) -> Column:
 # arrays mid-path gets the full mapping semantics. Nested-array splicing
 # beyond one level per step is the same bounded-unroll divergence class
 # as _ARRAY_TRUTHY_UNROLL (documented).
+
+def _let(col: Column, fn) -> Column:
+    """Single-binding let: evaluate ``col`` once and reference it many
+    times as a lambda variable — ``element_at(transform(array(col),
+    v -> fn(v)), 1)``. Emissions that reference an argument k times
+    would otherwise COPY its whole subtree k times; nested (e.g.
+    ``$append(a, $append(b, c))``) that compounds exponentially — a
+    fuzzer-found 3-level compose built a 3.7 MB expression string and
+    OOMed the driver during analysis. With _let the tree stays linear.
+    The inner lambda is pinned to 1-arg so callables with optional extra
+    parameters don't trip F.transform's arity-based index binding."""
+    return F.element_at(F.transform(F.array(col), lambda v: fn(v)), 1)
+
 
 def _group_steps(steps: list) -> list[tuple[str | None, list[int]]]:
     """Group a flat step list into (name, trailing-int-indexes) composite
@@ -526,22 +547,27 @@ def _seq_boundary(tc: TypedCol) -> TypedCol:
     _compile directly and keep the array form."""
     if not tc.is_seq or not tc.kind.startswith("array"):
         return tc
-    n = F.size(tc.col)
-    if (tc.elem or "variant") == "variant":
-        one = F.element_at(tc.col, 1)
-        many = F.parse_json(F.to_json(tc.col))
-    else:
-        one = F.parse_json(to_json_string(
-            _elem_tc(F.element_at(tc.col, 1), tc.elem, tc.dtype)))
-        many = F.parse_json(F.to_json(tc.col, {"ignoreNullFields": "true"}))
-    return TypedCol(F.when(n == 1, one).when(n > 1, many), "variant")
+
+    def norm(c: Column) -> Column:
+        n = F.size(c)
+        if (tc.elem or "variant") == "variant":
+            one = F.element_at(c, 1)
+            many = F.parse_json(F.to_json(c))
+        else:
+            one = F.parse_json(to_json_string(
+                _elem_tc(F.element_at(c, 1), tc.elem, tc.dtype)))
+            many = F.parse_json(F.to_json(c, {"ignoreNullFields": "true"}))
+        return F.when(n == 1, one).when(n > 1, many)
+
+    return TypedCol(_let(tc.col, norm), "variant")
 
 
 def _seq_scalar(tc: TypedCol) -> TypedCol:
     """A sequence used where a scalar is expected (comparison operand):
     singleton -> its item; larger sequences -> NULL (JSONata raises a
     type error there — the documented error->null divergence class)."""
-    one = F.when(F.size(tc.col) == 1, F.element_at(tc.col, 1))
+    one = _let(tc.col,
+               lambda c: F.when(F.size(c) == 1, F.element_at(c, 1)))
     return _elem_tc(one, tc.elem or "variant", tc.dtype)
 
 
@@ -1077,17 +1103,23 @@ def _c_predicate(node, ctx):
         n = F.size(arr).cast("long")
         if ctc is not None and ctc.kind == "number":
             idx = F.floor(ctc.col).cast("long")
-            w = F.when(idx < 0, idx + n).otherwise(idx)
-            # guarded: ANSI element_at raises on out-of-bounds; JSONata
-            # yields undefined
-            got = F.when((w >= 0) & (w < n),
-                         F.try_element_at(arr, (w + 1).cast("int")))
-            if base.kind == "variant":
-                # non-array base is a singleton sequence: [0]/[-1] yield
-                # the value itself (JSONata scalar-as-singleton rule)
-                got = F.when(arr.isNotNull(), got).otherwise(
-                    F.when(idx.isin(0, -1), base.col))
-            return _elem_tc(got, elem, elem_dt)
+
+            def index_into(a: Column) -> Column:
+                # guarded: ANSI element_at raises on out-of-bounds;
+                # JSONata yields undefined. _let-bound (a referenced 4x,
+                # and arr can be a full path-walk tree).
+                an = F.size(a).cast("long")
+                w = F.when(idx < 0, idx + an).otherwise(idx)
+                got = F.when((w >= 0) & (w < an),
+                             F.try_element_at(a, (w + 1).cast("int")))
+                if base.kind == "variant":
+                    # non-array base is a singleton sequence: [0]/[-1]
+                    # yield the value itself (scalar-as-singleton rule)
+                    got = F.when(a.isNotNull(), got).otherwise(
+                        F.when(idx.isin(0, -1), base.col))
+                return got
+
+            return _elem_tc(_let(arr, index_into), elem, elem_dt)
         if ctc is not None and ctc.kind == "array<number>":
             wanted = F.transform(
                 ctc.col,
@@ -1397,7 +1429,8 @@ def _seq_arg(tc: TypedCol) -> TypedCol:
     empty array VALUE ($reverse([]) -> [], $sum([]) -> 0) which keeps
     kind array un-flagged and passes through untouched."""
     if tc.is_seq and tc.kind.startswith("array"):
-        return TypedCol(F.when(F.size(tc.col) > 0, tc.col), tc.kind,
+        guarded = _let(tc.col, lambda c: F.when(F.size(c) > 0, c))
+        return TypedCol(guarded, tc.kind,
                         elem=tc.elem, dtype=tc.dtype, is_seq=True)
     return tc
 
@@ -1481,27 +1514,44 @@ def _c_sort(node, ctx):
         for term in reversed(terms):
             ltc, rtc = key_of(term, le), key_of(term, r)
             lt, gt = (1, -1) if term["descending"] else (-1, 1)
-            if "variant" in (ltc.kind, rtc.kind):
-                # JSONata sorts all-number or all-string keys; dispatch
-                # per row — STRING keys compare lexically, anything else
-                # numerically (mixed keys are a JSONata type error -> the
-                # error->null divergence class leaves order unchanged)
-                ls, rs = as_string(ltc), as_string(rtc)
-                ln, rn = as_number(ltc), as_number(rtc)
-                both_str = (
-                    (F.schema_of_variant(ltc.col) == "STRING")
-                    if ltc.kind == "variant" else F.lit(ltc.kind == "string")
-                ) & (
-                    (F.schema_of_variant(rtc.col) == "STRING")
-                    if rtc.kind == "variant" else F.lit(rtc.kind == "string")
-                )
-                is_lt = F.when(both_str, ls < rs).otherwise(ln < rn)
-                is_gt = F.when(both_str, ls > rs).otherwise(ln > rn)
-            else:
-                lk, rk = ltc.col, rtc.col
-                is_lt, is_gt = lk < rk, lk > rk
-            out = F.when(is_lt, F.lit(lt)).when(is_gt, F.lit(gt)) \
-                .otherwise(out)
+
+            def term_cmp(lk: Column, rk: Column,
+                         lkind=ltc.kind, rkind=rtc.kind) -> Column:
+                if "variant" in (lkind, rkind):
+                    # JSONata sorts all-number or all-string keys;
+                    # dispatch per row — STRING keys compare lexically,
+                    # anything else numerically (mixed keys are a JSONata
+                    # type error -> error->null leaves order unchanged)
+                    lv, rv = TypedCol(lk, lkind), TypedCol(rk, rkind)
+                    ls, rs = as_string(lv), as_string(rv)
+                    ln, rn = as_number(lv), as_number(rv)
+                    both_str = (
+                        (F.schema_of_variant(lk) == "STRING")
+                        if lkind == "variant" else F.lit(lkind == "string")
+                    ) & (
+                        (F.schema_of_variant(rk) == "STRING")
+                        if rkind == "variant" else F.lit(rkind == "string")
+                    )
+                    is_lt = F.when(both_str, ls < rs).otherwise(ln < rn)
+                    is_gt = F.when(both_str, ls > rs).otherwise(ln > rn)
+                else:
+                    is_lt, is_gt = lk < rk, lk > rk
+                return (F.when(is_lt, F.lit(lt)).when(is_gt, F.lit(gt))
+                        .otherwise(F.lit(0)))
+
+            # _let-bind each key: the comparator references a key up to
+            # 4 times and the key tree itself can be a full path walk.
+            # Plain closures only — default-arg lambdas change arity and
+            # F.transform would bind the array index column to them.
+            def bind_keys(lcol: Column, rcol: Column, cmp_fn) -> Column:
+                def outer(lk: Column) -> Column:
+                    def inner(rk: Column) -> Column:
+                        return cmp_fn(lk, rk)
+                    return _let(rcol, inner)
+                return _let(lcol, outer)
+
+            t = bind_keys(ltc.col, rtc.col, term_cmp)
+            out = F.when(t != 0, t).otherwise(out)
         return out
 
     return TypedCol(F.array_sort(arr, comp), f"array<{elem}>", elem=elem,
@@ -2032,12 +2082,14 @@ def _fc_append(args, node, ctx):
             and a.elem == b.elem:
         # $append(undefined, x) -> x and vice versa; both undefined ->
         # undefined; the result is a SEQUENCE (a singleton unwraps at the
-        # boundary: $append(seq-of-1, empty-seq) -> the item)
-        ea, eb = F.slice(b.col, 1, 0), F.slice(a.col, 1, 0)
-        col = F.when(
-            a.col.isNotNull() | b.col.isNotNull(),
-            F.concat(F.coalesce(a.col, ea), F.coalesce(b.col, eb)),
-        )
+        # boundary: $append(seq-of-1, empty-seq) -> the item). Both args
+        # are _let-bound — the emission references each 3 times and
+        # nested $append would compound the copies exponentially.
+        col = _let(a.col, lambda ac: _let(b.col, lambda bc: F.when(
+            ac.isNotNull() | bc.isNotNull(),
+            F.concat(F.coalesce(ac, F.slice(bc, 1, 0)),
+                     F.coalesce(bc, F.slice(ac, 1, 0))),
+        )))
         return TypedCol(col, a.kind, elem=a.elem,
                         is_seq=a.is_seq or b.is_seq)
     raise NotCompilable("$append needs same-kind compiled arrays")
@@ -2108,8 +2160,30 @@ def _fc_reduce(args, node, ctx):
         rest = arr
     else:
         first = _elem_tc(F.element_at(arr, 1), elem, elem_dt)
-        init = TypedCol(as_number(first), "number") if elem == "variant" \
-            else first
+        if elem == "variant":
+            # seed kind = the lambda's own stable result kind: probe the
+            # body with a number accumulator first (the common arithmetic
+            # fold), then string ($a & $b string folds previously seeded
+            # as_number(first) = NULL and silently nulled the whole fold)
+            init = None
+            for kind, coerce in (("number", as_number), ("string", as_string)):
+                try:
+                    body = _bind_lambda(
+                        lam,
+                        [TypedCol(F.lit(None).cast(
+                            "double" if kind == "number" else "string"),
+                            kind), first],
+                        ctx)
+                except NotCompilable:
+                    continue
+                if body.kind == kind:
+                    init = TypedCol(coerce(first), kind)
+                    break
+            if init is None:
+                raise NotCompilable(
+                    "$reduce seed kind not statically stable")
+        else:
+            init = first
         rest = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
     acc_kind = init.kind
 

@@ -118,7 +118,11 @@ def _s(rng: random.Random, d: int) -> str:
     if pick == 8:
         return f"$pad({_s(rng, 0)}, {rng.choice([-8, 8])}, '*')"
     if pick == 9:
-        return f"$join({_arr_str(rng, d - 1)}, '-')"
+        return rng.choice([
+            f"$join({_arr_str(rng, d - 1)}, '-')",
+            f"$reduce({_arr_str(rng, d - 1)}, "
+            "function($a, $b){ $a & $b })",
+        ])
     if pick == 10:
         return f"$string({_n(rng, d - 1)})"
     if pick == 11:

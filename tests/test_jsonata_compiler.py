@@ -304,6 +304,10 @@ COMPILABLE = [
     "$count(5..5)",
     "[$split(kind, '/')]",           # $split result is an array value
     "[1..3][1]",
+    # $reduce without init seeds with the lambda's own result kind
+    "$reduce(tags, function($a, $b){ $a & $b })",
+    "$reduce(tags, function($a, $b){ $a & '-' & $b })",
+    "$reduce(nums, function($a, $b){ $a > $b ? $a : $b })",
     # numeric / string edge cases
     "$round(-2.5)",
     "$round(0.5)",
