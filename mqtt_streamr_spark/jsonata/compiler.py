@@ -157,8 +157,10 @@ def _typed_navigate(col: Column, dt, steps: list) -> TypedCol:
             if not isinstance(dt, T.ArrayType):
                 raise NotCompilable("index step on non-array typed value")
             # try_: out-of-range is JSONata undefined, and ANSI
-            # element_at would raise
-            col, dt = F.try_element_at(col, F.lit(s + 1)), dt.elementType
+            # element_at would raise. Negative indexes count from the
+            # end in both JSONata and element_at (r7).
+            col = F.try_element_at(col, F.lit(s + 1 if s >= 0 else s))
+            dt = dt.elementType
         else:
             if isinstance(dt, T.ArrayType) \
                     and isinstance(dt.elementType, T.StructType):
@@ -527,16 +529,48 @@ def _variant_path_dynamic(root: Column, steps: list) -> Column:
     )
 
 
-def _variant_nav(root: Column, steps: list) -> Column:
+def _variant_nav(root: Column, steps: list,
+                 seq_leaf: bool = True) -> Column:
     """Variant path navigation: single-get fast path for object-shaped
     data, dynamic sequence walk when it misses (array mid-path, index
     on a scalar, or a genuinely absent path — the walk re-derives NULL
     for the last case). coalesce short-circuits, so object-shaped rows
-    never execute the walk."""
-    return F.coalesce(
-        F.try_variant_get(root, _json_path(steps), "variant"),
-        _variant_path_dynamic(root, steps),
-    )
+    never execute the walk.
+
+    An ARRAY leaf reached through a PATH still obeys JSONata sequence
+    rules (the dynamic walk's splice + boundary): ``a.b`` over
+    ``{"a":{"b":[5]}}`` is ``5`` (singleton unwrap), over
+    ``{"a":{"b":[]}}`` is undefined — so the fast-path result is
+    normalized with the same one-level-splice boundary before it wins
+    the coalesce (r7 fix; an empty-array leaf nulls out here and the
+    walk re-derives undefined). INT-final steps get the same boundary:
+    the interpreter's seq_append flattens an index-selected array into
+    the result sequence too (``[[0],[2]]`` indexed ``[0]`` is ``0``).
+    Flattening beyond one level per step remains the documented bounded
+    divergence shared with the dynamic walk.
+
+    ``seq_leaf=False`` (a BARE name lookup, not a path) keeps the raw
+    value on the object-root fast path: ``zeros`` over
+    ``{"zeros":[0]}`` is ``[0]`` — only paths build sequences
+    (interpreter: _eval_name returns the raw value, _eval_path/
+    seq_append flatten). An ARRAY root still takes the dynamic walk
+    (a name lookup maps over its items and the sequence boundary
+    applies, interpreter _lookup_name)."""
+    if any(isinstance(s, int) and s < 0 for s in steps):
+        # JSON paths can't express count-from-the-end: walk only
+        return _variant_path_dynamic(root, steps)
+    fast = F.try_variant_get(root, _json_path(steps), "variant")
+    if seq_leaf:
+        def norm(v: Column) -> Column:
+            arr = F.try_variant_get(v, "$", "array<variant>")
+            return (
+                F.when(arr.isNull(), v)
+                .when(F.size(arr) == 1, F.element_at(arr, 1))
+                .when(F.size(arr) > 1, v)
+            )
+
+        fast = _let(fast, norm)
+    return F.coalesce(fast, _variant_path_dynamic(root, steps))
 
 
 def _seq_boundary(tc: TypedCol) -> TypedCol:
@@ -629,6 +663,13 @@ def _path_steps(node) -> list | None:
         if cond["type"] == "number" and float(cond["value"]).is_integer() \
                 and cond["value"] >= 0:
             return base + [int(cond["value"])]
+        if cond["type"] == "unary-" and cond["expr"]["type"] == "number" \
+                and float(cond["expr"]["value"]).is_integer():
+            # negative literal index (r7): the dynamic walk and the typed
+            # element_at both count from the end; the variant FAST get
+            # can't (JSON paths have no negative indexes), so _variant_nav
+            # skips it for these steps
+            return base + [-int(cond["expr"]["value"])]
         return None
     if t == "path":
         lhs = _path_steps(node["lhs"])
@@ -729,14 +770,30 @@ def _c_name(node, ctx):
         return TypedCol(kept, "array<variant>", elem="variant", is_seq=True)
     if ctx.root_schema is not None:
         return _typed_navigate(ctx.root, ctx.root_schema, [node["value"]])
-    return TypedCol(_variant_nav(ctx.root, [node["value"]]), "variant")
+    # bare name: raw value semantics (seq_leaf=False) — `zeros` over
+    # {"zeros":[0]} is [0], unlike the PATH `$.zeros` which is 0
+    return TypedCol(
+        _variant_nav(ctx.root, [node["value"]], seq_leaf=False), "variant")
+
+
+def _typed_leaf_seq(tc: TypedCol) -> TypedCol:
+    """A typed ARRAY leaf reached through a PATH is a JSONata SEQUENCE:
+    mark is_seq so the result boundary applies singleton/empty rules
+    (interpreter seq_append parity, r7 — mirrors the variant fast-path
+    norm)."""
+    if tc.kind.startswith("array") and not tc.is_seq \
+            and not tc.seq_nav_unsafe:
+        return TypedCol(tc.col, tc.kind, elem=tc.elem, dtype=tc.dtype,
+                        is_seq=True)
+    return tc
 
 
 def _c_path(node, ctx):
     steps = _path_steps(node)
     if steps is not None:
         if ctx.root_schema is not None:
-            return _typed_navigate(ctx.root, ctx.root_schema, steps)
+            return _typed_leaf_seq(
+                _typed_navigate(ctx.root, ctx.root_schema, steps))
         return TypedCol(_variant_nav(ctx.root, steps), "variant")
     rhs_steps = _path_steps(node["rhs"])
     if rhs_steps is None:
@@ -1077,7 +1134,8 @@ def _c_predicate(node, ctx):
     steps = _path_steps(node)
     if steps is not None:
         if ctx.root_schema is not None:
-            return _typed_navigate(ctx.root, ctx.root_schema, steps)
+            return _typed_leaf_seq(
+                _typed_navigate(ctx.root, ctx.root_schema, steps))
         return TypedCol(_variant_nav(ctx.root, steps), "variant")
     cond = node["cond"]
     base = _compile(node["expr"], ctx)
@@ -1221,6 +1279,20 @@ def _c_binary(node, ctx):
                else F.coalesce(lhs, F.lit(False)) | F.coalesce(rhs, F.lit(False)))
         return TypedCol(col, "boolean")
     lhs = _compile(node["lhs"], ctx)
+    if op == "in" and node["rhs"]["type"] == "array":
+        # literal-array rhs: compile MEMBERS individually so strict
+        # equality survives — routing through _c_array would coerce
+        # variant members to the unified element kind and let "1"
+        # match 1 (r7, ADVICE fix)
+        if lhs.is_seq and lhs.kind.startswith("array"):
+            lhs = _seq_scalar(lhs)
+        col = F.lit(False)
+        for it in node["rhs"]["items"]:
+            col = col | F.coalesce(
+                _member_eq(lhs, _compile(it, ctx),
+                           splice=it["type"] == "path"),
+                F.lit(False))
+        return TypedCol(col, "boolean")
     rhs = _compile(node["rhs"], ctx)
     if op == "&":
         return TypedCol(
@@ -1249,27 +1321,144 @@ def _c_binary(node, ctx):
         col = {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
         return TypedCol(col, "boolean")
     if op == "in":
-        if rhs.kind == "variant":
-            elem = lhs.kind if lhs.kind in ("number", "string") else "string"
-            sql_elem = "double" if elem == "number" else "string"
-            rhs = TypedCol(
-                F.try_variant_get(rhs.col, "$", f"array<{sql_elem}>"),
-                f"array<{elem}>", elem=elem,
-            )
-        if not rhs.kind.startswith("array"):
-            raise NotCompilable("'in' requires a compiled array rhs")
-        rhs_col = rhs.col
-        if (rhs.elem or "variant") == "variant" \
-                and lhs.kind in ("number", "string"):
-            # cast variant members to the lhs kind so array_contains
-            # resolves (non-castable members become NULL = no match)
-            rhs_col = _as_array(
-                rhs, "double" if lhs.kind == "number" else "string")
-        a = lhs.col if lhs.kind != "variant" else _coerce_to(lhs, rhs.elem)
-        return TypedCol(
-            F.coalesce(F.array_contains(rhs_col, a), F.lit(False)), "boolean"
-        )
+        return _c_in(lhs, rhs)
     raise NotCompilable(f"operator {op!r}")
+
+
+_VARIANT_NUM_RE = r"^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)"
+
+
+def _variant_typed(x: Column, kind: str) -> Column:
+    """Extract a typed value from a variant ONLY when the variant's
+    runtime type matches — JSONata equality is strict, so string "1"
+    must never match number 1 (r7, ADVICE fix). Non-matching members
+    become NULL = no match."""
+    if kind == "number":
+        return F.when(F.schema_of_variant(x).rlike(_VARIANT_NUM_RE),
+                      F.try_variant_get(x, "$", "double"))
+    if kind == "string":
+        return F.when(F.schema_of_variant(x) == "STRING",
+                      F.try_variant_get(x, "$", "string"))
+    if kind == "boolean":
+        return F.when(F.schema_of_variant(x) == "BOOLEAN",
+                      F.try_variant_get(x, "$", "boolean"))
+    raise NotCompilable(f"no typed variant extraction for kind {kind!r}")
+
+
+def _variant_eq_strict(x: Column, y: Column) -> Column:
+    """Strict JSONata scalar equality between two variants: equal only
+    when same-typed and same-valued (explicit JSON nulls equal each
+    other; objects/arrays compare as non-equal here — deep equality on
+    compound members is interpreter territory)."""
+    return F.coalesce(
+        (_variant_typed(x, "number") == _variant_typed(y, "number"))
+        | (_variant_typed(x, "string") == _variant_typed(y, "string"))
+        | (_variant_typed(x, "boolean") == _variant_typed(y, "boolean"))
+        | (F.is_variant_null(x) & F.is_variant_null(y)),
+        F.lit(False),
+    )
+
+
+def _strict_eq(a_col: Column, a_kind: str, b_col: Column,
+               b_kind: str) -> Column:
+    """Strict scalar equality between two compiled values of (possibly)
+    different static kinds — cross-typed pairs are statically False,
+    variants are type-guarded at runtime (interpreter _jeq parity)."""
+    if a_kind == "variant" and b_kind == "variant":
+        return _variant_eq_strict(a_col, b_col)
+    if a_kind == "variant" or b_kind == "variant":
+        v, vk, t, tk = ((a_col, a_kind, b_col, b_kind)
+                        if a_kind == "variant"
+                        else (b_col, b_kind, a_col, a_kind))
+        if tk in ("number", "string", "boolean"):
+            return _variant_typed(v, tk) == t
+        if tk == "null":
+            return F.is_variant_null(v)
+        return F.lit(False)
+    if a_kind == b_kind and a_kind in ("number", "string", "boolean"):
+        return a_col == b_col
+    if a_kind == b_kind == "null":
+        return F.lit(True)
+    return F.lit(False)
+
+
+def _member_eq(lhs: TypedCol, m: TypedCol, splice: bool = False) -> Column:
+    """One membership test for the literal-array ``in`` path. A SEQUENCE
+    member (path map / range result) contributes each of its items; a
+    non-seq array member is a nested array VALUE a scalar lhs never
+    equals. ``splice`` marks a variant member compiled from a PATH node
+    — its re-encoded array form is a sequence (splices), while a name
+    lookup's array is a value (nests)."""
+    if m.is_seq and m.kind.startswith("array"):
+        elem = m.elem or "variant"
+        lc, lk = lhs.col, lhs.kind
+        return F.exists(
+            m.col,
+            lambda x: F.coalesce(_strict_eq(lc, lk, x, elem), F.lit(False)),
+        )
+    if m.kind.startswith("array"):
+        return F.lit(False)
+    if m.kind == "variant" and splice:
+        lc, lk = lhs.col, lhs.kind
+
+        def test(v: Column) -> Column:
+            arr = F.try_variant_get(v, "$", "array<variant>")
+            return F.when(
+                arr.isNotNull(),
+                F.exists(arr, lambda x: F.coalesce(
+                    _strict_eq(lc, lk, x, "variant"), F.lit(False))),
+            ).otherwise(_strict_eq(lc, lk, v, "variant"))
+
+        return _let(m.col, test)
+    return _strict_eq(lhs.col, lhs.kind, m.col, m.kind)
+
+
+def _c_in(lhs: TypedCol, rhs: TypedCol) -> TypedCol:
+    """JSONata ``in``: membership with STRICT equality; a non-array rhs
+    is a singleton array (interpreter.py:309-313)."""
+    if lhs.is_seq and lhs.kind.startswith("array"):
+        lhs = _seq_scalar(lhs)
+    if rhs.kind == "variant":
+        def wrap(v: Column) -> Column:
+            return F.coalesce(
+                F.try_variant_get(v, "$", "array<variant>"),
+                F.when(v.isNotNull(), F.array(v)),
+            )
+
+        rhs = TypedCol(_let(rhs.col, wrap), "array<variant>", elem="variant")
+    elif rhs.kind in ("number", "string", "boolean"):
+        rhs = TypedCol(F.array(rhs.col), f"array<{rhs.kind}>", elem=rhs.kind)
+    if not rhs.kind.startswith("array"):
+        raise NotCompilable("'in' requires a compiled array rhs")
+    relem = rhs.elem or "variant"
+    if relem == "variant":
+        if lhs.kind in ("number", "string", "boolean"):
+            # type-guarded member cast: only same-typed members can match
+            rhs_col = F.transform(rhs.col,
+                                  lambda x: _variant_typed(x, lhs.kind))
+            a = lhs.col
+        elif lhs.kind == "variant":
+            lc = lhs.col
+            return TypedCol(
+                F.coalesce(
+                    F.exists(rhs.col, lambda x: _variant_eq_strict(x, lc)),
+                    F.lit(False)),
+                "boolean",
+            )
+        else:
+            raise NotCompilable(f"'in' lhs kind {lhs.kind!r}")
+    elif lhs.kind == "variant":
+        # typed members: lhs variant must be same-typed to match
+        a = _variant_typed(lhs.col, relem)
+        rhs_col = rhs.col
+    elif lhs.kind == relem:
+        a, rhs_col = lhs.col, rhs.col
+    else:
+        # statically different scalar types never match (strict equality)
+        return TypedCol(F.lit(False), "boolean")
+    return TypedCol(
+        F.coalesce(F.array_contains(rhs_col, a), F.lit(False)), "boolean"
+    )
 
 
 def _coerce_to(tc: TypedCol, kind: str | None) -> Column:

@@ -35,16 +35,21 @@ FUZZ_DOC = {
     "items": [{"p": 3, "q": "c"}, {"p": 1, "q": "a"}, {"p": 2, "q": "b"}],
     "zeros": [0],
     "mixed": [0, 0, 2],
+    # array leaves reachable only through multi-step OBJECT paths: these
+    # exercise the fast-path splice/singleton/empty boundary that the r6
+    # grammar missed (r7, ADVICE fix)
+    "lone": {"arr1": [5], "arr0": [], "arrs": ["only"], "arr2": [7, 8]},
 }
 
 _NUM_ATOMS = ["value", "count", "nums[0]", "nested.k", "items[1].p",
-              "2", "7.5", "0", "-3", "10"]
+              "2", "7.5", "0", "-3", "10", "lone.arr1"]
 _STR_ATOMS = ["user", "kind", "tags[1]", "'lit'", "nested.name",
-              "nested.deep.leaf", "items[0].q", "'x/y/z'"]
+              "nested.deep.leaf", "items[0].q", "'x/y/z'", "lone.arrs"]
 _BOOL_ATOMS = ["ok", "true", "false"]
 # array atoms by element kind (so lambda bodies can type-match)
-_ARRNUM_ATOMS = ["nums", "items.p", "[1..4]", "mixed", "zeros"]
-_ARRSTR_ATOMS = ["tags", "items.q", "['a','b','b']"]
+_ARRNUM_ATOMS = ["nums", "items.p", "[1..4]", "mixed", "zeros",
+                 "lone.arr1", "lone.arr0", "lone.arr2"]
+_ARRSTR_ATOMS = ["tags", "items.q", "['a','b','b']", "lone.arrs"]
 _OBJ_ATOMS = ["nested", "items[0]", "nested.deep"]
 
 # small deterministic pictures / patterns for format & regex productions

@@ -393,6 +393,58 @@ def near_dups_against_corpus(batch: DataFrame, corpus: DataFrame,
     )
 
 
+def cluster_exact_join(df: DataFrame, threshold: float = 0.9,
+                       cluster_threshold: float = 0.5,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       bands: int = 4, rows: int = 2,
+                       hash_family: str = "md5") -> DataFrame:
+    """Exact token-set Jaccard >= ``threshold`` pairs WITHIN MinHash-LSH
+    duplicate clusters — the scale regime for dup-heavy corpora where a
+    corpus-wide exact SSJoin's candidate set (and even its TRUE output)
+    goes quadratic (measured: jaccard_prefix_join 138x wall at 16x input
+    on the replica corpus, scale_check_r6.jsonl). Returns
+    ``(id_a, id_b, jaccard_sim)``.
+
+    Stages: (1) LSH-verified pairs at the LOOSE ``cluster_threshold``
+    (bucketed band self-join — never all-pairs), (2) connected
+    components (O(log d) pointer-jumped rounds), (3) exact Jaccard
+    verification equi-joined on the CLUSTER key. The exact join's cost
+    is sum over clusters of |c|^2 — bounded by the true duplicate
+    structure, not by token-posting lists, and its shuffle key is the
+    cluster id. Within-cluster candidate pairs are a superset of the
+    qualifying within-cluster pairs because cluster_threshold <
+    threshold; recall vs the full corpus-wide exact join equals LSH
+    banding recall at cluster_threshold, which at ``threshold >= 0.9``
+    is the near-certain regime (P[miss] = (1-s^rows)^bands with s >=
+    0.9). This is the mitigation jaccard_prefix_join's docstring
+    prescribes for quadratic-output corpora."""
+    pairs = near_dup_pairs(df, text_col, id_col, cluster_threshold,
+                           bands, rows, hash_family=hash_family)
+    cc = connected_components(pairs)  # (id, component)
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(text_col)).alias("t")
+    ).withColumn("sz", F.size("t"))
+    member = toks.join(
+        cc, toks[id_col] == cc["id"]
+    ).select(F.col(id_col), "component", "t", "sz")
+    a = member.select(
+        "component", F.col(id_col).alias("id_a"),
+        F.col("t").alias("ta"), F.col("sz").alias("sza"))
+    b = member.select(
+        "component", F.col(id_col).alias("id_b"),
+        F.col("t").alias("tb"), F.col("sz").alias("szb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    return (
+        a.join(b, "component")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "j", inter * F.lit(1.0) / (F.col("sza") + F.col("szb") - inter)
+        )
+        .filter(F.col("j") >= threshold)
+        .select("id_a", "id_b", F.round("j", 6).alias("jaccard_sim"))
+    )
+
+
 def jaccard_prefix_join(df: DataFrame, threshold: float = 0.9,
                         text_col: str = "text",
                         id_col: str = "doc_id",
@@ -425,7 +477,10 @@ def jaccard_prefix_join(df: DataFrame, threshold: float = 0.9,
     discriminative domain. NOTE the output itself can be quadratic on a
     heavily templated corpus regardless of algorithm — pick the domain/
     threshold so the TRUE pair set is sparse; the pruning then keeps the
-    candidate set near it."""
+    candidate set near it. For dup-heavy/templated corpora use
+    ``cluster_exact_join`` (MinHash-cluster first, exact verify within
+    clusters) — cost bounded by cluster sizes instead of posting
+    lists."""
     from pyspark.sql import Window
 
     elems = (F.array_distinct(tokens(text_col))

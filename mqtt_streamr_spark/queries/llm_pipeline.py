@@ -2787,6 +2787,76 @@ def dedup_exact_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_prefix_join(docs, threshold=0.9)
 
 
+@query(
+    "dedup_cluster_exact_join",
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM d),
+    hsx AS (SELECT doc_id, shingles, {_HS} AS hs FROM sh),
+    sig AS (SELECT doc_id, shingles, {_MH8} AS mh FROM hsx),
+    bands AS (SELECT doc_id, unnest({_BANDS_SQL}) AS band_key FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band_key)
+             WHERE a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE len(list_filter(sa.shingles,
+                  s -> list_contains(sb.shingles, s))) * 1.0 /
+              (len(sa.shingles) + len(sb.shingles) -
+               len(list_filter(sa.shingles,
+                   s -> list_contains(sb.shingles, s)))) >= 0.5),
+    edges AS (SELECT id_a AS n, id_b AS m FROM pairs
+              UNION ALL
+              SELECT id_b AS n, id_a AS m FROM pairs),
+    reach(id, label) AS (
+        SELECT n, n FROM edges
+        UNION
+        SELECT e.n, r.label FROM edges e JOIN reach r ON r.id = e.m),
+    comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+    tok AS (SELECT doc_id, list_distinct(toks) AS t FROM d),
+    member AS (SELECT c.id AS doc_id, c.component, t.t, len(t.t) AS sz
+               FROM comp c JOIN tok t ON t.doc_id = c.id),
+    exact AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_filter(a.t, x -> list_contains(b.t, x))) * 1.0 /
+               (a.sz + b.sz -
+                len(list_filter(a.t, x -> list_contains(b.t, x)))) AS j
+        FROM member a JOIN member b ON a.component = b.component
+        WHERE a.doc_id < b.doc_id),
+    q AS (SELECT id_a, id_b, round(j, 6) AS j FROM exact WHERE j >= 0.9)
+    SELECT round(j, 2) AS sim_bucket,
+           count(*) AS n_pairs,
+           min(id_a) AS min_id_a,
+           max(id_b) AS max_id_b
+    FROM q GROUP BY round(j, 2)
+    """,
+)
+def dedup_cluster_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-exact-join (r7): exact token-Jaccard >= 0.9 pairs
+    restricted to MinHash-LSH duplicate clusters (cluster_threshold
+    0.5) — the prescribed mitigation for corpora where the corpus-wide
+    exact SSJoin goes quadratic (see dedup_exact_jaccard_prefix and
+    operators/dedup.cluster_exact_join). The exact join shuffles on the
+    CLUSTER id, so its cost follows the true duplicate structure.
+    Output is bucketed by rounded similarity (counts are integer-exact
+    across engines; the raw pair list is the quadratic TRUE output on
+    this templated corpus and needs no per-row hash check to prove the
+    plan)."""
+    docs = spread(load(spark, "documents", sf_dir))
+    pairs = D.cluster_exact_join(docs, threshold=0.9,
+                                 cluster_threshold=0.5, bands=4, rows=2)
+    return pairs.groupBy(
+        F.round("jaccard_sim", 2).alias("sim_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("id_a").alias("min_id_a"),
+        F.max("id_b").alias("max_id_b"),
+    )
+
+
 def segmented_cumsum(d: DataFrame, seg_col: str, order_col: str,
                      val_col: str) -> DataFrame:
     """Two-phase segmented prefix-sum: the global running total of

@@ -60,6 +60,28 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Streaming state store: RocksDB by default (r7). The default
+    # HDFS-backed provider keeps EVERY key of every stateful operator
+    # (stream-stream join, session windows, dedup-within-watermark, CDC)
+    # in executor JVM heap — fine at sf0.1, an OOM at 100x. RocksDB
+    # spills state to local disk with bounded memory, which is the only
+    # honest configuration for unbounded-stream state. Changelog
+    # checkpointing keeps commit cost proportional to the delta, not the
+    # full store. Opt out with SPARK_GRAFT_STATE_STORE=hdfs (e.g. to
+    # A/B the providers).
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb") == "rocksdb":
+        builder = (
+            builder.config(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            .config(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                "true",
+            )
+        )
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):

@@ -242,6 +242,11 @@ class SocketMqttClient:
                     self._buffer_publish(flags, body)
             else:
                 raise ConnectionError("no SUBACK")
+        # the 10s create_connection timeout must govern the HANDSHAKE
+        # only: left on, a quiet topic kills the reader thread with a
+        # silent TimeoutError after 10 idle seconds (r7 fix — found by
+        # the publish-back test, where Spark startup ate the window)
+        s.settimeout(None)
         self._sock = s
         threading.Thread(target=self._reader, args=(s,),
                          daemon=True).start()

@@ -63,16 +63,32 @@ class PipelineSpec:
     dead_letter_dir: str | None = None                # engine upgrade
     sink_format: str = "parquet"
     sink_dir: str | None = None
+    # network egress (bin:191-198 parity): publish each routed message
+    # to this MQTT broker (stream_id -> topic, message -> payload)
+    # INSTEAD of the file sink; success/error counters then reflect
+    # publish outcomes, exactly as the reference's do. QoS-0
+    # at-most-once (see streaming/publish.py for the contract).
+    publish_url: str | None = None
     # registry bounds (engine upgrade — SURVEY §7 hard-part 6): the
     # reference's memo map (bin:10) grows unbounded with routing-key
     # cardinality; None/None keeps that parity, set either to bound
     # driver memory at high-cardinality routing
     registry_max_size: int | None = None
     registry_ttl_seconds: float | None = None
+    # per-batch stream auto-create (bin:168-184 parity). True runs a
+    # distinct-keys collect each micro-batch to drive the memoized
+    # registry init — one driver round-trip per batch, keys-cardinality
+    # rows. Set False when streams are provisioned externally (the sink
+    # itself needs no per-key init — partitioned writes create
+    # directories on demand), removing the round-trip entirely (r7,
+    # SURVEY hard-part 6 follow-up).
+    autocreate_streams: bool = True
 
     def validate(self) -> None:
-        if not self.dry_run and self.sink_dir is None:
-            raise ValueError("sink_dir is required unless dry_run")
+        if not self.dry_run and self.sink_dir is None \
+                and self.publish_url is None:
+            raise ValueError(
+                "sink_dir or publish_url is required unless dry_run")
         if self.stream_id is None and "$topic" not in self.stream_id_template \
                 and self.topic_levels:
             # harmless, but signals misconfiguration: truncation configured
@@ -293,21 +309,46 @@ class StreamingBridge:
 
         try:
             if not spec.dry_run:
-                # memoized per-key init (bin:168-184); un-observed plan
-                keys = batch.filter(ok_cond).select("stream_id").distinct()
-                for row in keys.collect():
-                    self.registry.get_or_create(row["stream_id"])
-                # idempotent per-batch write: each micro-batch owns the
-                # batch_id=N partition and OVERWRITES it, so a batch
-                # replayed after a crash lands on the same data instead of
-                # appending duplicates -> effectively-once end-to-end
-                # (upgrade over the reference's at-most-once, bin:132)
-                (valid.select("stream_id", "message", "arrival_ts")
-                 .write.mode("overwrite").partitionBy("stream_id")
-                 .format(spec.sink_format)
-                 .save(os.path.join(spec.sink_dir, f"batch_id={batch_id}")))
-                got = obs.get  # populated by the write job
-                n_ok, n_tf = int(got["n_ok"] or 0), int(got["n_tf_err"] or 0)
+                if not spec.autocreate_streams:
+                    pass  # externally-provisioned streams: no init job
+                elif spec.stream_id is not None:
+                    # fixed stream: the one key is known statically —
+                    # memoized init without a per-batch Spark job
+                    self.registry.get_or_create(spec.stream_id)
+                else:
+                    # memoized per-key init (bin:168-184); un-observed plan
+                    keys = (batch.filter(ok_cond)
+                            .select("stream_id").distinct())
+                    for row in keys.collect():
+                        self.registry.get_or_create(row["stream_id"])
+                if spec.publish_url is not None:
+                    # network egress (bin:191-198): publish each routed
+                    # message; counters reflect PUBLISH outcomes, exactly
+                    # as the reference's streamr.publish().then/.catch do
+                    from mqtt_streamr_spark.streaming.publish import (
+                        publish_partitioned,
+                    )
+
+                    n_ok, n_pub_err = publish_partitioned(
+                        valid.select("stream_id", "message"),
+                        spec.publish_url,
+                    )
+                    got = obs.get  # populated by the publish action
+                    n_tf = int(got["n_tf_err"] or 0) + n_pub_err
+                else:
+                    # idempotent per-batch write: each micro-batch owns the
+                    # batch_id=N partition and OVERWRITES it, so a batch
+                    # replayed after a crash lands on the same data instead
+                    # of appending duplicates -> effectively-once end-to-end
+                    # (upgrade over the reference's at-most-once, bin:132)
+                    (valid.select("stream_id", "message", "arrival_ts")
+                     .write.mode("overwrite").partitionBy("stream_id")
+                     .format(spec.sink_format)
+                     .save(os.path.join(spec.sink_dir,
+                                        f"batch_id={batch_id}")))
+                    got = obs.get  # populated by the write job
+                    n_ok = int(got["n_ok"] or 0)
+                    n_tf = int(got["n_tf_err"] or 0)
             else:
                 # dry run: no write job to observe; both counts in ONE
                 # aggregate action instead of two separate count() jobs

@@ -391,6 +391,35 @@ def jaccard_prefix_docs(spark, k):
         F.count(F.lit(1)), F.sum("jaccard_sim"))
 
 
+def cluster_exact_join_docs(spark, k):
+    # cluster-then-exact-join (r7, the jaccard_prefix_docs mitigation):
+    # replicas are TOKEN-salted (every token prefixed with its replica id)
+    # so replica token sets are DISJOINT — replication multiplies the real
+    # duplicate structure instead of making every replica a >=0.9 near-dup
+    # of replica 0. (With the tag-perturbed corpus the TRUE >= 0.9 pair
+    # set itself is quadratic in k, which no exact algorithm outruns —
+    # that regime is what this operator's cluster-bounded cost model is
+    # FOR; this sweep verifies the cost follows the duplicate structure:
+    # linear structure -> linear wall-clock.)
+    from pyspark.sql import DataFrame as _DF
+
+    base = spread(load(spark, "documents", SF_DIR)).filter(
+        F.col("doc_id") % 10 == 0)
+    parts = []
+    for i in range(k):
+        parts.append(
+            base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 1_000_000_000)
+            ).withColumn(
+                "text",
+                F.regexp_replace(F.col("text"), r"(\S+)", f"r{i}$1"),
+            )
+        )
+    docs = reduce(_DF.unionByName, parts)
+    p = D.cluster_exact_join(docs, threshold=0.9, cluster_threshold=0.5)
+    return p.agg(F.count(F.lit(1)), F.sum("jaccard_sim"))
+
+
 def concurrency_sweep_events(spark, k):
     from mqtt_streamr_spark.queries.events import _concurrency_from_events
 
@@ -513,6 +542,7 @@ OPS = {
     "interval_overlap_sessions": interval_overlap_sessions,
     "heavy_hitters_docs": heavy_hitters_docs,
     "jaccard_prefix_docs": jaccard_prefix_docs,
+    "cluster_exact_join_docs": cluster_exact_join_docs,
     "concurrency_sweep_events": concurrency_sweep_events,
     "forward_fill_events": forward_fill_events,
     "quantile_sketch_events": quantile_sketch_events,

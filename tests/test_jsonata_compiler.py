@@ -40,6 +40,9 @@ DOC = {
     "mixed": [0, 0, 2],
     "nested01": [[0], [2]],
     "nested00": [[0], [0]],
+    # array leaves under multi-step OBJECT-ONLY paths: the r6 fast path
+    # skipped sequence rules for these (r7 ADVICE fix)
+    "lone": {"arr1": [5], "arr0": [], "arrs": ["only"], "arr2": [7, 8]},
 }
 
 
@@ -411,6 +414,42 @@ COMPILABLE = [
     "$max(**.p)",
     "$count(nested.**.leaf)",
     "$count(items.**.p)",
+    # r7: object-path array-leaf sequence boundary (fast-path norm) —
+    # singleton unwraps, empty is undefined, 2+ stays an array; a BARE
+    # name keeps the raw array; index-selected arrays flatten one level
+    "lone.arr1",
+    "lone.arr0",
+    "lone.arrs",
+    "lone.arr2",
+    "$string(lone.arr1)",
+    "$exists(lone.arr0)",
+    "zeros",
+    "mixed",
+    "$.zeros",
+    "nested01[0]",
+    "lone.arr2[0]",
+    "lone.arr2[-1]",
+    "lone.arr1[0]",
+    # r7: strict `in` (ADVICE fix): cross-typed members never match;
+    # non-array rhs is a singleton; path members splice
+    "1 in ['1', 2]",
+    "2 in ['1', 2]",
+    "'1' in [1, '2']",
+    "value in [21.5, 'x']",
+    "user in ['ada', 7]",
+    "'a' in tags",
+    "'z' in tags",
+    "3 in items.p",
+    "9 in items.p",
+    "2 in [items.p, 9]",
+    "9 in [items.p, 9]",
+    "'c' in [tags, 'z']",
+    "count in count",
+    "user in user",
+    "true in [true, 1]",
+    "1 in [true, 1]",
+    "ok in [true]",
+    "1 in [[1]]",
 ]
 
 
@@ -659,7 +698,9 @@ DOC_SCHEMA = (
     "items array<struct<p: long, q: string>>, empty string, "
     "zeros array<double>, blanks array<string>, flags array<boolean>, "
     "mixed array<double>, nested01 array<array<double>>, "
-    "nested00 array<array<double>>"
+    "nested00 array<array<double>>, "
+    "lone struct<arr1: array<double>, arr0: array<double>, "
+    "arrs: array<string>, arr2: array<double>>"
 )
 
 # typed path cannot distinguish a JSON null from an absent field after

@@ -104,6 +104,96 @@ def test_fixed_stream_id_and_dry_run(spark, tmpdirs):
     assert errors == 0
 
 
+def test_autocreate_streams_off_skips_registry(spark, tmpdirs):
+    """autocreate_streams=False: externally-provisioned streams — data
+    still routes and writes, but no per-batch key collect feeds the
+    registry (r7, SURVEY hard-part 6 follow-up)."""
+    spec = PipelineSpec(
+        transform=TRANSFORM, stream_id_template="/s/$topic", topic_levels=1,
+        sink_dir=tmpdirs["sink"], log_interval=3600,
+        autocreate_streams=False,
+    )
+    bridge = StreamingBridge(spec)
+    bridge.run_batch(replay_source(spark, EVENTS, streaming=False))
+    out = spark.read.parquet(tmpdirs["sink"])
+    assert out.count() == spark.read.parquet(EVENTS).count()
+    assert bridge.registry.stream_ids == []  # no init job ran
+    success, errors = bridge.logger.report()
+    assert success == out.count() and errors == 0
+
+
+def test_fixed_stream_registers_without_batch_job(spark, tmpdirs):
+    """A fixed stream id registers via the static key (no distinct
+    collect), and the sink partitions on the single stream."""
+    spec = PipelineSpec(stream_id="/fixed", sink_dir=tmpdirs["sink"],
+                        log_interval=3600)
+    bridge = StreamingBridge(spec)
+    bridge.run_batch(replay_source(spark, EVENTS, streaming=False))
+    assert bridge.registry.stream_ids == ["/fixed"]
+    out = spark.read.parquet(tmpdirs["sink"])
+    assert {r["stream_id"] for r in
+            out.select("stream_id").distinct().collect()} == {"/fixed"}
+
+
+def test_publish_back_to_broker(spark, tmpdirs):
+    """Network egress parity (bin:191-198): replay -> transform -> route
+    -> MQTT publish to the in-repo MiniBroker; a wildcard subscriber
+    receives every routed message on its stream_id topic, and the
+    success counter equals messages published (conservation: success +
+    dead-letter = input)."""
+    import time
+
+    from mqtt_streamr_spark.sources.minibroker import (
+        MiniBroker,
+        SocketMqttClient,
+    )
+
+    broker = MiniBroker()
+    sub = SocketMqttClient(broker.url, topics=["#"])
+    try:
+        spec = PipelineSpec(
+            transform=TRANSFORM,
+            stream_id_template="/streamr/$topic",
+            topic_levels=2,
+            publish_url=broker.url,
+            dead_letter_dir=tmpdirs["dead"],
+            log_interval=3600,
+        )
+        bridge = StreamingBridge(spec)
+        src = replay_source(spark, EVENTS, streaming=True, malformed_every=7)
+        q = bridge.start(src, checkpoint_dir=tmpdirs["ckpt"])
+        q.awaitTermination(timeout=120)
+
+        total = spark.read.parquet(EVENTS).count()
+        n_invalid = spark.read.parquet(EVENTS).filter(
+            F.col("event_id") % 7 == 0
+        ).count()
+        success, errors = bridge.logger.report()
+        assert success == total - n_invalid
+        assert errors == 0
+
+        # drain the subscriber (router is async; bounded wait)
+        got = []
+        deadline = time.time() + 30
+        while len(got) < success and time.time() < deadline:
+            got.extend(sub.drain())
+            time.sleep(0.1)
+        assert len(got) == success
+        topics = {t for t, _, _ in got}
+        assert topics == {
+            f"/streamr//events/{t}"
+            for t in ("click", "error", "purchase", "signup", "view")
+        }
+        # payloads are the TRANSFORMED messages
+        msg = json.loads(got[0][1])
+        assert set(msg) == {"u", "kind", "v2"} and msg["kind"].isupper()
+        # streams were auto-created before publishing (bin:168-184)
+        assert bridge.registry.stream_ids == sorted(topics)
+    finally:
+        sub.close()
+        broker.close()
+
+
 def test_interpreted_fallback(spark, tmpdirs):
     """A transform the compiler can't express must still run (interpreter
     UDF) and agree with direct interpretation. ($merge/$map used to be the
