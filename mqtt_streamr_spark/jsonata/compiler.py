@@ -86,16 +86,30 @@ class Ctx:
     # valid while root IS the message root: derived contexts that rebase
     # the root (predicates, group-by) drop it.
     raw: Column | None = None
+    # caller-declared "the message root is a JSON OBJECT" (r7): bare
+    # name lookups then emit ONLY the single variant_get — no array-root
+    # dynamic-walk ELSE branch per name reference (the r6 walk costs
+    # ~25% on name-dense transforms, BENCH r6 jsonata_hof_compiled).
+    # Like `raw`, only meaningful while root IS the message root;
+    # derived contexts leave it False.
+    object_root: bool = False
 
 
 def compile_column(source_or_ast, input_col: Column,
-                   raw_col: Column | None = None) -> TypedCol:
+                   raw_col: Column | None = None,
+                   object_root: bool = False) -> TypedCol:
     """Compile a JSONata expression to a typed Column over a variant input.
     ``raw_col``: the original JSON STRING the variant was parsed from;
     when provided, the ordered-object functions compile too (they need
-    source key order, which the variant encoding discards)."""
+    source key order, which the variant encoding discards).
+    ``object_root=True`` declares every message root is a JSON object
+    (schema knowledge, like transform_to_json's ``schema``): bare-name
+    lookups then skip the array-root mapping branch — smaller plans,
+    r5-shaped per-name cost. Array-rooted messages under this flag read
+    names as undefined instead of mapping over items."""
     ast = parse(source_or_ast) if isinstance(source_or_ast, str) else source_or_ast
-    return _seq_boundary(_compile(ast, Ctx(root=input_col, raw=raw_col)))
+    return _seq_boundary(_compile(
+        ast, Ctx(root=input_col, raw=raw_col, object_root=object_root)))
 
 
 def compile_typed(source_or_ast, input_col: Column, schema) -> TypedCol:
@@ -772,6 +786,13 @@ def _c_name(node, ctx):
         return _typed_navigate(ctx.root, ctx.root_schema, [node["value"]])
     # bare name: raw value semantics (seq_leaf=False) — `zeros` over
     # {"zeros":[0]} is [0], unlike the PATH `$.zeros` which is 0
+    if ctx.object_root:
+        # declared object root: the single get IS the lookup (no
+        # array-root mapping branch — see compile_column docstring)
+        return TypedCol(
+            F.try_variant_get(ctx.root, _json_path([node["value"]]),
+                              "variant"),
+            "variant")
     return TypedCol(
         _variant_nav(ctx.root, [node["value"]], seq_leaf=False), "variant")
 
@@ -795,6 +816,9 @@ def _c_path(node, ctx):
             return _typed_leaf_seq(
                 _typed_navigate(ctx.root, ctx.root_schema, steps))
         return TypedCol(_variant_nav(ctx.root, steps), "variant")
+    if node["rhs"]["type"] == "descendants":
+        # `a.**` / `a.b.**`: bare descendants under a literal prefix (r7)
+        return _c_desc_all(_path_steps(node["lhs"]), ctx)
     rhs_steps = _path_steps(node["rhs"])
     if rhs_steps is None:
         raise NotCompilable("non-trivial path rhs")
@@ -1098,6 +1122,106 @@ def _desc_matches_variant(raw: Column, root_variant: Column, steps: list,
         return F.element_at(F.transform(F.array(pieces), body), 1)
 
     return _flatten_variant_seq(level(raw, root_variant, depth))
+
+
+def _c_desc_all(steps: list | None, ctx: Ctx) -> TypedCol:
+    """Bare ``**`` (no trailing name step) on the VARIANT path (r7):
+    every descendant VALUE in pre-order document order — jsonata.js
+    fn.recurseDescendants: arrays are never emitted themselves (their
+    elements are walked in place), objects and scalars are, objects
+    recursed; the base value itself leads the sequence unless it is an
+    array. Same depth-bounded raw-text recursion as ``**.k``
+    (_desc_matches_variant), but JSON-null children are KEPT — they are
+    descendant values (interpreter _descend), not match misses."""
+    if ctx.raw is None or ctx.root_kind != "variant":
+        raise NotCompilable(
+            "variant descendants need the raw JSON column "
+            "(key/document order is unrecoverable from the variant binary)")
+    if steps is None:
+        raise NotCompilable("descendants need a literal path prefix")
+    if steps:
+        raw = F.get_json_object(ctx.raw, _json_path(steps))
+        guard = F.try_variant_get(ctx.root, _json_path(steps), "variant")
+    else:
+        raw, guard = ctx.raw, ctx.root
+    is_obj = F.try_variant_get(guard, "$", "map<string, variant>").isNotNull()
+    is_arr = F.try_variant_get(guard, "$", "array<variant>").isNotNull()
+    walked = F.coalesce(
+        _desc_all_variant(F.when(is_obj | is_arr, raw), guard),
+        _empty_varr(),
+    )
+    self_part = F.when(is_arr, _empty_varr()).otherwise(F.array(guard))
+    out = F.when(
+        guard.isNotNull() & ~F.is_variant_null(guard),
+        F.concat(self_part, walked),
+    )
+    return TypedCol(out, "array<variant>", elem="variant", is_seq=True)
+
+
+def _desc_all_variant(raw: Column, root_variant: Column,
+                      depth: int = VARIANT_DESC_DEPTH) -> Column:
+    """All descendant values BELOW the container whose raw JSON text is
+    ``raw`` (caller type-guards it), pre-order document order, as
+    ``array<variant>``. Same cost discipline as _desc_matches_variant:
+    one text parse per node, children's variants sliced from the parent,
+    loud assert_true past the unroll depth."""
+
+    def level(n: Column, nv: Column, d: int) -> Column:
+        sm = F.from_json(n, "map<string, string>")
+        pairs_obj = F.transform(
+            F.map_entries(sm),
+            lambda e: F.struct(
+                e["value"].alias("s"),
+                F.element_at(
+                    F.try_variant_get(nv, "$", "map<string, variant>"),
+                    e["key"],
+                ).alias("vv"),
+            ),
+        )
+        pairs_arr = F.zip_with(
+            F.from_json(n, "array<string>"),
+            F.try_variant_get(nv, "$", "array<variant>"),
+            lambda s, vv: F.struct(s.alias("s"), vv.alias("vv")),
+        )
+        pairs = F.coalesce(pairs_obj, pairs_arr)
+
+        def body(p):
+            def contrib(x):
+                c_arr = F.try_variant_get(
+                    x["vv"], "$", "array<variant>").isNotNull()
+                c_obj = F.try_variant_get(
+                    x["vv"], "$", "map<string, variant>").isNotNull()
+                # JSON-null children are VALUES here (interpreter _descend
+                # appends them), unlike **.k match misses which drop
+                self_part = F.when(
+                    c_arr | x["vv"].isNull(), _empty_varr()
+                ).otherwise(F.array(x["vv"]))
+                if d == 0:
+                    deeper = F.when(
+                        F.assert_true(
+                            F.coalesce(~(c_arr | c_obj), F.lit(True)),
+                            f"jsonata compiled ** exceeded max nesting "
+                            f"depth {depth}; use the interpreter backend "
+                            f"for deeper payloads",
+                        ).isNull(),
+                        _empty_varr(),
+                    )
+                else:
+                    deeper = F.when(
+                        c_arr | c_obj, level(x["s"], x["vv"], d - 1)
+                    ).otherwise(_empty_varr())
+                return F.concat(self_part, deeper)
+
+            return F.flatten(F.transform(p, contrib))
+
+        return F.element_at(F.transform(F.array(pairs), body), 1)
+
+    return level(raw, root_variant, depth)
+
+
+def _c_descendants(node, ctx):
+    """Top-level bare ``**`` over the message root."""
+    return _c_desc_all([], ctx)
 
 
 # Data arrays in a JSONata path sequence flatten RECURSIVELY (seq_append:
@@ -1801,6 +1925,7 @@ _NODES = {
     "null": _c_null,
     "name": _c_name,
     "path": _c_path,
+    "descendants": _c_descendants,
     "predicate": _c_predicate,
     "variable": _c_variable,
     "block": _c_block,
@@ -2009,19 +2134,76 @@ def _fc_join(args, node, ctx):
     return TypedCol(F.array_join(arr, sep), "string")
 
 
+def _js_repl_to_java(template: str, n_groups: int) -> str:
+    """Translate a JS/JSONata $replace template to Java replacement
+    syntax (r7 regex-fidelity audit). JS: ``$$`` is a literal $, ``$N``
+    (longest 1-2 digit run <= group count) is a group ref, any other
+    ``$`` is LITERAL. Java regexp_replace THROWS on a group ref beyond
+    the pattern's group count and treats bare ``$``/``\\`` as syntax —
+    one bad row would kill a vectorized batch, so every non-ref ``$``
+    and every backslash is escaped here at compile time."""
+    out = []
+    i = 0
+    while i < len(template):
+        ch = template[i]
+        if ch == "\\":
+            out.append("\\\\")
+            i += 1
+            continue
+        if ch == "$" and i + 1 < len(template) and template[i + 1] == "$":
+            out.append("\\$")
+            i += 2
+            continue
+        if ch == "$":
+            j = i + 1
+            num = ""
+            while j < len(template) and template[j].isdigit() \
+                    and len(num) < 2:
+                cand = num + template[j]
+                if int(cand) <= n_groups:
+                    num = cand
+                    j += 1
+                else:
+                    break
+            if num:
+                out.append(f"${num}")
+                i = j
+                continue
+            out.append("\\$")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 @_fn("replace")
 def _fc_replace(args, node, ctx):
     s = as_string(args[0])
-    repl = as_string(args[2])
     rx = _arg_regex(node["args"], 1)
     if rx is not None:
         if len(args) >= 4:
             raise NotCompilable("$replace with limit needs interpreter")
-        return TypedCol(F.regexp_replace(s, rx, repl), "string")
+        if node["args"][2]["type"] != "string":
+            # dynamic replacement: $-refs can't be validated statically
+            # and Java throws on refs beyond the group count
+            raise NotCompilable(
+                "$replace with a regex needs a literal replacement")
+        import re as _re_mod
+
+        try:
+            n_groups = _re_mod.compile(
+                node["args"][1]["pattern"]).groups
+        except _re_mod.error:
+            raise NotCompilable(
+                "$replace pattern not statically analyzable")
+        repl = _js_repl_to_java(node["args"][2]["value"], n_groups)
+        return TypedCol(F.regexp_replace(s, rx, F.lit(repl)), "string")
     if node["args"][1]["type"] != "string":
         raise NotCompilable("$replace pattern must be literal (v0)")
     if len(args) >= 4:
         raise NotCompilable("$replace with limit needs interpreter")
+    repl = as_string(args[2])
     return TypedCol(F.replace(s, as_string(args[1]), repl), "string")
 
 

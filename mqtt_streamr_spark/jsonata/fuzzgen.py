@@ -42,7 +42,8 @@ FUZZ_DOC = {
 }
 
 _NUM_ATOMS = ["value", "count", "nums[0]", "nested.k", "items[1].p",
-              "2", "7.5", "0", "-3", "10", "lone.arr1"]
+              "2", "7.5", "0", "-3", "10", "lone.arr1",
+              "$count(**)", "$count(nested.**)"]
 _STR_ATOMS = ["user", "kind", "tags[1]", "'lit'", "nested.name",
               "nested.deep.leaf", "items[0].q", "'x/y/z'", "lone.arrs"]
 _BOOL_ATOMS = ["ok", "true", "false"]

@@ -75,7 +75,7 @@ def jsonata_transform_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-window driver slot while jsonata_filter_compiled rotates out of the
     verification window (still pytest hash-checked)."""
     df = _payload_df(spark, sf_dir)
-    tc = compile_column(_TRANSFORM, col("v"))
+    tc = compile_column(_TRANSFORM, col("v"), object_root=True)
     # untransformed path fields stay VariantType; cast to concrete types
     # before grouping (variant cannot be a shuffle key)
     out = df.select(tc.col.alias("m")).select(
@@ -121,7 +121,8 @@ def jsonata_filter_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).withColumn("v", F.try_parse_json("payload"))
-    pred = compile_column("$number(props.k) > 50 and value > 10", col("v"))
+    pred = compile_column("$number(props.k) > 50 and value > 10",
+                         col("v"), object_root=True)
     return (
         df.filter(pred.col)
         .groupBy("event_type")
@@ -243,7 +244,7 @@ def jsonata_hof_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).withColumn("v", F.try_parse_json("payload"))
-    tc = compile_column(_HOF_TRANSFORM, col("v"))
+    tc = compile_column(_HOF_TRANSFORM, col("v"), object_root=True)
     # kind stays VariantType through the transform; variant cannot be a
     # shuffle key, so cast before grouping
     out = df.select(tc.col.alias("m")).select(
@@ -330,8 +331,10 @@ def jsonata_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).withColumn("v2", F.try_parse_json("payload2"))
-    prefix = compile_column("$uppercase($substring(event_type, 0, 3))", col("v2"))
-    tag = compile_column("event_type & ':' & $string(u5)", col("v2"))
+    prefix = compile_column("$uppercase($substring(event_type, 0, 3))",
+                            col("v2"), object_root=True)
+    tag = compile_column("event_type & ':' & $string(u5)", col("v2"),
+                         object_root=True)
     return (
         df.select(prefix.col.alias("prefix"), tag.col.alias("tag"))
         .groupBy("prefix", "tag")
@@ -435,6 +438,64 @@ def jsonata_descendants_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("k"), 2).alias("sum_k"),
+        )
+    )
+
+
+@query(
+    "jsonata_descendants_bare",
+    oracle="""
+    SELECT event_type AS kind, count(*) AS n,
+           sum(5 + CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS sum_all,
+           sum(3 + CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS sum_outer
+    FROM events WHERE event_id % 5 = 0 GROUP BY event_type
+    """,
+)
+def jsonata_descendants_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BARE ``**`` (no trailing name step) on the variant path, compiled
+    (r7): every descendant VALUE in pre-order — arrays flattened into
+    the walk, objects and scalars emitted, the root leading. Previously
+    the largest interpreter-only fallback (COVERAGE.md ⚙ list); now the
+    same depth-bounded raw-text recursion as ``**.k``. The oracle
+    restates the per-row descendant counts structurally (payload =
+    root{event_type, outer{k?, inner{k}}} -> 5 values + optional k).
+    Same 20% systematic sample + plan-shape rationale as
+    jsonata_descendants_variant."""
+    from mqtt_streamr_spark.streaming.transform import transform_to_json
+
+    ev = load(spark, "events", sf_dir).filter(col("event_id") % 5 == 0)
+    df = ev.withColumn(
+        "payload",
+        F.to_json(F.struct(
+            "event_type",
+            F.struct(
+                F.from_json("props", "k double").getField("k").alias("k"),
+                F.struct(
+                    (col("user_id") % 7).cast("double").alias("k")
+                ).alias("inner"),
+            ).alias("outer"),
+        )),
+    )
+    out_col, backend = transform_to_json(
+        '{"kind": event_type, "n_all": $count(**),'
+        ' "n_outer": $count(outer.**)}',
+        F.col("payload"),
+    )
+    assert backend == "compiled", backend
+    m = df.withColumn(
+        "m",
+        F.from_json(out_col, "kind string, n_all double, n_outer double"),
+    )
+    return (
+        m.select(col("m.kind").alias("kind"), col("m.n_all").alias("n_all"),
+                 col("m.n_outer").alias("n_outer"))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_all").cast("long").alias("sum_all"),
+            F.sum("n_outer").cast("long").alias("sum_outer"),
         )
     )
 

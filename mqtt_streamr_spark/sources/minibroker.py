@@ -1,23 +1,28 @@
-"""Wire-level MQTT 3.1.1 mini-broker + minimal socket client (QoS 0).
+"""Wire-level MQTT 3.1.1 mini-broker + minimal socket client (QoS 0/1).
 
 The container ships neither an MQTT broker nor paho-mqtt, so the
 real-socket leg of the source (SURVEY §2.1 "MQTT connect") previously ran
 only against the file-loopback double. This module closes that gap with
-a from-the-spec implementation of the tiny MQTT 3.1.1 subset the
-reference exercises (OASIS MQTT 3.1.1, §2-3: CONNECT/CONNACK,
-SUBSCRIBE/SUBACK, QoS-0 PUBLISH, PINGREQ/PINGRESP, DISCONNECT):
+a from-the-spec implementation of the MQTT 3.1.1 subset the reference
+exercises (OASIS MQTT 3.1.1, §2-3: CONNECT/CONNACK, SUBSCRIBE/SUBACK,
+QoS-0/QoS-1 PUBLISH with PUBACK, PINGREQ/PINGRESP, DISCONNECT):
 
-- :class:`MiniBroker` — a threaded TCP broker routing QoS-0 publishes to
+- :class:`MiniBroker` — a threaded TCP broker routing publishes to
   subscribers by MQTT wildcard match (``+``/``#`` via
-  ``mqtt_wildcard_to_regex``). A test double with REAL sockets — enough
-  to soak the DataSource across the Spark python-worker process boundary
-  — not a production broker (no QoS 1/2, retain, wills, auth, or
-  sessions).
+  ``mqtt_wildcard_to_regex``) at min(publish, granted) QoS. QoS-1 (r7):
+  inbound qos1 publishes are PUBACKed after routing (the reference's
+  "QoS 0/1" surface, bin:132), qos1 deliveries carry packet ids and
+  un-acked counts are observable (``n_unacked``). A test double with
+  REAL sockets — enough to soak the DataSource across the Spark
+  python-worker process boundary — not a production broker (no QoS 2,
+  retain, wills, auth, or persistent sessions; no retransmit, which
+  3.1.1 mandates only on persistent-session reconnect).
 - :class:`SocketMqttClient` — the matching minimal client with the same
   drain/reconnect/close surface as ``PahoClient`` (sources/mqtt.py), so
-  the "mqtt" DataSource can speak to any broker at QoS 0 even without
+  the "mqtt" DataSource can speak to any broker at QoS 0/1 even without
   paho installed (paho remains preferred when importable: full protocol,
-  keepalive management, backoff).
+  keepalive management, backoff). ``publish(qos=1)`` blocks on PUBACK;
+  qos1 deliveries are acked after buffering (at-least-once receive).
 
 Everything here is the public wire format; payload bytes are decoded
 UTF-8 (replace) to match the source schema's string payload column.
@@ -37,6 +42,7 @@ from mqtt_streamr_spark.operators.routing import mqtt_wildcard_to_regex
 # packet types (spec §2.2.1)
 CONNECT, CONNACK = 1, 2
 PUBLISH = 3
+PUBACK = 4
 SUBSCRIBE, SUBACK = 8, 9
 PINGREQ, PINGRESP = 12, 13
 DISCONNECT = 14
@@ -91,7 +97,11 @@ def _mqtt_str(s: str) -> bytes:
 
 
 class MiniBroker:
-    """Threaded QoS-0 MQTT 3.1.1 broker on an ephemeral port."""
+    """Threaded MQTT 3.1.1 broker on an ephemeral port: QoS 0 and QoS 1
+    (r7 — PUBACK to qos1 publishers, qos1 delivery with packet ids,
+    per-subscriber un-acked tracking; no retransmit, which MQTT 3.1.1
+    mandates only on reconnect of a persistent session — sessions here
+    are clean)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -99,15 +109,25 @@ class MiniBroker:
         self._srv.bind((host, port))
         self._srv.listen(16)
         self.host, self.port = self._srv.getsockname()
-        self._subs: list[tuple[list[re.Pattern], socket.socket,
-                               threading.Lock]] = []
+        # one entry per registered subscriber connection:
+        # (patterns: list of (regex, granted_qos), conn, wlock,
+        #  pending: dict pid -> topic of un-acked qos1 deliveries)
+        self._subs: list[tuple[list, socket.socket, threading.Lock,
+                               dict]] = []
         self._lock = threading.Lock()
+        self._pid = 0
         self._closing = False
         self.n_connects = 0
+        self.n_qos1_in = 0  # qos1 publishes PUBACKed to publishers
         self._accept_thread = threading.Thread(
             target=self._accept_loop, daemon=True
         )
         self._accept_thread.start()
+
+    def n_unacked(self) -> int:
+        """Outstanding qos1 deliveries awaiting subscriber PUBACKs."""
+        with self._lock:
+            return sum(len(p) for *_, p in self._subs)
 
     @property
     def url(self) -> str:
@@ -124,7 +144,8 @@ class MiniBroker:
             ).start()
 
     def _serve(self, conn: socket.socket) -> None:
-        patterns: list[re.Pattern] = []
+        patterns: list[tuple[re.Pattern, int]] = []
+        pending: dict[int, str] = {}
         wlock = threading.Lock()
         registered = False
         try:
@@ -142,11 +163,14 @@ class MiniBroker:
                     while i < len(body):
                         ln = struct.unpack(">H", body[i:i + 2])[0]
                         topic = body[i + 2:i + 2 + ln].decode("utf-8")
-                        i += 2 + ln + 1  # + requested-QoS byte
+                        req_qos = body[i + 2 + ln]
+                        i += 2 + ln + 1
+                        granted = min(req_qos, 1)  # QoS 2 downgraded
                         patterns.append(
-                            re.compile(mqtt_wildcard_to_regex(topic))
+                            (re.compile(mqtt_wildcard_to_regex(topic)),
+                             granted)
                         )
-                        codes += b"\x00"  # granted QoS 0
+                        codes += bytes([granted])
                     # SUBACK under wlock BEFORE registering: _route writes
                     # under the same lock, so no PUBLISH can interleave
                     # ahead of the SUBACK the client is waiting for; and
@@ -157,15 +181,27 @@ class MiniBroker:
                         write_packet(conn, SUBACK, 0, pid + codes)
                     if not registered:
                         with self._lock:
-                            self._subs.append((patterns, conn, wlock))
+                            self._subs.append(
+                                (patterns, conn, wlock, pending))
                         registered = True
                 elif ptype == PUBLISH:
+                    qos = (flags >> 1) & 0x03
                     ln = struct.unpack(">H", body[:2])[0]
                     topic = body[2:2 + ln].decode("utf-8")
                     i = 2 + ln
-                    if (flags >> 1) & 0x03:  # qos > 0: skip packet id
+                    if qos:
+                        pub_pid = body[i:i + 2]
                         i += 2
-                    self._route(topic, body[i:])
+                    self._route(topic, body[i:], qos)
+                    if qos:  # at-least-once inbound: ack AFTER routing
+                        with wlock:
+                            write_packet(conn, PUBACK, 0, pub_pid)
+                        with self._lock:
+                            self.n_qos1_in += 1
+                elif ptype == PUBACK:
+                    (ack_pid,) = struct.unpack(">H", body[:2])
+                    with self._lock:
+                        pending.pop(ack_pid, None)
                 elif ptype == PINGREQ:
                     write_packet(conn, PINGRESP, 0, b"")
                 elif ptype == DISCONNECT:
@@ -180,17 +216,34 @@ class MiniBroker:
             except OSError:
                 pass
 
-    def _route(self, topic: str, payload: bytes) -> None:
-        body = _mqtt_str(topic) + payload  # QoS 0: no packet id
+    def _route(self, topic: str, payload: bytes, pub_qos: int = 0) -> None:
         with self._lock:
             targets = list(self._subs)
-        for patterns, sock, wlock in targets:
-            if any(p.match(topic) for p in patterns):
-                try:
+        for patterns, sock, wlock, pending in targets:
+            granted = max(
+                (q for p, q in patterns if p.match(topic)), default=None
+            )
+            if granted is None:
+                continue
+            qos = min(pub_qos, granted)  # effective delivery QoS
+            try:
+                if qos == 0:
                     with wlock:
-                        write_packet(sock, PUBLISH, 0, body)
-                except OSError:
-                    pass  # subscriber died; its serve loop cleans up
+                        write_packet(sock, PUBLISH, 0,
+                                     _mqtt_str(topic) + payload)
+                else:
+                    with self._lock:
+                        self._pid = self._pid % 65535 + 1
+                        pid = self._pid
+                        pending[pid] = topic
+                    with wlock:
+                        write_packet(
+                            sock, PUBLISH, 0x02,
+                            _mqtt_str(topic) + struct.pack(">H", pid)
+                            + payload,
+                        )
+            except OSError:
+                pass  # subscriber died; its serve loop cleans up
 
     def close(self) -> None:
         self._closing = True
@@ -201,20 +254,26 @@ class MiniBroker:
 
 
 class SocketMqttClient:
-    """Minimal QoS-0 MQTT 3.1.1 client with the PahoClient surface
-    (drain/reconnect/close) plus publish() for test producers."""
+    """Minimal MQTT 3.1.1 client (QoS 0 + QoS 1, r7) with the PahoClient
+    surface (drain/reconnect/close) plus publish() for test producers.
+    ``qos=1`` subscribes at QoS 1 and PUBACKs every qos1 delivery;
+    ``publish(..., qos=1)`` blocks until the broker's PUBACK
+    (at-least-once publish)."""
 
     def __init__(self, url: str, topics: list[str], qos: int = 0,
                  client_id: str | None = None):
         host, _, port = url.replace("mqtt://", "").partition(":")
         self._addr = (host, int(port or 1883))
         self._topics = topics
+        self._qos = min(int(qos), 1)
         self._client_id = client_id or f"mss-{time.time_ns() % 10**9}"
         self._lock = threading.Lock()
         self._buffer: list[tuple[str, str, datetime]] = []
         self._closing = False
         self._sock: socket.socket | None = None
         self._wlock = threading.Lock()
+        self._pid = 0
+        self._acks: dict[int, threading.Event] = {}
         self._connect()
 
     def _connect(self) -> None:
@@ -229,7 +288,7 @@ class SocketMqttClient:
         if self._topics:
             sub = struct.pack(">H", 1)
             for t in self._topics:
-                sub += _mqtt_str(t) + b"\x00"
+                sub += _mqtt_str(t) + bytes([self._qos])
             write_packet(s, SUBSCRIBE, 0x02, sub)
             # a broker with this client already subscribed elsewhere may
             # interleave PUBLISH deliveries ahead of the SUBACK — buffer
@@ -239,7 +298,7 @@ class SocketMqttClient:
                 if ptype == SUBACK:
                     break
                 if ptype == PUBLISH:
-                    self._buffer_publish(flags, body)
+                    self._buffer_publish(flags, body, s)
             else:
                 raise ConnectionError("no SUBACK")
         # the 10s create_connection timeout must govern the HANDSHAKE
@@ -251,34 +310,67 @@ class SocketMqttClient:
         threading.Thread(target=self._reader, args=(s,),
                          daemon=True).start()
 
-    def _buffer_publish(self, flags: int, body: bytes) -> None:
+    def _buffer_publish(self, flags: int, body: bytes,
+                        sock: socket.socket) -> None:
+        qos = (flags >> 1) & 0x03
         ln = struct.unpack(">H", body[:2])[0]
         topic = body[2:2 + ln].decode("utf-8")
         i = 2 + ln
-        if (flags >> 1) & 0x03:
+        pid = None
+        if qos:
+            (pid,) = struct.unpack(">H", body[i:i + 2])
             i += 2
         payload = body[i:].decode("utf-8", "replace")
         with self._lock:
             self._buffer.append(
                 (topic, payload, datetime.now(timezone.utc))
             )
+        if pid is not None:  # ack AFTER buffering: at-least-once receive
+            with self._wlock:
+                write_packet(sock, PUBACK, 0, struct.pack(">H", pid))
 
     def _reader(self, s: socket.socket) -> None:
         try:
             while not self._closing:
                 ptype, flags, body = read_packet(s)
                 if ptype == PUBLISH:
-                    self._buffer_publish(flags, body)
+                    self._buffer_publish(flags, body, s)
+                elif ptype == PUBACK:
+                    (pid,) = struct.unpack(">H", body[:2])
+                    with self._lock:
+                        ev = self._acks.pop(pid, None)
+                    if ev is not None:
+                        ev.set()
         except (ConnectionError, OSError):
             return
 
-    def publish(self, topic: str, payload: str) -> None:
+    def publish(self, topic: str, payload: str, qos: int = 0,
+                ack_timeout: float = 10.0) -> None:
         assert self._sock is not None
+        if min(qos, 1) == 0:
+            with self._wlock:
+                write_packet(
+                    self._sock, PUBLISH, 0,
+                    _mqtt_str(topic) + payload.encode("utf-8"),
+                )
+            return
+        with self._lock:
+            self._pid = self._pid % 65535 + 1
+            pid = self._pid
+            ev = threading.Event()
+            self._acks[pid] = ev
         with self._wlock:
             write_packet(
-                self._sock, PUBLISH, 0,
-                _mqtt_str(topic) + payload.encode("utf-8"),
+                self._sock, PUBLISH, 0x02,
+                _mqtt_str(topic) + struct.pack(">H", pid)
+                + payload.encode("utf-8"),
             )
+        if not ev.wait(ack_timeout):
+            with self._lock:
+                self._acks.pop(pid, None)
+            raise ConnectionError(
+                f"no PUBACK for qos1 publish pid={pid} within "
+                f"{ack_timeout}s")
 
     def reconnect(self) -> None:  # watchdog hook (bin:92-95 parity)
         try:

@@ -414,6 +414,14 @@ COMPILABLE = [
     "$max(**.p)",
     "$count(nested.**.leaf)",
     "$count(items.**.p)",
+    # r7: BARE ** compiled on the variant path (no trailing name step)
+    "$count(**)",
+    "$count(nested.**)",
+    "$count(items.**)",
+    "nested.deep.**",
+    "$count(lone.**)",
+    "missing.**",
+    "user.**",
     # r7: object-path array-leaf sequence boundary (fast-path norm) —
     # singleton unwraps, empty is undefined, 2+ stays an array; a BARE
     # name keeps the raw array; index-selected arrays flatten one level
@@ -458,6 +466,97 @@ def test_compiled_matches_interpreter(spark, expr):
     expected = jsonata(expr).evaluate(DOC)
     actual = run_compiled(spark, expr, DOC)
     assert_same(expected, actual, expr)
+
+
+_REGEX_PATTERNS = [
+    r"/\d+/", r"/\w+/", r"/\s+/", r"/[aeiou]/", r"/a.c/", r"/a.c/s",
+    r"/ab/i", r"/^ab/m", r"/e$/m", r"/(a)(b)?/", r"/a{2,3}/", r"/a+?/",
+    r"/[^x]/", r"/\bword\b/", r"/\-/", r"/[a-z]+/", r"/x|y/",
+    r"/(?:gr)ey/", r"/\n/", r"/a\/b/", r"/\d{2}-\d{2}/", r"/(\w)\1/",
+    r"/[\]]/", r"/\./", r"/§+/", r"/[0-9]٤?/", r"/[\d]+/", r"/\D\W/",
+]
+_REGEX_INPUTS = [
+    "abc abb 12-34 word sword", "AB ab\nxe\nend", "aa bb ٤٢ x",
+    "line1\nline2e", "a/b a.c axc", "greyhound", "A§§B", "",
+]
+_REGEX_FUNCS = [
+    "$contains(s, {rx})", "$split(s, {rx})", "$split(s, {rx}, 3)",
+    '$replace(s, {rx}, "_")', '$replace(s, {rx}, "<$1>")',
+    '$replace(s, {rx}, "$2-$1$$x\\\\")',
+    "$count($match(s, {rx}))", "$match(s, {rx})[0].index",
+]
+
+
+def test_regex_fidelity_corpus(spark):
+    """JS→Java regex fidelity audit (r7, SURVEY hard-part #3): every
+    compilable (pattern, function, input) triple agrees between the
+    Java-regex compiled path and the Python-re interpreter. Both are
+    pinned to JS RegExp semantics — the reference's engine via jsonata
+    1.6.4 — for the traps the audit found: ASCII \\d/\\w (interpreter
+    rewrites Python's Unicode classes), and $replace templates where
+    $N beyond the group count stays LITERAL (Java would throw,
+    killing a vectorized batch). Anchored/lookaround $match and
+    dynamic-replacement $replace fall back (NotCompilable) — the
+    documented interpreter surface. Known approximations, not checked
+    here: \\s on non-ASCII Unicode whitespace and \\b against
+    non-ASCII word chars (三-engine tails documented in
+    interpreter._js_ascii_classes)."""
+    from mqtt_streamr_spark.jsonata.errors import JsonataError
+
+    exprs, cols = [], []
+    for rx in _REGEX_PATTERNS:
+        for ftmpl in _REGEX_FUNCS:
+            expr = ftmpl.format(rx=rx)
+            try:
+                tc = compile_column(expr, F.try_parse_json("payload"),
+                                    raw_col=F.col("payload"))
+                exprs.append(expr)
+                cols.append(tc.col)
+            except NotCompilable:
+                pass
+    assert len(exprs) >= 150  # the compiled surface must not quietly shrink
+    n_checked = 0
+    for s in _REGEX_INPUTS:
+        doc = {"s": s}
+        df = spark.createDataFrame([(json.dumps(doc),)], "payload string")
+        for off in range(0, len(cols), 60):
+            sel = [c.alias(f"c{j}")
+                   for j, c in enumerate(cols[off:off + 60])]
+            row = df.select(*sel).collect()[0]
+            for j in range(len(sel)):
+                expr = exprs[off + j]
+                comp = _to_python(row[f"c{j}"])
+                try:
+                    interp = jsonata(expr).evaluate(doc)
+                except JsonataError:
+                    continue  # error->null divergence class (documented)
+                assert_same(interp, comp, f"{expr} on {s!r}")
+                n_checked += 1
+    assert n_checked >= 1000
+
+
+def test_object_root_flag_semantics(spark):
+    """object_root=True (r7): bare names emit the single variant_get —
+    identical results on object-rooted docs (the declared contract),
+    names read as undefined on an array root (the documented tradeoff;
+    default compile keeps full array-root mapping)."""
+    doc = {"a": 1, "tags": ["x"], "lone": {"arr1": [5]}}
+    for expr in ["a", "tags", "lone.arr1", "missing", "$string(a)"]:
+        expected = jsonata(expr).evaluate(doc)
+        df = spark.createDataFrame([(json.dumps(doc),)], "payload string")
+        tc = compile_column(expr, F.try_parse_json("payload"),
+                            object_root=True)
+        actual = _to_python(df.select(tc.col.alias("r")).collect()[0]["r"])
+        assert_same(expected, actual, f"object_root {expr}")
+    # array root under the flag: undefined (default mode would map)
+    arr_doc = [{"a": 1}, {"a": 2}]
+    df = spark.createDataFrame([(json.dumps(arr_doc),)], "payload string")
+    flagged = compile_column("a", F.try_parse_json("payload"),
+                             object_root=True)
+    assert df.select(flagged.col.alias("r")).collect()[0]["r"] is None
+    full = compile_column("a", F.try_parse_json("payload"))
+    got = _to_python(df.select(full.col.alias("r")).collect()[0]["r"])
+    assert got == [1, 2]  # default mode maps over the array root
 
 
 def test_ordered_object_ops_string_content_trap(spark):
