@@ -80,6 +80,10 @@ class Ctx:
     bindings: dict[str, TypedCol] = field(default_factory=dict)
     root_kind: str = "variant"
     root_schema: object | None = None
+    # the context root is a JSONata SEQUENCE (group-by value position):
+    # `$` referencing it gets is_seq, so the boundary applies the
+    # per-group singleton-unwrap (r7)
+    root_is_seq: bool = False
     # raw JSON STRING of the message root (key order preserved) — enables
     # compiling the ordered-object functions ($keys/$each/$sift/$spread)
     # on the variant path, whose binary encoding sorts object keys. Only
@@ -230,7 +234,9 @@ def to_json_string(tc: TypedCol) -> Column:
     if tc.kind in ("object", "omap") or tc.kind.startswith("array"):
         return F.to_json(tc.col, {"ignoreNullFields": "true"})
     if tc.kind == "variant":
-        return F.cast("string", tc.col)
+        # NOTE: F.cast("string", col) is NOT a cast here — it resolves to
+        # the identity on variant input (r7 find); Column.cast is.
+        return tc.col.cast("string")
     if tc.kind == "string":
         # JSON-escape by serializing {"v": s} and stripping the 5-char
         # prefix + trailing brace; j is let-bound so it is built once, and
@@ -1332,7 +1338,10 @@ def _c_predicate(node, ctx):
 def _c_variable(node, ctx):
     name = node["value"]
     if name in ("", "$"):
-        return TypedCol(ctx.root, ctx.root_kind, dtype=ctx.root_schema)
+        kind = ctx.root_kind
+        elem = kind[6:-1] if kind.startswith("array<") else None
+        return TypedCol(ctx.root, kind, elem=elem, dtype=ctx.root_schema,
+                        is_seq=ctx.root_is_seq and kind.startswith("array"))
     if name in ctx.bindings:
         return ctx.bindings[name]
     raise NotCompilable(f"unbound variable ${name}")
@@ -1368,6 +1377,15 @@ def _c_condition(node, ctx):
         otherwise = TypedCol(F.lit(None), then.kind)
     else:
         otherwise = _compile(node["else"], ctx)
+    if (then.is_seq and then.kind.startswith("array")) \
+            or (otherwise.is_seq and otherwise.kind.startswith("array")):
+        # a SEQUENCE branch must cross the conditional post-boundary
+        # (singleton -> item, empty -> undefined) — dropping is_seq here
+        # returned raw ['only'] where the interpreter gives 'only' (r7
+        # fuzzer find). One static type for "item or array": variant.
+        t = F.parse_json(to_json_string(then))
+        e = F.parse_json(to_json_string(otherwise))
+        return TypedCol(F.when(cond, t).otherwise(e), "variant")
     then_c, else_c, kind = _unify(then, otherwise)
     return TypedCol(F.when(cond, then_c).otherwise(else_c), kind)
 
@@ -1876,10 +1894,14 @@ def _c_groupby(node, ctx):
     statically-known element type: group members by the per-item key string,
     then evaluate ``value`` once per group with the member SEQUENCE as
     context (JSONata group-by). Compiles to array_distinct over the keys +
-    map_from_entries — entirely Column work. Scalar-valued results only
-    (the common aggregate shape ``{cat: $sum(price)}``); sequence-valued
-    results need JSONata's singleton-unwrap rule, which is not expressible
-    in a statically-typed column — those fall back to the interpreter."""
+    map_from_entries — entirely Column work. Scalar-valued results map to
+    a typed map (the common aggregate shape ``{cat: $sum(price)}``, best
+    codegen); SEQUENCE-valued results (r7, previously interpreter-only)
+    re-encode per group as VARIANT — one static column type that can hold
+    "the item when the group is a singleton, the array otherwise"
+    (JSONata's group unwrap rule) via the same _seq_boundary as every
+    other sequence; undefined-valued groups drop their key (object
+    constructor rule)."""
     if len(node["pairs"]) != 1:
         raise NotCompilable("group-by with multiple pairs")
     key_node, val_node = node["pairs"][0]
@@ -1897,20 +1919,46 @@ def _c_groupby(node, ctx):
         F.filter(F.transform(arr, keyfn), lambda k: k.isNotNull())
     )
 
-    def valfn(k: Column) -> Column:
+    def group_val(k: Column) -> TypedCol:
         members = F.filter(arr, lambda y: keyfn(y) == k)
         child = Ctx(root=members, bindings=dict(ctx.bindings),
-                    root_kind=f"array<{elem}>", root_schema=elem_dt)
-        v = _compile(val_node, child)
+                    root_kind=f"array<{elem}>", root_schema=elem_dt,
+                    root_is_seq=True)
+        return _compile(val_node, child)
+
+    def valfn(k: Column) -> Column:
+        v = group_val(k)
         if v.kind not in ("number", "string", "boolean"):
             raise NotCompilable(
                 f"group-by value of kind {v.kind} (needs singleton unwrap)"
             )
         return v.col
 
-    valfn(F.lit("probe"))  # raise NotCompilable at compile time, not later
-    entries = F.transform(
-        keys, lambda k: F.struct(k.alias("key"), valfn(k).alias("value"))
+    def valfn_variant(k: Column) -> Column:
+        v = group_val(k)
+        if v.is_seq and v.kind.startswith("array"):
+            return _seq_boundary(v).col  # singleton/empty boundary, variant
+        if v.kind == "variant":
+            return v.col
+        if v.kind in ("number", "string", "boolean", "object", "null") \
+                or v.kind.startswith("array"):
+            return F.parse_json(to_json_string(v))
+        raise NotCompilable(f"group-by value of kind {v.kind}")
+
+    try:
+        valfn(F.lit("probe"))  # raise NotCompilable at compile, not later
+        fn = valfn
+    except NotCompilable:
+        valfn_variant(F.lit("probe"))
+        fn = valfn_variant
+    entries = F.filter(
+        F.transform(
+            keys, lambda k: F.struct(k.alias("key"), fn(k).alias("value"))
+        ),
+        # an undefined group value drops its key (object-constructor
+        # rule); only the variant mode can produce one (scalar aggregates
+        # over a non-empty group are total)
+        lambda e: e.getField("value").isNotNull(),
     )
     # a MapType renders as a JSON object via to_json, matching the
     # reference's published payload shape; dynamic keys cannot be a struct
@@ -2446,31 +2494,105 @@ def _fc_count(args, node, ctx):
     return TypedCol(F.when(tc.col.isNull(), 0.0).otherwise(1.0), "number")
 
 
+def _append_items(t: TypedCol) -> Column:
+    """The item list an $append argument contributes: a variant holding
+    an array contributes its elements, any other present variant value
+    (including JSON null — a VALUE) contributes itself as a singleton;
+    typed arrays contribute their elements re-encoded as variants."""
+    if t.kind == "variant":
+        return F.when(
+            t.col.isNotNull(),
+            F.coalesce(
+                F.try_variant_get(t.col, "$", "array<variant>"),
+                F.array(t.col),
+            ),
+        )
+    if (t.elem or "variant") == "variant":
+        return t.col
+    elem, dt = t.elem, t.dtype
+    return F.transform(
+        t.col,
+        lambda x: F.parse_json(to_json_string(_elem_tc(x, elem, dt))),
+    )
+
+
 @_fn("append")
 def _fc_append(args, node, ctx):
     a, b = args
+    orig_a, orig_b = a, b
+    arrayish = all(
+        t.kind == "variant" or t.kind.startswith("array") for t in (a, b)
+    )
+    if not arrayish:
+        if all(t.kind in ("number", "string", "boolean", "null", "variant")
+               or t.kind.startswith("array") for t in (a, b)):
+            # scalar arg(s): wrap as a singleton array value (JSONata
+            # $append(3, 9) = [3, 9]) for the CONCAT case; the undefined
+            # pass-through below uses the ORIGINAL arg's as-is form
+            # ($append(missing, 42) is 42, not [42])
+            def enc(t: TypedCol) -> TypedCol:
+                if t.kind in ("number", "string", "boolean", "null"):
+                    return TypedCol(
+                        F.when(t.col.isNotNull(),
+                               F.array(F.parse_json(to_json_string(t)))),
+                        "array<variant>", elem="variant")
+                return t
+
+            a, b = enc(a), enc(b)
+        else:
+            raise NotCompilable("$append needs compiled array/scalar args")
     if a.kind.startswith("array") and b.kind.startswith("array") \
-            and a.elem == b.elem:
-        # $append(undefined, x) -> x and vice versa; both undefined ->
-        # undefined; the result is a SEQUENCE (a singleton unwraps at the
-        # boundary: $append(seq-of-1, empty-seq) -> the item). Both args
-        # are _let-bound — the emission references each 3 times and
-        # nested $append would compound the copies exponentially.
+            and a.elem == b.elem and not a.is_seq and not b.is_seq \
+            and a.kind != "array<variant>":
+        # two typed array VALUES: plain concat; $append(undefined, x) ->
+        # x as-is and vice versa; both undefined -> undefined. The result
+        # is an array VALUE, never boundary-unwrapped ($append([0],
+        # undefined) is [0], not 0 — r7 fuzzer find). Both args are
+        # _let-bound — the emission references each 3 times and nested
+        # $append would compound the copies exponentially.
         col = _let(a.col, lambda ac: _let(b.col, lambda bc: F.when(
             ac.isNotNull() | bc.isNotNull(),
             F.concat(F.coalesce(ac, F.slice(bc, 1, 0)),
                      F.coalesce(bc, F.slice(ac, 1, 0))),
         )))
-        return TypedCol(col, a.kind, elem=a.elem,
-                        is_seq=a.is_seq or b.is_seq)
-    raise NotCompilable("$append needs same-kind compiled arrays")
+        return TypedCol(col, a.kind, elem=a.elem)
+    # general form (r7): SEQUENCE args arrive post-boundary in the
+    # interpreter (singleton -> its item, empty -> undefined), so the
+    # undefined pass-through returns the OTHER arg in its post-boundary
+    # form — a scalar when it was a singleton sequence, the array itself
+    # when it was an array value. One static type can hold both: VARIANT
+    # (r7 fuzzer find; the old emission tagged the result is_seq, which
+    # wrongly unwrapped $append(value-[0], empty)). Variant args (the
+    # schemaless path) ride the same emission.
+    a_j = to_json_string(orig_a)
+    b_j = to_json_string(orig_b)
+    both = F.to_json(F.concat(_append_items(a), _append_items(b)),
+                     {"ignoreNullFields": "false"})
+    # NOT _let-bound: a_j/b_j are referenced 3x, but _let adds a LAMBDA
+    # level and nested $append chains then blow the analyzer's
+    # lambda-resolution iteration budget (fuzzer-found at 3 deep) —
+    # chained appends pass variants through, whose as-is form is a tiny
+    # cast, so duplication is the cheaper dimension here
+    col = (
+        F.when(a_j.isNull() & b_j.isNull(), F.lit(None).cast("string"))
+        .when(a_j.isNull(), b_j)
+        .when(b_j.isNull(), a_j)
+        .otherwise(both)
+    )
+    return TypedCol(F.parse_json(col), "variant")
 
 
 @_fn("reverse")
 def _fc_reverse(args, node, ctx):
-    if not args[0].kind.startswith("array"):
+    t = args[0]
+    if t.kind == "variant":
+        # r7: variant arg — array reverses, a scalar is the singleton
+        # [v] ($reverse(5) = [5]), undefined stays undefined
+        return TypedCol(F.reverse(_as_array(t, "variant")),
+                        "array<variant>", elem="variant")
+    if not t.kind.startswith("array"):
         raise NotCompilable("$reverse needs a compiled array")
-    return TypedCol(F.reverse(args[0].col), args[0].kind, elem=args[0].elem)
+    return TypedCol(F.reverse(t.col), t.kind, elem=t.elem)
 
 
 # --- higher-order functions (§2.6 array HOFs -> transform/filter/aggregate) --

@@ -275,15 +275,16 @@ def jsonata_hof_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def jsonata_interpreted_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The interpreter fallback end-to-end (SURVEY.md §2.8 path 2): BARE
-    ``**`` as a function argument is not compilable (no trailing name step
-    bounds the match shape — ``**.k`` paths compile since r6, see
-    jsonata_descendants_variant), so transform_to_json transparently drops
-    the WHOLE expression to the Arrow-batched interpreter pandas UDF —
-    same semantics, slower path, still fully distributed. Like the other
-    demo queries, runs on a 20% systematic sample (event_id % 5 = 0,
-    restated in the oracle) — the point is the fallback contract, not
-    pushing the corpus through the deliberately-slow backend."""
+    """The interpreter fallback end-to-end (SURVEY.md §2.8 path 2): a
+    RECURSIVE lambda is interpreter-only by design (a self-referencing
+    closure has no bounded Column expansion; bare ``**`` — this query's
+    previous trigger — compiles since r7), so transform_to_json
+    transparently drops the WHOLE expression to the Arrow-batched
+    interpreter pandas UDF — same semantics, slower path, still fully
+    distributed. Like the other demo queries, runs on a 20% systematic
+    sample (event_id % 5 = 0, restated in the oracle) — the point is
+    the fallback contract, not pushing the corpus through the
+    deliberately-slow backend."""
     from mqtt_streamr_spark.streaming.transform import transform_to_json
 
     ev = load(spark, "events", sf_dir).filter(col("event_id") % 5 == 0)
@@ -294,7 +295,8 @@ def jsonata_interpreted_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )),
     )
     out_col, backend = transform_to_json(
-        '{"kind": event_type, "k": $sum(**.k), "nd": $count(**)}',
+        '($depth := function($x){ $x <= 0 ? 0 : $depth($x - 1) + 1 };'
+        ' {"kind": event_type, "k": $sum(**.k), "nd": $depth(4)})',
         F.col("payload"),
     )
     assert backend == "interpreted", backend
@@ -450,7 +452,7 @@ def jsonata_descendants_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN 1 ELSE 0 END)::BIGINT AS sum_all,
            sum(3 + CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
                         THEN 1 ELSE 0 END)::BIGINT AS sum_outer
-    FROM events WHERE event_id % 5 = 0 GROUP BY event_type
+    FROM events WHERE event_id % 10 = 0 GROUP BY event_type
     """,
 )
 def jsonata_descendants_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,11 +463,13 @@ def jsonata_descendants_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     same depth-bounded raw-text recursion as ``**.k``. The oracle
     restates the per-row descendant counts structurally (payload =
     root{event_type, outer{k?, inner{k}}} -> 5 values + optional k).
-    Same 20% systematic sample + plan-shape rationale as
-    jsonata_descendants_variant."""
+    10% systematic sample (vs the 20% of the **.k query): bare **
+    visits EVERY node per row, the heaviest variant-path construct —
+    the sample proves plan shape + semantics without scanning the
+    corpus through a non-codegen expression."""
     from mqtt_streamr_spark.streaming.transform import transform_to_json
 
-    ev = load(spark, "events", sf_dir).filter(col("event_id") % 5 == 0)
+    ev = load(spark, "events", sf_dir).filter(col("event_id") % 10 == 0)
     df = ev.withColumn(
         "payload",
         F.to_json(F.struct(

@@ -56,6 +56,13 @@ def get_spark(
             str(shuffle_partitions or cpus),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # compiled JSONata emissions nest lambda functions (sequence
+        # walks, ** recursion, HOF chains); each nesting level costs
+        # analyzer resolution iterations and the default 100 resolves
+        # only ~12 levels — deep compositions (fuzzer-found: 3 nested
+        # $append over a sorted path) need more headroom. Iterations
+        # used = iterations needed, so this has no cost for normal plans.
+        .config("spark.sql.analyzer.maxIterations", "300")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -104,7 +104,9 @@ def main() -> int:
         "tags array<string>, nums array<double>, "
         "nested struct<k:long, name:string, deep:struct<leaf:string>>, "
         "items array<struct<p:long, q:string>>, "
-        "zeros array<long>, mixed array<long>"
+        "zeros array<long>, mixed array<long>, "
+        "lone struct<arr1:array<long>, arr0:array<long>, "
+        "arrs:array<string>, arr2:array<long>>"
     )
 
     def compile_expr(expr):

@@ -438,6 +438,33 @@ COMPILABLE = [
     "lone.arr2[0]",
     "lone.arr2[-1]",
     "lone.arr1[0]",
+    # r7: sequence boundary across conditionals / $append (fuzzer finds):
+    # a seq branch crosses ?: post-boundary; $append results are array
+    # VALUES (never unwrapped), undefined args pass the other arg as-is
+    "(ok ? lone.arrs : lone.arrs)",
+    "(ok ? lone.arr0 : lone.arr0)",
+    "$split((ok ? lone.arrs : lone.arrs), '/', 2)",
+    "$append(zeros, lone.arr0)",
+    "$append(lone.arr0, zeros)",
+    "$append(lone.arr1, lone.arr0)",
+    "$append(lone.arr0, lone.arr0)",
+    "$append(items.p, lone.arr2)",
+    # r7: group-by with SEQUENCE values (variant-encoded unwrap),
+    # including `$` as the value (the post-boundary group context)
+    "items{q: p}",
+    "items{q: q}",
+    'items{"all": p}',
+    "nums{$string($): $}",
+    "tags{$: $}",
+    # r7: $reverse on variant/scalar args
+    "$reverse(zeros)",
+    "$reverse(lone.arr1)",
+    "$reverse(nested.k)",
+    "$reverse(missing)",
+    "$append($reverse($reverse(zeros)), lone.arr0)",
+    "$append(3, 9)",
+    "$append(user, tags)",
+    "$append(missing, nested.k)",
     # r7: strict `in` (ADVICE fix): cross-typed members never match;
     # non-array rhs is a singleton; path members splice
     "1 in ['1', 2]",
@@ -699,7 +726,6 @@ NOT_COMPILABLE = [
     # binary (sorted keys), so ** must refuse rather than emit a
     # wrong-order sequence
     "**.leaf",
-    "nums{$string($): $}",           # group-by
     "$match(kind, /^t.mp/)",         # anchored: position-dependent
     "$match(kind, /t\\b/)",          # word boundary: position-dependent
     "$match('ab12cd34', /\\d+/).match",   # nav needs singleton collapse

@@ -197,11 +197,12 @@ def test_publish_back_to_broker(spark, tmpdirs):
 def test_interpreted_fallback(spark, tmpdirs):
     """A transform the compiler can't express must still run (interpreter
     UDF) and agree with direct interpretation. ($merge/$map used to be the
-    uncompilable example until the compiler learned them, then ``**.k``
-    paths in r6 — BARE ``**`` as a function argument remains
-    interpreter-only: without a trailing name step there is no bounded
-    match shape to emit.)"""
-    expr = "{'a': value, 'n': $count(**), 'b': $map([1,2], function($x){ $x * 2 })}"
+    uncompilable example until the compiler learned them, ``**.k`` paths
+    in r6, bare ``**`` in r7 — a RECURSIVE lambda stays interpreter-only:
+    a self-referencing closure has no bounded Column expansion.)"""
+    expr = ("($d := function($x){ $x <= 0 ? 0 : $d($x - 1) + 1 };"
+            " {'a': value, 'n': $count(**) + $d(0),"
+            " 'b': $map([1,2], function($x){ $x * 2 })})")
     spec = PipelineSpec(
         transform=expr, sink_dir=tmpdirs["sink"], log_interval=3600,
     )
