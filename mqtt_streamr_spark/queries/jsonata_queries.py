@@ -452,7 +452,7 @@ def jsonata_descendants_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN 1 ELSE 0 END)::BIGINT AS sum_all,
            sum(3 + CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
                         THEN 1 ELSE 0 END)::BIGINT AS sum_outer
-    FROM events WHERE event_id % 10 = 0 GROUP BY event_type
+    FROM events WHERE event_id % 20 = 0 GROUP BY event_type
     """,
 )
 def jsonata_descendants_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,13 +463,14 @@ def jsonata_descendants_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     same depth-bounded raw-text recursion as ``**.k``. The oracle
     restates the per-row descendant counts structurally (payload =
     root{event_type, outer{k?, inner{k}}} -> 5 values + optional k).
-    10% systematic sample (vs the 20% of the **.k query): bare **
-    visits EVERY node per row, the heaviest variant-path construct —
-    the sample proves plan shape + semantics without scanning the
-    corpus through a non-codegen expression."""
+    5% systematic sample (vs the 20% of the **.k query): bare **
+    visits EVERY node per row (~2x the **.k per-row cost, measured
+    row-dominated at sf0.1), the heaviest variant-path construct — the
+    sample proves plan shape + semantics without scanning the corpus
+    through a non-codegen expression."""
     from mqtt_streamr_spark.streaming.transform import transform_to_json
 
-    ev = load(spark, "events", sf_dir).filter(col("event_id") % 10 == 0)
+    ev = load(spark, "events", sf_dir).filter(col("event_id") % 20 == 0)
     df = ev.withColumn(
         "payload",
         F.to_json(F.struct(
