@@ -456,6 +456,13 @@ COMPILABLE = [
     'items{"all": p}',
     "nums{$string($): $}",
     "tags{$: $}",
+    # r7: ANCHORED/\b $match compiles (split-segment index accounting)
+    "$match(kind, /^sensor/)",
+    "$match(kind, /^t.mp/)",
+    "$match(kind, /t\\b/)",
+    "$match(nested.name, /\\bz\\b/)[0].index",
+    "$count($match(nested.name, /\\w+$/))",
+    "$match(user, /a$/)",
     # r7: $reverse on variant/scalar args
     "$reverse(zeros)",
     "$reverse(lone.arr1)",
@@ -726,8 +733,8 @@ NOT_COMPILABLE = [
     # binary (sorted keys), so ** must refuse rather than emit a
     # wrong-order sequence
     "**.leaf",
-    "$match(kind, /^t.mp/)",         # anchored: position-dependent
-    "$match(kind, /t\\b/)",          # word boundary: position-dependent
+    "$match(kind, /x*/)",            # zero-width-capable pattern
+    "$match(kind, /s(?=e)/)",        # lookaround: zero-width context
     "$match('ab12cd34', /\\d+/).match",   # nav needs singleton collapse
     "$match('ab12cd34', /\\d+/).index",   # nav needs singleton collapse
     # ordered-object ops WITHOUT the raw JSON column (compile_column below
