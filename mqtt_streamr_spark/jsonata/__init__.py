@@ -31,9 +31,15 @@ class JsonataExpression:
         self.ast = parse(source)
         self._interp = Interpreter(self.ast)
 
-    def evaluate(self, value):
-        """Evaluate against one JSON value (Python dict/list/scalar)."""
-        return self._interp.evaluate(value)
+    def evaluate(self, value, seed: int | None = None):
+        """Evaluate against one JSON value (Python dict/list/scalar).
+
+        ``seed`` (engine extension) pins ``$random``/``$shuffle`` to the
+        deterministic LCG stream documented on
+        ``interpreter.SeededLCG`` — nondeterministic functions become
+        reproducible (and oracle-checkable) per evaluation. None keeps
+        the spec's nondeterminism."""
+        return self._interp.evaluate(value, seed=seed)
 
 
 def jsonata(source: str) -> JsonataExpression:

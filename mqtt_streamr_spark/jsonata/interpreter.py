@@ -74,12 +74,52 @@ class Lambda:
         return self.interp._eval(self.body, env.lookup("__ctx__"), env)
 
 
+class SeededLCG:
+    """Deterministic RNG for seeded evaluation (engine extension — the
+    JSONata spec's ``$random``/``$shuffle`` are nondeterministic, which
+    makes them un-oracle-checkable; a caller-supplied seed pins them).
+
+    The algorithm is a CONTRACT, chosen to be restatable in plain SQL so
+    DuckDB oracles can reproduce it exactly (glibc-style LCG constants,
+    public knowledge):
+
+        state_0   = seed mod 2^31
+        state_n+1 = (1103515245 * state_n + 12345) mod 2^31
+        $random() -> state_n+1 / 2^31          (exact in float64)
+        $shuffle  -> Fisher-Yates descending, j = state_n+1 mod (i+1)
+
+    Both functions draw from the SAME stream, in evaluation order.
+    Matches the stdlib ``random`` module's duck type for the two methods
+    the builtins use, so unseeded evaluation keeps using the module
+    object directly."""
+
+    __slots__ = ("state",)
+    _M = 1 << 31
+
+    def __init__(self, seed: int):
+        self.state = int(seed) % self._M
+
+    def _draw(self) -> int:
+        self.state = (1103515245 * self.state + 12345) % self._M
+        return self.state
+
+    def random(self) -> float:
+        return self._draw() / self._M
+
+    def shuffle(self, items: list) -> None:
+        for i in range(len(items) - 1, 0, -1):
+            j = self._draw() % (i + 1)
+            items[i], items[j] = items[j], items[i]
+
+
 class Interpreter:
     def __init__(self, ast):
         self.ast = ast
+        self.rng = random  # unseeded default: the stdlib module
 
     # public API ------------------------------------------------------------
-    def evaluate(self, value):
+    def evaluate(self, value, seed: int | None = None):
+        self.rng = random if seed is None else SeededLCG(seed)
         env = Environment()
         env.bind("$", value)  # $$ root
         result = self._eval(self.ast, value, env)
@@ -829,7 +869,7 @@ def _f_sqrt(interp, v=UNDEFINED):
 
 @_b("random", 0, ctx_inject=False)
 def _f_random(interp):
-    return random.random()
+    return interp.rng.random()
 
 
 @_b("formatBase", 1)
@@ -1010,7 +1050,7 @@ def _f_shuffle(interp, arr=UNDEFINED):
     if arr is UNDEFINED:
         return UNDEFINED
     items = list(iter_items(arr))
-    random.shuffle(items)
+    interp.rng.shuffle(items)
     return ConsArray(items)
 
 

@@ -23,90 +23,81 @@ from mqtt_streamr_spark.queries.registry import ORACLES, QUERIES
 # The driver's check window (first 50 entries), ordered.
 #
 # Rotation history: r6 drove 22 never-checked queries + the 28 SURVEY §2
-# covering rows (see git history of this file for the full r6 rationale);
-# the union of CORRECTNESS_r1-r6 green rows covers 108 of the registry.
-# SURVEY §2 row coverage for r7 rests on that union (every row's covering
-# query was driver-green in at least one earlier round) plus the full
-# pytest oracle gate, so this window can spend its slots on provenance.
+# covering rows; r7 drove 47 more of the backlog. The union of
+# CORRECTNESS_r1-r7 green rows covers 157/193 registry queries; the 36
+# still never-driver-checked get EVERY remaining slot this round, which
+# completes the provenance sweep: after r8, every registry query will
+# have at least one driver-green CORRECTNESS row.
 MUST_VERIFY: list[str] = [
-    # ROUND-7 ROTATION: the r6 verdict's #1 ask is closing the driver-
-    # provenance gap — 83 registry queries had never been driver-checked
-    # (all green in the pytest oracle gate, which re-checks the WHOLE
-    # registry every run). This window gives 47 of its 50 slots to that
-    # backlog, plus the two r7-NEW plans and stale events_sliding_windows
-    # (last driver record is the r3 loader-break error; green r1/r2 and
-    # in the gate — rotate it in to clear the record). Every query
-    # rotated OUT was driver-green in r1-r6 (the union criterion) and
-    # stays hash-checked by tests/test_correctness.py. The ~36 still
-    # never-driver-checked after this round (events analytics family,
-    # pivot/unpivot, orc/partition-pruned scans, funnel, sketch rollups,
-    # asof tolerance, vocab encode, web domain stats, top-terms,
-    # weighted lengths, rank-normalized lengths, ngram/simhash dedup
-    # variants) are the r8 rotation.
+    # ROUND-8 ROTATION, three groups:
+    #  (a) the final 36 never-driver-checked queries (closes verdict-r7
+    #      Next-round #1 — union of r1-r8 green rows = all 193);
+    #  (b) r8-NEW queries (driven the round they ship);
+    #  (c) re-verification of the streaming family under the r8
+    #      state-partition tuning and of the jsonata transform demos
+    #      under the r8 auto-backend cost model — their plans changed
+    #      this round, so their green rows must be re-earned.
+    # Every query rotated OUT was driver-green in r1-r7 and stays
+    # hash-checked by tests/test_correctness.py.
     #
-    # r7-NEW plans (must be driven the round they ship):
-    "dedup_cluster_exact_join",   # cluster-then-exact-join mitigation
-    "jsonata_descendants_bare",   # compiled bare ** (was interpreter-only)
-    # stale driver record:
-    "events_sliding_windows",
-    # TPC-H tail never driver-checked:
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q16_part_supplier_variety",
-    "q20_excess_shippers",
-    # streaming queries never driver-checked (also first round under the
-    # RocksDB state store default):
-    "streaming_static_enrichment",
-    "streaming_session_windows",
+    # (a) events analytics family:
+    "events_funnel_conversion",
+    "events_gapfill_islands",
+    "events_rolling_7d_active_users",
+    "events_cohort_retention",
+    "events_mad_outliers",
+    "events_value_histogram",
+    "events_transition_matrix",
+    "events_equidepth_buckets",
+    "events_rfm_scores",
+    "events_decayed_user_value",
+    "events_value_trend",
+    "events_interevent_gaps",
+    "events_top_session_paths",
+    "events_incremental_rollup",
+    "events_type_cooccurrence_lift",
+    "events_burstiness",
+    "events_weekly_growth",
+    "events_session_concurrency",
+    "events_forward_fill_daily",
+    "events_cusum_changepoint",
+    "events_seasonal_anomaly",
+    "events_benford_first_digit",
+    "events_freshness_panel",
+    # (a) reshaping + storage-layout:
+    "pivot_daily_event_counts",
+    "unpivot_event_type_counts",
+    "events_orc_roundtrip",
+    "events_partition_pruned_scan",
+    "events_schema_evolution_read",
+    # (a) sketch rollups, asof tolerance, sampling/text tail:
+    "agg_sketch_rollup_weekly",
+    "agg_quantile_sketch_weekly",
+    "join_asof_nearest_tolerance",
+    "sample_weighted_lengths",
+    "text_vocab_encode",
+    "web_domain_stats",
+    "text_top_terms_per_lang",
+    "text_rank_normalized_lengths",
+    # (b) r8-NEW:
+    "streaming_evicting_bridge",   # TTL/LRU registry + publish-back counters
+    "jsonata_random_seeded",       # seeded $random/$shuffle, oracle-checkable
+    # (c) streaming family re-verified under r8 state-partition tuning
+    # (stream_state_partitions — fewer RocksDB instances for tiny state):
+    "streaming_stream_stream_join",
+    "streaming_dedup_within_watermark",
+    "streaming_running_stats",
+    "streaming_stateful_dedup",
+    "streaming_cdc_apply",
+    "streaming_session_windows_append",
     "streaming_windowed_topk",
-    # lakehouse/maintenance family:
-    "merge_upsert_latest",
-    "scd2_dimension_merge",
-    "snapshot_diff_changes",
-    "join_fuzzy_name_match",
-    "dq_expectations",
-    "layout_zorder_clustering",
-    "drift_psi_price",
-    # profiling family:
-    "profile_lineitem_columns",
-    "profile_lineitem_correlations",
-    "profile_join_key_skew",
-    # relational analytics never driver-checked:
-    "q_fulfillment_latency",
-    "q_revenue_decimal_exact",
-    "agg_weighted_median_price",
-    "agg_trimmed_mean_value",
-    "agg_revenue_concentration",
-    "agg_distinct_approx_hll",
-    "window_trailing_range_avg",
-    # dedup family tail:
-    "dedup_incremental_ingest",
-    "dedup_containment_pairs",
-    "dedup_threshold_sweep",
-    "dedup_keep_best_quality",
-    "dedup_exact_jaccard_prefix",
-    # similarity tail:
-    "sim_centroid_drift",
-    "sim_random_projection_topk",
-    # splits/sampling/mixing tail:
-    "split_leakage_report",
-    "split_cluster_aware",
-    "sample_stratified_rate",
-    "mix_temperature_sampled",
-    # text-analysis tail:
-    "text_repetition_ratio",
-    "text_decontaminate",
-    "text_unigram_logprob",
-    "text_dup_passage_fraction",
-    "text_classifier_scores",
-    "text_zipf_fit",
-    "text_bpe_pair_stats",
-    "text_bpe_apply_merge",
-    "text_vocab_coverage",
-    # multimodal mapInPandas legs:
-    "multimodal_resize",
-    "multimodal_frame_sample",
+    "streaming_replay_pipeline",
+    # (c) jsonata transform demos re-verified under the r8 auto-backend
+    # cost model:
+    "jsonata_descendants_variant",
+    "jsonata_descendants_bare",
+    "jsonata_interpreted_fallback",
+    "jsonata_hof_compiled",
 ]
 
 DRIVER_WINDOW = 50

@@ -633,3 +633,62 @@ def jsonata_object_ops_compiled(spark: SparkSession, sf_dir: str
         F.max("n_merged").alias("n_merged"),
         F.max("merged_last").alias("merged_last"),
     )
+
+
+@query(
+    "jsonata_random_seeded",
+    oracle="""
+    WITH s AS (
+      SELECT event_id AS id,
+             (1103515245 * (event_id % 2147483648) + 12345) % 2147483648
+             AS d1
+      FROM events WHERE event_id % 10 = 0),
+    s2 AS (SELECT id, d1,
+                  (1103515245 * d1 + 12345) % 2147483648 AS d2 FROM s),
+    s3 AS (SELECT id, d1, d2,
+                  (1103515245 * d2 + 12345) % 2147483648 AS d3 FROM s2)
+    SELECT id,
+           d1 / 2147483648.0 AS r,
+           CASE d2 % 3
+             WHEN 0 THEN CASE d3 % 2 WHEN 0 THEN 'bca' ELSE 'cba' END
+             WHEN 1 THEN CASE d3 % 2 WHEN 0 THEN 'cab' ELSE 'acb' END
+             ELSE        CASE d3 % 2 WHEN 0 THEN 'bac' ELSE 'abc' END
+           END AS arr
+    FROM s3
+    """,
+)
+def jsonata_random_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEEDED ``$random``/``$shuffle`` (r8 engine extension — verdict-r7
+    Next-round #7): the spec's two nondeterministic functions, pinned
+    per row to the documented LCG contract (interpreter.SeededLCG) with
+    seed = event_id, which turns them from unit-only into hash-exact
+    oracle queries — the DuckDB SQL recomputes the SAME LCG stream in
+    plain arithmetic (draw 1 -> $random; draws 2-3 -> the two
+    Fisher-Yates swaps of a 3-element $shuffle, enumerated as a CASE
+    over the 6 permutations). Float exactness: every draw is an
+    integer < 2^31 divided by 2^31, exactly representable in float64,
+    so both engines produce bit-identical doubles — no rounding needed.
+    10% systematic sample (event_id % 10 = 0, restated in the oracle):
+    per-row output, so the sample bounds result-set size, not cost."""
+    from mqtt_streamr_spark.streaming.transform import (
+        seeded_transform_to_json,
+    )
+
+    ev = load(spark, "events", sf_dir).filter(col("event_id") % 10 == 0)
+    df = ev.withColumn(
+        "payload", F.to_json(F.struct("event_id"))
+    )
+    out_col = seeded_transform_to_json(
+        '{"id": event_id,'
+        ' "r": $random(),'
+        ' "arr": $join($shuffle(["a", "b", "c"]), "")}',
+        F.col("payload"), F.col("event_id"),
+    )
+    m = df.withColumn(
+        "m", F.from_json(out_col, "id long, r double, arr string")
+    )
+    return m.select(
+        col("m.id").alias("id"),
+        col("m.r").alias("r"),
+        col("m.arr").alias("arr"),
+    )

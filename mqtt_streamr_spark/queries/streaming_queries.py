@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mqtt_streamr_spark.queries.registry import query
+from mqtt_streamr_spark.streaming.tuning import stream_state_partitions
 
 _PAYLOAD_TYPES = {
     "event_id": "BIGINT", "user_id": "BIGINT", "event_type": "STRING",
@@ -141,14 +142,15 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             with_payload(doubled, "event_id")
             .dropDuplicates(["event_id"])
         )
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", os.path.join(d, "out"))
-            .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_state_partitions(spark):
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", os.path.join(d, "out"))
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         out = spark.read.parquet(os.path.join(d, "out"))
         return (
             out.agg(
@@ -193,15 +195,16 @@ def streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         typed = with_payload(src, "event_type", "value").select(
             F.col("event_type").alias("kind"), "value"
         )
-        q = (
-            running_stats(typed, "kind", "value")
-            .writeStream.format("memory").queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_state_partitions(spark):
+            q = (
+                running_stats(typed, "kind", "value")
+                .writeStream.format("memory").queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         from pyspark.sql import Window
 
         w = Window.partitionBy("key").orderBy(F.desc("n"))
@@ -254,14 +257,15 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str
             .withWatermark("ev_ts", "60 days")
             .dropDuplicatesWithinWatermark(["event_id"])
         )
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", os.path.join(d, "out"))
-            .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_state_partitions(spark):
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", os.path.join(d, "out"))
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         out = spark.read.parquet(os.path.join(d, "out"))
         return (
             out.agg(
@@ -324,14 +328,15 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str
     )
     d = tempfile.mkdtemp(prefix="streaming_ssj_q_")
     try:
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", os.path.join(d, "out"))
-            .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_state_partitions(spark):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", os.path.join(d, "out"))
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         out = spark.read.parquet(os.path.join(d, "out"))
         return (
             out.agg(
@@ -527,14 +532,115 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events", "total_value")
     )
     name = "streaming_session_windows_sink"
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).localCheckpoint()
+
+
+@query(
+    "streaming_evicting_bridge",
+    oracle="""
+    WITH b AS (SELECT event_type, event_id FROM events
+               WHERE user_id % 10 = 3),
+    v AS (SELECT event_type, count(*) AS n FROM b
+          WHERE event_id % 50 != 0 GROUP BY event_type),
+    t AS (SELECT (SELECT sum(n) FROM v)::BIGINT AS success_total,
+                 (SELECT count(*) FROM b WHERE event_id % 50 = 0)::BIGINT
+                 AS dead_total)
+    SELECT '/s/events/' || event_type AS stream_id,
+           n AS n_received,
+           (SELECT success_total FROM t) AS success_total,
+           0::BIGINT AS error_total,
+           (SELECT dead_total FROM t) AS dead_total,
+           TRUE AS registry_bounded
+    FROM v
+    """,
+)
+def streaming_evicting_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full bridge with BOTH r7 pipeline upgrades active and
+    oracle-checked (r8 — verdict-r7 Next-round #4): real MQTT
+    publish-back egress to the in-repo MiniBroker (bin:191-198 parity)
+    AND a bounded stream registry (LRU max_size=2 over 5 routed
+    streams, so eviction genuinely fires; TTL armed at 3600 s — active
+    code path, deterministic no-fire). Checks, all hash-exact:
+
+    - per-stream RECEIVED counts at a wildcard subscriber == per-type
+      routed counts (the oracle restates them from the events table);
+    - success_total == messages received (publish-outcome counting,
+      Logger.js:17-21 contract) and error_total == 0;
+    - conservation: success + dead-letter == every in-subscription row
+      (malformed_every=50 corrupts payloads -> dead-letter, uncounted,
+      matching bin:153);
+    - registry_bounded: the memo holds <= max_size entries at drain end
+      despite 5 distinct stream ids having been created (idempotent
+      re-creation after eviction is what makes the bound safe).
+
+    The MQTT wildcard subscription filter ('/events/+/u3', bin:130-138
+    client-side parity) keeps the egress volume at ~1/10 of the replay:
+    the point is wire-level conservation, not broker throughput."""
+    import time
+    from collections import Counter
+
+    from mqtt_streamr_spark.sources.minibroker import (
+        MiniBroker,
+        SocketMqttClient,
+    )
+    from mqtt_streamr_spark.streaming import PipelineSpec, StreamingBridge
+    from mqtt_streamr_spark.streaming.pipeline import replay_source
+
+    d = tempfile.mkdtemp(prefix="streaming_evict_q_")
+    broker = MiniBroker()
+    sub = SocketMqttClient(broker.url, topics=["/s/events/#"])
+    try:
+        spec = PipelineSpec(
+            topics=["/events/+/u3"],
+            transform='{"u": user_id, "kind": event_type, "v2": value * 2}',
+            stream_id_template="/s$topic",
+            topic_levels=2,
+            publish_url=broker.url,
+            dead_letter_dir=os.path.join(d, "dead"),
+            registry_max_size=2,
+            registry_ttl_seconds=3600.0,
+            log_interval=3600.0,
+        )
+        bridge = StreamingBridge(spec)
+        src = replay_source(
+            spark, os.path.join(sf_dir, "events.parquet"),
+            streaming=True, malformed_every=50, split_files=2,
+        )
+        q = bridge.start(src, checkpoint_dir=os.path.join(d, "ckpt"))
+        q.awaitTermination()
+        success, errors = bridge.logger.report()
+        # drain the subscriber (router is async; bounded wait)
+        got: list = []
+        deadline = time.time() + 120
+        while len(got) < success and time.time() < deadline:
+            got.extend(sub.drain())
+            time.sleep(0.05)
+        per_stream = Counter(t for t, _, _ in got)
+        dead = spark.read.parquet(os.path.join(d, "dead"))
+        dead_total = dead.count()
+        bounded = len(bridge.registry.stream_ids) <= 2
+        rows = [
+            (sid, int(n), int(success), int(errors), int(dead_total),
+             bool(bounded))
+            for sid, n in sorted(per_stream.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "stream_id string, n_received bigint, success_total bigint, "
+            "error_total bigint, dead_total bigint, registry_bounded boolean",
+        )
+    finally:
+        sub.close()
+        broker.close()
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _sealed_replay_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -652,13 +758,14 @@ def streaming_session_windows_append(
                 "n_events", "total_value")
     )
     name = "streaming_session_windows_append_sink"
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .filter(F.col("user_id") >= 0)  # drop the sentinels' own sessions
@@ -709,13 +816,14 @@ def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("day"), "event_type", "n")
     )
     name = "streaming_windowed_topk_sink"
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     state = spark.table(name).filter(F.col("event_type") != "__seal__")
     rk = F.row_number().over(
         Window.partitionBy("day").orderBy(

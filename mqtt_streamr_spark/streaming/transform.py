@@ -62,6 +62,58 @@ def transform_to_json(expr: str, payload_col: Column, *,
     return _interpreted_udf(expr)(payload_col), "interpreted"
 
 
+def seeded_transform_to_json(expr: str, payload_col: Column,
+                             seed_col: Column) -> Column:
+    """Interpreter-backend transform with PER-ROW seeded
+    ``$random``/``$shuffle`` (engine extension; see
+    jsonata.interpreter.SeededLCG for the pinned algorithm). The seed
+    column makes the spec's nondeterministic functions reproducible —
+    and therefore oracle-checkable — per row; everything else matches
+    the unseeded interpreter exactly. Arrow-batched pandas UDF, fully
+    distributed, map-only."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    jsonata(expr)  # parse errors surface at build time
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        from mqtt_streamr_spark.shipping import ensure_shipped
+
+        ensure_shipped(active)
+
+    @pandas_udf("string")
+    def _transform(payloads, seeds):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        from mqtt_streamr_spark.jsonata import jsonata as _jsonata
+        from mqtt_streamr_spark.jsonata.values import UNDEFINED
+
+        compiled = _jsonata(expr)
+
+        def one(payload, seed):
+            if payload is None or seed is None:
+                return None
+            try:
+                value = json.loads(payload)
+            except (ValueError, TypeError):
+                return None
+            try:
+                result = compiled.evaluate(value, seed=int(seed))
+            except Exception:
+                return None
+            if result is UNDEFINED:
+                return None
+            return json.dumps(result, separators=(",", ":"),
+                              ensure_ascii=False)
+
+        return pd.Series(
+            [one(p, s) for p, s in zip(payloads, seeds)]
+        )
+
+    return _transform(payload_col, seed_col)
+
+
 def infer_message_schema(df, payload_col: str = "payload",
                          sample_rows: int | None = 10_000) -> str:
     """Infer a message-schema DDL from observed payloads, for feeding

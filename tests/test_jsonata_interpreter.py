@@ -357,3 +357,39 @@ def test_review_fixes_round1():
     # trailing backslash: JsonataError, not IndexError
     with _pytest.raises(JsonataError):
         jsonata('"ab\\').evaluate({})
+
+
+def test_seeded_random_and_shuffle():
+    """Seeded evaluation (r8 engine extension): $random/$shuffle follow
+    the SeededLCG contract exactly (same stream, evaluation order), are
+    reproducible per seed, and unseeded evaluation stays nondeterministic
+    (module RNG) without state leaking between calls."""
+    from mqtt_streamr_spark.jsonata import jsonata
+
+    e = jsonata('{"r": $random(), "arr": $shuffle([1, 2, 3])}')
+    a = e.evaluate({}, seed=42)
+    b = e.evaluate({}, seed=42)
+    assert a == b  # reproducible
+    # matches the documented LCG contract step by step
+    M = 1 << 31
+    d1 = (1103515245 * 42 + 12345) % M
+    assert a["r"] == d1 / M
+    d2 = (1103515245 * d1 + 12345) % M
+    d3 = (1103515245 * d2 + 12345) % M
+    arr = [1, 2, 3]
+    j = d2 % 3
+    arr[2], arr[j] = arr[j], arr[2]
+    j = d3 % 2
+    arr[1], arr[j] = arr[j], arr[1]
+    assert a["arr"] == arr
+    # different seed -> (almost surely) different r; always a permutation
+    c = e.evaluate({}, seed=43)
+    assert sorted(c["arr"]) == [1, 2, 3]
+    assert c["r"] != a["r"]
+    # a seeded call must not leave the seeded RNG behind for unseeded use
+    u1 = e.evaluate({})
+    u2 = e.evaluate({})
+    assert u1["r"] != u2["r"]
+    # seeded shuffle output set parity: every element kept exactly once
+    big = jsonata("$shuffle([1..10])").evaluate({}, seed=7)
+    assert sorted(big) == list(range(1, 11))

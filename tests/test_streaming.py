@@ -664,3 +664,37 @@ def test_descendants_depth_overflow_loud_with_interpreter_escape(
     assert bridge2.transform_backend == "interpreted"
     out = spark.read.parquet(tmpdirs["sink"] + "_interp")
     assert json.loads(out.collect()[0]["message"]) == {"s": 2}
+
+
+def test_stream_state_partitions_pin_and_restore(spark):
+    """The state-partition pin (streaming/tuning.py) sets the measured
+    local default while held, restores the session value after (also on
+    error), and honors the SPARK_GRAFT_STREAM_SHUFFLE override."""
+    import os
+
+    import pytest as _pytest
+
+    from mqtt_streamr_spark.streaming.tuning import (
+        default_state_partitions,
+        stream_state_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with stream_state_partitions(spark):
+        assert spark.conf.get(key) == "8"  # local-mode measured default
+    assert spark.conf.get(key) == before
+    with stream_state_partitions(spark, 5):
+        assert spark.conf.get(key) == "5"
+    assert spark.conf.get(key) == before
+    # restores even when the body raises
+    with _pytest.raises(RuntimeError):
+        with stream_state_partitions(spark):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
+    # env override wins over the local default
+    os.environ["SPARK_GRAFT_STREAM_SHUFFLE"] = "12"
+    try:
+        assert default_state_partitions(spark) == 12
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_SHUFFLE"]
