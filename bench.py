@@ -121,6 +121,19 @@ def main() -> None:
     time.sleep(1.0)  # listener bus is async; let progress events drain
     streaming = listener.summary()  # rec/s + p50/p99 batch ms (BASELINE.md)
     listener.detach()
+    # state-store regime stamp (r8): RocksDB-vs-heap and the streaming
+    # state-partition pin shift every stateful row's floor (BASELINE.md
+    # "Streaming state-store regime") — record them so no streaming
+    # delta can be misread as a plan regression
+    if isinstance(streaming, dict):
+        from mqtt_streamr_spark.streaming.tuning import (
+            default_state_partitions,
+        )
+
+        streaming["state_store_provider"] = os.environ.get(
+            "SPARK_GRAFT_STATE_STORE", "rocksdb")
+        streaming["stream_state_partitions"] = default_state_partitions(
+            spark)
 
     # per-boot calibration: sentinel ratio vs recorded calm-boot values
     # (only meaningful at the recorded SF; at other SFs emit raw times)
@@ -181,7 +194,9 @@ def main() -> None:
     )
     stream_compact = {
         k: streaming[k]
-        for k in ("rows_per_sec_avg", "batch_ms_p50", "batch_ms_p99", "total_rows")
+        for k in ("rows_per_sec_avg", "batch_ms_p50", "batch_ms_p99",
+                  "total_rows", "state_store_provider",
+                  "stream_state_partitions", "state_store")
         if isinstance(streaming, dict) and k in streaming
     }
     line = json.dumps(

@@ -429,6 +429,9 @@ def jsonata_descendants_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_col, backend = transform_to_json(
         '{"kind": event_type, "k": $sum(**.k)}', F.col("payload"),
+        mode="compiled",  # this query PROVES the compiled ** machinery;
+        # mode=auto would (correctly) pick the faster interpreter for
+        # schemaless descendants per the r8 cost model (transform.py)
     )
     assert backend == "compiled", backend
     m = df.withColumn(
@@ -487,6 +490,11 @@ def jsonata_descendants_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
         '{"kind": event_type, "n_all": $count(**),'
         ' "n_outer": $count(outer.**)}',
         F.col("payload"),
+        mode="compiled",  # proves the compiled bare-** machinery; auto
+        # now routes schemaless descendants to the interpreter (r8 cost
+        # model, transform.py) — the sample below stays justified
+        # because THIS query deliberately runs the slower-but-JVM-only
+        # backend to assert its plan shape
     )
     assert backend == "compiled", backend
     m = df.withColumn(

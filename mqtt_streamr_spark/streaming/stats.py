@@ -142,11 +142,26 @@ class MetricsListener:
 
             def onQueryProgress(self, event) -> None:
                 p = event.progress
+                state = []
+                for so in (p.stateOperators or []):
+                    # state-store commit/memory per stateful operator per
+                    # batch — what makes the provider regime (RocksDB vs
+                    # heap, r8) attributable per bench run instead of
+                    # reading as a plan regression
+                    state.append({
+                        "op": so.operatorName,
+                        "rows_total": so.numRowsTotal,
+                        "mem_bytes": so.memoryUsedBytes,
+                        "commit_ms": so.commitTimeMs,
+                        "n_instances": so.numStateStoreInstances,
+                        "n_partitions": so.numShufflePartitions,
+                    })
                 holder.progress.append({
                     "batch_id": p.batchId,
                     "num_input_rows": p.numInputRows,
                     "rows_per_sec": p.processedRowsPerSecond,
                     "batch_ms": (p.durationMs or {}).get("triggerExecution"),
+                    **({"state": state} if state else {}),
                 })
 
             def onQueryIdle(self, event) -> None:
@@ -177,7 +192,7 @@ class MetricsListener:
 
         total_rows = sum(p["num_input_rows"] for p in rows)
         total_ms = sum(p["batch_ms"] or 0 for p in rows)
-        return {
+        out = {
             "n_batches": len(rows),
             "total_rows": total_rows,
             "rows_per_sec_avg": round(
@@ -186,3 +201,19 @@ class MetricsListener:
             "batch_ms_p50": pct(0.50),
             "batch_ms_p99": pct(0.99),
         }
+        # state-store regime summary (from ALL progress events, not just
+        # row-carrying ones — empty drain batches still commit state)
+        ops = [s for p in self.progress for s in p.get("state", [])]
+        if ops:
+            commits = [s["commit_ms"] for s in ops
+                       if s["commit_ms"] is not None]
+            out["state_store"] = {
+                "n_stateful_commits": len(ops),
+                "commit_ms_total": int(sum(commits)) if commits else None,
+                "commit_ms_max": int(max(commits)) if commits else None,
+                "mem_bytes_max": max(
+                    (s["mem_bytes"] or 0) for s in ops),
+                "n_partitions_max": max(
+                    (s["n_partitions"] or 0) for s in ops),
+            }
+        return out

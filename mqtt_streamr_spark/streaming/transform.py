@@ -35,6 +35,25 @@ def transform_to_json(expr: str, payload_col: Column, *,
     typed fast path compiles over from_json(payload, schema) — struct
     navigation inside whole-stage codegen instead of variant expression
     eval. Fields outside the schema read as undefined.
+
+    Backend cost model (r8): 'auto' is not "compiled wherever possible"
+    but "the measured-fastest correct backend per construct class"
+    (crossover measured on the events corpus, COVERAGE.md /
+    compiler.py:_desc_matches_variant):
+
+        typed (schema given)           ~19 us/row  — always first choice
+        Arrow interpreter              ~33 us/row
+        compiled VARIANT, descendants  ~50-100 us/row (non-codegen
+                                        expression eval; bare ** ~2x **.k)
+        compiled VARIANT, shallow      fastest (whole-stage codegen
+                                        around parse-once variant nav)
+
+    So with NO schema and a ``**`` (descendants) step anywhere in the
+    expression, auto picks the interpreter; every other schemaless
+    expression still prefers the compiled path. ``mode='compiled'``
+    bypasses the model (the plan-assertion queries use it to prove the
+    compiled descendants machinery). The pin is tested per construct
+    class in tests/test_streaming.py::test_auto_backend_cost_model.
     """
     if mode not in ("auto", "compiled", "interpreted"):
         raise ValueError(
@@ -49,6 +68,8 @@ def transform_to_json(expr: str, payload_col: Column, *,
             return to_json_string(tc), "typed"
         except NotCompilable:
             pass  # fall through to the variant path, then the interpreter
+    if mode == "auto" and _contains_node_type(parsed.ast, "descendants"):
+        return _interpreted_udf(expr)(payload_col), "interpreted"
     if mode in ("auto", "compiled"):
         try:
             col = compile_to_json(
@@ -60,6 +81,18 @@ def transform_to_json(expr: str, payload_col: Column, *,
             if mode == "compiled":
                 raise
     return _interpreted_udf(expr)(payload_col), "interpreted"
+
+
+def _contains_node_type(node, node_type: str) -> bool:
+    """True if any node of the parsed AST has the given type — the
+    construct detector behind the auto-mode cost model."""
+    if isinstance(node, dict):
+        if node.get("type") == node_type:
+            return True
+        return any(_contains_node_type(v, node_type) for v in node.values())
+    if isinstance(node, (list, tuple)):  # object-constructor pairs are tuples
+        return any(_contains_node_type(v, node_type) for v in node)
+    return False
 
 
 def seeded_transform_to_json(expr: str, payload_col: Column,

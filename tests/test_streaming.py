@@ -648,7 +648,11 @@ def test_descendants_depth_overflow_loud_with_interpreter_escape(
     expr = "{'s': $sum(**.k)}"
 
     spec = PipelineSpec(
-        transform=expr, sink_dir=tmpdirs["sink"], log_interval=3600,
+        # transform_mode='compiled': auto now routes schemaless ** to the
+        # interpreter (r8 cost model) — this test targets the COMPILED
+        # path's loud depth bound specifically
+        transform=expr, transform_mode="compiled",
+        sink_dir=tmpdirs["sink"], log_interval=3600,
     )
     bridge = StreamingBridge(spec)
     with pytest.raises(Exception, match="exceeded max nesting"):
@@ -698,3 +702,41 @@ def test_stream_state_partitions_pin_and_restore(spark):
         assert default_state_partitions(spark) == 12
     finally:
         del os.environ["SPARK_GRAFT_STREAM_SHUFFLE"]
+
+
+def test_auto_backend_cost_model(spark):
+    """mode='auto' picks the measured-fastest correct backend PER
+    CONSTRUCT CLASS (r8 cost model, transform.py docstring): typed when
+    a schema is given; the Arrow interpreter for schemaless descendants
+    (`**` measures ~33 us/row interpreted vs ~50-100 compiled-variant);
+    the compiled variant path for everything else schemaless.
+    mode='compiled' bypasses the model so plan-assertion queries can
+    still prove the compiled descendants machinery."""
+    import pyspark.sql.functions as FN
+
+    from mqtt_streamr_spark.streaming.transform import transform_to_json
+
+    payload = FN.col("payload")
+    # schemaless + descendants -> interpreter (the cost-model pin)
+    _, b = transform_to_json('{"k": $sum(**.k)}', payload)
+    assert b == "interpreted", b
+    _, b = transform_to_json("$count(**)", payload)
+    assert b == "interpreted", b
+    # schema given + descendants -> typed (fastest backend wins)
+    _, b = transform_to_json(
+        '{"k": $sum(**.k)}', payload,
+        schema="event_type string, props struct<k: double>",
+    )
+    assert b == "typed", b
+    # schemaless, no descendants -> compiled variant path
+    _, b = transform_to_json('{"u": user_id, "v2": value * 2}', payload)
+    assert b == "compiled", b
+    # explicit mode='compiled' bypasses the model even for descendants
+    _, b = transform_to_json("$count(**)", payload, mode="compiled")
+    assert b == "compiled", b
+    # recursion stays interpreter-only regardless of the model
+    _, b = transform_to_json(
+        "($d := function($x){ $x <= 0 ? 0 : $d($x - 1) + 1 }; $d(3))",
+        payload,
+    )
+    assert b == "interpreted", b
