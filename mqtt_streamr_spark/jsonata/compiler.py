@@ -1993,6 +1993,13 @@ _NODES = {
 # --- compiled function library ----------------------------------------------
 
 def _js_regex_to_java(pattern: str, flags: str) -> str:
+    from mqtt_streamr_spark.jsonata.regexes import js_fidelity_rewrite
+
+    # Java's \s is ASCII-only while JS (the reference engine) matches
+    # Unicode whitespace — rewrite \s/\S to the explicit JS set (r8;
+    # \d/\w/\b are already ASCII in Java, matching JS; shared table in
+    # jsonata/regexes.py)
+    pattern = js_fidelity_rewrite(pattern, "java")
     prefix = ""
     if "i" in flags:
         prefix += "i"
@@ -2288,10 +2295,18 @@ def _fc_match(args, node, ctx):
     rx = _arg_regex(node["args"], 1)
     if rx is None:
         raise NotCompilable("$match needs a regex literal")
-    if _LOOKAROUND.search(rx):
+    # both guards run on the RAW source pattern: the r8 fidelity rewrite
+    # (_js_regex_to_java) expands \b/\B into lookaround GROUPS that are
+    # semantically boundary assertions — exactly the zero-width class the
+    # segment accounting below already handles for \b — so only USER
+    # lookarounds (visible in the source) force the interpreter, and the
+    # zero-width probe keeps stripping \b atoms instead of trying to
+    # analyze the expanded groups
+    raw = node["args"][1]["pattern"]
+    if _LOOKAROUND.search(raw):
         raise NotCompilable("$match with lookaround needs the interpreter")
     try:
-        if _re.search(_ANCHORS.sub("", rx), "") is not None:
+        if _re.search(_ANCHORS.sub("", raw), "") is not None:
             # pattern can match zero-length (anchor/\b atoms stripped for
             # the probe — they assert positions, never consume)
             raise NotCompilable(

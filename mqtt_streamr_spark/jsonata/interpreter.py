@@ -488,42 +488,16 @@ def _jeq(a, b) -> bool:
 # --- regex helpers -----------------------------------------------------------
 
 def _js_ascii_classes(pattern: str) -> str:
-    """Rewrite ``\\d``/``\\D``/``\\w``/``\\W`` to their ASCII classes
-    (r7 regex-fidelity audit): JS RegExp — the REFERENCE engine, via
-    jsonata 1.6.4 — and Java's Pattern are ASCII for these, while
-    Python's re is Unicode-aware (``\\d`` matches Arabic-Indic digits),
-    which made the interpreter diverge from both the reference and the
-    compiled path. ``\\s``/``\\b`` are left alone: JS ``\\s`` IS
-    Unicode-whitespace-aware (Python's is the closest match) and ``\\b``
-    has no class rewrite — both documented approximations."""
-    out = []
-    i = 0
-    in_class = False
-    while i < len(pattern):
-        c = pattern[i]
-        if c == "\\" and i + 1 < len(pattern):
-            n = pattern[i + 1]
-            rewritable = ("d", "w") if in_class else ("d", "D", "w", "W")
-            if n in rewritable:
-                if in_class:
-                    out.append({"d": "0-9", "w": "A-Za-z0-9_"}[n])
-                else:
-                    out.append({
-                        "d": "[0-9]", "D": "[^0-9]",
-                        "w": "[A-Za-z0-9_]", "W": "[^A-Za-z0-9_]",
-                    }[n])
-                i += 2
-                continue
-            out.append(c + n)
-            i += 2
-            continue
-        if c == "[" and not in_class:
-            in_class = True
-        elif c == "]" and in_class:
-            in_class = False
-        out.append(c)
-        i += 1
-    return "".join(out)
+    """Pin Python ``re`` to JS RegExp semantics — the REFERENCE engine,
+    via jsonata 1.6.4 — for the divergent escape classes: ASCII
+    ``\\d``/``\\D``/``\\w``/``\\W`` (r7 audit; Python's are
+    Unicode-aware), the explicit ECMAScript whitespace set for
+    ``\\s``/``\\S``, and ASCII-word lookarounds for ``\\b``/``\\B``
+    (r8 — closing the two documented approximation tails). Shared
+    scanner + class table: jsonata/regexes.py."""
+    from mqtt_streamr_spark.jsonata.regexes import js_fidelity_rewrite
+
+    return js_fidelity_rewrite(pattern, "python")
 
 
 def _compile_regex(pattern: str, flags: str):

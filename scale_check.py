@@ -489,6 +489,58 @@ def variant_pruned_scan_events(spark, k):
     )
 
 
+def streaming_dedup_watermark_events(spark, k):
+    """STREAMING stateful op under scale (r8 — first streaming row in the
+    sweep): k-replicated events drained through
+    ``dropDuplicatesWithinWatermark`` under the engine defaults (RocksDB
+    provider + the pinned state-partition count, streaming/tuning.py).
+    The state keyspace grows with k (replicas offset event_id), so this
+    measures the state store's scaling, not cache luck: expect ~linear
+    time; micro-batch COUNT stays constant (2 source files at every k)
+    while batch SIZE grows with input — the regime a real stream scales
+    in. Includes the replicated-source write (linear, same as every
+    other op's replicate cost)."""
+    import shutil
+    import tempfile
+
+    from mqtt_streamr_spark.streaming.tuning import stream_state_partitions
+    from mqtt_streamr_spark.tables import normalize_events_ts
+
+    ev = replicate(
+        normalize_events_ts(load(spark, "events", SF_DIR)), k,
+        id_cols=("event_id",),
+    )
+    d = tempfile.mkdtemp(prefix="scale_streaming_dedup_")
+    try:
+        src_dir = os.path.join(d, "src")
+        (ev.select("event_id", "user_id", "ts")
+         .repartition(2).write.mode("overwrite").parquet(src_dir))
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_dir)
+            .withWatermark("ts", "60 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        out = os.path.join(d, "out")
+        with stream_state_partitions(spark):
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", os.path.join(d, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return (
+            spark.read.parquet(out)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()  # materialize before the dir is deleted
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def jsonata_descendants_events(spark, k):
     # r6 compiled variant-path ** descendants: map-only per-row recursion
     # over raw JSON text + a tiny group agg — time should track input
@@ -549,6 +601,7 @@ OPS = {
     "ngram_repetition_docs": ngram_repetition_docs,
     "variant_pruned_scan_events": variant_pruned_scan_events,
     "jsonata_descendants_events": jsonata_descendants_events,
+    "streaming_dedup_watermark_events": streaming_dedup_watermark_events,
 }
 
 

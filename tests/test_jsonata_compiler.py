@@ -508,10 +508,17 @@ _REGEX_PATTERNS = [
     r"/[^x]/", r"/\bword\b/", r"/\-/", r"/[a-z]+/", r"/x|y/",
     r"/(?:gr)ey/", r"/\n/", r"/a\/b/", r"/\d{2}-\d{2}/", r"/(\w)\1/",
     r"/[\]]/", r"/\./", r"/§+/", r"/[0-9]٤?/", r"/[\d]+/", r"/\D\W/",
+    # r8: the formerly-documented-approximation tails, now pinned —
+    # JS whitespace set for \s/\S, ASCII-word \b/\B lookarounds
+    r"/\S+/", r"/[\s]/", r"/a\b/", r"/x\B/", r"/\bé\b/",
 ]
 _REGEX_INPUTS = [
     "abc abb 12-34 word sword", "AB ab\nxe\nend", "aa bb ٤٢ x",
     "line1\nline2e", "a/b a.c axc", "greyhound", "A§§B", "",
+    # r8 tails: JS-only whitespace (\u00a0 \u2028 \ufeff),
+    # Python-only whitespace (\x1c \x85), non-ASCII word chars
+    # around boundaries
+    "a\u00a0b\u2028c\ufeffd", "p\x1cq\x85r s\u00e9 x\u00e9x word\u00e9",
 ]
 _REGEX_FUNCS = [
     "$contains(s, {rx})", "$split(s, {rx})", "$split(s, {rx}, 3)",
@@ -531,10 +538,13 @@ def test_regex_fidelity_corpus(spark):
     $N beyond the group count stays LITERAL (Java would throw,
     killing a vectorized batch). Anchored/lookaround $match and
     dynamic-replacement $replace fall back (NotCompilable) — the
-    documented interpreter surface. Known approximations, not checked
-    here: \\s on non-ASCII Unicode whitespace and \\b against
-    non-ASCII word chars (三-engine tails documented in
-    interpreter._js_ascii_classes)."""
+    documented interpreter surface. r8 closes the two r7
+    approximation tails and CHECKS them here: \\s/\\S pinned to the
+    explicit JS whitespace set in BOTH engines (inputs include
+    JS-only \\u00a0/\\u2028/\\ufeff and Python-only \\x1c/\\x85), and
+    \\b/\\B pinned to ASCII-word lookarounds in the interpreter
+    (inputs include non-ASCII word chars at boundaries); shared
+    rewriter jsonata/regexes.py."""
     from mqtt_streamr_spark.jsonata.errors import JsonataError
 
     exprs, cols = [], []
