@@ -95,7 +95,16 @@ def main() -> int:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.createDataFrame([(json.dumps(FUZZ_DOC),)], "payload string")
+    # ONE partition: createDataFrame parallelizes even a 1-row input to
+    # defaultParallelism (32) partitions, and every task — 31 of them
+    # empty — still instantiates the full 100-expression batch for its
+    # (interpreted-mode, non-codegen) projection. That multiplies peak
+    # JVM memory by 32x and OOM'd the 8g driver on deep-composition
+    # batches (r8 find: both seeds died in early stages; single-column
+    # bisect of the same expressions was fine).
+    df = spark.createDataFrame(
+        [(json.dumps(FUZZ_DOC),)], "payload string"
+    ).coalesce(1)
 
     # the FUZZ_DOC schema for the typed backend (declared, like a user's
     # PipelineSpec.message_schema)
