@@ -562,7 +562,11 @@ def jsonata_descendants_events(spark, k):
         )),
     )
     out_col, backend = transform_to_json(
-        '{"kind": event_type, "k": $sum(**.k)}', F.col("payload"))
+        '{"kind": event_type, "k": $sum(**.k)}', F.col("payload"),
+        mode="compiled",  # this op MEASURES the compiled variant path;
+        # auto now (r8 cost model) prefers the interpreter for
+        # schemaless descendants
+    )
     assert backend == "compiled", backend
     m = df.withColumn("m", F.from_json(out_col, "kind string, k double"))
     return m.groupBy("m.kind").agg(
