@@ -93,10 +93,12 @@ MUST_VERIFY: list[str] = [
     "streaming_windowed_topk",
     "streaming_replay_pipeline",
     # (c) jsonata transform demos re-verified under the r8 auto-backend
-    # cost model:
+    # cost model (jsonata_descendants_auto is r8-NEW: the cost model's
+    # own choice, unsampled; the compiled demos re-earn their rows
+    # because their code changed to pin mode="compiled"):
+    "jsonata_descendants_auto",
     "jsonata_descendants_variant",
     "jsonata_descendants_bare",
-    "jsonata_interpreted_fallback",
     "jsonata_hof_compiled",
 ]
 

