@@ -740,3 +740,49 @@ def test_auto_backend_cost_model(spark):
         payload,
     )
     assert b == "interpreted", b
+
+
+def test_metrics_listener_state_store_block(spark, tmpdirs):
+    """A STATEFUL streaming query must surface per-batch state-store
+    commit/memory/partition metrics in the listener summary (r8 —
+    what makes the state regime attributable per bench run), with the
+    partition count matching the r8 pin."""
+    import time as _time
+
+    import pyspark.sql.functions as FN
+
+    from mqtt_streamr_spark.streaming.stats import MetricsListener
+    from mqtt_streamr_spark.streaming.tuning import (
+        default_state_partitions,
+        stream_state_partitions,
+    )
+
+    lst = MetricsListener.attach(spark)
+    try:
+        src = replay_source(spark, EVENTS, streaming=True, split_files=2)
+        deduped = (
+            src.select(FN.get_json_object("payload", "$.event_id")
+                       .alias("event_id"))
+            .dropDuplicates(["event_id"])
+        )
+        with stream_state_partitions(spark):
+            q = (
+                deduped.writeStream.format("noop")
+                .option("checkpointLocation", tmpdirs["ckpt"])
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            s = lst.summary()
+            if s.get("state_store"):
+                break
+            _time.sleep(0.25)
+        ss = lst.summary().get("state_store")
+        assert ss, "stateful query produced no state_store block"
+        assert ss["n_stateful_commits"] >= 1
+        assert ss["mem_bytes_max"] > 0
+        assert ss["n_partitions_max"] == default_state_partitions(spark)
+    finally:
+        lst.detach()
