@@ -50,10 +50,15 @@ def transform_to_json(expr: str, payload_col: Column, *,
 
     So with NO schema and a ``**`` (descendants) step anywhere in the
     expression, auto picks the interpreter; every other schemaless
-    expression still prefers the compiled path. ``mode='compiled'``
-    bypasses the model (the plan-assertion queries use it to prove the
-    compiled descendants machinery). The pin is tested per construct
-    class in tests/test_streaming.py::test_auto_backend_cost_model.
+    expression still prefers the compiled path. The rule deliberately
+    does NOT extend to deep dynamic walks: an 8-level variant path
+    measured COMPILED 2.4 s vs interpreter 5.1 s over 100k rows at
+    sf0.1 (r8) — ordinary variant navigation stays cheap in the JVM;
+    only the per-node descendant recursion crosses over.
+    ``mode='compiled'`` bypasses the model (the plan-assertion queries
+    use it to prove the compiled descendants machinery). The pin is
+    tested per construct class in
+    tests/test_streaming.py::test_auto_backend_cost_model.
     """
     if mode not in ("auto", "compiled", "interpreted"):
         raise ValueError(
