@@ -38,6 +38,33 @@ CALIBRATION_BASELINE = {
     "text_winnowing_fingerprints": 2.84,
 }
 
+# Python-worker/Arrow path sentinel (r8): the JVM sentinels above are
+# blind to the OTHER independent noise axis — Python worker spawn +
+# Arrow serialization costs shift per boot without moving any
+# whole-stage-codegen number (documented since r5: "+25-60% on every
+# Python-worker-heavy query with pure-JVM rows AT baseline"). This
+# fixed-size pandas-UDF round trip (SF-independent) pins that axis so
+# ewma/multimodal/interpreter-backend deltas are attributable too.
+# calm-boot WARM value (the sentinel runs at the end of the bench, when
+# workers are long spawned): measured 0.44-0.53 s across repeats
+# 2026-08-15; a cold first call measures ~4.7 s, which is exactly the
+# worker-spawn inflation the ratio is meant to expose.
+PY_SENTINEL_BASELINE_SEC = 0.45
+
+
+def _python_worker_sentinel(spark) -> float:
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _plus(v):  # type: ignore[no-untyped-def]
+        return v * 1.5 + 1.0
+
+    df = spark.range(0, 200_000, 1, 8).selectExpr("CAST(id AS DOUBLE) x")
+    t0 = time.perf_counter()
+    df.select(_plus("x").alias("y")).agg({"y": "sum"}).collect()
+    return round(time.perf_counter() - t0, 4)
+
 
 def sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
@@ -154,8 +181,18 @@ def main() -> None:
         if name in timings
     }
     ratios = [s["ratio"] for s in sentinels.values() if "ratio" in s]
+    try:
+        py_sec = _python_worker_sentinel(spark)
+        py_sentinel = {
+            "sec": py_sec,
+            "baseline_sec": PY_SENTINEL_BASELINE_SEC,
+            "ratio": round(py_sec / PY_SENTINEL_BASELINE_SEC, 3),
+        }
+    except Exception as exc:  # a broken sentinel must not zero the run
+        py_sentinel = {"err": f"{type(exc).__name__}: {exc}"[:120]}
     calibration = {
         "sentinels": sentinels,
+        "python_worker_sentinel": py_sentinel,
         **(
             {"boot_ratio": round(sum(ratios) / len(ratios), 3)}
             if ratios
