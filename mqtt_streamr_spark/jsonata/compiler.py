@@ -1793,6 +1793,11 @@ def _lambda_arg(node, i, max_params, what):
     lam = args[i]
     if not 1 <= len(lam["params"]) <= max_params:
         raise NotCompilable(f"{what} lambda takes 1..{max_params} params")
+    if lam.get("signature") is not None:
+        # signature validation (type errors, array promotion, context
+        # substitution) is runtime behavior the Column tree can't express
+        # faithfully -> interpreter
+        raise NotCompilable(f"{what} lambda declares a signature")
     return lam
 
 

@@ -57,13 +57,16 @@ class Environment:
 
 
 class Lambda:
-    __slots__ = ("params", "body", "env", "interp")
+    __slots__ = ("params", "body", "env", "interp", "signature")
 
-    def __init__(self, params, body, env, interp):
+    def __init__(self, params, body, env, interp, signature=None):
         self.params = params
         self.body = body
         self.env = env
         self.interp = interp
+        # parsed list[signatures.Param] or None — enforced in
+        # Interpreter._call, where the caller's context is in scope
+        self.signature = signature
 
     def __call__(self, *args):
         env = Environment(self.env)
@@ -72,6 +75,92 @@ class Lambda:
         for name in self.params[len(args):]:
             env.bind(name, UNDEFINED)
         return self.interp._eval(self.body, env.lookup("__ctx__"), env)
+
+
+class Transform:
+    """The transform operator ``|location|update[, deletes]|`` — a
+    single-argument function value (docs: Other operators). Applying it
+    deep-copies the argument, evaluates ``location`` against the copy,
+    and for each matched OBJECT merges the ``update`` object into it and
+    deletes the keys named by ``deletes`` (string or array of strings),
+    both evaluated with the match as context. The mutated copy is
+    returned; the input is never modified."""
+
+    __slots__ = ("pattern", "update", "delete", "env", "interp")
+
+    def __init__(self, pattern, update, delete, env, interp):
+        self.pattern = pattern
+        self.update = update
+        self.delete = delete
+        self.env = env
+        self.interp = interp
+
+    def __call__(self, obj=UNDEFINED, *_extra):
+        if obj is UNDEFINED:
+            return UNDEFINED
+        clone = _clone(to_json_value(obj))
+        interp = self.interp
+        matches = interp._eval(self.pattern, clone, Environment(self.env))
+        for match in iter_items(matches):
+            if not isinstance(match, dict):
+                # the location path is documented to select objects;
+                # non-object matches are left untouched
+                continue
+            upd = unwrap(interp._eval(self.update, match,
+                                      Environment(self.env)))
+            if upd is not UNDEFINED:
+                if not isinstance(upd, dict):
+                    raise JsonataError(
+                        "transform update must evaluate to an object")
+                match.update(upd)
+            if self.delete is not None:
+                dels = unwrap(interp._eval(self.delete, match,
+                                           Environment(self.env)))
+                if dels is not UNDEFINED:
+                    if not isinstance(dels, (JSeq, list)):
+                        dels = [dels]
+                    for key in dels:
+                        if not isinstance(key, str):
+                            raise JsonataError(
+                                "transform delete must be a string or an "
+                                "array of strings")
+                        match.pop(key, None)
+        return clone
+
+
+def _clone(value):
+    """Deep copy of a plain-JSON value (the transform operator mutates a
+    private copy, mirroring the reference's serialize/deserialize clone)."""
+    if isinstance(value, dict):
+        return {k: _clone(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_clone(v) for v in value]
+    return value
+
+
+class Partial:
+    """A partially-applied function: ``$substring(?, 0, 5)`` evaluates the
+    non-placeholder arguments once and returns a function of the
+    placeholders, in order (docs: Programming — partial application)."""
+
+    __slots__ = ("proc", "bound", "interp", "name")
+
+    def __init__(self, proc, bound, interp, name):
+        self.proc = proc      # the underlying callable/Lambda/Builtin
+        self.bound = bound    # list[(is_placeholder, value)]
+        self.interp = interp
+        self.name = name
+
+    def __call__(self, *values):
+        args = []
+        vi = 0
+        for is_hole, val in self.bound:
+            if is_hole:
+                args.append(values[vi] if vi < len(values) else UNDEFINED)
+                vi += 1
+            else:
+                args.append(val)
+        return self.interp._call(self.proc, args, UNDEFINED, self.name)
 
 
 class SeededLCG:
@@ -300,7 +389,22 @@ class Interpreter:
     def _eval_lambda(self, node, ctx, env):
         closure_env = Environment(env)
         closure_env.bind("__ctx__", ctx)
-        return Lambda(node["params"], node["body"], closure_env, self)
+        signature = None
+        sig_str = node.get("signature")
+        if sig_str is not None:
+            from mqtt_streamr_spark.jsonata.signatures import parse_signature
+            signature = parse_signature(sig_str)
+        return Lambda(node["params"], node["body"], closure_env, self,
+                      signature=signature)
+
+    def _eval_transform(self, node, ctx, env):
+        return Transform(node["pattern"], node["update"], node["delete"],
+                         env, self)
+
+    def _eval_placeholder(self, node, ctx, env):
+        raise JsonataError(
+            "'?' placeholder is only allowed inside a function call's "
+            "argument list (partial application)")
 
     def _eval_condition(self, node, ctx, env):
         if boolean(self._eval(node["cond"], ctx, env)):
@@ -423,14 +527,35 @@ class Interpreter:
     def _eval_call(self, node, ctx, env, extra_first_arg=_NO_EXTRA):
         proc_node = node["proc"]
         proc = self._eval(proc_node, ctx, env)
+        name = proc_node.get("value", "<lambda>")
+        if any(a["type"] == "placeholder" for a in node["args"]):
+            # partial application: evaluate the non-placeholder arguments
+            # once, return a function of the placeholders in order
+            if proc is UNDEFINED or not (
+                isinstance(proc, (Lambda, Builtin)) or callable(proc)
+            ):
+                raise JsonataError(
+                    f"attempted to partially apply a non-function ${name}")
+            bound = [
+                (True, None) if a["type"] == "placeholder"
+                else (False, unwrap(self._eval(a, ctx, env)))
+                for a in node["args"]
+            ]
+            if extra_first_arg is not Interpreter._NO_EXTRA:
+                bound = [(False, extra_first_arg)] + bound
+            return Partial(proc, bound, self, name)
         args = [unwrap(self._eval(a, ctx, env)) for a in node["args"]]
         if extra_first_arg is not Interpreter._NO_EXTRA:
             args = [extra_first_arg] + args
-        name = proc_node.get("value", "<lambda>")
         return self._call(proc, args, ctx, name)
 
     def _call(self, proc, args, ctx, name):
         if isinstance(proc, Lambda):
+            if proc.signature is not None:
+                from mqtt_streamr_spark.jsonata.signatures import (
+                    validate_args,
+                )
+                args = validate_args(proc.signature, args, unwrap(ctx), name)
             return unwrap(proc(*args))
         if isinstance(proc, Builtin):
             return proc.invoke(self, ctx, args)
@@ -443,8 +568,13 @@ class Interpreter:
     def _eval_apply(self, node, ctx, env):
         lhs = unwrap(self._eval(node["lhs"], ctx, env))
         rhs = node["rhs"]
-        if rhs["type"] == "call":
+        if rhs["type"] == "call" and not any(
+            a["type"] == "placeholder" for a in rhs["args"]
+        ):
             return self._eval_call(rhs, ctx, env, extra_first_arg=lhs)
+        # rhs evaluates to a function value (variable, lambda, transform,
+        # or a partial application like `x ~> $substring(?, 0, 3)`): the
+        # chained value becomes its single argument
         proc = unwrap(self._eval(rhs, ctx, env))
         return self._call(proc, [lhs], ctx, "<chained>")
 
@@ -1125,13 +1255,27 @@ def _f_merge(interp, objs=UNDEFINED):
     return out
 
 
+def _hof_args(fn, args: list) -> list:
+    """HOF invocation arity rule: a function passed to a higher-order
+    builtin receives only as many arguments as it declares — a 1-param
+    mapper gets just the item, never (item, index, array). Load-bearing
+    once signatures exist: validating ``<n:n>`` against the full 3-arg
+    HOF convention would be a spurious arity error."""
+    if isinstance(fn, Lambda):
+        return args[:len(fn.params)]
+    if isinstance(fn, Partial):
+        return args[:sum(1 for hole, _ in fn.bound if hole)]
+    return args
+
+
 @_b("each", 2)
 def _f_each(interp, obj=UNDEFINED, fn=UNDEFINED):
     if not isinstance(obj, dict):
         return UNDEFINED
     out = JSeq()
     for k, v in obj.items():
-        seq_append(out, interp._call(fn, [v, k], None, "each"))
+        seq_append(out, interp._call(fn, _hof_args(fn, [v, k]), None,
+                                     "each"))
     return out
 
 
@@ -1141,7 +1285,8 @@ def _f_sift(interp, obj=UNDEFINED, fn=UNDEFINED):
         return UNDEFINED
     out = {}
     for k, v in obj.items():
-        if boolean(interp._call(fn, [v, k, obj], None, "sift")):
+        if boolean(interp._call(fn, _hof_args(fn, [v, k, obj]), None,
+                                "sift")):
             out[k] = v
     return out
 
@@ -1155,7 +1300,8 @@ def _f_map(interp, arr=UNDEFINED, fn=UNDEFINED):
     items = list(iter_items(arr))
     out = JSeq()
     for i, item in enumerate(items):
-        seq_append(out, interp._call(fn, [item, i, items], None, "map"))
+        seq_append(out, interp._call(fn, _hof_args(fn, [item, i, items]),
+                                     None, "map"))
     return out
 
 
@@ -1166,7 +1312,8 @@ def _f_filter(interp, arr=UNDEFINED, fn=UNDEFINED):
     items = list(iter_items(arr))
     out = JSeq()
     for i, item in enumerate(items):
-        if boolean(interp._call(fn, [item, i, items], None, "filter")):
+        if boolean(interp._call(fn, _hof_args(fn, [item, i, items]), None,
+                                "filter")):
             seq_append(out, item)
     return out
 

@@ -207,6 +207,7 @@ _BP = {
 
 class Parser:
     def __init__(self, src: str):
+        self.src = src  # kept for raw signature scans (`function(...)<...>`)
         self.tokens = tokenize(src)
         self.pos = 0
 
@@ -283,6 +284,26 @@ class Parser:
                 return {"type": "array", "items": items}
             if t.value == "{":
                 return {"type": "object", "pairs": self._parse_pairs()}
+            if t.value == "|":
+                # transform: |location|update[, deletes]|  (docs: Other
+                # operators — "~> |...|...|"; a transform is a VALUE — a
+                # single-argument function — usually applied via `~>`)
+                pattern = self.parse_expr(0)
+                self.advance("|")
+                update = self.parse_expr(0)
+                deletes = None
+                if self._at(","):
+                    self.advance(",")
+                    deletes = self.parse_expr(0)
+                self.advance("|")
+                return {"type": "transform", "pattern": pattern,
+                        "update": update, "delete": deletes}
+            if t.value == "?":
+                # partial-application placeholder: only meaningful inside a
+                # function call's argument list (docs: Programming —
+                # "partial function application"); anywhere else the
+                # interpreter rejects it at evaluation time
+                return {"type": "placeholder"}
         raise JsonataError(f"unexpected token {t.type}:{t.value!r} at {t.pos}")
 
     # --- infix/postfix ---
@@ -370,10 +391,43 @@ class Parser:
             if self._at(","):
                 self.advance(",")
         self.advance(")")
+        signature = None
+        if self._at("<"):
+            signature = self._scan_signature()
         self.advance("{")
         body = self.parse_expr(0)
         self.advance("}")
-        return {"type": "lambda", "params": params, "body": body}
+        node = {"type": "lambda", "params": params, "body": body}
+        if signature is not None:
+            node["signature"] = signature
+        return node
+
+    def _scan_signature(self) -> str:
+        """Raw-scan a ``<...>`` function signature from the source.
+
+        Signatures (docs: Programming — "function signatures") are a
+        character mini-language (``<s-:n>``, ``<a<n>:n>``) that tokenizes
+        as ordinary operator/name soup, so the matching ``>`` is found by
+        angle-depth counting over the raw source, then the token cursor is
+        advanced past everything inside."""
+        start = self.tok.pos  # position of '<'
+        depth = 0
+        j = start
+        src = self.src
+        while j < len(src):
+            if src[j] == "<":
+                depth += 1
+            elif src[j] == ">":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise JsonataError(f"unterminated function signature at {start}")
+        sig = src[start:j + 1]
+        while self.tok.type != "end" and self.tok.pos <= j:
+            self.pos += 1
+        return sig
 
 
 def parse(src: str):

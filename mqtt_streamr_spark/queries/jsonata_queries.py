@@ -754,3 +754,65 @@ def jsonata_descendants_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("k"), 2).alias("sum_k"),
         )
     )
+
+
+_XFORM_OP = """
+($norm := function($s)<s:s>{ $uppercase($s) };
+ $mag := $abs(?);
+ $ ~> |$|{'kind': $norm(event_type),
+          'dist': $mag(value - 100),
+          'high': value > 100}, 'props'|)
+"""
+
+
+@query(
+    "jsonata_transform_operator",
+    oracle="""
+    SELECT upper(event_type) AS kind,
+           value > 100 AS high,
+           count(*) AS n,
+           round(sum(abs(value - 100)), 2) AS total_dist,
+           0::BIGINT AS n_props
+    FROM events WHERE event_id % 5 = 0
+    GROUP BY upper(event_type), value > 100
+    """,
+)
+def jsonata_transform_operator(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """The JSONata transform operator ``~> |location|update, deletes|``
+    end-to-end (r8 — closes the last 1.6.4 operator-surface gap), plus
+    partial application (``$abs(?)``) and a signature-checked lambda
+    (``<s:s>``) in the same expression. All three are function VALUES /
+    runtime-validation constructs — interpreter-only by design — so
+    ``transform_to_json`` transparently routes the whole expression to the
+    Arrow-batched interpreter UDF (asserted). The update is evaluated with
+    the matched object as context; ``'props'`` is deleted from the clone —
+    ``n_props`` counts surviving props fields and the oracle pins it to 0.
+    Reference contract: jsonata 1.6.4 "Other operators"
+    (bin/mqtt-streamr.js:108,157-159 evaluate arbitrary 1.6.4 expressions).
+    Like the other interpreter demos, runs on a 20% systematic sample
+    (event_id % 5 = 0, restated in the oracle)."""
+    from mqtt_streamr_spark.streaming.transform import transform_to_json
+
+    ev = load(spark, "events", sf_dir).filter(col("event_id") % 5 == 0)
+    df = ev.withColumn(
+        "payload",
+        F.to_json(F.struct("event_id", "event_type", "value", "props")),
+    )
+    out_col, backend = transform_to_json(_XFORM_OP, F.col("payload"))
+    assert backend == "interpreted", backend
+    m = df.withColumn(
+        "m",
+        F.from_json(out_col,
+                    "kind string, dist double, high boolean, props string"),
+    )
+    return (
+        m.select("m.kind", "m.dist", "m.high", "m.props")
+        .groupBy("kind", "high")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("dist"), 2).alias("total_dist"),
+            F.sum(F.when(col("props").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_props"),
+        )
+    )

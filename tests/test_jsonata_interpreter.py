@@ -393,3 +393,150 @@ def test_seeded_random_and_shuffle():
     # seeded shuffle output set parity: every element kept exactly once
     big = jsonata("$shuffle([1..10])").evaluate({}, seed=7)
     assert sorted(big) == list(range(1, 11))
+
+
+# --- transform operator |...|...| (docs: Other operators) ---
+
+def test_transform_merge():
+    doc = {"foo": {"bar": {"y": 2}}}
+    assert ev("foo ~> |bar|{'x': 1}|", doc) == {"bar": {"y": 2, "x": 1}}
+
+
+def test_transform_root_and_context_expression():
+    # update expression is evaluated with the MATCH as context
+    assert ev("$ ~> |$|{'flag': count > 2}|", {"count": 5}) == \
+        {"count": 5, "flag": True}
+
+
+def test_transform_array_of_matches():
+    doc = {"items": [{"v": 1}, {"v": 2}]}
+    assert ev("$ ~> |items|{'v': v * 2}|", doc) == \
+        {"items": [{"v": 2}, {"v": 4}]}
+
+
+def test_transform_delete_string_and_array():
+    assert ev("$ ~> |$|{}, 'secret'|", {"a": 1, "secret": 2}) == {"a": 1}
+    assert ev("$ ~> |$|{}, ['a','b']|", {"a": 1, "b": 2, "c": 3}) == {"c": 3}
+
+
+def test_transform_is_a_value():
+    assert ev("($t := |$|{'z': 9}|; $t({'q': 1}))", None) == {"q": 1, "z": 9}
+
+
+def test_transform_does_not_mutate_input():
+    doc = {"foo": {"bar": {"y": 2}}}
+    ev("foo ~> |bar|{'x': 1}|", doc)
+    assert doc == {"foo": {"bar": {"y": 2}}}
+
+
+def test_transform_undefined_passthrough():
+    assert ev("nothing ~> |$|{'x': 1}|", {"a": 1}) is UNDEFINED
+
+
+def test_transform_update_must_be_object():
+    with pytest.raises(JsonataError):
+        ev("$ ~> |$|'notobj'|", {"a": 1})
+
+
+def test_transform_delete_must_be_strings():
+    with pytest.raises(JsonataError):
+        ev("$ ~> |$|{}, 42|", {"a": 1})
+
+
+def test_transform_non_object_matches_untouched():
+    # location selecting scalars: documented to select objects; scalar
+    # matches are left as-is (non-strict JS property-assign is a no-op)
+    assert ev("$ ~> |a|{'x': 1}|", {"a": 5}) == {"a": 5}
+
+
+# --- partial function application (docs: Programming) ---
+
+def test_partial_builtin():
+    assert ev("($f := $substring(?, 0, 2); $f('hello'))", None) == "he"
+    assert ev("($f := $substring('hello', ?, ?); $f(1, 3))", None) == "ell"
+
+
+def test_partial_in_hof():
+    assert ev("$map(['abc','defg'], $substring(?, 0, 2))", None) == \
+        ["ab", "de"]
+
+
+def test_partial_of_lambda():
+    assert ev("($add := function($a,$b){$a+$b};"
+              " $inc := $add(?, 1); $inc(41))", None) == 42
+
+
+def test_partial_chained_with_apply():
+    assert ev("'hello' ~> $substring(?, 1, 3)", None) == "ell"
+
+
+def test_partial_args_evaluated_once_at_application():
+    # the bound argument is captured when the partial is CREATED,
+    # not re-evaluated at each call
+    assert ev("($p := 3; $f := $power(?, $p); $p := 5; $f(2))", None) == 8
+
+
+def test_partial_of_non_function_errors():
+    with pytest.raises(JsonataError):
+        ev("$nosuch(?, 1)", None)
+
+
+def test_placeholder_outside_call_errors():
+    with pytest.raises(JsonataError):
+        ev("? + 1", None)
+
+
+# --- function signatures (docs: Programming > function signatures) ---
+
+def test_signature_accepts_matching_types():
+    assert ev("(function($x)<n:n>{$x+1})(2)", None) == 3
+
+
+def test_signature_type_mismatch_errors():
+    with pytest.raises(JsonataError, match="does not match"):
+        ev("(function($x)<n:n>{$x})('str')", None)
+
+
+def test_signature_context_substitution():
+    assert ev("($g := function($s)<s->{ $uppercase($s) }; 'abc'.$g())",
+              None) == "ABC"
+
+
+def test_signature_singleton_array_promotion():
+    assert ev("(function($xs)<a<n>:n>{$sum($xs)})(3)", None) == 3
+    assert ev("(function($xs)<a<n>:n>{$sum($xs)})([1,2,3])", None) == 6
+
+
+def test_signature_array_subtype_enforced():
+    with pytest.raises(JsonataError, match="does not match"):
+        ev("(function($xs)<a<n>:n>{$sum($xs)})(['a','b'])", None)
+
+
+def test_signature_optional_param():
+    assert ev("($f := function($a, $b)<nn?:n>"
+              "{ $b ? $a + $b : $a }; $f(5))", None) == 5
+
+
+def test_signature_rejects_whitespace():
+    # the signature mini-language is whitespace-free, like the reference
+    with pytest.raises(JsonataError):
+        ev("(function($a, $b)<n n?:n>{$a})(1)", None)
+
+
+def test_signature_choice_group():
+    assert ev("(function($v)<(sn):s>{$string($v)})(5)", None) == "5"
+    assert ev("(function($v)<(sn):s>{$string($v)})('x')", None) == "x"
+    with pytest.raises(JsonataError, match="does not match"):
+        ev("(function($v)<(sn):s>{$string($v)})(true)", None)
+
+
+def test_signature_in_hof_gets_arity_trimmed_args():
+    # HOFs pass (item, index, array); a 1-param signature lambda must see
+    # only the item, not a spurious arity error
+    assert ev("$map([1,2,3], function($v)<n:n>{$v*10})", None) == \
+        [10, 20, 30]
+
+
+def test_signature_too_many_args_errors():
+    with pytest.raises(JsonataError):
+        ev("(function($x)<n:n>{$x})(1, 2)", None)
