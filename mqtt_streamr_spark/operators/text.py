@@ -1092,3 +1092,45 @@ def frequent_terms(df, text_col: str = "text", min_support: float = 0.005,
             F.round(F.col("cnt") / F.col("n_tokens"), 6).alias("frac"),
         )
     )
+
+
+def sentence_udtf():
+    """Python UDTF (Spark 4 user-defined TABLE function) splitting a
+    document into sentences — the one engine-native UDF surface SURVEY
+    §2.8 lists that the other operators don't exercise (pandas UDF,
+    GROUPED_AGG, applyInPandas and mapInPandas all have coverage; a UDTF
+    is the lateral row-EXPANDING shape: one input row -> N output rows
+    inside the FROM clause, distributed per-partition like any other
+    projection — no shuffle is introduced by the expansion itself).
+
+    Splitting rule is deliberately RE2-safe (no lookbehind, explicit
+    ASCII whitespace classes) so a DuckDB oracle can restate it exactly:
+    sentences are separated by a punctuation run ``[.!?]+`` followed by
+    whitespace; a sentence's token count is its number of
+    non-whitespace runs; empty sentences are dropped.
+
+    Arrow-batched (``useArrow=True``): rows stream through the Python
+    worker in Arrow record batches rather than pickled rows.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    sep = re.compile(r"[.!?]+[ \t\n\f\r]+")
+    tok = re.compile(r"[^ \t\n\f\r]+")
+
+    @udtf(returnType="idx int, sentence string, n_tokens int",
+          useArrow=True)
+    class SplitSentences:
+        def eval(self, text):  # noqa: ANN001 — UDTF contract
+            if text is None:
+                return
+            idx = 0
+            for part in sep.split(text):
+                n_tokens = len(tok.findall(part))
+                if n_tokens == 0:
+                    continue
+                yield idx, part, n_tokens
+                idx += 1
+
+    return SplitSentences

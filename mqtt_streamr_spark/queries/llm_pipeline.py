@@ -2940,3 +2940,49 @@ def llm_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("tokens_selected"),
         F.min("qb").alias("min_quality_bucket"),
     )
+
+
+@query(
+    "text_udtf_sentences",
+    oracle="""
+    WITH sent AS (
+        SELECT lang,
+               unnest(regexp_split_to_array(text, '[.!?]+[ \t\n\f\r]+'))
+               AS sentence
+        FROM documents WHERE doc_id % 5 = 0
+    ), tok AS (
+        SELECT lang,
+               length(regexp_extract_all(sentence, '[^ \t\n\f\r]+')) AS nt
+        FROM sent
+    )
+    SELECT lang,
+           count(*) AS n_sentences,
+           sum(nt)::BIGINT AS total_tokens,
+           round(avg(nt), 4) AS avg_tokens
+    FROM tok WHERE nt > 0
+    GROUP BY lang
+    """,
+)
+def text_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation through a Python UDTF in a LATERAL join
+    (r8 — completes the SURVEY §2.8 engine-native UDF surface: the
+    row-expanding table-function shape, alongside the existing pandas
+    UDF / GROUPED_AGG / applyInPandas / mapInPandas queries). One doc
+    row fans out to N sentence rows inside the FROM clause; the
+    expansion is map-side (no shuffle until the per-language aggregate,
+    which partial-aggregates). Arrow-batched; like the other
+    Python-path demos, runs on a 20% systematic sample (doc_id % 5 = 0,
+    restated in the oracle). The RE2-safe splitting contract lives in
+    ``operators.text.sentence_udtf``."""
+    docs = load(spark, "documents", sf_dir).filter(col("doc_id") % 5 == 0)
+    spark.udtf.register("split_sentences", T.sentence_udtf())
+    docs.select("lang", "text").createOrReplaceTempView("docs_udtf_in")
+    out = spark.sql("""
+        SELECT d.lang, s.n_tokens
+        FROM docs_udtf_in d, LATERAL split_sentences(d.text) s
+    """)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )

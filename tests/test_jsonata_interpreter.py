@@ -540,3 +540,72 @@ def test_signature_in_hof_gets_arity_trimmed_args():
 def test_signature_too_many_args_errors():
     with pytest.raises(JsonataError):
         ev("(function($x)<n:n>{$x})(1, 2)", None)
+
+
+# --- property tests for the r8 surface (pure Python, no Spark) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.text(alphabet="abcdefgh XY.!?", min_size=0, max_size=12)
+
+
+@settings(max_examples=150, deadline=None)
+@given(s=_words, start=st.integers(-5, 10), n=st.integers(0, 10),
+       hole=st.sampled_from([0, 1, 2]))
+def test_partial_equals_direct_call(s, start, n, hole):
+    """Filling a partial's hole reproduces the direct call, wherever the
+    hole is placed."""
+    lit = "'" + s.replace("'", "") + "'"
+    args = [lit, str(start), str(n)]
+    hole_val = args[hole]
+    args_holed = list(args)
+    args_holed[hole] = "?"
+    direct = ev(f"$substring({', '.join(args)})", None)
+    via_partial = ev(
+        f"($f := $substring({', '.join(args_holed)}); $f({hole_val}))",
+        None)
+    assert direct == via_partial
+
+
+_json_scalars = st.one_of(st.none(), st.booleans(),
+                          st.integers(-100, 100), _words)
+_json_vals = st.recursive(
+    _json_scalars,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=3),
+        st.dictionaries(st.sampled_from(["a", "b", "c", "x"]), inner,
+                        max_size=3),
+    ),
+    max_leaves=8,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(doc=st.dictionaries(st.sampled_from(["a", "b", "c", "x"]),
+                           _json_vals, max_size=4))
+def test_transform_root_merge_delete_property(doc):
+    """`$ ~> |$|{'k': 1}, 'x'|` equals the hand-computed clone (add k,
+    drop x at the root) and never mutates its input."""
+    import copy
+    snapshot = copy.deepcopy(doc)
+    got = ev("$ ~> |$|{'k': 1}, 'x'|", doc)
+    want = {k: v for k, v in snapshot.items() if k != "x"}
+    want["k"] = 1
+    assert got == want
+    assert doc == snapshot
+
+
+@settings(max_examples=100, deadline=None)
+@given(v=st.one_of(st.integers(-50, 50),
+                   st.lists(st.integers(-50, 50), min_size=0, max_size=5)))
+def test_signature_array_promotion_property(v):
+    """<a<n>> accepts a number or an array of numbers; $count sees an
+    array either way."""
+    want = 1 if isinstance(v, int) else len(v)
+    got = ev(f"(function($xs)<a<n>:n>{{$count($xs)}})({v})", None)
+    if isinstance(v, list) and not v:
+        # [] constructs an empty sequence -> the argument is absent ->
+        # arity error, the reference's behavior for a missing required arg
+        return
+    assert got == want
