@@ -2405,3 +2405,85 @@ def events_freshness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "last_seen", "lag_minutes",
                 "rows_last_day", "null_value_rate")
     )
+
+
+@query(
+    "graph_pagerank_event_types",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events),
+    e AS (
+        SELECT event_type AS src, next_type AS dst, count(*)::DOUBLE AS w
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    en AS (
+        SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM e),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    dang AS (
+        SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM e)),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+    d0 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r0
+           WHERE node IN (SELECT node FROM dang)),
+    r1 AS (
+        SELECT n.node,
+               (1.0 - 0.85) / nn.n
+               + 0.85 * (coalesce(c.c, 0) + d0.dm / nn.n) AS rank
+        FROM nodes n
+        LEFT JOIN (SELECT en.dst, sum(r0.rank * en.p) AS c
+                   FROM en JOIN r0 ON r0.node = en.src
+                   GROUP BY en.dst) c ON c.dst = n.node, nn, d0),
+    d1 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r1
+           WHERE node IN (SELECT node FROM dang)),
+    r2 AS (
+        SELECT n.node,
+               (1.0 - 0.85) / nn.n
+               + 0.85 * (coalesce(c.c, 0) + d1.dm / nn.n) AS rank
+        FROM nodes n
+        LEFT JOIN (SELECT en.dst, sum(r1.rank * en.p) AS c
+                   FROM en JOIN r1 ON r1.node = en.src
+                   GROUP BY en.dst) c ON c.dst = n.node, nn, d1),
+    d2 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r2
+           WHERE node IN (SELECT node FROM dang)),
+    r3 AS (
+        SELECT n.node,
+               (1.0 - 0.85) / nn.n
+               + 0.85 * (coalesce(c.c, 0) + d2.dm / nn.n) AS rank
+        FROM nodes n
+        LEFT JOIN (SELECT en.dst, sum(r2.rank * en.p) AS c
+                   FROM en JOIN r2 ON r2.node = en.src
+                   GROUP BY en.dst) c ON c.dst = n.node, nn, d2)
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """,
+)
+def graph_pagerank_event_types(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Weighted PageRank (3 power iterations, d = 0.85) over the
+    per-user event-transition graph — the stationary-distribution
+    estimate of the Markov matrix that ``events_transition_matrix``
+    builds (r8; second canonical iterative-graph shape beside
+    ``dedup_duplicate_clusters``'s connected components). The oracle
+    unrolls the same three iterations — including the dangling-mass
+    redistribution term — as SQL CTEs, so this is a rare case of a
+    fully hash-checkable iterative algorithm. The generic distributed
+    operator is ``operators.graph.pagerank``: edges normalized +
+    checkpointed once, two key-partitioned shuffles per iteration,
+    lineage truncated — the node/edge scale path; the demo graph here
+    is type-cardinality-sized."""
+    from mqtt_streamr_spark.operators.graph import pagerank
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        load(spark, "events", sf_dir)
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(col("next_type").isNotNull())
+    )
+    edges = seq.groupBy(
+        col("event_type").alias("src"), col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("double").alias("w"))
+    ranks = pagerank(edges, weight="w", iterations=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -428,3 +428,68 @@ def test_quantile_sketch_median_interpolates_within_bin(spark, tmp_path):
     assert r["n_values"] == 4
     assert r["median_bin"] == 0          # cum(bin0)=2 >= 2, cum_before=0
     assert r["p50_est"] == 25.0          # 0 + (2-0)/2 * 25
+
+
+# --- pagerank (operators/graph.py) ---
+
+def _pagerank_reference(edges, iterations=3, d=0.85):
+    """Pure-Python restatement of the operator's documented formula."""
+    from collections import defaultdict
+    out_w = defaultdict(float)
+    agg = defaultdict(float)
+    for s, t, w in edges:
+        agg[(s, t)] += w
+    for (s, _t), w in agg.items():
+        out_w[s] += w
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    n = float(len(nodes))
+    dangling = [v for v in nodes if out_w[v] == 0]
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = defaultdict(float)
+        for (s, t), w in agg.items():
+            contrib[t] += rank[s] * (w / out_w[s])
+        dm = sum(rank[v] for v in dangling)
+        rank = {v: (1.0 - d) / n + d * (contrib[v] + dm / n)
+                for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    from mqtt_streamr_spark.operators.graph import pagerank
+
+    edges = [("a", "b", 1.0), ("a", "c", 3.0), ("b", "c", 1.0),
+             ("c", "a", 1.0), ("d", "a", 2.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, weight="w", iterations=4).collect()}
+    want = _pagerank_reference(edges, iterations=4)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    from mqtt_streamr_spark.operators.graph import pagerank
+
+    # 'sink' has no out-edges: without redistribution, total rank leaks
+    edges = [("a", "sink", 1.0), ("b", "sink", 1.0), ("a", "b", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    ranks = pagerank(df, weight="w", iterations=5).collect()
+    total = sum(r["rank"] for r in ranks)
+    assert abs(total - 1.0) < 1e-9
+    want = _pagerank_reference(edges, iterations=5)
+    for r in ranks:
+        assert abs(r["rank"] - want[r["node"]]) < 1e-9
+
+
+def test_pagerank_unweighted_default_and_parallel_edges(spark):
+    from mqtt_streamr_spark.operators.graph import pagerank
+
+    # duplicate rows act as weight-2 parallel edges under the default
+    edges = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
+    want = _pagerank_reference([(s, t, 1.0) for s, t in edges], iterations=3)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
