@@ -573,6 +573,59 @@ def jsonata_descendants_events(spark, k):
         F.count(F.lit(1)), F.sum("m.k"))
 
 
+def udtf_sentences_docs(spark, k):
+    """Python UDTF lateral expansion (r8): map-side row fan-out through
+    the Arrow-batched table function, then one partial-aggregated
+    per-lang shuffle — time should track input, shuffle should stay
+    language-cardinality-flat."""
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k,
+        id_cols=("doc_id",), tag_text_col="text",
+    )
+    spark.udtf.register("split_sentences_sc", T.sentence_udtf())
+    docs.select("lang", "text").createOrReplaceTempView("docs_udtf_sc")
+    out = spark.sql(
+        "SELECT d.lang, s.n_tokens "
+        "FROM docs_udtf_sc d, LATERAL split_sentences_sc(d.text) s"
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+    )
+
+
+def pagerank_transitions_events(spark, k):
+    """Iterative PageRank (r8): replicas get disjoint node namespaces
+    (event_type tagged with the replica index), so BOTH nodes and edges
+    grow with k — the honest iterative-graph scaling shape, not a
+    fixed-size graph with fatter weights."""
+    from pyspark.sql import Window
+
+    from mqtt_streamr_spark.operators.graph import pagerank
+
+    ev = replicate(
+        load(spark, "events", SF_DIR)
+        .select("user_id", "event_type", "ts", "event_id"),
+        k, id_cols=("user_id", "event_id"),
+    )
+    ev = ev.withColumn(
+        "etype",
+        F.concat(
+            "event_type", F.lit("_"),
+            (F.col("user_id") / F.lit(1_000_000_000)).cast("long")
+            .cast("string"),
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.withColumn("next", F.lead("etype").over(w))
+        .filter(F.col("next").isNotNull())
+    )
+    edges = seq.groupBy(
+        F.col("etype").alias("src"), F.col("next").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("double").alias("w"))
+    return pagerank(edges, weight="w", iterations=3)
+
+
 OPS = {
     "scan_agg_lineitem": scan_agg,
     "minhash_lsh_buckets": minhash_buckets,
@@ -606,6 +659,8 @@ OPS = {
     "variant_pruned_scan_events": variant_pruned_scan_events,
     "jsonata_descendants_events": jsonata_descendants_events,
     "streaming_dedup_watermark_events": streaming_dedup_watermark_events,
+    "udtf_sentences_docs": udtf_sentences_docs,
+    "pagerank_transitions_events": pagerank_transitions_events,
 }
 
 

@@ -756,6 +756,13 @@ NOT_COMPILABLE = [
     "$spread(nested)",
     "$formatNumber(value, kind)",    # run-time picture -> interpreter
     '$formatNumber(value, "000,000.0")',  # grouped zero-pad: interpreter
+    # r8 surface: function-value / runtime-validation constructs are
+    # interpreter-only by design — the compiler must REFUSE so
+    # transform_to_json(mode=auto) falls back, never miscompiles
+    "$ ~> |$|{'x': 1}|",                       # transform operator
+    "($t := |a|{'x': 1}|; $t(nested))",        # transform as a value
+    "$map(items, $substring(?, 0, 2))",        # partial application
+    "$map(items, function($v)<n:n>{ $v })",    # signature-checked lambda
 ]
 
 

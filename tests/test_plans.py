@@ -641,3 +641,50 @@ def test_registry_wide_no_cartesian_no_rowwise_python(spark):
         if "BroadcastNestedLoopJoin" in p and name not in SCALAR_CROSS_OK:
             bad.append((name, "unaudited BroadcastNestedLoopJoin"))
     assert not bad, bad
+
+
+def test_runtime_bloom_filter_prunes_smj_probe_side(spark):
+    """100 TB shape: when a selective filter sits on one side of a
+    shuffle (sort-merge) fact-fact join, Catalyst injects a runtime
+    BLOOM FILTER built from the filtered side and applies it on the
+    probe side's scan — rows that cannot join are dropped BEFORE the
+    shuffle. The session leaves the feature at its default (enabled);
+    this test lowers the size thresholds (sf0.001 parquet is below the
+    production 10 MB creation threshold) only to make the injection
+    observable, then asserts the semanticized plan contains the
+    bloom_filter_agg build and the might_contain probe."""
+    from mqtt_streamr_spark.tables import load
+
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime."
+            "bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10GB")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime."
+            "bloomFilter.applicationSideScanSizeThreshold", "0")
+        # disable broadcast so the join is the SMJ shape the filter serves
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load(spark, "lineitem", SF)
+        orders = load(spark, "orders", SF).filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority").count()
+        )
+        p = plan_str(j, "extended")
+        assert "bloom_filter_agg" in p, p[:4000]
+        assert "might_contain" in p, p[:4000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
