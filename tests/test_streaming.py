@@ -786,3 +786,31 @@ def test_metrics_listener_state_store_block(spark, tmpdirs):
         assert ss["n_partitions_max"] == default_state_partitions(spark)
     finally:
         lst.detach()
+
+
+def test_transform_operator_through_bridge(spark, tmpdirs):
+    """The reference's --transform path accepts ANY jsonata 1.6.4
+    expression (bin/mqtt-streamr.js:48-51,108) — including the transform
+    operator, partial application, and signature-checked lambdas (r8).
+    All three must flow through the bridge's auto backend (interpreter
+    fallback) and produce the documented shapes end-to-end."""
+    expr = ("($mag := $abs(?);"
+            " $tag := function($s)<s:s>{ $lowercase($s) };"
+            " $ ~> |$|{'kind': $tag(event_type),"
+            "          'dist': $mag(value - 10)},"
+            "      ['props', 'ts', 'user_id', 'event_id']|)")
+    spec = PipelineSpec(
+        transform=expr, sink_dir=tmpdirs["sink"], log_interval=3600,
+    )
+    bridge = StreamingBridge(spec)
+    bridge.run_batch(replay_source(spark, EVENTS, streaming=False))
+    assert bridge.transform_backend == "interpreted"
+    out = spark.read.parquet(tmpdirs["sink"])
+    msg = json.loads(out.limit(1).collect()[0]["message"])
+    # merged keys present, deleted keys gone, untouched keys survive
+    assert {"kind", "dist", "event_type", "value"} <= set(msg)
+    assert not ({"props", "ts", "user_id", "event_id"} & set(msg))
+    assert msg["kind"] == msg["event_type"].lower()
+    assert msg["dist"] == abs(msg["value"] - 10)
+    success, errors = bridge.logger.report()
+    assert errors == 0 and success == out.count()
