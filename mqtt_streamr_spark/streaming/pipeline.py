@@ -83,6 +83,14 @@ class PipelineSpec:
     # directories on demand), removing the round-trip entirely (r7,
     # SURVEY hard-part 6 follow-up).
     autocreate_streams: bool = True
+    # strict JSON completeness (r8, reference parity): JSON.parse
+    # (bin:149-155) rejects payloads with content after the first JSON
+    # value; Spark's try_parse_json silently truncates them instead.
+    # True (default) adds the JVM-side completeness scan
+    # (operators.parsing.strict_json_complete) so such payloads are
+    # invalid-dropped like the reference does; False keeps the raw
+    # Spark leniency (first value wins, tail ignored).
+    strict_parse: bool = True
 
     def validate(self) -> None:
         if not self.dry_run and self.sink_dir is None \
@@ -193,9 +201,19 @@ class StreamingBridge:
                 match = match | topic_matches(F.col("topic"), pat)
             df = df.filter(match)
 
-        # parse + invalid-drop (bin:149-155): record both streams
+        # parse + invalid-drop (bin:149-155): record both streams.
+        # try_parse_json validates the leading value's structure; the
+        # strict completeness scan rejects trailing content, which
+        # try_parse_json silently truncates (JSON.parse parity, r8)
         df = df.withColumn("parsed", F.try_parse_json("payload"))
-        df = df.withColumn("is_valid", F.col("parsed").isNotNull())
+        valid = F.col("parsed").isNotNull()
+        if self.spec.strict_parse:
+            from mqtt_streamr_spark.operators.parsing import (
+                strict_json_complete,
+            )
+
+            valid = valid & strict_json_complete(F.col("payload"))
+        df = df.withColumn("is_valid", valid)
 
         # transform (bin:157-159)
         if self.spec.transform:

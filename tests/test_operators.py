@@ -493,3 +493,53 @@ def test_pagerank_unweighted_default_and_parallel_edges(spark):
     want = _pagerank_reference([(s, t, 1.0) for s, t in edges], iterations=3)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-9
+
+
+# --- strict JSON completeness (operators/parsing.py) ---
+
+def test_strict_json_complete_matches_js_json_parse(spark):
+    """Exact parity with JS JSON.parse (the reference's validity oracle,
+    bin:149-155) over the divergence-hunting corpus: trailing content,
+    braces/escapes inside strings, bracket garbage tails, scalars,
+    whitespace padding, NaN (JS-invalid, Python-json-valid)."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from mqtt_streamr_spark.operators.parsing import strict_json_complete
+
+    cases = [
+        "0\n0", "1 2", "{}extra", "[1,2] x", "0", '{"a":1} {"b":2}',
+        " 1 ", "1\t", '{ "a" : [1, 2] }', "1.50", '"s" "t"', '[1,\n2]',
+        "", "  ", "true", "false ", "null", '"with \\"quote{ inside"',
+        '{"s":"}{"}', '[[1],[2]]', '[ ]', '{ }', '{"a":1}}', '[1]]',
+        '"unterminated', '{"a":1} "x', "NaN", "Infinity", "01",
+        '[{"a":"b}"}]', '\t[1,2]\n', '{"a":1} x ]', '{"a":1} x {}',
+        '{} "]"', '{"a":1}[', '{"a":1}]', '{} extra', "[1][2]",
+        '{"a":1} }', "[]", "{}", '{"a":"x"}', '{"a":1} "x"}',
+    ]
+
+    def js_ok(p):
+        def rej(tok):
+            raise ValueError(tok)
+
+        try:
+            json.loads(p, parse_constant=rej)
+            return True
+        except (ValueError, TypeError):
+            return False
+
+    df = spark.createDataFrame([(c,) for c in cases], "payload string")
+    out = df.select(
+        "payload",
+        (F.try_parse_json("payload").isNotNull()
+         & strict_json_complete(F.col("payload"))).alias("ok"),
+    ).collect()
+    bad = [
+        (r["payload"], bool(r["ok"]) if r["ok"] is not None else False,
+         js_ok(r["payload"]))
+        for r in out
+        if (bool(r["ok"]) if r["ok"] is not None else False)
+        != js_ok(r["payload"])
+    ]
+    assert not bad, bad

@@ -577,6 +577,9 @@ SCALAR_CROSS_OK = {
     "sim_ann_ivf_kmeans", "sim_quantized_topk", "sim_ivf_recall",
     "sim_random_projection_topk",
     "sim_centroid_drift",
+    # pagerank: N and dangling-mass scalars ride as 1-row broadcast
+    # cross joins inside each iteration (operators/graph.py docstring)
+    "graph_pagerank_event_types",
 }
 
 

@@ -69,13 +69,22 @@ def test_parse_route_totality(spark, rows):
     planned = StreamingBridge(spec).plan(df)
     out = planned.select("is_valid", "stream_id").collect()
     assert len(out) == len(rows)
-    n_valid_expected = 0
-    for _, payload in rows:
+    def _js_parse_ok(payload):
+        # the reference's validity oracle is JS JSON.parse (bin:149-155):
+        # strict on trailing content AND on NaN/Infinity, which Python's
+        # json.loads would accept (parse_constant pins the JS behavior;
+        # the strict_parse completeness scan pins the trailing case —
+        # hypothesis found '0\n0' marked valid-but-truncated before r8)
+        def _reject(tok):
+            raise ValueError(tok)
+
         try:
-            json.loads(payload)
-            n_valid_expected += 1
+            json.loads(payload, parse_constant=_reject)
+            return True
         except (ValueError, TypeError):
-            pass
+            return False
+
+    n_valid_expected = sum(1 for _, p in rows if _js_parse_ok(p))
     assert sum(1 for r in out if r["is_valid"]) == n_valid_expected
     assert all(r["stream_id"] is not None for r in out)
 

@@ -814,3 +814,34 @@ def test_transform_operator_through_bridge(spark, tmpdirs):
     assert msg["dist"] == abs(msg["value"] - 10)
     success, errors = bridge.logger.report()
     assert errors == 0 and success == out.count()
+
+
+def test_strict_parse_rejects_trailing_content(spark, tmpdirs):
+    """JSON.parse parity (bin:149-155): a payload with content after the
+    first JSON value is INVALID in the reference; Spark's try_parse_json
+    alone would silently truncate it to the first value. strict_parse
+    (default on) must dead-letter it; strict_parse=False keeps the raw
+    Spark leniency."""
+    rows = [
+        ("t", '{"a":1}'),          # valid
+        ("t", '{"a":1} {"b":2}'),  # trailing second value -> invalid
+        ("t", "0\n0"),             # trailing scalar -> invalid
+        ("t", "not json"),         # structurally invalid
+        ("t", " [1, 2] \n"),       # whitespace-padded valid
+    ]
+    df = spark.createDataFrame(rows, "topic string, payload string")
+
+    spec = PipelineSpec(stream_id_template="/s/$topic", dry_run=True)
+    out = StreamingBridge(spec).plan(df).select("payload", "is_valid")
+    got = {r["payload"]: r["is_valid"] for r in out.collect()}
+    assert got == {
+        '{"a":1}': True, '{"a":1} {"b":2}': False, "0\n0": False,
+        "not json": False, " [1, 2] \n": True,
+    }
+
+    lenient = PipelineSpec(stream_id_template="/s/$topic", dry_run=True,
+                           strict_parse=False)
+    out2 = StreamingBridge(lenient).plan(df).select("payload", "is_valid")
+    got2 = {r["payload"]: r["is_valid"] for r in out2.collect()}
+    # the raw Spark behavior: first-value-wins leniency
+    assert got2['{"a":1} {"b":2}'] is True and got2["0\n0"] is True
