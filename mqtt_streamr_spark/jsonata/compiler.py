@@ -1731,7 +1731,103 @@ def _c_apply(node, ctx):
     if rhs["type"] == "variable":
         call = {"type": "call", "proc": rhs, "args": [node["lhs"]]}
         return _c_call(call, ctx)
+    if rhs["type"] == "transform":
+        return _c_transform_apply(node["lhs"], rhs, ctx)
     raise NotCompilable("~> rhs must be a function")
+
+
+def _c_transform_apply(lhs_node, tnode, ctx):
+    """``obj ~> |$|{...}, [...]|`` on the TYPED path: a root-location
+    transform over a schema-known struct compiles to a struct rebuild —
+    JS merge semantics map exactly onto it (existing keys keep their
+    position and take the new value, new keys append in update order,
+    deletes drop fields), so the whole transform stays inside the
+    Column plan with no interpreter fallback.
+
+    Compiled subset (everything else -> NotCompilable -> interpreter,
+    full semantics): location must be the bare root ``$``; the applied
+    value must be a schema-known object (the typed path's message
+    root); the update must be a literal object constructor with
+    literal string keys; deletes must be a literal string or an array
+    of literal strings. Update values are arbitrary compilable
+    expressions evaluated with the match (= the root) as context —
+    mirroring the interpreter, which builds the whole update object
+    against the pre-merge match before mutating.
+
+    Typed-path divergence (the documented null==absent convention): an
+    update value that evaluates NULL keeps the original field value
+    (the interpreter's object constructor drops undefined keys, so
+    this matches for undefined; an explicit JSON ``null`` update value
+    diverges, like every other null on the typed path).
+    """
+    import pyspark.sql.types as T
+
+    pat = tnode["pattern"]
+    if not (pat["type"] == "variable" and pat["value"] == ""):
+        raise NotCompilable("only root-location ($) transforms compile")
+    upd_node = tnode["update"]
+    if upd_node["type"] != "object":
+        raise NotCompilable(
+            "transform update must be a literal object constructor")
+
+    base = _seq_boundary(_compile(lhs_node, ctx))
+    if base.kind != "object" or not isinstance(base.dtype, T.StructType):
+        raise NotCompilable(
+            "transform compiles only over a schema-known typed object")
+
+    deletes: list[str] = []
+    dnode = tnode["delete"]
+    if dnode is not None:
+        items = dnode["items"] if dnode["type"] == "array" else [dnode]
+        for it in items:
+            if it["type"] != "string":
+                raise NotCompilable(
+                    "transform delete must be literal strings")
+            deletes.append(it["value"])
+
+    inner = Ctx(root=base.col, bindings=dict(ctx.bindings),
+                root_kind="object", root_schema=base.dtype)
+    updates: dict[str, TypedCol] = {}
+    upd_order: list[str] = []
+    for key_node, val_node in upd_node["pairs"]:
+        if key_node["type"] != "string":
+            raise NotCompilable("transform update keys must be literal")
+        key = key_node["value"]
+        updates[key] = _seq_boundary(_compile(val_node, inner))
+        if key not in upd_order:
+            upd_order.append(key)
+
+    orig_fields = base.dtype.fieldNames()
+    out_cols, out_names = [], []
+    for f in base.dtype.fields:
+        if f.name in deletes:
+            continue
+        orig = base.col[f.name]
+        if f.name in updates:
+            val = updates[f.name]
+            orig_kind = _typed_from(orig, f.dataType).kind
+            if val.kind not in (orig_kind, "null"):
+                # a when() needs one result type; cross-kind in-place
+                # updates fall back rather than miscast
+                raise NotCompilable(
+                    f"update changes field {f.name!r} kind "
+                    f"{orig_kind} -> {val.kind}")
+            merged = F.when(val.col.isNotNull(), val.col).otherwise(orig)
+            out_cols.append(merged.alias(f.name))
+        else:
+            out_cols.append(orig.alias(f.name))
+        out_names.append(f.name)
+    for key in upd_order:
+        if key in orig_fields or key in deletes:
+            continue
+        out_cols.append(updates[key].col.alias(key))
+        out_names.append(key)
+
+    struct = F.struct(*out_cols)
+    # transform(undefined) -> undefined: a NULL input stays NULL instead
+    # of becoming a struct of NULLs
+    col = F.when(base.col.isNotNull(), struct)
+    return TypedCol(col, "object", fields=out_names)
 
 
 def _c_call(node, ctx):

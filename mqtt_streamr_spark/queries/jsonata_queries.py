@@ -816,3 +816,58 @@ def jsonata_transform_operator(spark: SparkSession, sf_dir: str
             .cast("long").alias("n_props"),
         )
     )
+
+
+@query(
+    "jsonata_transform_operator_typed",
+    oracle="""
+    SELECT upper(event_type) AS kind,
+           value > 100 AS high,
+           count(*) AS n,
+           round(sum(abs(value - 100)), 2) AS total_dist,
+           0::BIGINT AS n_props
+    FROM events
+    GROUP BY upper(event_type), value > 100
+    """,
+)
+def jsonata_transform_operator_typed(spark: SparkSession, sf_dir: str
+                                     ) -> DataFrame:
+    """The transform operator COMPILED (r8): with a declared message
+    schema, a root-location ``$ ~> |$|update, deletes|`` compiles to a
+    struct rebuild on the typed path — merge-in-place, append, drop —
+    entirely inside whole-stage codegen (backend-asserted "typed"; the
+    schemaless sibling ``jsonata_transform_operator`` runs the same
+    construct through the interpreter with full semantics). Runs
+    UNSAMPLED over the corpus: the compiled path has no
+    Python-evaluation cost to amortize."""
+    from mqtt_streamr_spark.streaming.transform import transform_to_json
+
+    ev = load(spark, "events", sf_dir)
+    df = ev.withColumn(
+        "payload",
+        F.to_json(F.struct("event_id", "event_type", "value", "props")),
+    )
+    out_col, backend = transform_to_json(
+        "$ ~> |$|{'kind': $uppercase(event_type),"
+        "         'dist': $abs(value - 100),"
+        "         'high': value > 100}, 'props'|",
+        F.col("payload"),
+        schema="event_id bigint, event_type string, value double, "
+               "props string",
+    )
+    assert backend == "typed", backend
+    m = df.withColumn(
+        "m",
+        F.from_json(out_col,
+                    "kind string, dist double, high boolean, props string"),
+    )
+    return (
+        m.select("m.kind", "m.dist", "m.high", "m.props")
+        .groupBy("kind", "high")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("dist"), 2).alias("total_dist"),
+            F.sum(F.when(col("props").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_props"),
+        )
+    )

@@ -1025,3 +1025,31 @@ def test_explicit_null_field_truthiness(spark):
         )
         df2 = spark.createDataFrame([(json.dumps(empty),)], "payload string")
         assert df2.select(tc.col.alias("r")).collect()[0]["r"] is False
+
+
+TRANSFORM_TYPED = [
+    # root-location transform operator: typed path compiles to a struct
+    # rebuild (r8); variant path must refuse (function-value construct)
+    "$ ~> |$|{'flag': value > 21}|",
+    "$ ~> |$|{'value': value + 0.5, 'label': $uppercase(user)}, 'empty'|",
+    "$ ~> |$|{'count': count * 2}, 'kind'|",
+    "$ ~> |$|{}, ['tags','nums','items','zeros','blanks','flags',"
+    "'mixed','nested01','nested00','lone']|",
+    # update + delete of the SAME key: merge first, then delete wins
+    "$ ~> |$|{'count': count + 1}, 'count'|",
+]
+
+
+@pytest.mark.parametrize("expr", TRANSFORM_TYPED)
+def test_typed_transform_operator(spark, expr):
+    from mqtt_streamr_spark.jsonata.compiler import compile_typed
+
+    tc = compile_typed(
+        expr, F.from_json(F.col("payload"), DOC_SCHEMA), DOC_SCHEMA
+    )
+    df = spark.createDataFrame([(json.dumps(DOC),)], "payload string")
+    actual = _to_python(df.select(tc.col.alias("r")).collect()[0]["r"])
+    expected = jsonata(expr).evaluate(DOC)
+    assert_same(expected, actual, expr)
+    with pytest.raises(NotCompilable):
+        compile_column(expr, F.lit(None))
