@@ -275,7 +275,34 @@ def _obj(rng: random.Random, d: int) -> str:
                        "items{'n': $count($)}"])
 
 
-_KINDS = ("num", "str", "bool", "arrnum", "arrstr", "arr", "obj", "chain")
+def _transform(rng: random.Random, d: int) -> str:
+    """Root-location transform operator (r8): random literal updates +
+    deletes over the doc. On the TYPED backend these compile to struct
+    rebuilds (_c_transform_apply); kind-changing updates of existing
+    fields are NotCompilable-skipped by design, and the variant backend
+    skips all of them (function-value construct)."""
+    pairs = []
+    for _ in range(rng.randrange(1, 3)):
+        key = rng.choice(["'t1'", "'t2'", "'user'", "'count'",
+                          "'value'", "'ok'"])
+        pick = rng.randrange(3)
+        val = (_n(rng, d - 1) if pick == 0
+               else _s(rng, d - 1) if pick == 1
+               else _b(rng, d - 1))
+        pairs.append(f"{key}: {val}")
+    upd = "{" + ", ".join(pairs) + "}"
+    dels = rng.randrange(3)
+    if dels == 0:
+        return f"$ ~> |$|{upd}|"
+    if dels == 1:
+        victim = rng.choice(["kind", "zeros", "mixed", "lone", "t9"])
+        return f"$ ~> |$|{upd}, '{victim}'|"
+    second = rng.choice(["nums", "items", "nested"])
+    return f"$ ~> |$|{upd}, ['tags', '{second}']|"
+
+
+_KINDS = ("num", "str", "bool", "arrnum", "arrstr", "arr", "obj", "chain",
+          "transform")
 
 
 def gen_expr(seed: int, depth: int = 3, kind: str | None = None) -> str:
@@ -296,6 +323,8 @@ def gen_expr(seed: int, depth: int = 3, kind: str | None = None) -> str:
         return _arr(rng, depth)
     if k == "obj":
         return _obj(rng, depth)
+    if k == "transform":
+        return _transform(rng, depth)
     # ~> chaining compositions
     return rng.choice([
         f"{_n(rng, depth - 1)} ~> $string ~> $length",
