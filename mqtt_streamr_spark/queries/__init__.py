@@ -107,6 +107,10 @@ MUST_VERIFY: list[str] = [
     # jsonata_descendants_variant / jsonata_hof_compiled (driver-green
     # r7; their only r8 change is pinning mode="compiled", and both
     # stay hash-checked by the pytest oracle gate).
+    #
+    # r9 window candidate (shipped after this round's rotation closed;
+    # gate-checked meanwhile): jsonata_transform_operator_typed — the
+    # transform operator compiled on the typed path.
 ]
 
 DRIVER_WINDOW = 50
