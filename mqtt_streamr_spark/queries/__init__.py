@@ -29,88 +29,79 @@ from mqtt_streamr_spark.queries.registry import ORACLES, QUERIES
 # completes the provenance sweep: after r8, every registry query will
 # have at least one driver-green CORRECTNESS row.
 MUST_VERIFY: list[str] = [
-    # ROUND-8 ROTATION, three groups:
-    #  (a) the final 36 never-driver-checked queries (closes verdict-r7
-    #      Next-round #1 — union of r1-r8 green rows = all 193);
-    #  (b) r8-NEW queries (driven the round they ship);
-    #  (c) re-verification of the streaming family under the r8
-    #      state-partition tuning and of the jsonata transform demos
-    #      under the r8 auto-backend cost model — their plans changed
-    #      this round, so their green rows must be re-earned.
-    # Every query rotated OUT was driver-green in r1-r7 and stays
+    # ROUND-9 ROTATION — freshness policy (verdict r8, Next-round #4):
+    # with the provenance sweep closed (union of r1-r8 green rows =
+    # 199/200), the window now rotates by LAST-GREEN AGE. This round:
+    #  (a) the single never-driver-checked query (shipped post-rotation
+    #      in r8) — closes provenance to 200/200;
+    #  (b) r9-NEW queries (driven the round they ship);
+    #  (c) queries whose plans changed this round (strict-parse
+    #      pre-filter → the replay pipeline re-earns its row; typed
+    #      nested-path transforms → the transform demos re-earn theirs);
+    #  (d) the stalest greens: every r1/r3/r4 row, then the oldest r5
+    #      rows, so no query's last driver-green round is >4 behind.
+    # Every query rotated OUT was driver-green in r6-r8 and stays
     # hash-checked by tests/test_correctness.py.
     #
-    # (a) events analytics family:
-    "events_funnel_conversion",
-    "events_gapfill_islands",
-    "events_rolling_7d_active_users",
-    "events_cohort_retention",
-    "events_mad_outliers",
-    "events_value_histogram",
-    "events_transition_matrix",
-    "events_equidepth_buckets",
-    "events_rfm_scores",
-    "events_decayed_user_value",
-    "events_value_trend",
-    "events_interevent_gaps",
-    "events_top_session_paths",
-    "events_incremental_rollup",
-    "events_type_cooccurrence_lift",
-    "events_burstiness",
-    "events_weekly_growth",
-    "events_session_concurrency",
-    "events_forward_fill_daily",
-    "events_cusum_changepoint",
-    "events_seasonal_anomaly",
-    "events_benford_first_digit",
-    "events_freshness_panel",
-    # (a) reshaping + storage-layout:
-    "pivot_daily_event_counts",
-    "unpivot_event_type_counts",
-    "events_orc_roundtrip",
-    "events_partition_pruned_scan",
-    "events_schema_evolution_read",
-    # (a) sketch rollups, asof tolerance, sampling/text tail:
-    "agg_sketch_rollup_weekly",
-    "agg_quantile_sketch_weekly",
-    "join_asof_nearest_tolerance",
-    "sample_weighted_lengths",
-    "text_vocab_encode",
-    "web_domain_stats",
-    "text_top_terms_per_lang",
-    "text_rank_normalized_lengths",
-    # (b) r8-NEW:
-    "streaming_evicting_bridge",   # TTL/LRU registry + publish-back counters
-    "jsonata_random_seeded",       # seeded $random/$shuffle, oracle-checkable
-    "jsonata_transform_operator",  # |...|...| + partial application + sigs
-    "text_udtf_sentences",         # Python UDTF lateral join (§2.8)
-    "graph_pagerank_event_types",  # iterative PageRank, SQL-unrolled oracle
-    # (c) streaming family re-verified under r8 state-partition tuning
-    # (stream_state_partitions — fewer RocksDB instances for tiny state):
-    "streaming_stream_stream_join",
-    "streaming_dedup_within_watermark",
-    "streaming_running_stats",
-    "streaming_stateful_dedup",
-    "streaming_cdc_apply",
-    "streaming_session_windows_append",
-    "streaming_windowed_topk",
-    # (c) jsonata transform demos re-verified under the r8 auto-backend
-    # cost model (jsonata_descendants_auto is r8-NEW: the cost model's
-    # own choice, unsampled; descendants_bare re-earns its row because
-    # its code changed to pin mode="compiled"):
-    "jsonata_descendants_auto",
-    "jsonata_descendants_bare",
-    # Rotated OUT to make room for the three late-r8 queries in (b):
-    # streaming_replay_pipeline (driver-green r7; its full-bridge
-    # contract is superseded in-window by streaming_evicting_bridge,
-    # which runs replay + publish-back + eviction), and
-    # jsonata_descendants_variant / jsonata_hof_compiled (driver-green
-    # r7; their only r8 change is pinning mode="compiled", and both
-    # stay hash-checked by the pytest oracle gate).
-    #
-    # r9 window candidate (shipped after this round's rotation closed;
-    # gate-checked meanwhile): jsonata_transform_operator_typed — the
-    # transform operator compiled on the typed path.
+    # (a) last provenance gap:
+    "jsonata_transform_operator_typed",
+    # (b) r9-NEW:
+    "jsonata_transform_nested_typed",   # |a.b|…| compiled struct rebuild
+    "streaming_replay_strict_audit",    # strict-parse pre-filter A/B row
+    "text_minhash_content_defined",     # content-defined chunk fingerprints
+    "events_watermark_lateness_audit",  # per-window lateness accounting
+    # (c) plans changed this round:
+    "streaming_replay_pipeline",        # strict-parse pre-filter (perf fix)
+    "jsonata_transform_operator",       # transform-apply TypedCol now carries
+    "jsonata_transform_compiled",       #   its StructType (ADVICE r8)
+    # (d) stalest greens — all eleven r1 rows:
+    "events_json_extract_stats",
+    "events_template_first_occurrence",
+    "events_hierarchical_rollup",
+    "window_lag_lead_events",
+    "sim_near_dups_lsh_blocked",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q4_late_orders_priority",
+    # (d) both r3 rows:
+    "agg_distinct_counts",
+    "agg_grouping_sets",
+    # (d) all twenty r4 rows:
+    "events_daily_windows",
+    "events_topic_routing",
+    "events_session_windows",
+    "jsonata_filter_compiled",
+    "jsonata_transform_typed",
+    "jsonata_string_functions",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_fingerprints",
+    "dedup_lsh_bucket_stats",
+    "sim_embedding_near_dups",
+    "sim_ann_ivf",
+    "dedup_pipeline_survivors",
+    "q3_shipping_priority",
+    "join_anti_customers_without_orders",
+    "join_left_outer_order_counts",
+    "window_running_customer_spend",
+    "topk_expensive_parts",
+    "agg_rollup_region_nation",
+    "agg_value_percentiles_approx",
+    # (d) oldest r5 rows, filling the remaining slots:
+    "events_wildcard_filter",
+    "agg_value_percentiles",
+    "jsonata_hof_compiled",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_groups",
+    "grouped_geomean_values",
+    "join_semi_customers_with_big_orders",
+    "jsonata_descendants_typed",
+    "jsonata_groupby_typed",
+    # (events_sessionized_stats / events_jsonl_roundtrip are the next
+    # stalest r5 rows; they head the r10 freshness queue.)
 ]
 
 DRIVER_WINDOW = 50
