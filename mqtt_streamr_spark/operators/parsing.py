@@ -16,27 +16,39 @@ matching JS ``JSON.parse``.
 
 - scalar roots: one anchored regex over the whitespace-trimmed payload
   (the full JSON scalar grammar is regular);
-- container roots: string literals are collapsed with one
-  ``regexp_replace`` (their contents are the only place brackets are
-  not structural), every non-bracket character is dropped with a
-  second, and a single-pass ``aggregate`` over the REMAINING brackets
-  (typically ~6 characters for a ~100-char message, vs a naive
-  per-character scan) checks three facts that, given ``try_parse_json``
-  already certified the leading value, hold exactly when nothing
-  follows it: the stripped text ends with a closer, the bracket depth
-  returns to zero exactly once, and the final depth is zero. No UDF,
-  no Python — everything stays in the codegen'd plan.
+- container roots: three facts that, given ``try_parse_json`` already
+  certified the leading value, hold exactly when nothing follows it —
+  the trimmed payload ends with a closer, the bracket depth over the
+  structural brackets returns to zero exactly once, and the final
+  depth is zero. Structural brackets are extracted in ONE
+  ``regexp_replace`` pass (string literals and non-bracket characters
+  are both dropped by a single alternation — string contents are the
+  only place brackets are not structural). The depth facts are then
+  certified by a bounded-depth balanced-bracket regex (``rlike``,
+  codegen'd): the bracket language is only non-regular for UNBOUNDED
+  nesting, so a machine-generated depth-<=8 matcher covers essentially
+  every real payload. Only payloads the certificate can't clear
+  (nesting deeper than 8, or genuine trailing junk) fall to the exact
+  single-pass ``aggregate`` scan. No UDF, no Python.
 
-Cost (bench's ~100-char event payloads, single-threaded): the naive
-per-character state machine measured ~43 us/row (13x the parse
-itself); the bracket-only formulation with let-bound intermediates
-measures ~16 us/row of overhead on top of the ~4 us/row
-parse+payload-build floor. The residual cost is the two regex passes
-plus higher-order ``aggregate``/``transform`` sitting outside
-whole-stage codegen. The streaming pipeline applies it by default
+Cost (bench's ~100-char event payloads, 2M rows, 8 local threads,
+wall-clock per row): parse-only floor 0.74 us; r8's always-aggregate
+let-bound formulation +3.9 us; this r9 regex-certificate fast path
++1.4 us on clean payloads (2.8x less) and +4.0 us on a 50%-adversarial
+corpus (was +27) — the HOF ``aggregate`` (the only non-codegen piece)
+now runs only on rows the certificate can't clear. The streaming pipeline applies the check by default
 (``PipelineSpec.strict_parse``) because the reference contract is
 strict, with the flag as the opt-out for callers who prefer the raw
 ``try_parse_json`` leniency.
+
+Soundness of the raw-text ends-with-closer check (moved off the
+string-collapsed text in r9): a complete container payload's last
+trimmed character is always its root closer; conversely if trailing
+content exists, either its collapsed form contributes a structural
+bracket (caught by the depth facts — brackets inside UNTERMINATED
+trailing strings are deliberately kept by the single-pass collapse and
+can only add crossings/depth) or it ends in a non-bracket character
+(caught by the ends-with test on the raw trimmed text).
 """
 
 from __future__ import annotations
@@ -46,7 +58,8 @@ from pyspark.sql import Column
 
 # JSON whitespace is exactly space/tab/newline/carriage-return (RFC 8259;
 # JS JSON.parse matches) — NOT \f or unicode spaces
-_WS_TRIM = "^[ \t\n\r]+|[ \t\n\r]+$"
+# (trim itself is done with btrim over this exact char set)
+_JSON_WS = " \t\n\r"
 
 # one complete JSON scalar, anchored (Java regex)
 _SCALAR = (
@@ -60,6 +73,32 @@ _SCALAR = (
 # disjoint, so backtracking is pure cost
 _STRING_LIT = r'"(\\.|[^"\\])*+"'
 
+# single collapse pass: drop complete string literals (the only place
+# brackets are not structural) AND every non-bracket character, leaving
+# only the structural brackets. An UNTERMINATED trailing string fails the
+# first alternative, so its quote/content fall to the char class and any
+# bracket inside it is kept — sound, because an unterminated string can
+# only occur in trailing junk, where a spurious bracket only pushes the
+# depth facts further from "complete".
+_STRING_OR_FILLER = _STRING_LIT + r"|[^\[\]{}]"
+
+
+def _balanced_regex(max_depth: int) -> str:
+    """Machine-generate the depth-bounded single-root balanced-bracket
+    matcher: D1 = ({}|[]), Dk = ({Dk-1*}|[Dk-1*]). Non-capturing +
+    possessive — the language is prefix-deterministic (every group starts
+    at its opener and ends at its matched closer), so backtracking could
+    never change the outcome, only cost."""
+    d = r"(?:\{\}|\[\])"
+    for _ in range(max_depth - 1):
+        d = r"(?:\{(?:%s)*+\}|\[(?:%s)*+\])" % (d, d)
+    return "^" + d + "$"
+
+
+# depth 8 covers essentially all real payloads (bench's events nest <=3);
+# deeper payloads stay CORRECT via the exact aggregate scan, just slower
+_BALANCED_CERT = _balanced_regex(8)
+
 
 def strict_json_complete(payload: Column) -> Column:
     """TRUE iff the payload is exactly one JSON value + whitespace.
@@ -69,22 +108,14 @@ def strict_json_complete(payload: Column) -> Column:
     ``JSON.parse`` parity. On a NULL payload returns NULL, which the
     conjunction with the parse check collapses to false.
     """
-    # bind intermediates ONCE (Catalyst does not CSE across `when`
-    # branches; without the let each regexp_replace re-runs per
-    # reference — measured 31 -> ~13 us/row on the bench payloads)
-    def _let(col, fn):
-        return F.element_at(F.transform(F.array(col), lambda v: fn(v)), 1)
-
-    def _container_ok(stripped):
-        # Soundness (given try_parse_json certified the LEADING value):
-        # the root closes where depth over its STRUCTURAL brackets
-        # first returns to 0. Trailing content either adds brackets (a
-        # second zero-crossing, or non-zero final depth) or leaves the
-        # stripped text ending in something other than the root's
-        # closer. "Closes exactly at the end" == ends-with-closer AND
-        # exactly one zero-crossing AND final depth 0.
-        ends_ok = F.substring(stripped, -1, 1).isin("}", "]")
-        brackets = F.regexp_replace(stripped, r"[^\[\]{}]", "")
+    def _exact_scan(brackets):
+        # Exact depth facts (given try_parse_json certified the LEADING
+        # value, and ends-with-closer already held on the raw text): the
+        # root closes where depth over the structural brackets first
+        # returns to 0, so "closes exactly at the end" == exactly one
+        # zero-crossing AND final depth 0. HOF aggregate — the one
+        # non-codegen expression here — reached only for rows the
+        # bounded-depth certificate can't clear.
         init = F.struct(F.lit(0).alias("depth"), F.lit(0).alias("zeros"))
 
         def step(acc, c):
@@ -96,12 +127,28 @@ def strict_json_complete(payload: Column) -> Column:
         state = F.aggregate(F.split(brackets, ""), init,
                             lambda acc, c: F.when(c == "", acc)
                             .otherwise(step(acc, c)))
-        return ends_ok & (state["zeros"] == 1) & (state["depth"] == 0)
+        return (state["zeros"] == 1) & (state["depth"] == 0)
 
-    return _let(
-        F.regexp_replace(payload, _WS_TRIM, ""),
-        lambda t: F.when(
-            F.substring(t, 1, 1).isin("{", "["),
-            _let(F.regexp_replace(t, _STRING_LIT, '""'), _container_ok),
-        ).otherwise(t.rlike(_SCALAR)),
-    )
+    def _container_ok(t):
+        # `&` short-circuits in codegen, and CaseWhen branches evaluate
+        # lazily — a clean payload pays: ends-with substring + ONE
+        # collapse regexp_replace + ONE rlike, all codegen'd. The
+        # collapse is deliberately NOT let-bound: r8's let trick
+        # (element_at(transform(array(col)))) is itself a higher-order
+        # function, which forced the whole tree out of whole-stage
+        # codegen; re-evaluating the collapse on the RARE exact-scan
+        # branch is far cheaper than paying CodegenFallback on every
+        # row (measured overhead: let-bound 3.9 us/row -> unbound
+        # 1.4 us/row on the bench payload shape at 8 threads).
+        b = F.regexp_replace(t, _STRING_OR_FILLER, "")
+        return F.substring(t, -1, 1).isin("}", "]") & (
+            F.when(b.rlike(_BALANCED_CERT), F.lit(True))
+            .otherwise(_exact_scan(b))
+        )
+
+    # btrim with an explicit char set is a simple scan (the r8 regex trim
+    # + let-binding measured 3x the cost of re-running btrim per use)
+    t = F.btrim(payload, F.lit(_JSON_WS))
+    return F.when(
+        F.substring(t, 1, 1).isin("{", "["), _container_ok(t),
+    ).otherwise(t.rlike(_SCALAR))
