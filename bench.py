@@ -74,7 +74,8 @@ def sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def _run_queries(spark, jvm, timings: dict, errors: dict) -> None:
+def _run_queries(spark, jvm, timings: dict, errors: dict,
+                 marks: list | None = None, listener=None) -> None:
     names = sorted(QUERIES)
     if os.environ.get("SPARK_GRAFT_BENCH_SMOKE"):
         # contract-test mode (tests/test_cli.py): exercise the harness
@@ -89,6 +90,11 @@ def _run_queries(spark, jvm, timings: dict, errors: dict) -> None:
         # query runs late — measured: text_winnowing_fingerprints 21.9 s
         # in-suite vs 2.0 s isolated, and 2.9 s in-suite after a forced GC.
         jvm.System.gc()
+        if marks is not None and listener is not None:
+            # per-query state-store attribution: record the listener
+            # cursor here; windows are summarized after the async bus
+            # drains (stats.MetricsListener.window_summary)
+            marks.append((name, listener.mark()))
         t0 = time.perf_counter()
         try:
             QUERIES[name](spark, SF_DIR).write.format("noop").mode(
@@ -138,15 +144,29 @@ def main() -> None:
     except (ValueError, OSError):  # non-main thread / restricted env
         pass
 
+    marks: list = []
     try:
         with contextlib.redirect_stdout(sys.stderr):
-            _run_queries(spark, jvm, timings, errors)
+            _run_queries(spark, jvm, timings, errors,
+                         marks=marks, listener=listener)
     except KeyboardInterrupt:
         errors["__truncated__"] = (
             f"interrupted after {len(timings)} queries; totals are partial"
         )
     time.sleep(1.0)  # listener bus is async; let progress events drain
     streaming = listener.summary()  # rec/s + p50/p99 batch ms (BASELINE.md)
+    # per-query streaming attribution (r9): each streaming row's share of
+    # batches / state-store commit ms / state memory, so a swing in e.g.
+    # the stream-stream join self-attributes instead of hiding in the
+    # run-level commit_ms_total (VERDICT r8 Missing #3)
+    per_query = {}
+    for i, (name, start) in enumerate(marks):
+        end = marks[i + 1][1] if i + 1 < len(marks) else None
+        ws = listener.window_summary(start, end)
+        if ws:
+            per_query[name] = ws
+    if isinstance(streaming, dict) and per_query:
+        streaming["per_query"] = per_query
     listener.detach()
     # state-store regime stamp (r8): RocksDB-vs-heap and the streaming
     # state-partition pin shift every stateful row's floor (BASELINE.md

@@ -1736,45 +1736,30 @@ def _c_apply(node, ctx):
     raise NotCompilable("~> rhs must be a function")
 
 
-def _c_transform_apply(lhs_node, tnode, ctx):
-    """``obj ~> |$|{...}, [...]|`` on the TYPED path: a root-location
-    transform over a schema-known struct compiles to a struct rebuild —
-    JS merge semantics map exactly onto it (existing keys keep their
-    position and take the new value, new keys append in update order,
-    deletes drop fields), so the whole transform stays inside the
-    Column plan with no interpreter fallback.
+def _transform_location_steps(pat) -> list[str]:
+    """Location patterns that compile: bare root ``$`` (-> []) or a
+    literal name path ``a.b.c`` (-> ['a','b','c']). Computed locations
+    (predicates, wildcards, indexes, expressions) fall back."""
+    if pat["type"] == "variable" and pat["value"] == "":
+        return []
 
-    Compiled subset (everything else -> NotCompilable -> interpreter,
-    full semantics): location must be the bare root ``$``; the applied
-    value must be a schema-known object (the typed path's message
-    root); the update must be a literal object constructor with
-    literal string keys; deletes must be a literal string or an array
-    of literal strings. Update values are arbitrary compilable
-    expressions evaluated with the match (= the root) as context —
-    mirroring the interpreter, which builds the whole update object
-    against the pre-merge match before mutating.
+    def walk(n):
+        if n["type"] == "name":
+            return [n["value"]]
+        if n["type"] == "path":
+            lhs, rhs = walk(n["lhs"]), walk(n["rhs"])
+            if lhs is not None and rhs is not None:
+                return lhs + rhs
+        return None
 
-    Typed-path divergence (the documented null==absent convention): an
-    update value that evaluates NULL keeps the original field value
-    (the interpreter's object constructor drops undefined keys, so
-    this matches for undefined; an explicit JSON ``null`` update value
-    diverges, like every other null on the typed path).
-    """
-    import pyspark.sql.types as T
-
-    pat = tnode["pattern"]
-    if not (pat["type"] == "variable" and pat["value"] == ""):
-        raise NotCompilable("only root-location ($) transforms compile")
-    upd_node = tnode["update"]
-    if upd_node["type"] != "object":
+    steps = walk(pat)
+    if steps is None:
         raise NotCompilable(
-            "transform update must be a literal object constructor")
+            "only $ or literal name-path transform locations compile")
+    return steps
 
-    base = _seq_boundary(_compile(lhs_node, ctx))
-    if base.kind != "object" or not isinstance(base.dtype, T.StructType):
-        raise NotCompilable(
-            "transform compiles only over a schema-known typed object")
 
+def _transform_deletes(tnode) -> list[str]:
     deletes: list[str] = []
     dnode = tnode["delete"]
     if dnode is not None:
@@ -1784,12 +1769,55 @@ def _c_transform_apply(lhs_node, tnode, ctx):
                 raise NotCompilable(
                     "transform delete must be literal strings")
             deletes.append(it["value"])
+    return deletes
 
-    inner = Ctx(root=base.col, bindings=dict(ctx.bindings),
-                root_kind="object", root_schema=base.dtype)
+
+def _dtype_of(tc: TypedCol):
+    """Full Spark DataType of a compiled value when statically known
+    (typed-path invariant: numbers are always double), else None. Note
+    TypedCol.dtype holds the ELEMENT type for arrays."""
+    import pyspark.sql.types as T
+
+    if tc.kind == "number":
+        return T.DoubleType()
+    if tc.kind == "string":
+        return T.StringType()
+    if tc.kind == "boolean":
+        return T.BooleanType()
+    if tc.kind == "object" and isinstance(tc.dtype, T.StructType):
+        return tc.dtype
+    if tc.kind.startswith("array") and tc.dtype is not None:
+        return T.ArrayType(tc.dtype)
+    return None
+
+
+def _apply_update(col, schema, tnode, ctx):
+    """Merge the transform's literal update object into ONE matched
+    struct instance and drop the deletes — JS ``dict.update`` semantics
+    map exactly onto a struct rebuild (existing keys keep their position
+    and take the new value, new keys append in update order, deletes
+    drop fields). Returns (Column, StructType | None): the output type
+    is statically derivable unless an appended value's type is unknown
+    (e.g. a constructed object), in which case the value is still
+    compiled but downstream composition falls back.
+
+    Update values are arbitrary compilable expressions evaluated with
+    the match as context — mirroring the interpreter, which builds the
+    whole update object against the pre-merge match before mutating.
+
+    Typed-path divergence (the documented null==absent convention): an
+    update value that evaluates NULL keeps the original field value
+    (the interpreter's object constructor drops undefined keys, so this
+    matches for undefined; an explicit JSON ``null`` update value
+    diverges, like every other null on the typed path)."""
+    import pyspark.sql.types as T
+
+    deletes = _transform_deletes(tnode)
+    inner = Ctx(root=col, bindings=dict(ctx.bindings),
+                root_kind="object", root_schema=schema)
     updates: dict[str, TypedCol] = {}
     upd_order: list[str] = []
-    for key_node, val_node in upd_node["pairs"]:
+    for key_node, val_node in tnode["update"]["pairs"]:
         if key_node["type"] != "string":
             raise NotCompilable("transform update keys must be literal")
         key = key_node["value"]
@@ -1797,12 +1825,13 @@ def _c_transform_apply(lhs_node, tnode, ctx):
         if key not in upd_order:
             upd_order.append(key)
 
-    orig_fields = base.dtype.fieldNames()
-    out_cols, out_names = [], []
-    for f in base.dtype.fields:
+    orig_fields = schema.fieldNames()
+    out_cols, out_fields = [], []
+    all_known = True
+    for f in schema.fields:
         if f.name in deletes:
             continue
-        orig = base.col[f.name]
+        orig = col[f.name]
         if f.name in updates:
             val = updates[f.name]
             orig_kind = _typed_from(orig, f.dataType).kind
@@ -1812,22 +1841,123 @@ def _c_transform_apply(lhs_node, tnode, ctx):
                 raise NotCompilable(
                     f"update changes field {f.name!r} kind "
                     f"{orig_kind} -> {val.kind}")
+            if val.kind == "null":
+                out_dt = f.dataType  # merged is always the original
+            elif orig_kind == "number":
+                out_dt = T.DoubleType()  # when() unifies long/double
+            elif orig_kind in ("string", "boolean"):
+                out_dt = f.dataType
+            else:
+                # struct/array in-place updates: when() needs EXACTLY
+                # matching branch types; a mismatch would only surface
+                # as an analysis error at runtime, so fall back instead
+                if _dtype_of(val) != f.dataType:
+                    raise NotCompilable(
+                        f"update changes field {f.name!r} Spark type")
+                out_dt = f.dataType
             merged = F.when(val.col.isNotNull(), val.col).otherwise(orig)
             out_cols.append(merged.alias(f.name))
+            out_fields.append(T.StructField(f.name, out_dt, True))
         else:
             out_cols.append(orig.alias(f.name))
-        out_names.append(f.name)
+            out_fields.append(f)
     for key in upd_order:
         if key in orig_fields or key in deletes:
             continue
         out_cols.append(updates[key].col.alias(key))
-        out_names.append(key)
+        dt = _dtype_of(updates[key])
+        if dt is None:
+            all_known = False
+        else:
+            out_fields.append(T.StructField(key, dt, True))
 
-    struct = F.struct(*out_cols)
-    # transform(undefined) -> undefined: a NULL input stays NULL instead
+    # transform(undefined) -> undefined: a NULL match stays NULL instead
     # of becoming a struct of NULLs
-    col = F.when(base.col.isNotNull(), struct)
-    return TypedCol(col, "object", fields=out_names)
+    out = F.when(col.isNotNull(), F.struct(*out_cols))
+    return out, (T.StructType(out_fields) if all_known else None)
+
+
+def _transform_at(col, dt, steps, tnode, ctx):
+    """Apply the transform's update at every match of the literal
+    location path ``steps`` under (col, dt), rebuilding the enclosing
+    structure in place — the Column-plan mirror of the interpreter's
+    clone-navigate-mutate (interpreter.py Transform.__call__): a name
+    step maps over array members, an array-valued FINAL match updates
+    its object elements one level deep (iter_items does not flatten
+    nested arrays at the match position), and non-object matches are
+    left untouched. Returns (Column, DataType | None)."""
+    import pyspark.sql.types as T
+
+    if isinstance(dt, T.ArrayType):
+        et = dt.elementType
+        if not steps and not isinstance(et, T.StructType):
+            return col, dt  # non-object matches untouched
+        # dry run for the element's output type (compile is symbolic —
+        # same trick as _typed_navigate's dry run)
+        new_et = _transform_at(F.lit(None), et, steps, tnode, ctx)[1]
+        mapped = F.transform(
+            col, lambda x: _transform_at(x, et, steps, tnode, ctx)[0])
+        return mapped, (T.ArrayType(new_et) if new_et is not None else None)
+    if isinstance(dt, T.StructType):
+        if not steps:
+            return _apply_update(col, dt, tnode, ctx)
+        head, rest = steps[0], steps[1:]
+        if head not in dt.fieldNames():
+            return col, dt  # no match: the clone is returned unchanged
+        out_cols, out_fields = [], []
+        all_known = True
+        for f in dt.fields:
+            if f.name == head:
+                child, child_dt = _transform_at(
+                    col[f.name], f.dataType, rest, tnode, ctx)
+                out_cols.append(child.alias(f.name))
+                if child_dt is None:
+                    all_known = False
+                else:
+                    out_fields.append(T.StructField(f.name, child_dt, True))
+            else:
+                out_cols.append(col[f.name].alias(f.name))
+                out_fields.append(f)
+        rebuilt = F.when(col.isNotNull(), F.struct(*out_cols))
+        return rebuilt, (T.StructType(out_fields) if all_known else None)
+    # scalar mid-path (no match) or scalar final match (non-object)
+    return col, dt
+
+
+def _c_transform_apply(lhs_node, tnode, ctx):
+    """``obj ~> |location|{...}, [...]|`` on the TYPED path: a transform
+    over a schema-known struct compiles to an in-place struct rebuild at
+    every match of the location, so the whole transform stays inside the
+    Column plan with no interpreter fallback — and the result carries
+    its output StructType, so navigation and chained transforms over the
+    result stay compiled too.
+
+    Compiled subset (everything else -> NotCompilable -> interpreter,
+    full semantics): location must be the bare root ``$`` or a literal
+    name path (``a.b`` — r9; computed locations fall back); the applied
+    value must be a schema-known object (the typed path's message
+    root); the update must be a literal object constructor with literal
+    string keys; deletes must be a literal string or an array of
+    literal strings. See _apply_update / _transform_at for the match
+    semantics and the documented null==absent divergence."""
+    import pyspark.sql.types as T
+
+    steps = _transform_location_steps(tnode["pattern"])
+    if tnode["update"]["type"] != "object":
+        raise NotCompilable(
+            "transform update must be a literal object constructor")
+    _transform_deletes(tnode)  # validate literal-ness before recursing
+
+    base = _seq_boundary(_compile(lhs_node, ctx))
+    if base.kind != "object" or not isinstance(base.dtype, T.StructType):
+        raise NotCompilable(
+            "transform compiles only over a schema-known typed object")
+
+    col, dt = _transform_at(base.col, base.dtype, steps, tnode, ctx)
+    if isinstance(dt, T.StructType):
+        return TypedCol(col, "object", fields=dt.fieldNames(), dtype=dt)
+    return TypedCol(col, "object",
+                    fields=base.dtype.fieldNames() if steps else None)
 
 
 def _c_call(node, ctx):

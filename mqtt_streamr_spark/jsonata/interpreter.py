@@ -151,7 +151,8 @@ class Partial:
         self.interp = interp
         self.name = name
 
-    def __call__(self, *values):
+    def resolve(self, values):
+        """Fill the placeholder holes, in order, with the call's values."""
         args = []
         vi = 0
         for is_hole, val in self.bound:
@@ -160,7 +161,15 @@ class Partial:
                 vi += 1
             else:
                 args.append(val)
-        return self.interp._call(self.proc, args, UNDEFINED, self.name)
+        return args
+
+    def __call__(self, *values):
+        # direct invocation (no interpreter ctx in scope); calls routed
+        # through Interpreter._call instead thread the caller's context
+        # so a '-' context-substitutable param resolves at the CALL site
+        # (ADVICE r8 #2)
+        return self.interp._call(self.proc, self.resolve(values),
+                                 UNDEFINED, self.name)
 
 
 class SeededLCG:
@@ -536,13 +545,16 @@ class Interpreter:
             ):
                 raise JsonataError(
                     f"attempted to partially apply a non-function ${name}")
+            # _eval_apply routes placeholder-bearing rhs calls down the
+            # value path, so extra_first_arg can never combine with
+            # placeholders (and chained-lhs-as-non-hole-first-arg would
+            # not be '~>' semantics anyway — ADVICE r8 #4)
+            assert extra_first_arg is Interpreter._NO_EXTRA
             bound = [
                 (True, None) if a["type"] == "placeholder"
                 else (False, unwrap(self._eval(a, ctx, env)))
                 for a in node["args"]
             ]
-            if extra_first_arg is not Interpreter._NO_EXTRA:
-                bound = [(False, extra_first_arg)] + bound
             return Partial(proc, bound, self, name)
         args = [unwrap(self._eval(a, ctx, env)) for a in node["args"]]
         if extra_first_arg is not Interpreter._NO_EXTRA:
@@ -550,6 +562,11 @@ class Interpreter:
         return self._call(proc, args, ctx, name)
 
     def _call(self, proc, args, ctx, name):
+        if isinstance(proc, Partial):
+            # unwrap the partial HERE so the wrapped function's signature
+            # validation sees the CALL site's context ('-' substitution)
+            return self._call(proc.proc, proc.resolve(args), ctx,
+                              proc.name)
         if isinstance(proc, Lambda):
             if proc.signature is not None:
                 from mqtt_streamr_spark.jsonata.signatures import (

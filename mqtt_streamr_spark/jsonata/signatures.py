@@ -171,6 +171,55 @@ def _coerce(value, p: Param, index: int, name: str):
     raise _type_error(index, name)
 
 
+def _coercible(value, p: Param) -> bool:
+    """Whether _coerce would accept value for p (match or array
+    promotion) — the per-value predicate the backtracking matcher uses."""
+    if any(_matches(value, c) for c in p.codes):
+        return not (isinstance(value, (list, JSeq)) and "a" in p.codes
+                    and not _elem_ok(value, p.subtype))
+    if p.codes == "a" and value is not UNDEFINED and not callable(value):
+        return p.subtype is None or _matches(value, p.subtype)
+    return False
+
+
+def _assign(params: list[Param], supplied: list):
+    """Backtracking arg->param assignment, mirroring the reference's
+    regex-based validation (one greedy group per param, with regex
+    backtracking): an optional/variadic param followed by more params
+    can yield args back — ``<n?s>`` accepts ('hi',) by leaving n? empty,
+    ``<n+s>`` accepts (1, 2, 'x') by stopping the variadic before the
+    trailing string. Greedy-first, like the regex. Returns a list of
+    per-param arg-index lists, or None if no assignment validates
+    (ADVICE r8 #1 — the old matcher was greedy with no backtracking)."""
+
+    def rec(pi: int, ai: int):
+        if pi == len(params):
+            return [] if ai == len(supplied) else None
+        p = params[pi]
+        if p.variadic:
+            max_k = len(supplied) - ai
+            min_k = 0 if p.optional else 1
+            for k in range(max_k, min_k - 1, -1):
+                if not all(_coercible(supplied[ai + j], p)
+                           for j in range(k)):
+                    continue
+                rest = rec(pi + 1, ai + k)
+                if rest is not None:
+                    return [list(range(ai, ai + k))] + rest
+            return None
+        if ai < len(supplied) and _coercible(supplied[ai], p):
+            rest = rec(pi + 1, ai + 1)
+            if rest is not None:
+                return [[ai]] + rest
+        if p.optional:
+            rest = rec(pi + 1, ai)
+            if rest is not None:
+                return [[]] + rest
+        return None
+
+    return rec(0, 0)
+
+
 def validate_args(params: list[Param], args: list, ctx, name: str) -> list:
     """Validate/coerce a call's arguments against parsed signature params.
 
@@ -189,25 +238,35 @@ def validate_args(params: list[Param], args: list, ctx, name: str) -> list:
             if p.context_sub:
                 supplied.insert(pos, ctx)
                 break
-    out: list = []
+
+    assignment = _assign(params, supplied)
+    if assignment is not None:
+        out: list = []
+        for p, idxs in zip(params, assignment):
+            if not idxs and not p.variadic:
+                out.append(UNDEFINED)  # skipped optional param
+                continue
+            for ai in idxs:
+                out.append(_coerce(supplied[ai], p, ai + 1, name))
+        return out
+
+    # No assignment validates — re-walk greedily purely to raise the
+    # reference-shaped error at the first offending position.
     ai = 0
     for idx, p in enumerate(params, start=1):
         if p.variadic:
-            if ai >= len(supplied) and not p.optional:
-                raise _type_error(idx, name)
-            while ai < len(supplied):
-                out.append(_coerce(supplied[ai], p, idx, name))
+            start = ai
+            while ai < len(supplied) and _coercible(supplied[ai], p):
                 ai += 1
+            if ai == start and not p.optional:
+                raise _type_error(idx, name)
             continue
         if ai >= len(supplied):
             if p.optional:
-                out.append(UNDEFINED)
                 continue
             raise _type_error(idx, name)
-        out.append(_coerce(supplied[ai], p, idx, name))
+        _coerce(supplied[ai], p, idx, name)  # raises on the mismatch
         ai += 1
-    if ai < len(supplied):
-        raise JsonataError(
-            f"function {name} called with too many arguments "
-            f"({len(supplied)} for {n_declared})")
-    return out
+    raise JsonataError(
+        f"function {name} called with too many arguments "
+        f"({len(supplied)} for {n_declared})")

@@ -2487,3 +2487,83 @@ def graph_pagerank_event_types(spark: SparkSession, sf_dir: str
     ).agg(F.count(F.lit(1)).cast("double").alias("w"))
     ranks = pagerank(edges, weight="w", iterations=3, damping=0.85)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "events_watermark_lateness_audit",
+    oracle="""
+    WITH jit AS (
+        SELECT event_type, user_id, event_id,
+               ts - (event_id % 17) * 3600 * INTERVAL 1 SECOND AS ev_ts
+        FROM events
+    ), seq AS (
+        SELECT event_type, ev_ts,
+               max(ev_ts) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) - INTERVAL 1 HOUR AS cutoff
+        FROM jit
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN ev_ts < cutoff THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           round(sum(CASE WHEN ev_ts < cutoff
+                          THEN date_part('epoch', cutoff)
+                               - date_part('epoch', ev_ts)
+                          ELSE 0 END), 2) AS late_sec_total
+    FROM seq GROUP BY event_type
+    """,
+)
+def events_watermark_lateness_audit(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+    """Per-window lateness accounting (r9): BATCH-audits which events a
+    60-second watermark would have dropped, and by how much — the
+    capacity-planning companion to the streaming watermark queries
+    (Structured Streaming drops rows older than max(event time) - delay;
+    this computes that rule retrospectively so a delay can be SIZED
+    before deploying it). Arrival order is event_id within each user:
+    the running high-watermark is a per-user ROWS-frame max, so the
+    whole audit is ONE hash shuffle on user_id and scales by user count
+    — no global ordering, no driver collection. The first arrival per
+    user has no watermark yet and is never late (NULL high_wm compares
+    false), mirroring the engine; the delay under audit is 1 hour. The
+    testdata's event time is in
+    arrival order, so disorder is injected deterministically
+    (ev_ts = ts - (event_id % 17) hours, sized from the corpus's
+    ~7 h median per-user inter-event gap; restated in the oracle) —
+    the same trick the streaming dedup fixtures use."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    jit = ev.select(
+        "event_type", "user_id", "event_id",
+        # interval arithmetic, not unix_timestamp round-trips: the
+        # corpus timestamps carry microseconds and the oracle's epoch
+        # math keeps them
+        (col("ts") - F.expr(
+            "make_interval(0, 0, 0, 0, 0, 0, (event_id % 17) * 3600)"
+        )).alias("ev_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    delay = F.expr("INTERVAL 1 HOUR")
+    seq = jit.select(
+        "event_type", "ev_ts",
+        (F.max("ev_ts").over(w) - delay).alias("cutoff"),
+    )
+    late = col("ev_ts") < col("cutoff")
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(late.cast("long")).alias("n_late"),
+        F.round(
+            F.sum(
+                F.when(late,
+                       col("cutoff").cast("double")
+                       - col("ev_ts").cast("double"))
+                .otherwise(0.0)
+            ), 2,
+        ).alias("late_sec_total"),
+    )

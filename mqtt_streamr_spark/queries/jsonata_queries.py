@@ -871,3 +871,63 @@ def jsonata_transform_operator_typed(spark: SparkSession, sf_dir: str
             .cast("long").alias("n_props"),
         )
     )
+
+
+@query(
+    "jsonata_transform_nested_typed",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50 AS big,
+           count(*) AS n,
+           round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE) * 2),
+                 2) AS sum_k2,
+           round(sum(value * 3), 2) AS sum_vt
+    FROM events
+    GROUP BY CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+    """,
+)
+def jsonata_transform_nested_typed(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """Nested-location transform operator COMPILED (r9): a literal
+    name-path location ``|props|update, deletes|`` rebuilds the matched
+    sub-struct in place on the typed path, and — because the compiled
+    transform result now carries its output StructType (ADVICE r8) — a
+    CHAINED second root transform over the result stays compiled too.
+    Backend-asserted "typed": the whole two-transform chain is one
+    Column plan, no interpreter, no Python. Reference semantics:
+    jsonata 1.6.4 transform docs ("each matched object is updated");
+    bin/mqtt-streamr.js:108,157-159 evaluate arbitrary 1.6.4
+    expressions. Runs UNSAMPLED over the corpus."""
+    from mqtt_streamr_spark.streaming.transform import transform_to_json
+
+    ev = load(spark, "events", sf_dir)
+    df = ev.withColumn(
+        "payload",
+        F.to_json(
+            F.struct(
+                "event_id", "event_type", "value",
+                F.from_json("props", "k double").alias("props"),
+            )
+        ),
+    )
+    out_col, backend = transform_to_json(
+        "$ ~> |props|{'k2': k * 2, 'big': k > 50}, 'k'|"
+        "  ~> |$|{'vt': value * 3}|",
+        F.col("payload"),
+        schema="event_id bigint, event_type string, value double, "
+               "props struct<k: double>",
+    )
+    assert backend == "typed", backend
+    m = df.withColumn(
+        "m",
+        F.from_json(out_col,
+                    "props struct<k2: double, big: boolean>, vt double"),
+    )
+    return (
+        m.select("m.props.k2", "m.props.big", "m.vt")
+        .groupBy(col("big"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("k2"), 2).alias("sum_k2"),
+            F.round(F.sum("vt"), 2).alias("sum_vt"),
+        )
+    )

@@ -178,6 +178,37 @@ class MetricsListener:
     def detach(self) -> None:
         self._spark.streams.removeListener(self._listener)
 
+    def mark(self) -> int:
+        """Current progress-event cursor — bracket a query's timed region
+        with mark()/window_summary() to attribute its state-store cost."""
+        return len(self.progress)
+
+    def window_summary(self, start: int, end: int | None = None
+                       ) -> dict | None:
+        """Summarize the progress events in [start, end) — the per-query
+        state-store attribution the run-level summary() can't give
+        (VERDICT r8: the stream-stream join swings +/-80% run-to-run and
+        only the run-total commit_ms said why). None when the window saw
+        no streaming activity. The listener bus is async, so the caller
+        should compute windows AFTER the run drains (bench records
+        cursors per query and summarizes at the end)."""
+        window = self.progress[start:end]
+        if not window:
+            return None
+        ops = [s for p in window for s in p.get("state", [])]
+        out = {
+            "n_batches": len(window),
+            "input_rows": sum(p["num_input_rows"] for p in window),
+        }
+        if ops:
+            commits = [s["commit_ms"] for s in ops
+                       if s["commit_ms"] is not None]
+            out["state_commit_ms"] = int(sum(commits)) if commits else 0
+            out["state_mem_bytes_max"] = max(
+                (s["mem_bytes"] or 0) for s in ops)
+            out["state_rows_max"] = max((s["rows_total"] or 0) for s in ops)
+        return out
+
     def summary(self) -> dict:
         rows = [p for p in self.progress if p["num_input_rows"]]
         if not rows:

@@ -1037,6 +1037,25 @@ TRANSFORM_TYPED = [
     "'mixed','nested01','nested00','lone']|",
     # update + delete of the SAME key: merge first, then delete wins
     "$ ~> |$|{'count': count + 1}, 'count'|",
+    # r9: literal name-path locations — struct field match
+    "$ ~> |nested|{'k': k * 2, 'tag': name}|",
+    "$ ~> |nested|{'label': $uppercase(name)}, 'deep'|",
+    # two-level path
+    "$ ~> |nested.deep|{'leaf': $uppercase(leaf), 'n': 1}|",
+    # array<struct> location: every element updated / deleted / appended
+    "$ ~> |items|{'p': p * 10}, 'q'|",
+    "$ ~> |items|{'big': p > 1}|",
+    # no match -> the clone is returned unchanged
+    "$ ~> |missing_key|{'x': 1}|",
+    # non-object matches (scalar / array-of-scalar) are untouched
+    "$ ~> |value|{'x': 1}|",
+    "$ ~> |tags|{'x': 1}|",
+    # composition over the transform result stays compiled (the result
+    # carries its StructType): navigation + a chained second transform
+    "($ ~> |$|{'v2': value * 2}|).v2",
+    "($ ~> |nested|{'k2': k * 2}|).nested.k2",
+    "$ ~> |$|{'v2': value * 2}| ~> |$|{'v3': v2 + 1}, 'items'|",
+    "($ ~> |items|{'p2': p * 2}, 'q'|).items.p2",
 ]
 
 

@@ -542,6 +542,39 @@ def test_signature_too_many_args_errors():
         ev("(function($x)<n:n>{$x})(1, 2)", None)
 
 
+def test_partial_threads_call_site_context():
+    # a partially-applied lambda with a '-' context-substitutable param
+    # must substitute the context where the PARTIAL is invoked (ADVICE
+    # r8 — Partial used to hardwire ctx=UNDEFINED)
+    assert ev("($g := function($s)<s->{ $uppercase($s) };"
+              " $p := $g(?); 'abc'.$p())", None) == "ABC"
+
+
+def test_signature_optional_backtracks_before_later_params():
+    # <n?s>: the optional number must yield the lone string arg to the
+    # trailing string param (ADVICE r8 — regex-equivalent backtracking)
+    assert ev("($f := function($a, $b)<n?s:s>"
+              "{ ($a ? $string($a) : 'none') & ':' & $b };"
+              " $f('hi'))", None) == "none:hi"
+    # and still binds greedily when both are supplied
+    assert ev("($f := function($a, $b)<n?s:s>"
+              "{ $string($a) & ':' & $b }; $f(2, 'hi'))", None) == "2:hi"
+
+
+def test_signature_variadic_yields_to_trailing_params():
+    # <n+s>: the variadic must stop before the trailing string
+    assert ev("($f := function($a, $b, $c)<n+s:s>"
+              "{ $string($a + $b) & $c }; $f(1, 2, 'x'))", None) == "3x"
+    with pytest.raises(JsonataError, match="does not match"):
+        ev("($f := function($a, $b)<n+s:s>{ $b }; $f('only-str'))", None)
+
+
+def test_signature_variadic_spreads_flat():
+    # every variadic arg binds its own positional param slot
+    assert ev("($f := function($a, $b, $c)<n+:n>"
+              "{ $a + $b + $c }; $f(1, 2, 3))", None) == 6
+
+
 # --- property tests for the r8 surface (pure Python, no Spark) ---
 
 from hypothesis import given, settings
