@@ -55,7 +55,14 @@ _OBJ_ATOMS = ["nested", "items[0]", "nested.deep"]
 
 # small deterministic pictures / patterns for format & regex productions
 _PICTURES = ["'#,##0.00'", "'0000'", "'#0.0%'"]
-_REGEXES = ["/se?n/", "/[aeiou]/", "/\\d+/", "/a.b/"]
+# includes \s / \b / \w atoms (r9, VERDICT r8 #8): the shared JS-fidelity
+# rewriter (jsonata/regexes.py) pins both engines to JS semantics for
+# these classes, and the fuzz grammar must keep guarding that the way
+# lone.* atoms guard sequence rules. FUZZ_DOC strings carry plain
+# spaces, '/', and digits; patterns below hit the rewritten classes.
+_REGEXES = ["/se?n/", "/[aeiou]/", "/\\d+/", "/a.b/",
+            "/\\s/", "/\\s+/", "/\\bx/", "/z\\b/", "/\\w+/",
+            "/[^\\s]/", "/\\b\\w\\b/", "/\\S+/"]
 
 
 def _n(rng: random.Random, d: int) -> str:
@@ -275,12 +282,43 @@ def _obj(rng: random.Random, d: int) -> str:
                        "items{'n': $count($)}"])
 
 
+# nested-location transform fodder (r9): update values reference the
+# MATCH's own fields (the update evaluates with the match as context),
+# keys/deletes chosen per location. "missing"/"value"/"tags" locations
+# pin no-match / non-object-match semantics (clone returned untouched).
+_XFORM_LOCS = {
+    "nested": (["'t1'", "'k'", "'name'"],
+               ["k", "k * 2", "$uppercase(name)", "name & '!'",
+                "k > 10", "7"],
+               ["deep", "name", "t9"]),
+    "nested.deep": (["'leaf'", "'t1'"],
+                    ["$uppercase(leaf)", "leaf & 'x'", "'z'", "1"],
+                    ["leaf", "t9"]),
+    "items": (["'p'", "'q'", "'t1'"],
+              ["p * 10", "q & 'z'", "p > 1", "'c'"],
+              ["q", "p", "t9"]),
+    "missing": (["'t1'"], ["1"], ["t9"]),
+    "value": (["'t1'"], ["1"], ["t9"]),
+    "tags": (["'t1'"], ["1"], ["t9"]),
+}
+
+
 def _transform(rng: random.Random, d: int) -> str:
-    """Root-location transform operator (r8): random literal updates +
-    deletes over the doc. On the TYPED backend these compile to struct
-    rebuilds (_c_transform_apply); kind-changing updates of existing
-    fields are NotCompilable-skipped by design, and the variant backend
-    skips all of them (function-value construct)."""
+    """Transform operator: random literal updates + deletes over the doc,
+    at the root (r8) or a literal name-path location (r9). On the TYPED
+    backend these compile to in-place struct rebuilds
+    (_c_transform_apply); kind-changing updates of existing fields are
+    NotCompilable-skipped by design, and the variant backend skips all
+    of them (function-value construct)."""
+    if rng.randrange(2):
+        loc = rng.choice(sorted(_XFORM_LOCS))
+        keys, vals, victims = _XFORM_LOCS[loc]
+        pairs = [f"{rng.choice(keys)}: {rng.choice(vals)}"
+                 for _ in range(rng.randrange(1, 3))]
+        upd = "{" + ", ".join(pairs) + "}"
+        if rng.randrange(2):
+            return f"$ ~> |{loc}|{upd}|"
+        return f"$ ~> |{loc}|{upd}, '{rng.choice(victims)}'|"
     pairs = []
     for _ in range(rng.randrange(1, 3)):
         key = rng.choice(["'t1'", "'t2'", "'user'", "'count'",

@@ -1134,3 +1134,56 @@ def sentence_udtf():
                 idx += 1
 
     return SplitSentences
+
+
+def cdc_chunk_hashes(text: Column | str, k: int = 8,
+                     divisor: int = 64) -> Column:
+    """Content-defined chunking (CDC) fingerprints: split normalized text
+    at positions where the rolling k-gram hash is 0 mod ``divisor``
+    (expected chunk length ~= divisor chars) and hash each chunk —
+    sub-document dedup keys that are STABLE under insertions, unlike
+    fixed-size blocks, because every boundary is decided by local
+    content only (the rsync/LBFS principle; production FastCDC adds
+    min/max clamps, omitted here to keep the rule oracle-restatable).
+    Returns array<long> of chunk hashes, in order.
+
+    Entirely map-side Column algebra — no shuffle, no UDF: the boundary
+    scan is one HOF ``filter`` over k-gram positions and the chunk hash
+    one ``transform`` over cut pairs, both over let-bound arrays. The
+    md5-prefix-as-long hash matches the winnowing convention so DuckDB
+    oracles can recompute it verbatim."""
+    s = F.array_join(tokens(text), " ")
+
+    def md5l(g: Column) -> Column:
+        return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
+    def build(sc: Column) -> Column:
+        n = F.length(sc)
+        bnds = F.when(
+            n >= k,
+            F.filter(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: md5l(sc.substr(i, F.lit(k))) % divisor == 0,
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        # cut positions 0 < e_1 < ... < n; a boundary AT n collapses
+        # into the final cut (distinct), so no empty tail chunk
+        cuts = F.array_sort(F.array_distinct(F.concat(
+            F.array(F.lit(0)),
+            F.transform(bnds, lambda i: i + (k - 1)),
+            F.array(n),
+        )))
+
+        def chunks(cs: Column) -> Column:
+            return F.transform(
+                F.sequence(F.lit(1), F.size(cs) - 1),
+                lambda j: md5l(sc.substr(
+                    F.element_at(cs, j.cast("int")) + 1,
+                    F.element_at(cs, (j + 1).cast("int"))
+                    - F.element_at(cs, j.cast("int")),
+                )),
+            )
+
+        return let_bound(cuts, chunks)
+
+    return let_bound(s, build)

@@ -2986,3 +2986,75 @@ def text_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
     )
+
+
+@query(
+    "text_minhash_content_defined",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source,
+                      array_to_string({_TOKS}, ' ') AS s
+               FROM documents),
+    b AS (SELECT doc_id, source, s, length(s) AS n,
+                 CASE WHEN length(s) >= 8 THEN
+                     list_filter(
+                         generate_series(1, length(s) - 7),
+                         i -> ('0x' || substring(md5(substring(s, i, 8)),
+                               1, 15))::BIGINT % 64 = 0)
+                 ELSE [] END AS bs
+          FROM d),
+    cu AS (SELECT doc_id, source, s,
+                  list_prepend(0, list_sort(list_distinct(
+                      list_append(list_transform(bs, i -> i + 7), n))))
+                  AS cuts
+           FROM b),
+    ch AS (SELECT doc_id, source,
+                  unnest(list_transform(
+                      generate_series(1, len(cuts) - 1),
+                      j -> ('0x' || substring(md5(substring(
+                            s, cuts[j] + 1, cuts[j + 1] - cuts[j])),
+                            1, 15))::BIGINT)) AS h
+           FROM cu),
+    pd AS (SELECT doc_id, source, count(*) AS n_chunks, min(h) AS min_h
+           FROM ch GROUP BY doc_id, source)
+    SELECT pd.source,
+           count(*) AS n_docs,
+           CAST(sum(pd.n_chunks) AS BIGINT) AS total_chunks,
+           (SELECT count(DISTINCT h) FROM ch
+            WHERE ch.source = pd.source) AS distinct_chunks,
+           count(DISTINCT pd.min_h) AS distinct_min_chunk
+    FROM pd GROUP BY pd.source
+    """,
+)
+def text_minhash_content_defined(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Content-defined chunk fingerprints (r9): rolling-hash chunking
+    (boundary where the k-gram hash = 0 mod 64) + per-chunk hashes —
+    sub-document dedup for shared boilerplate that survives insertions,
+    plus a 1-permutation minhash of each doc's chunk SET (its minimum
+    chunk hash) as the doc-level near-dup candidate key. Per-source
+    stats: docs, chunks, distinct chunk hashes (corpus-level chunk dedup
+    potential), distinct min-chunk values (doc-level candidate buckets).
+    Map-only chunking (operators/text.py cdc_chunk_hashes — one HOF
+    filter + transform per row, no UDF, no shuffle) followed by one
+    explode and two keyed aggregations; scales by total text bytes."""
+    docs = spread(load(spark, "documents", sf_dir))
+    ch = docs.select(
+        "doc_id", "source",
+        F.explode(T.cdc_chunk_hashes("text")).alias("h"),
+    )
+    per_doc = ch.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.min("h").alias("min_h"),
+    )
+    per_doc_stats = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").alias("total_chunks"),
+        F.countDistinct("min_h").alias("distinct_min_chunk"),
+    )
+    chunk_stats = ch.groupBy("source").agg(
+        F.countDistinct("h").alias("distinct_chunks"),
+    )
+    return per_doc_stats.join(chunk_stats, "source").select(
+        "source", "n_docs", "total_chunks",
+        "distinct_chunks", "distinct_min_chunk",
+    )

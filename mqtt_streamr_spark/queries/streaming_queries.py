@@ -837,3 +837,76 @@ def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+@query(
+    "streaming_replay_strict_audit",
+    oracle="""
+    WITH p AS (
+        SELECT CAST(event_id % 10 AS BIGINT) AS cls,
+               CAST(to_json(struct_pack(
+                   event_id := event_id, event_type := event_type,
+                   value := value, props := props)) AS VARCHAR) AS base
+        FROM events
+    ), m AS (
+        SELECT cls,
+               CASE CAST(cls AS INT)
+                   WHEN 1 THEN base || ' {"x":1}'
+                   WHEN 2 THEN base || ' 5'
+                   WHEN 3 THEN base || '}'
+                   WHEN 4 THEN substr(base, 1, length(base) - 1)
+                   WHEN 5 THEN ' ' || chr(9) || base || chr(10) || ' '
+                   ELSE base END AS payload
+        FROM p
+    )
+    SELECT cls, count(*) AS n,
+           CAST(sum(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_strict,
+           CAST(sum(CASE WHEN cls = 4 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_lenient
+    FROM m GROUP BY cls
+    """,
+)
+def streaming_replay_strict_audit(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Strict-parse audit over the replay corpus (r9): every replay
+    payload is mutated into one of six deterministic classes — clean,
+    second trailing value, trailing scalar, stray closer, truncated,
+    whitespace-wrapped — and classified by BOTH parse regimes. n_strict
+    counts ``JSON.parse`` parity (``try_parse_json`` + the r9
+    regex-certificate completeness check, bin/mqtt-streamr.js:149-155);
+    n_lenient counts what raw ``try_parse_json`` alone would have
+    accepted. The oracle rebuilds equivalent payloads in DuckDB and
+    checks them with ``json_valid`` (yyjson — independently
+    JSON.parse-strict, probed: rejects trailing content, concatenated
+    values and stray closers, accepts whitespace wrapping), so the
+    strict classifier is verified against a SECOND engine, not against
+    its own rules. The lenient column pins the leniency gap the strict
+    check closes: classes 1-3 are lenient-accepted but strict-rejected.
+    Map-only — no shuffle before the 6-group aggregate."""
+    from mqtt_streamr_spark.operators.parsing import strict_json_complete
+    from mqtt_streamr_spark.tables import load
+
+    ev = load(spark, "events", sf_dir)
+    base = F.to_json(F.struct("event_id", "event_type", "value", "props"))
+    cls = F.col("event_id") % 10
+    payload = (
+        F.when(cls == 1, F.concat(base, F.lit(' {"x":1}')))
+        .when(cls == 2, F.concat(base, F.lit(" 5")))
+        .when(cls == 3, F.concat(base, F.lit("}")))
+        .when(cls == 4, F.expr(
+            "substring(to_json(struct(event_id, event_type, value, props)),"
+            " 1, length(to_json(struct(event_id, event_type, value, props)))"
+            " - 1)"))
+        .when(cls == 5, F.concat(F.lit(" \t"), base, F.lit("\n ")))
+        .otherwise(base)
+    )
+    df = ev.select(cls.alias("cls"), payload.alias("payload"))
+    strict = (F.try_parse_json("payload").isNotNull()
+              & strict_json_complete(F.col("payload")))
+    lenient = F.try_parse_json("payload").isNotNull()
+    return df.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(strict.cast("long")).alias("n_strict"),
+        F.sum(lenient.cast("long")).alias("n_lenient"),
+    )
