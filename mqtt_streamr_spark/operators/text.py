@@ -1175,14 +1175,20 @@ def cdc_chunk_hashes(text: Column | str, k: int = 8,
         )))
 
         def chunks(cs: Column) -> Column:
-            return F.transform(
-                F.sequence(F.lit(1), F.size(cs) - 1),
-                lambda j: md5l(sc.substr(
-                    F.element_at(cs, j.cast("int")) + 1,
-                    F.element_at(cs, (j + 1).cast("int"))
-                    - F.element_at(cs, j.cast("int")),
-                )),
-            )
+            # guard: an empty doc has cuts == [0] and Spark's
+            # sequence(1, 0) DESCENDS ([1, 0]) instead of being empty —
+            # element_at(cs, 0) would throw
+            return F.when(
+                F.size(cs) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(cs) - 1),
+                    lambda j: md5l(sc.substr(
+                        F.element_at(cs, j.cast("int")) + 1,
+                        F.element_at(cs, (j + 1).cast("int"))
+                        - F.element_at(cs, j.cast("int")),
+                    )),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
 
         return let_bound(cuts, chunks)
 

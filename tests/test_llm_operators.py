@@ -1031,3 +1031,48 @@ def test_frequent_terms_exact_regardless_of_partitioning(spark):
     # dropped by every MG pass yet pass the inclusive verify filter)
     with _pytest.raises(ValueError):
         frequent_terms(df, min_support=1.0 / 17, counters=16)
+
+
+def test_cdc_chunk_hashes_properties(spark):
+    """Content-defined chunking invariants (r9): identical docs chunk
+    identically; an INSERTION far from a shared suffix leaves the
+    suffix's chunks intact (boundaries are content-local — the property
+    fixed-size blocking lacks); chunks reassemble the whole text (every
+    character is in exactly one chunk: hashing the chunk list is
+    equivalent to hashing a partition of the normalized text); empty and
+    shorter-than-k docs yield a single chunk or none."""
+    base = ("the quick brown fox jumps over the lazy dog tonight and "
+            "every shard of this corpus repeats boilerplate text that "
+            "content defined chunking should isolate into stable chunks")
+    rows = spark.createDataFrame(
+        [(1, base),
+         (2, base),
+         (3, "INSERTED PREFIX WORDS " + base),
+         (4, ""),
+         (5, "tiny")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: list(r["chs"])
+        for r in rows.select(
+            "doc_id", T.cdc_chunk_hashes("text").alias("chs")
+        ).collect()
+    }
+    assert got[1] == got[2]                      # deterministic
+    # content-locality: the shared tail's chunks survive the insertion
+    # (at least the final chunk is byte-identical in both chunkings)
+    assert set(got[1]) & set(got[3])
+    assert got[4] == []                          # empty doc, no chunks
+    assert len(got[5]) == 1                      # shorter than k: one chunk
+    # partition property: chunk count == boundary count + 1 for any doc
+    # with content; recompute boundaries in Python with the same rule
+    import hashlib
+
+    def md5l(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    s = " ".join(base.lower().split())
+    cuts = [0] + sorted({i + 7 for i in range(1, len(s) - 6)
+                         if md5l(s[i - 1:i + 7]) % 64 == 0} | {len(s)})
+    expect = [md5l(s[a:b]) for a, b in zip(cuts, cuts[1:])]
+    assert got[1] == expect
