@@ -9,6 +9,12 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# the driver drops CORRECTNESS_r{N}.json AFTER the round closes, so the
+# generated COVERAGE.md ledger is stale by exactly one artifact at every
+# round start — regenerate FIRST (VERDICT r8 Missing #2) so the in-sync
+# test sees current provenance
+python scripts/gen_registry_ledger.py
+
 python - <<'PY'
 import pyspark, pyarrow, duckdb, pandas
 print(f"pyspark {pyspark.__version__}  pyarrow {pyarrow.__version__}  "
