@@ -642,3 +642,70 @@ def test_signature_array_promotion_property(v):
         # arity error, the reference's behavior for a missing required arg
         return
     assert got == want
+
+
+# --- signature validation vs a regex oracle (r9) -----------------------------
+#
+# The reference validates signatures by BUILDING A REGEX over a string of
+# per-argument type characters (one group per param) — full regex
+# backtracking semantics. This property restates that construction
+# independently and checks validate_args accepts EXACTLY the same calls.
+# Scope: params without subtypes/context-substitution (subtype element
+# checks and ctx insertion are not per-arg-char representable).
+
+_SIG_CODES = "bnslaof"
+_ARG_VALUES = {
+    "b": True, "n": 3.5, "s": "x", "l": None,
+    "a": [1], "o": {"k": 1}, "f": (lambda v: v),
+}
+
+
+def _param_class(codes: str) -> str:
+    chars = set()
+    for c in codes:
+        if c == "j":
+            chars.update("bnslao")
+        elif c == "x":
+            chars.update(_SIG_CODES)
+        else:
+            chars.add(c)
+        if c == "a":
+            # documented singleton->array promotion: an array param also
+            # accepts any non-function singleton
+            chars.update("bnslo")
+    return "[" + "".join(sorted(chars)) + "]"
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_signature_matches_regex_oracle(data):
+    import re as _re
+
+    from mqtt_streamr_spark.jsonata.errors import JsonataError
+    from mqtt_streamr_spark.jsonata.signatures import (
+        parse_signature,
+        validate_args,
+    )
+
+    n_params = data.draw(st.integers(1, 4))
+    parts, pattern = [], ""
+    for _ in range(n_params):
+        codes = data.draw(st.sampled_from(
+            list(_SIG_CODES) + ["(sn)", "(ao)", "j", "x"]))
+        mod = data.draw(st.sampled_from(["", "?", "+"]))
+        parts.append(codes + mod)
+        body = codes[1:-1] if codes.startswith("(") else codes
+        pattern += "(?:" + _param_class(body) + ")" + \
+            {"": "", "?": "?", "+": "+"}[mod]
+    sig = "<" + "".join(parts) + ">"
+    args_chars = data.draw(st.text(alphabet=_SIG_CODES, min_size=0,
+                                   max_size=5))
+    args = [_ARG_VALUES[c] for c in args_chars]
+
+    oracle_ok = _re.fullmatch(pattern, args_chars) is not None
+    try:
+        validate_args(parse_signature(sig), list(args), "CTX", "f")
+        got_ok = True
+    except JsonataError:
+        got_ok = False
+    assert got_ok == oracle_ok, (sig, args_chars, pattern)
