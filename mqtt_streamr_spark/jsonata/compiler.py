@@ -97,6 +97,28 @@ class Ctx:
     # Like `raw`, only meaningful while root IS the message root;
     # derived contexts leave it False.
     object_root: bool = False
+    # the ORIGINAL evaluation root, for `$$` (r9 — ADVICE-class fix:
+    # `$$` used to compile to the LOCAL context root, silently diverging
+    # from the interpreter inside predicates / mapped paths / group-by /
+    # transform updates). Derived contexts rebase `root` but must carry
+    # these through (Ctx.down()); None means root IS the original root.
+    root0: Column | None = None
+    root0_kind: str = "variant"
+    root0_schema: object | None = None
+
+    def down(self, **kw) -> "Ctx":
+        """A DERIVED context: rebased root, carried-through `$$` root.
+        kwargs as for Ctx(); bindings default to a copy of this ctx's."""
+        kw.setdefault("bindings", dict(self.bindings))
+        kw.setdefault("root0",
+                      self.root if self.root0 is None else self.root0)
+        kw.setdefault("root0_kind",
+                      self.root_kind if self.root0 is None
+                      else self.root0_kind)
+        kw.setdefault("root0_schema",
+                      self.root_schema if self.root0 is None
+                      else self.root0_schema)
+        return Ctx(**kw)
 
 
 def compile_column(source_or_ast, input_col: Column,
@@ -1282,9 +1304,8 @@ def _c_predicate(node, ctx):
         # compile to one outer-scope column; context-DEPENDENT conds
         # (and every boolean cond) keep the filter path below.
         try:
-            child = Ctx(root=ctx.root, bindings=dict(ctx.bindings),
-                        root_kind=ctx.root_kind, root_schema=ctx.root_schema,
-                        raw=ctx.raw)
+            child = ctx.down(root=ctx.root, root_kind=ctx.root_kind,
+                             root_schema=ctx.root_schema, raw=ctx.raw)
             ctc = _compile(cond, child)
         except NotCompilable:
             ctc = None
@@ -1327,8 +1348,7 @@ def _c_predicate(node, ctx):
     # divergence — the interpreter path covers scalars).
 
     def pred(x: Column) -> Column:
-        child = Ctx(root=x, bindings=dict(ctx.bindings), root_kind=elem,
-                    root_schema=elem_dt)
+        child = ctx.down(root=x, root_kind=elem, root_schema=elem_dt)
         return as_boolean(_compile(cond, child))
 
     return TypedCol(F.filter(arr, pred), f"array<{elem}>", elem=elem,
@@ -1337,7 +1357,19 @@ def _c_predicate(node, ctx):
 
 def _c_variable(node, ctx):
     name = node["value"]
-    if name in ("", "$"):
+    if name == "$":
+        # `$$` = the ORIGINAL evaluation root, not the local context
+        # (r9 fix: inside predicates / mapped steps / group-by values /
+        # transform updates the two differ, and the old alias to the
+        # local root silently diverged from the interpreter)
+        if ctx.root0 is None:  # root IS the original root
+            name = ""
+        else:
+            kind = ctx.root0_kind
+            elem = kind[6:-1] if kind.startswith("array<") else None
+            return TypedCol(ctx.root0, kind, elem=elem,
+                            dtype=ctx.root0_schema)
+    if name == "":
         kind = ctx.root_kind
         elem = kind[6:-1] if kind.startswith("array<") else None
         return TypedCol(ctx.root, kind, elem=elem, dtype=ctx.root_schema,
@@ -1348,9 +1380,8 @@ def _c_variable(node, ctx):
 
 
 def _c_block(node, ctx):
-    child = Ctx(root=ctx.root, bindings=dict(ctx.bindings),
-                root_kind=ctx.root_kind, root_schema=ctx.root_schema,
-                raw=ctx.raw)
+    child = ctx.down(root=ctx.root, root_kind=ctx.root_kind,
+                     root_schema=ctx.root_schema, raw=ctx.raw)
     result: TypedCol | None = None
     for expr in node["expressions"]:
         result = _compile(expr, child)
@@ -1813,8 +1844,7 @@ def _apply_update(col, schema, tnode, ctx):
     import pyspark.sql.types as T
 
     deletes = _transform_deletes(tnode)
-    inner = Ctx(root=col, bindings=dict(ctx.bindings),
-                root_kind="object", root_schema=schema)
+    inner = ctx.down(root=col, root_kind="object", root_schema=schema)
     updates: dict[str, TypedCol] = {}
     upd_order: list[str] = []
     for key_node, val_node in tnode["update"]["pairs"]:
@@ -2031,9 +2061,8 @@ def _bind_lambda(lam, bindings: list[TypedCol], ctx: Ctx) -> TypedCol:
     """Compile a lambda body with its params bound to HOF lambda variables.
     Spark invokes the Python callback once at expression-build time, so the
     body is compiled exactly once — no per-row Python."""
-    child = Ctx(root=ctx.root, bindings=dict(ctx.bindings),
-                root_kind=ctx.root_kind, root_schema=ctx.root_schema,
-                raw=ctx.raw)
+    child = ctx.down(root=ctx.root, root_kind=ctx.root_kind,
+                     root_schema=ctx.root_schema, raw=ctx.raw)
     for name, tc in zip(lam["params"], bindings):
         child.bindings[name] = tc
     return _compile(lam["body"], child)
@@ -2064,9 +2093,9 @@ def _c_sort(node, ctx):
         raise NotCompilable("order-by terms need variant/struct elements")
 
     def key_of(term, x: Column) -> TypedCol:
-        tc = _compile(term["expr"], Ctx(root=x, bindings=dict(ctx.bindings),
-                                        root_kind=elem,
-                                        root_schema=elem_dt))
+        tc = _compile(term["expr"],
+                      ctx.down(root=x, root_kind=elem,
+                               root_schema=elem_dt))
         if tc.kind in ("number", "string", "variant"):
             return tc
         raise NotCompilable(f"order-by key of kind {tc.kind}")
@@ -2142,8 +2171,7 @@ def _c_groupby(node, ctx):
     arr, elem, elem_dt = _hof_array(base)
 
     def keyfn(x: Column) -> Column:
-        child = Ctx(root=x, bindings=dict(ctx.bindings), root_kind=elem,
-                    root_schema=elem_dt)
+        child = ctx.down(root=x, root_kind=elem, root_schema=elem_dt)
         return as_string(_compile(key_node, child))
 
     keys = F.array_distinct(
@@ -2152,9 +2180,8 @@ def _c_groupby(node, ctx):
 
     def group_val(k: Column) -> TypedCol:
         members = F.filter(arr, lambda y: keyfn(y) == k)
-        child = Ctx(root=members, bindings=dict(ctx.bindings),
-                    root_kind=f"array<{elem}>", root_schema=elem_dt,
-                    root_is_seq=True)
+        child = ctx.down(root=members, root_kind=f"array<{elem}>",
+                         root_schema=elem_dt, root_is_seq=True)
         return _compile(val_node, child)
 
     def valfn(k: Column) -> Column:

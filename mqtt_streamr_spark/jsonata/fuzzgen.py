@@ -43,9 +43,13 @@ FUZZ_DOC = {
 
 _NUM_ATOMS = ["value", "count", "nums[0]", "nested.k", "items[1].p",
               "2", "7.5", "0", "-3", "10", "lone.arr1",
-              "$count(**)", "$count(nested.**)"]
+              "$count(**)", "$count(nested.**)",
+              # `$$` = ORIGINAL root even in derived contexts (r9 fix) —
+              # composition places these inside predicates/group-by/HOFs
+              "$$.value", "$$.nested.k"]
 _STR_ATOMS = ["user", "kind", "tags[1]", "'lit'", "nested.name",
-              "nested.deep.leaf", "items[0].q", "'x/y/z'", "lone.arrs"]
+              "nested.deep.leaf", "items[0].q", "'x/y/z'", "lone.arrs",
+              "$$.user"]
 _BOOL_ATOMS = ["ok", "true", "false"]
 # array atoms by element kind (so lambda bodies can type-match)
 _ARRNUM_ATOMS = ["nums", "items.p", "[1..4]", "mixed", "zeros",

@@ -898,6 +898,16 @@ TYPED_ONLY = [
     # documented null==absent divergence, same as $exists.)
     "$keys(nested)",
     "$count($keys(nested.deep))",
+    # `$$` in DERIVED contexts = the ORIGINAL root (r9 fix: it used to
+    # alias the LOCAL context root — predicates/group-by/order-by/
+    # transform updates silently diverged). Typed-only: the variant
+    # path's unknown-type comparisons refuse and fall back.
+    "nums[$ < $$.value]",
+    "items[p < $$.value].p",
+    "($x := $$; nums[$ < $x.value])",
+    "nums{$string($ < $$.value): $sum($)}",
+    "$ ~> |nested|{'r': $$.value}|",
+    "$ ~> |items|{'r': $$.nested.k + p}|",
 ]
 
 

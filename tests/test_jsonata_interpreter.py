@@ -550,6 +550,18 @@ def test_partial_threads_call_site_context():
               " $p := $g(?); 'abc'.$p())", None) == "ABC"
 
 
+def test_signature_choice_group_no_promotion():
+    # singleton->array promotion is scoped to a PURE `a` param; a choice
+    # group (ao) lists its acceptable types explicitly, so a boolean is
+    # rejected even though a bare `a` param would wrap it
+    assert ev("(function($v)<(ao):n>{ $count($v) })([1,2])", None) == 2
+    assert ev("(function($v)<(ao):n>{ $count($v) })({'k':1})", None) == 1
+    with pytest.raises(JsonataError, match="does not match"):
+        ev("(function($v)<(ao):n>{ $count($v) })(true)", None)
+    # the pure-a param DOES promote the same singleton
+    assert ev("(function($v)<a:n>{ $count($v) })(true)", None) == 1
+
+
 def test_signature_optional_backtracks_before_later_params():
     # <n?s>: the optional number must yield the lone string arg to the
     # trailing string param (ADVICE r8 — regex-equivalent backtracking)
@@ -669,10 +681,15 @@ def _param_class(codes: str) -> str:
             chars.update(_SIG_CODES)
         else:
             chars.add(c)
-        if c == "a":
-            # documented singleton->array promotion: an array param also
-            # accepts any non-function singleton
-            chars.update("bnslo")
+    if codes == "a":
+        # documented singleton->array promotion: a PURE array param also
+        # accepts any non-function singleton ("a singleton value will be
+        # converted to a singleton array"). This implementation's
+        # documented convention scopes promotion to `a` alone — a choice
+        # group like (ao) lists the acceptable types explicitly, so a
+        # singleton that matches neither member is rejected (pinned in
+        # test_signature_choice_group_no_promotion below).
+        chars.update("bnslo")
     return "[" + "".join(sorted(chars)) + "]"
 
 
