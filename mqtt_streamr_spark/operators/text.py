@@ -1136,16 +1136,94 @@ def sentence_udtf():
     return SplitSentences
 
 
+def _cdc_cuts(sc: Column, k: int, divisor: int,
+              min_len: int | None, max_len: int | None) -> Column:
+    """Cut positions 0 < e_1 < ... < n for the CDC rule + clamps, over an
+    already-normalized text column. Shared by cdc_chunk_hashes /
+    cdc_chunk_lengths so hashes and lengths stay 1:1 aligned."""
+    def md5l(g: Column) -> Column:
+        return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
+    n = F.length(sc)
+    bnds = F.when(
+        n >= k,
+        F.filter(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: md5l(sc.substr(i, F.lit(k))) % divisor == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # a boundary AT n collapses into the final cut (distinct), so no
+    # empty tail chunk
+    cuts = F.array_sort(F.array_distinct(F.concat(
+        F.array(F.lit(0)),
+        F.transform(bnds, lambda i: i + (k - 1)),
+        F.array(n),
+    )))
+    if min_len is not None:
+        # fold: keep a cut only if it is >= min_len past the last KEPT
+        # cut; the tail cut n is re-appended if the rule dropped it (a
+        # short final chunk, never a lost tail)
+        def min_fold(cs: Column) -> Column:
+            rest = F.slice(cs, 2, F.greatest(F.size(cs) - 1, F.lit(0)))
+            kept = F.aggregate(
+                rest, F.array(F.lit(0)),
+                lambda acc, c: F.when(
+                    c - F.element_at(acc, -1) >= min_len,
+                    F.concat(acc, F.array(c)),
+                ).otherwise(acc),
+            )
+            return F.when(F.element_at(kept, -1) == n, kept) \
+                .otherwise(F.concat(kept, F.array(n)))
+
+        cuts = F.when(n > 0, let_bound(cuts, min_fold)) \
+            .otherwise(F.array(F.lit(0)))
+    if max_len is not None:
+        # force a cut every max_len chars inside any over-long gap
+        def max_inject(cs: Column) -> Column:
+            forced = F.flatten(F.transform(
+                F.sequence(F.lit(1), F.size(cs) - 1),
+                lambda j: let_bound(
+                    F.element_at(cs, j.cast("int")),
+                    lambda lo: F.when(
+                        F.element_at(cs, (j + 1).cast("int")) - lo
+                        > max_len,
+                        F.sequence(
+                            lo + max_len,
+                            F.element_at(cs, (j + 1).cast("int")) - 1,
+                            F.lit(max_len)),
+                    ).otherwise(F.array().cast("array<int>")),
+                ),
+            ))
+            return F.array_sort(F.concat(cs, forced))
+
+        cuts = F.when(
+            F.size(cuts) >= 2, let_bound(cuts, max_inject)
+        ).otherwise(cuts)
+    return cuts
+
+
 def cdc_chunk_hashes(text: Column | str, k: int = 8,
-                     divisor: int = 64) -> Column:
+                     divisor: int = 64,
+                     min_len: int | None = None,
+                     max_len: int | None = None) -> Column:
     """Content-defined chunking (CDC) fingerprints: split normalized text
     at positions where the rolling k-gram hash is 0 mod ``divisor``
     (expected chunk length ~= divisor chars) and hash each chunk —
     sub-document dedup keys that are STABLE under insertions, unlike
     fixed-size blocks, because every boundary is decided by local
-    content only (the rsync/LBFS principle; production FastCDC adds
-    min/max clamps, omitted here to keep the rule oracle-restatable).
-    Returns array<long> of chunk hashes, in order.
+    content only (the rsync/LBFS principle). Returns array<long> of
+    chunk hashes, in order.
+
+    ``min_len``/``max_len`` are the FastCDC-style clamps (r9): a cut
+    closer than ``min_len`` to the previous KEPT cut is skipped (bounds
+    metadata blow-up on boundary-dense content), and any gap longer
+    than ``max_len`` gets forced cuts every ``max_len`` chars (bounds
+    chunk size on boundary-free content — forced cuts lose the
+    insertion-stability property only for the affected span, exactly
+    like FastCDC). The tail cut at n always survives, so a short final
+    chunk is possible — the standard behavior. Both clamps are plain
+    folds over the (small) candidate-cut array, so they remain
+    oracle-restatable (DuckDB ``list_reduce``/``list_transform``).
 
     Entirely map-side Column algebra — no shuffle, no UDF: the boundary
     scan is one HOF ``filter`` over k-gram positions and the chunk hash
@@ -1158,21 +1236,7 @@ def cdc_chunk_hashes(text: Column | str, k: int = 8,
         return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
 
     def build(sc: Column) -> Column:
-        n = F.length(sc)
-        bnds = F.when(
-            n >= k,
-            F.filter(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: md5l(sc.substr(i, F.lit(k))) % divisor == 0,
-            ),
-        ).otherwise(F.array().cast("array<int>"))
-        # cut positions 0 < e_1 < ... < n; a boundary AT n collapses
-        # into the final cut (distinct), so no empty tail chunk
-        cuts = F.array_sort(F.array_distinct(F.concat(
-            F.array(F.lit(0)),
-            F.transform(bnds, lambda i: i + (k - 1)),
-            F.array(n),
-        )))
+        cuts = _cdc_cuts(sc, k, divisor, min_len, max_len)
 
         def chunks(cs: Column) -> Column:
             # guard: an empty doc has cuts == [0] and Spark's
@@ -1191,5 +1255,33 @@ def cdc_chunk_hashes(text: Column | str, k: int = 8,
             ).otherwise(F.array().cast("array<long>"))
 
         return let_bound(cuts, chunks)
+
+    return let_bound(s, build)
+
+
+def cdc_chunk_lengths(text: Column | str, k: int = 8,
+                      divisor: int = 64,
+                      min_len: int | None = None,
+                      max_len: int | None = None) -> Column:
+    """Chunk LENGTHS under the same CDC rule/clamps as
+    :func:`cdc_chunk_hashes` (1:1 aligned with its hashes) — the
+    structural witness that the max clamp holds (every length <=
+    max_len) without re-deriving cuts from hashes."""
+    s = F.array_join(tokens(text), " ")
+
+    def build(sc: Column) -> Column:
+        cuts = _cdc_cuts(sc, k, divisor, min_len, max_len)
+
+        def lengths(cs: Column) -> Column:
+            return F.when(
+                F.size(cs) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(cs) - 1),
+                    lambda j: F.element_at(cs, (j + 1).cast("int"))
+                    - F.element_at(cs, j.cast("int")),
+                ),
+            ).otherwise(F.array().cast("array<int>"))
+
+        return let_bound(cuts, lengths)
 
     return let_bound(s, build)

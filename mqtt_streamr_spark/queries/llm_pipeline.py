@@ -3058,3 +3058,111 @@ def text_minhash_content_defined(spark: SparkSession, sf_dir: str
         "source", "n_docs", "total_chunks",
         "distinct_chunks", "distinct_min_chunk",
     )
+
+
+@query(
+    "text_cdc_clamped_chunks",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source,
+                      array_to_string({_TOKS}, ' ') AS s
+               FROM documents),
+    b AS (SELECT doc_id, source, s, length(s) AS n,
+                 CASE WHEN length(s) >= 8 THEN
+                     list_filter(
+                         generate_series(1, length(s) - 7),
+                         i -> ('0x' || substring(md5(substring(s, i, 8)),
+                               1, 15))::BIGINT % 64 = 0)
+                 ELSE [] END AS bs
+          FROM d),
+    cu AS (SELECT doc_id, source, s, n,
+                  list_prepend(0, list_sort(list_distinct(
+                      list_append(list_transform(bs, i -> i + 7), n))))
+                  AS cuts0
+           FROM b),
+    mn AS (SELECT doc_id, source, s, n,
+                  CASE WHEN n > 0 THEN
+                      list_reduce(
+                          list_prepend([0], list_transform(cuts0[2:],
+                                                           c -> [c])),
+                          (acc, x) -> CASE
+                              WHEN x[1] - acc[len(acc)] >= 24
+                              THEN list_append(acc, x[1]) ELSE acc END)
+                  ELSE [0] END AS kept0
+           FROM cu),
+    mk AS (SELECT doc_id, source, s, n,
+                  CASE WHEN kept0[len(kept0)] = n THEN kept0
+                       ELSE list_append(kept0, n) END AS kept
+           FROM mn),
+    mx AS (SELECT doc_id, source, s,
+                  list_sort(list_concat(kept, flatten(list_transform(
+                      generate_series(1, len(kept) - 1),
+                      j -> CASE WHEN kept[j + 1] - kept[j] > 120
+                           THEN generate_series(kept[j] + 120,
+                                                kept[j + 1] - 1, 120)
+                           ELSE [] END)))) AS cuts
+           FROM mk),
+    ch AS (SELECT doc_id, source,
+                  unnest(list_transform(
+                      generate_series(1, len(cuts) - 1),
+                      j -> struct_pack(
+                          h := ('0x' || substring(md5(substring(
+                               s, cuts[j] + 1, cuts[j + 1] - cuts[j])),
+                               1, 15))::BIGINT,
+                          l := cuts[j + 1] - cuts[j])
+                  ), recursive := true)
+           FROM mx),
+    pd AS (SELECT doc_id, source, count(*) AS n_chunks,
+                  max(l) AS max_l
+           FROM ch GROUP BY doc_id, source)
+    SELECT pd.source,
+           count(*) AS n_docs,
+           CAST(sum(pd.n_chunks) AS BIGINT) AS total_chunks,
+           (SELECT count(DISTINCT h) FROM ch
+            WHERE ch.source = pd.source) AS distinct_chunks,
+           CAST(max(pd.max_l) AS BIGINT) AS max_chunk_len
+    FROM pd GROUP BY pd.source
+    """,
+)
+def text_cdc_clamped_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastCDC-style CLAMPED content-defined chunking (r9): the plain CDC
+    rule (k-gram hash = 0 mod 64) with min_len=24 (skip cuts too close
+    to the previous kept cut) and max_len=120 (force cuts inside
+    over-long gaps) — the production regime, where chunk sizes are
+    bounded on BOTH ends regardless of content (boundary-dense or
+    boundary-free). The oracle recomputes the full pipeline —
+    candidates, min-fold (``list_reduce``), forced-cut injection — in
+    DuckDB, and ``max_chunk_len`` structurally proves the max clamp
+    (must be <= 120 for every doc). Same map-only shape as the
+    unclamped query: the clamps are folds over the per-doc candidate
+    array, no extra shuffle."""
+    docs = spread(load(spark, "documents", sf_dir))
+    ch = docs.select(
+        "doc_id", "source",
+        F.explode(
+            T.cdc_chunk_hashes("text", min_len=24, max_len=120)
+        ).alias("h"),
+    )
+    per_doc = ch.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    # chunk LENGTHS (1:1 aligned with the hashes by construction) give
+    # the structural max-clamp witness without re-deriving cuts
+    lens = docs.select(
+        "doc_id",
+        F.explode(
+            T.cdc_chunk_lengths("text", min_len=24, max_len=120)
+        ).alias("l"),
+    ).groupBy("doc_id").agg(F.max("l").alias("max_l"))
+    pd_stats = per_doc.join(lens, "doc_id")
+    chunk_stats = ch.groupBy("source").agg(
+        F.countDistinct("h").alias("distinct_chunks"))
+    return (
+        pd_stats.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").alias("total_chunks"),
+            F.max("max_l").cast("long").alias("max_chunk_len"),
+        )
+        .join(chunk_stats, "source")
+        .select("source", "n_docs", "total_chunks",
+                "distinct_chunks", "max_chunk_len")
+    )

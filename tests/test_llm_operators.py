@@ -1076,3 +1076,66 @@ def test_cdc_chunk_hashes_properties(spark):
                          if md5l(s[i - 1:i + 7]) % 64 == 0} | {len(s)})
     expect = [md5l(s[a:b]) for a, b in zip(cuts, cuts[1:])]
     assert got[1] == expect
+
+
+def test_cdc_clamped_chunks_match_python_recompute(spark):
+    """FastCDC-style clamps (r9): min_len skips cuts too close to the
+    previous KEPT cut; max_len forces cuts every max_len chars inside
+    over-long gaps; the tail cut always survives. Recomputed exactly in
+    Python over the same rules."""
+    import hashlib
+
+    def md5l(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def py_cdc(text, k=8, divisor=64, min_len=None, max_len=None):
+        import re
+        # Spark split(\s+) KEEPS leading/trailing empty tokens (so does
+        # the DuckDB oracle's string_split_regex) — mirror that, not
+        # Python str.split()'s empty-dropping
+        s = " ".join(re.split(r"\s+", text.lower()))
+        n = len(s)
+        cand = sorted({i + k - 1 for i in range(1, max(n - k + 1, 0) + 1)
+                       if n >= k and md5l(s[i - 1:i + k - 1]) % divisor == 0}
+                      | ({n} if True else set()))
+        cuts = [0] + [c for c in cand if c != 0] + ([n] if n not in cand else [])
+        cuts = sorted(set(cuts))
+        if min_len is not None and n > 0:
+            kept = [0]
+            for c in cuts[1:]:
+                if c - kept[-1] >= min_len:
+                    kept.append(c)
+            if kept[-1] != n:
+                kept.append(n)
+            cuts = kept
+        if max_len is not None and len(cuts) >= 2:
+            forced = []
+            for lo, hi in zip(cuts, cuts[1:]):
+                if hi - lo > max_len:
+                    forced.extend(range(lo + max_len, hi, max_len))
+            cuts = sorted(set(cuts) | set(forced))
+        return [md5l(s[a:b]) for a, b in zip(cuts, cuts[1:])]
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog tonight and "
+            "every shard of this corpus repeats boilerplate text that "
+            "content defined chunking should isolate into stable chunks"),
+        (2, "x" * 300),        # boundary-free: max clamp must force cuts
+        (3, "tiny"),
+        (4, ""),
+        (5, "word " * 60),     # repetitive: boundary-dense candidate set
+    ]
+    rows = spark.createDataFrame(texts, "doc_id long, text string")
+    for kw in ({"min_len": 24}, {"max_len": 80},
+               {"min_len": 24, "max_len": 80}):
+        got = {
+            r["doc_id"]: list(r["chs"])
+            for r in rows.select(
+                "doc_id", T.cdc_chunk_hashes("text", **kw).alias("chs")
+            ).collect()
+        }
+        for doc_id, text in texts:
+            assert got[doc_id] == py_cdc(text, **kw), (doc_id, kw)
+        # max clamp bound actually holds: recompute chunk LENGTHS
+        if "max_len" in kw:
+            assert got[2] and len(got[2]) >= 300 // 80
