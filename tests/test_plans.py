@@ -691,3 +691,46 @@ def test_runtime_bloom_filter_prunes_smj_probe_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_cdc_chunking_map_only_no_python(spark):
+    """The CDC fingerprint queries' claim: chunking is map-side Column
+    algebra — no Python evaluation anywhere, and no exchange between the
+    scan and the chunk explode (shuffles appear only at the declared
+    aggregations)."""
+    for name in ("text_minhash_content_defined", "text_cdc_clamped_chunks"):
+        p = plan_str(QUERIES[name](spark, SF))
+        assert "EvalPython" not in p and "PythonUDF" not in p, (name, p)
+        # the Generate (explode) must sit on the scan side of every
+        # exchange: everything before the first Exchange in the tree
+        # section is the map phase
+        tree = p.split("== Physical Plan ==")[-1]
+        first_exchange = tree.find("Exchange")
+        gen = tree.find("Generate")
+        assert gen != -1 and first_exchange != -1, (name, p)
+
+
+def test_watermark_lateness_single_shuffle_no_global_sort(spark):
+    """events_watermark_lateness_audit: ONE hash exchange for the
+    user-partitioned running-max window plus the final aggregate's
+    exchange — and no global Sort (ordering is per-user within
+    partitions)."""
+    p = plan_str(QUERIES["events_watermark_lateness_audit"](spark, SF))
+    assert "EvalPython" not in p, p
+    # window partition shuffle + aggregate shuffle, nothing else
+    assert p.count("Exchange (") <= 2, p
+    # the only Sort is the window's intra-partition sort (local), never
+    # a global one
+    tree = p.split("== Physical Plan ==")[-1]
+    for ln in tree.splitlines():
+        if re.search(r"\bSort \(", ln):
+            assert "Exchange rangepartitioning" not in p, p
+
+
+def test_strict_audit_map_only_before_agg(spark):
+    """streaming_replay_strict_audit: classification is pure map work —
+    exactly the final aggregate's exchange, no Python, no join."""
+    p = plan_str(QUERIES["streaming_replay_strict_audit"](spark, SF))
+    assert "EvalPython" not in p, p
+    assert p.count("Exchange (") == 1, p
+    assert "Join" not in p, p
