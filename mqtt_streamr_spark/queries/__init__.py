@@ -100,8 +100,9 @@ MUST_VERIFY: list[str] = [
     "join_semi_customers_with_big_orders",
     "jsonata_descendants_typed",
     "jsonata_groupby_typed",
-    # (events_sessionized_stats / events_jsonl_roundtrip are the next
-    # stalest r5 rows; they head the r10 freshness queue.)
+    # r10 freshness-queue head (see COVERAGE.md's generated queue):
+    # text_cdc_clamped_chunks (shipped late-r9, never windowed), then
+    # events_sessionized_stats / events_jsonl_roundtrip (stalest r5).
 ]
 
 DRIVER_WINDOW = 50
