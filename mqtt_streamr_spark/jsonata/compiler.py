@@ -1767,26 +1767,39 @@ def _c_apply(node, ctx):
     raise NotCompilable("~> rhs must be a function")
 
 
-def _transform_location_steps(pat) -> list[str]:
-    """Location patterns that compile: bare root ``$`` (-> []) or a
-    literal name path ``a.b.c`` (-> ['a','b','c']). Computed locations
-    (predicates, wildcards, indexes, expressions) fall back."""
+def _transform_location_steps(pat) -> list[tuple[str | None, dict | None]]:
+    """Location patterns that compile (r10 widens r9's literal-name-only
+    subset): bare root ``$`` (-> []), or a path of name / ``*`` steps
+    where a NAME step may carry one static predicate
+    (``items[price>10]``). Returns [(name | None, pred_node | None)];
+    name None = wildcard. Everything else — indexes, descendants,
+    expressions, predicates on wildcards — falls back to the
+    interpreter."""
     if pat["type"] == "variable" and pat["value"] == "":
         return []
 
-    def walk(n):
+    def step(n):
         if n["type"] == "name":
-            return [n["value"]]
+            return [(n["value"], None)]
+        if n["type"] == "wildcard":
+            return [(None, None)]
+        if n["type"] == "predicate" and n["expr"]["type"] == "name":
+            return [(n["expr"]["value"], n["cond"])]
+        return None
+
+    def walk(n):
         if n["type"] == "path":
             lhs, rhs = walk(n["lhs"]), walk(n["rhs"])
             if lhs is not None and rhs is not None:
                 return lhs + rhs
-        return None
+            return None
+        return step(n)
 
     steps = walk(pat)
     if steps is None:
         raise NotCompilable(
-            "only $ or literal name-path transform locations compile")
+            "only $, name/wildcard paths, and static boolean predicates "
+            "on name steps compile as transform locations")
     return steps
 
 
@@ -1822,7 +1835,7 @@ def _dtype_of(tc: TypedCol):
     return None
 
 
-def _apply_update(col, schema, tnode, ctx):
+def _apply_update(col, schema, tnode, ctx, cond=None):
     """Merge the transform's literal update object into ONE matched
     struct instance and drop the deletes — JS ``dict.update`` semantics
     map exactly onto a struct rebuild (existing keys keep their position
@@ -1835,6 +1848,14 @@ def _apply_update(col, schema, tnode, ctx):
     Update values are arbitrary compilable expressions evaluated with
     the match as context — mirroring the interpreter, which builds the
     whole update object against the pre-merge match before mutating.
+
+    ``cond`` (r10, predicate locations): a boolean Column gating whether
+    THIS instance is a match. Matched and unmatched instances must share
+    one Spark type (they sit in the same array / field), so in cond
+    mode deletes are NULLED rather than dropped and appended fields are
+    NULL on unmatched instances — both read back as absent under the
+    typed path's null==absent convention, matching the interpreter's
+    output after JSON serialization drops nulls.
 
     Typed-path divergence (the documented null==absent convention): an
     update value that evaluates NULL keeps the original field value
@@ -1859,10 +1880,15 @@ def _apply_update(col, schema, tnode, ctx):
     out_cols, out_fields = [], []
     all_known = True
     for f in schema.fields:
-        if f.name in deletes:
-            continue
         orig = col[f.name]
-        if f.name in updates:
+        if f.name in deletes:
+            if cond is None:
+                continue
+            out_cols.append(
+                F.when(cond, F.lit(None).cast(f.dataType)).otherwise(orig)
+                .alias(f.name))
+            out_fields.append(T.StructField(f.name, f.dataType, True))
+        elif f.name in updates:
             val = updates[f.name]
             orig_kind = _typed_from(orig, f.dataType).kind
             if val.kind not in (orig_kind, "null"):
@@ -1885,7 +1911,9 @@ def _apply_update(col, schema, tnode, ctx):
                     raise NotCompilable(
                         f"update changes field {f.name!r} Spark type")
                 out_dt = f.dataType
-            merged = F.when(val.col.isNotNull(), val.col).otherwise(orig)
+            gate = val.col.isNotNull() if cond is None \
+                else (cond & val.col.isNotNull())
+            merged = F.when(gate, val.col).otherwise(orig)
             out_cols.append(merged.alias(f.name))
             out_fields.append(T.StructField(f.name, out_dt, True))
         else:
@@ -1894,7 +1922,9 @@ def _apply_update(col, schema, tnode, ctx):
     for key in upd_order:
         if key in orig_fields or key in deletes:
             continue
-        out_cols.append(updates[key].col.alias(key))
+        app = updates[key].col if cond is None else F.when(cond,
+                                                           updates[key].col)
+        out_cols.append(app.alias(key))
         dt = _dtype_of(updates[key])
         if dt is None:
             all_known = False
@@ -1907,15 +1937,61 @@ def _apply_update(col, schema, tnode, ctx):
     return out, (T.StructType(out_fields) if all_known else None)
 
 
-def _transform_at(col, dt, steps, tnode, ctx):
-    """Apply the transform's update at every match of the literal
-    location path ``steps`` under (col, dt), rebuilding the enclosing
-    structure in place — the Column-plan mirror of the interpreter's
+def _transform_pred(pred, val, schema, ctx):
+    """Compile a transform-location predicate with one candidate match
+    as context. Compiled subset: the predicate must STATICALLY be
+    boolean — a numeric result would be JSONata index selection and a
+    variant result could turn numeric at runtime, so both fall back."""
+    child = ctx.down(root=val, root_kind="object", root_schema=schema)
+    ptc = _compile(pred, child)
+    if ptc.kind != "boolean":
+        raise NotCompilable(
+            "transform-location predicates must be statically boolean "
+            "(numeric predicates are index selection)")
+    return ptc.col
+
+
+def _transform_descend(val, dtv, pred, rest, tnode, ctx, cond):
+    """Continue the location walk into one field value, narrowing the
+    match gate by the step's predicate (if any). With a predicate, the
+    field must be a struct or array<struct> — the only shapes where the
+    interpreter's per-item predicate matches objects we can rebuild."""
+    import pyspark.sql.types as T
+
+    if pred is None:
+        return _transform_at(val, dtv, rest, tnode, ctx, cond=cond)
+    if isinstance(dtv, T.ArrayType) and isinstance(dtv.elementType,
+                                                   T.StructType):
+        et = dtv.elementType
+        new_et = _transform_at(F.lit(None), et, rest, tnode, ctx,
+                               cond=F.lit(True))[1]
+
+        def one(x):
+            c = _transform_pred(pred, x, et, ctx)
+            c = c if cond is None else (cond & c)
+            return _transform_at(x, et, rest, tnode, ctx, cond=c)[0]
+
+        return F.transform(val, one), (
+            T.ArrayType(new_et) if new_et is not None else None)
+    if isinstance(dtv, T.StructType):
+        c = _transform_pred(pred, val, dtv, ctx)
+        c = c if cond is None else (cond & c)
+        return _transform_at(val, dtv, rest, tnode, ctx, cond=c)
+    raise NotCompilable(
+        "transform-location predicate over a non-object field")
+
+
+def _transform_at(col, dt, steps, tnode, ctx, cond=None):
+    """Apply the transform's update at every match of the location path
+    ``steps`` under (col, dt), rebuilding the enclosing structure in
+    place — the Column-plan mirror of the interpreter's
     clone-navigate-mutate (interpreter.py Transform.__call__): a name
-    step maps over array members, an array-valued FINAL match updates
-    its object elements one level deep (iter_items does not flatten
-    nested arrays at the match position), and non-object matches are
-    left untouched. Returns (Column, DataType | None)."""
+    step maps over array members, a ``*`` step matches every field, an
+    array-valued FINAL match updates its object elements one level deep
+    (iter_items does not flatten nested arrays at the match position),
+    and non-object matches are left untouched. ``cond`` (predicate
+    locations, r10) gates the eventual update — see _apply_update.
+    Returns (Column, DataType | None)."""
     import pyspark.sql.types as T
 
     if isinstance(dt, T.ArrayType):
@@ -1924,22 +2000,24 @@ def _transform_at(col, dt, steps, tnode, ctx):
             return col, dt  # non-object matches untouched
         # dry run for the element's output type (compile is symbolic —
         # same trick as _typed_navigate's dry run)
-        new_et = _transform_at(F.lit(None), et, steps, tnode, ctx)[1]
+        new_et = _transform_at(F.lit(None), et, steps, tnode, ctx,
+                               cond=cond)[1]
         mapped = F.transform(
-            col, lambda x: _transform_at(x, et, steps, tnode, ctx)[0])
+            col, lambda x: _transform_at(x, et, steps, tnode, ctx,
+                                         cond=cond)[0])
         return mapped, (T.ArrayType(new_et) if new_et is not None else None)
     if isinstance(dt, T.StructType):
         if not steps:
-            return _apply_update(col, dt, tnode, ctx)
-        head, rest = steps[0], steps[1:]
-        if head not in dt.fieldNames():
+            return _apply_update(col, dt, tnode, ctx, cond=cond)
+        (head, pred), rest = steps[0], steps[1:]
+        if head is not None and head not in dt.fieldNames():
             return col, dt  # no match: the clone is returned unchanged
         out_cols, out_fields = [], []
         all_known = True
         for f in dt.fields:
-            if f.name == head:
-                child, child_dt = _transform_at(
-                    col[f.name], f.dataType, rest, tnode, ctx)
+            if head is None or f.name == head:
+                child, child_dt = _transform_descend(
+                    col[f.name], f.dataType, pred, rest, tnode, ctx, cond)
                 out_cols.append(child.alias(f.name))
                 if child_dt is None:
                     all_known = False
@@ -1963,8 +2041,10 @@ def _c_transform_apply(lhs_node, tnode, ctx):
     result stay compiled too.
 
     Compiled subset (everything else -> NotCompilable -> interpreter,
-    full semantics): location must be the bare root ``$`` or a literal
-    name path (``a.b`` — r9; computed locations fall back); the applied
+    full semantics): location must be the bare root ``$`` or a path of
+    literal names / ``*`` wildcards where a name step may carry one
+    statically-boolean predicate (``items[price>10]`` — r10; computed
+    locations, indexes and numeric predicates fall back); the applied
     value must be a schema-known object (the typed path's message
     root); the update must be a literal object constructor with literal
     string keys; deletes must be a literal string or an array of
@@ -1983,7 +2063,25 @@ def _c_transform_apply(lhs_node, tnode, ctx):
         raise NotCompilable(
             "transform compiles only over a schema-known typed object")
 
-    col, dt = _transform_at(base.col, base.dtype, steps, tnode, ctx)
+    if lhs_node["type"] == "apply":
+        # Compiler-level let for CHAINED transforms (`x ~> t1 ~> t2`):
+        # the second rebuild references every field of the first
+        # rebuild's CaseWhen-wrapped struct, so inlining the lhs per
+        # field grows the expression tree GEOMETRICALLY with chain
+        # length (measured pre-fix: 0.9k -> 5.6k -> 50k expression
+        # chars for 1/2/3 stages, analysis 0.5 -> 2.6 -> 9.3 s). Bind
+        # the intermediate once as a lambda variable so each stage adds
+        # a constant-size layer and chains grow linearly.
+        dt_cell: list = []
+
+        def _bound(c):
+            col2, dt2 = _transform_at(c, base.dtype, steps, tnode, ctx)
+            dt_cell.append(dt2)
+            return col2
+
+        col, dt = _let(base.col, _bound), dt_cell[0]
+    else:
+        col, dt = _transform_at(base.col, base.dtype, steps, tnode, ctx)
     if isinstance(dt, T.StructType):
         return TypedCol(col, "object", fields=dt.fieldNames(), dtype=dt)
     return TypedCol(col, "object",

@@ -304,6 +304,22 @@ _XFORM_LOCS = {
     "missing": (["'t1'"], ["1"], ["t9"]),
     "value": (["'t1'"], ["1"], ["t9"]),
     "tags": (["'t1'"], ["1"], ["t9"]),
+    # r10: static boolean predicates on name steps (matched subset
+    # updated, unmatched untouched) and wildcard steps (every
+    # object-valued field matches; scalars/arrays-of-scalars untouched)
+    "items[p > 1]": (["'p'", "'t1'"],
+                     ["p * 10", "q & 'z'", "p > 1", "'c'"],
+                     ["q", "p", "t9"]),
+    "items[q = 'a']": (["'q'", "'t1'"],
+                       ["q & 'z'", "p > 1", "1"], ["q", "t9"]),
+    "items[p > 9]": (["'t1'"], ["1"], ["q", "t9"]),
+    "nested[k = 42]": (["'t1'", "'name'"],
+                       ["k * 2", "$uppercase(name)"], ["deep", "t9"]),
+    "nested[k = 0]": (["'t1'"], ["1"], ["name", "t9"]),
+    "*": (["'t1'", "'u'"], ["1", "'x'", "$exists(k)"],
+          ["q", "name", "t9"]),
+    "*.deep": (["'t1'"], ["$uppercase(leaf)", "1"], ["leaf", "t9"]),
+    "nested.*": (["'t1'"], ["1", "leaf & 'x'"], ["leaf", "t9"]),
 }
 
 
@@ -320,9 +336,16 @@ def _transform(rng: random.Random, d: int) -> str:
         pairs = [f"{rng.choice(keys)}: {rng.choice(vals)}"
                  for _ in range(rng.randrange(1, 3))]
         upd = "{" + ", ".join(pairs) + "}"
-        if rng.randrange(2):
-            return f"$ ~> |{loc}|{upd}|"
-        return f"$ ~> |{loc}|{upd}, '{rng.choice(victims)}'|"
+        first = (f"$ ~> |{loc}|{upd}|" if rng.randrange(2)
+                 else f"$ ~> |{loc}|{upd}, '{rng.choice(victims)}'|")
+        if rng.randrange(3) == 0:
+            # CHAINED transform (r10: the _let-bound intermediate —
+            # chains must stay linear AND correct)
+            loc2 = rng.choice(sorted(_XFORM_LOCS))
+            k2, v2, _ = _XFORM_LOCS[loc2]
+            upd2 = "{" + f"{rng.choice(k2)}: {rng.choice(v2)}" + "}"
+            return f"{first} ~> |{loc2}|{upd2}|"
+        return first
     pairs = []
     for _ in range(rng.randrange(1, 3)):
         key = rng.choice(["'t1'", "'t2'", "'user'", "'count'",

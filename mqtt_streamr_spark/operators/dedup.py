@@ -523,3 +523,57 @@ def jaccard_prefix_join(df: DataFrame, threshold: float = 0.9,
         .filter(F.col("j") >= threshold)
         .select("id_a", "id_b", F.round("j", 6).alias("jaccard_sim"))
     )
+
+
+def cdc_chunk_overlap(df: DataFrame, threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 8, divisor: int = 64,
+                      min_len: int | None = None,
+                      max_len: int | None = None) -> DataFrame:
+    """Sub-document near-dup REMOVAL on content-defined chunks (r10):
+    chunk every doc with :func:`~mqtt_streamr_spark.operators.text.
+    cdc_chunk_hashes` (insertion-stable boundaries), attribute each
+    chunk hash to its EARLIEST owner (min ``id_col``), and flag a doc a
+    duplicate when more than ``threshold`` of its chunk instances
+    already appeared in an earlier doc — the shared-shingle analog of
+    ``dup_passage_stats`` that survives insertions, because a prepended
+    paragraph shifts fixed blocks but not CDC boundaries (rsync/LBFS
+    principle; reference scope: bin/mqtt-streamr.js processes document
+    streams, this is the LLM-corpus prep layer on top).
+
+    Returns one row per doc: ``(id_col, n_chunks, shared_chunks,
+    share_frac, is_dup)`` — survivors are ``~is_dup``; callers join back
+    for the survivor corpus or aggregate for a boilerplate report.
+
+    Scale shape: chunking is map-only Column algebra (no UDF); then ONE
+    map-side-combined groupBy on the uniform chunk hash and one
+    hash-join back on the same key (AQE skew-join splits the hot
+    boilerplate hashes — a window ``min() over (partition by h)`` would
+    put every instance of a viral chunk in one task, so the
+    groupBy+join shape is deliberately chosen over it), and one final
+    groupBy on ``id_col``. Everything linear in total text bytes;
+    never all-pairs."""
+    from mqtt_streamr_spark.operators.text import cdc_chunk_hashes
+
+    chunks = df.select(
+        F.col(id_col),
+        F.explode(cdc_chunk_hashes(
+            text_col, k=k, divisor=divisor,
+            min_len=min_len, max_len=max_len)).alias("h"),
+    )
+    first_owner = chunks.groupBy("h").agg(
+        F.min(id_col).alias("first_doc"))
+    per_doc = (
+        chunks.join(first_owner, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("first_doc") < F.col(id_col), 1)
+                  .otherwise(0)).cast("long").alias("shared_chunks"),
+        )
+        .withColumn(
+            "share_frac",
+            F.col("shared_chunks") / F.col("n_chunks"))
+        .withColumn("is_dup", F.col("share_frac") > F.lit(threshold))
+    )
+    return per_doc

@@ -937,3 +937,84 @@ def jsonata_transform_nested_typed(spark: SparkSession, sf_dir: str
             F.round(F.sum("vt"), 2).alias("sum_vt"),
         )
     )
+
+
+@query(
+    "jsonata_transform_predicate_typed",
+    oracle="""
+    WITH items AS (
+        SELECT event_type, value AS v, 'a' AS name FROM events
+        UNION ALL
+        SELECT event_type, value * 2 AS v, 'b' AS name FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_items,
+           sum(CASE WHEN v > 50 THEN 1 ELSE 0 END)::BIGINT AS n_big,
+           round(sum(CASE WHEN v > 50 THEN v * 2 END), 2) AS sum_v2,
+           sum(CASE WHEN v > 50 THEN 0 ELSE 1 END)::BIGINT AS n_names,
+           round(sum(CASE WHEN name = 'a' THEN v * 3 END), 2) AS sum_vt
+    FROM items
+    GROUP BY event_type
+    """,
+)
+def jsonata_transform_predicate_typed(spark: SparkSession, sf_dir: str
+                                      ) -> DataFrame:
+    """Predicate transform locations COMPILED (r10): a literal name step
+    with a static boolean predicate (``|items[v > 50]|update, deletes|``)
+    rebuilds ONLY the matched array elements in place — conditional
+    append (``big``/``v2`` appear on matches only), conditional delete
+    (``name`` survives on non-matches only) — and the result feeds a
+    CHAINED root transform, so the whole two-stage plan rides the
+    _let-bound linear chain. Backend-asserted "typed": one Column plan,
+    no interpreter, no Python. Reference semantics: jsonata 1.6.4
+    transform docs (the location selects the objects to update;
+    bin/mqtt-streamr.js:108,157-159 evaluate arbitrary 1.6.4
+    expressions). The oracle restates the per-item arithmetic
+    relationally (each event contributes items a: v=value and
+    b: v=2*value). Runs UNSAMPLED over the corpus."""
+    from mqtt_streamr_spark.streaming.transform import transform_to_json
+
+    ev = load(spark, "events", sf_dir)
+    df = ev.withColumn(
+        "payload",
+        F.to_json(
+            F.struct(
+                "event_id", "event_type", "value",
+                F.array(
+                    F.struct(F.lit("a").alias("name"),
+                             col("value").alias("v")),
+                    F.struct(F.lit("b").alias("name"),
+                             (col("value") * 2).alias("v")),
+                ).alias("items"),
+            )
+        ),
+    )
+    out_col, backend = transform_to_json(
+        "$ ~> |items[v > 50]|{'big': true, 'v2': v * 2}, 'name'|"
+        "  ~> |$|{'vt': value * 3}|",
+        F.col("payload"),
+        schema="event_id bigint, event_type string, value double, "
+               "items array<struct<name: string, v: double>>",
+    )
+    assert backend == "typed", backend
+    m = df.withColumn(
+        "m",
+        F.from_json(
+            out_col,
+            "event_type string, vt double, "
+            "items array<struct<name: string, v: double, "
+            "big: boolean, v2: double>>",
+        ),
+    ).select("m.event_type", "m.vt", F.explode("m.items").alias("it"))
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.when(col("it.big"), 1).otherwise(0))
+            .cast("long").alias("n_big"),
+            F.round(F.sum("it.v2"), 2).alias("sum_v2"),
+            F.sum(F.when(col("it.name").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_names"),
+            F.round(F.sum(col("vt") / 2), 2).alias("sum_vt"),
+        )
+    )

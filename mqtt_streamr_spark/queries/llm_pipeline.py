@@ -3166,3 +3166,104 @@ def text_cdc_clamped_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "total_chunks",
                 "distinct_chunks", "max_chunk_len")
     )
+
+
+@query(
+    "dedup_cdc_chunk_overlap",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source,
+                      array_to_string({_TOKS}, ' ') AS s
+               FROM documents),
+    b AS (SELECT doc_id, source, s, length(s) AS n,
+                 CASE WHEN length(s) >= 8 THEN
+                     list_filter(
+                         generate_series(1, length(s) - 7),
+                         i -> ('0x' || substring(md5(substring(s, i, 8)),
+                               1, 15))::BIGINT % 64 = 0)
+                 ELSE [] END AS bs
+          FROM d),
+    cu AS (SELECT doc_id, source, s,
+                  list_prepend(0, list_sort(list_distinct(
+                      list_append(list_transform(bs, i -> i + 7), n))))
+                  AS cuts
+           FROM b),
+    ch AS (SELECT doc_id, source,
+                  unnest(list_transform(
+                      generate_series(1, len(cuts) - 1),
+                      j -> ('0x' || substring(md5(substring(
+                            s, cuts[j] + 1, cuts[j + 1] - cuts[j])),
+                            1, 15))::BIGINT)) AS h
+           FROM cu),
+    fo AS (SELECT h, min(doc_id) AS first_doc FROM ch GROUP BY h),
+    pd AS (SELECT ch.doc_id, ch.source,
+                  count(*) AS n_chunks,
+                  sum(CASE WHEN fo.first_doc < ch.doc_id
+                      THEN 1 ELSE 0 END)::BIGINT AS shared
+           FROM ch JOIN fo USING (h)
+           GROUP BY ch.doc_id, ch.source),
+    bo AS (SELECT source, count(*) AS n_boiler_hashes
+           FROM (SELECT ch.source, ch.h
+                 FROM ch GROUP BY ch.source, ch.h
+                 HAVING count(DISTINCT ch.doc_id) >= 2)
+           GROUP BY source)
+    SELECT pd.source,
+           count(*) AS n_docs,
+           sum(CASE WHEN pd.shared > 0.5 * pd.n_chunks
+               THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+           sum(CASE WHEN pd.shared > 0.5 * pd.n_chunks
+               THEN 0 ELSE 1 END)::BIGINT AS n_survivors,
+           round(avg(pd.shared / pd.n_chunks), 4) AS avg_share,
+           CAST(sum(pd.shared) AS BIGINT) AS total_shared,
+           coalesce(max(bo.n_boiler_hashes), 0)::BIGINT
+               AS n_boiler_hashes
+    FROM pd LEFT JOIN bo USING (source)
+    GROUP BY pd.source
+    """,
+)
+def dedup_cdc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document near-dup removal on content-defined chunks (r10,
+    VERDICT r9 next-round #5): every doc's CDC chunk hashes are
+    attributed to their earliest owner; a doc sharing >50% of its chunk
+    instances with earlier docs is flagged a duplicate — the
+    insertion-robust analog of ``text_dup_passage_fraction`` (CDC
+    boundaries survive prepended/edited content where fixed blocks
+    shift). Per-source survivor report plus the boilerplate-span
+    signal: how many chunk hashes recur across >= 2 docs of the source.
+
+    Scale shape (operators/dedup.py cdc_chunk_overlap): map-only
+    chunking, one map-side-combined groupBy on the uniform chunk hash +
+    one AQE-skew-safe hash join back, one groupBy per doc — linear in
+    text bytes, never all-pairs; the boilerplate count is one extra
+    keyed aggregation at (source, hash) grain."""
+    docs = spread(load(spark, "documents", sf_dir))
+    per_doc = D.cdc_chunk_overlap(docs, threshold=0.5)
+    with_src = per_doc.join(docs.select("doc_id", "source"), "doc_id")
+    chunks = docs.select(
+        "doc_id", "source",
+        F.explode(T.cdc_chunk_hashes("text")).alias("h"),
+    )
+    boiler = (
+        chunks.groupBy("source", "h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(col("nd") >= 2)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_boiler_hashes"))
+    )
+    return (
+        with_src.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(col("is_dup"), 1).otherwise(0))
+            .cast("long").alias("n_dups"),
+            F.sum(F.when(col("is_dup"), 0).otherwise(1))
+            .cast("long").alias("n_survivors"),
+            F.round(F.avg("share_frac"), 4).alias("avg_share"),
+            F.sum("shared_chunks").alias("total_shared"),
+        )
+        .join(boiler, "source", "left")
+        .withColumn(
+            "n_boiler_hashes",
+            F.coalesce(col("n_boiler_hashes"), F.lit(0)).cast("long"))
+        .select("source", "n_docs", "n_dups", "n_survivors",
+                "avg_share", "total_shared", "n_boiler_hashes")
+    )

@@ -700,6 +700,72 @@ def streaming_evicting_bridge_events(spark, k):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def streaming_cdc_apply_events(spark, k):
+    """CDC-apply merge-fold under scale (r10 — VERDICT r9 #6, the one
+    streaming family shape with no 16x proof until now): the change
+    stream folds into a keyed parquet snapshot via foreachBatch +
+    merge.upsert, exactly the streaming_cdc_apply query shape. Replicas
+    offset BOTH event_id and user_id, so the live keyset — and thus the
+    snapshot being rewritten each batch — grows linearly with k; batch
+    COUNT stays constant (2 source files at every k). Per batch: ONE
+    shuffle over snapshot ∪ batch. Records the final snapshot bytes via
+    the LAST_STREAM_METRICS side channel (foreachBatch has no state
+    store; the snapshot IS the state)."""
+    import shutil
+    import tempfile
+
+    from mqtt_streamr_spark.operators.merge import upsert
+    from mqtt_streamr_spark.tables import normalize_events_ts
+
+    global LAST_STREAM_METRICS
+    ev = replicate(
+        normalize_events_ts(load(spark, "events", SF_DIR)), k,
+        id_cols=("event_id", "user_id"),
+    )
+    d = tempfile.mkdtemp(prefix="scale_cdc_apply_")
+    try:
+        src_dir = os.path.join(d, "src")
+        (ev.select("event_id", "user_id", "event_type", "value", "ts")
+         .repartition(2).write.mode("overwrite").parquet(src_dir))
+        schema = spark.read.parquet(src_dir).schema
+        changes = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_dir)
+        )
+        ver = {"version": 0}
+
+        def apply_batch(batch_df, batch_id: int) -> None:
+            b = batch_df.sparkSession
+            cur = os.path.join(d, f"snap_v{ver['version']}")
+            snap = (b.read.parquet(cur) if os.path.exists(cur)
+                    else b.createDataFrame([], batch_df.schema))
+            merged = upsert(snap, batch_df, ["user_id"], "ts",
+                            tie_cols=["event_id"])
+            nxt = os.path.join(d, f"snap_v{ver['version'] + 1}")
+            merged.write.mode("overwrite").parquet(nxt)
+            ver["version"] += 1
+
+        q = (
+            changes.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = os.path.join(d, f"snap_v{ver['version']}")
+        LAST_STREAM_METRICS = {"snapshot_bytes": sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(final) for f in fs)}
+        return (
+            spark.read.parquet(final)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("v"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def jsonata_descendants_events(spark, k):
     # r6 compiled variant-path ** descendants: map-only per-row recursion
     # over raw JSON text + a tiny group agg — time should track input
@@ -825,10 +891,14 @@ OPS = {
 }
 
 
-def _shuffle_write_bytes(spark):
-    """Total shuffle-write bytes across completed stages, via the UI REST
-    API (the only stable surface PySpark exposes for stage metrics).
-    Returns None when the UI is off."""
+def _shuffle_stage_snapshot(spark):
+    """Per-stage shuffleWriteBytes {(stageId, attemptId): bytes} across
+    completed stages, via the UI REST API (the only stable surface
+    PySpark exposes for stage metrics). An op's delta is the sum over
+    stages ABSENT from the before-snapshot (r10, VERDICT r9 #7): the old
+    cumulative-total diff went NEGATIVE when the UI evicted retained
+    stages mid-sweep (r9: pagerank_transitions_events), because evicted
+    stages silently left the total. Returns None when the UI is off."""
     url = spark.sparkContext.uiWebUrl
     if not url:
         return None
@@ -840,7 +910,14 @@ def _shuffle_write_bytes(spark):
 
     app_id = get("applications")[0]["id"]
     stages = get(f"applications/{app_id}/stages?status=complete")
-    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    return {(s["stageId"], s["attemptId"]): s.get("shuffleWriteBytes", 0)
+            for s in stages}
+
+
+def _shuffle_delta(before, after):
+    if before is None or after is None:
+        return None
+    return sum(v for key, v in after.items() if key not in before)
 
 
 def main() -> None:
@@ -851,7 +928,12 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown ops {unknown}; choices: {list(OPS)}")
     spark = get_spark(app_name="scale-check",
-                      extra_conf={"spark.ui.enabled": "true"})
+                      extra_conf={"spark.ui.enabled": "true",
+                                  # stage eviction between an op's two
+                                  # snapshots would undercount its delta;
+                                  # a sweep emits ~2-3k stages, so 20k
+                                  # retention makes eviction unreachable
+                                  "spark.ui.retainedStages": "20000"})
     spark.sparkContext.setLogLevel("ERROR")
     # one overall warm-up (JVM + parquet footers); per-(op, k) jobs then
     # run exactly once — the 16x configurations are too expensive to double
@@ -862,13 +944,13 @@ def main() -> None:
         for k in MULTIPLES:
             global LAST_STREAM_METRICS
             LAST_STREAM_METRICS = None
-            sb0 = _shuffle_write_bytes(spark)
+            sb0 = _shuffle_stage_snapshot(spark)
             t0 = time.time()
             fn(spark, k).collect()
             times[f"x{k}"] = round(time.time() - t0, 2)
-            sb1 = _shuffle_write_bytes(spark)
-            if sb0 is not None and sb1 is not None:
-                shuffles[f"x{k}"] = sb1 - sb0
+            delta = _shuffle_delta(sb0, _shuffle_stage_snapshot(spark))
+            if delta is not None:
+                shuffles[f"x{k}"] = delta
             if LAST_STREAM_METRICS:
                 state[f"x{k}"] = LAST_STREAM_METRICS
         lo, hi = times[f"x{MULTIPLES[0]}"], times[f"x{MULTIPLES[-1]}"]

@@ -1066,6 +1066,23 @@ TRANSFORM_TYPED = [
     "($ ~> |nested|{'k2': k * 2}|).nested.k2",
     "$ ~> |$|{'v2': value * 2}| ~> |$|{'v3': v2 + 1}, 'items'|",
     "($ ~> |items|{'p2': p * 2}, 'q'|).items.p2",
+    # r10: static boolean predicates on name steps — matched elements
+    # updated/deleted, unmatched untouched (appends/deletes realized as
+    # NULLs on the unmatched/matched side, dropped as absent)
+    "$ ~> |items[p > 1]|{'big': true}|",
+    "$ ~> |items[p > 1]|{'p': p * 10}, 'q'|",
+    "$ ~> |items[q = 'a']|{'hit': 1, 'qq': $uppercase(q)}|",
+    "$ ~> |items[p > 9]|{'never': 1}|",            # pred matches nothing
+    "$ ~> |nested[k = 42]|{'tag': 'yes'}, 'name'|",  # pred on a struct field
+    "$ ~> |nested[k = 0]|{'tag': 'yes'}, 'name'|",   # struct pred no-match
+    # pred mid-path: only matched elements' sub-structs rebuilt
+    "$ ~> |items[p > 1]|{'p2': p * 2}| ~> |$|{'n': 1}|",  # chained + pred
+    # r10: wildcard steps — every object-valued field matches; scalars,
+    # arrays-of-scalars and nested scalar arrays stay untouched
+    "$ ~> |*|{'u': 1}|",
+    "$ ~> |*|{'u': 1}, 'q'|",
+    "$ ~> |*.deep|{'u': leaf}|",
+    "$ ~> |nested.*|{'u2': 2}|",
 ]
 
 
