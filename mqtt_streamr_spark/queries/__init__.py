@@ -29,80 +29,83 @@ from mqtt_streamr_spark.queries.registry import ORACLES, QUERIES
 # completes the provenance sweep: after r8, every registry query will
 # have at least one driver-green CORRECTNESS row.
 MUST_VERIFY: list[str] = [
-    # ROUND-9 ROTATION — freshness policy (verdict r8, Next-round #4):
-    # with the provenance sweep closed (union of r1-r8 green rows =
-    # 199/200), the window now rotates by LAST-GREEN AGE. This round:
-    #  (a) the single never-driver-checked query (shipped post-rotation
-    #      in r8) — closes provenance to 200/200;
-    #  (b) r9-NEW queries (driven the round they ship);
-    #  (c) queries whose plans changed this round (strict-parse
-    #      pre-filter → the replay pipeline re-earns its row; typed
-    #      nested-path transforms → the transform demos re-earn theirs);
-    #  (d) the stalest greens: every r1/r3/r4 row, then the oldest r5
-    #      rows, so no query's last driver-green round is >4 behind.
-    # Every query rotated OUT was driver-green in r6-r8 and stays
+    # ROUND-10 ROTATION — freshness policy (verdict r8 #4, consumed per
+    # verdict r9 Next-round #1): the window rotates by LAST-GREEN AGE.
+    # This round:
+    #  (a) the single never-driver-checked query (shipped late-r9 after
+    #      the window closed) — closes provenance to all-green;
+    #  (b) r10-NEW queries (driven the round they ship);
+    #  (c) queries whose plans changed this round (the chained
+    #      transform demo now rides the _let-bound linear chain);
+    #  (d) the stalest greens: every r5 row, then 31 of the 43 r6 rows,
+    #      so after r10 no query's last driver-green round is older
+    #      than r6 (the 12 r6 rows left over head the r11 queue).
+    # Every query rotated OUT was driver-green in r6-r9 and stays
     # hash-checked by tests/test_correctness.py.
     #
     # (a) last provenance gap:
-    "jsonata_transform_operator_typed",
-    # (b) r9-NEW:
-    "jsonata_transform_nested_typed",   # |a.b|…| compiled struct rebuild
-    "streaming_replay_strict_audit",    # strict-parse pre-filter A/B row
-    "text_minhash_content_defined",     # content-defined chunk fingerprints
-    "events_watermark_lateness_audit",  # per-window lateness accounting
-    # (c) plans changed this round:
-    "streaming_replay_pipeline",        # strict-parse pre-filter (perf fix)
-    "jsonata_transform_operator",       # transform-apply TypedCol now carries
-    "jsonata_transform_compiled",       #   its StructType (ADVICE r8)
-    # (d) stalest greens — all eleven r1 rows:
-    "events_json_extract_stats",
-    "events_template_first_occurrence",
-    "events_hierarchical_rollup",
-    "window_lag_lead_events",
-    "sim_near_dups_lsh_blocked",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q4_late_orders_priority",
-    # (d) both r3 rows:
-    "agg_distinct_counts",
-    "agg_grouping_sets",
-    # (d) all twenty r4 rows:
-    "events_daily_windows",
-    "events_topic_routing",
-    "events_session_windows",
-    "jsonata_filter_compiled",
-    "jsonata_transform_typed",
-    "jsonata_string_functions",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_fingerprints",
-    "dedup_lsh_bucket_stats",
-    "sim_embedding_near_dups",
-    "sim_ann_ivf",
-    "dedup_pipeline_survivors",
-    "q3_shipping_priority",
-    "join_anti_customers_without_orders",
-    "join_left_outer_order_counts",
-    "window_running_customer_spend",
-    "topk_expensive_parts",
-    "agg_rollup_region_nation",
-    "agg_value_percentiles_approx",
-    # (d) oldest r5 rows, filling the remaining slots:
-    "events_wildcard_filter",
-    "agg_value_percentiles",
-    "jsonata_hof_compiled",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_groups",
-    "grouped_geomean_values",
-    "join_semi_customers_with_big_orders",
-    "jsonata_descendants_typed",
-    "jsonata_groupby_typed",
-    # r10 freshness-queue head (see COVERAGE.md's generated queue):
-    # text_cdc_clamped_chunks (shipped late-r9, never windowed), then
-    # events_sessionized_stats / events_jsonl_roundtrip (stalest r5).
+    "text_cdc_clamped_chunks",
+    # (b) r10-NEW:
+    "jsonata_transform_predicate_typed",  # |items[p>10]|…| compiled, chained
+    "dedup_cdc_chunk_overlap",            # CDC sub-document near-dup removal
+    "sim_ivf_recall_multiprobe",          # recall/cost curve, nprobe 1/2/4
+    # (c) plan changed this round (chained transforms are _let-bound):
+    "jsonata_transform_nested_typed",
+    # (d) all fourteen r5 rows:
+    "events_jsonl_roundtrip",
+    "events_sessionized_stats",
+    "sim_ann_ivf_indexed",
+    "text_bm25_topdocs",
+    "sim_ann_ivf_kmeans",
+    "text_pii_scrub",
+    "text_chunking",
+    "sim_quantized_topk",
+    "q19_disjunctive_filter",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
+    # (d) 31 of the 43 r6 rows (ANN/recall family first — they pair
+    # with the new curve row — then streaming/jsonata/text/dedup/tpch):
+    "sim_ivf_recall",
+    "sim_ann_ivf_multiprobe",
+    "sim_topk_cosine",
+    "sim_ann_lsh_bucket",
+    "sim_semantic_dedup",
+    "events_variant_parse_drop",
+    "events_variant_pruned_scan",
+    "events_success_error_daily",
+    "events_csv_roundtrip",
+    "events_ewma_per_user",
+    "join_asof_purchase_view",
+    "join_range_view_attribution",
+    "join_interval_overlap_sessions",
+    "jsonata_interpreted_fallback",
+    "jsonata_descendants_variant",
+    "jsonata_object_ops_compiled",
+    "text_lang_id",
+    "text_winnowing_fingerprints",
+    "text_gopher_flags",
+    "text_token_entropy",
+    "text_ngram_repetition",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_duplicate_clusters",
+    "sample_stratified_exact",
+    "llm_prep_corpus_end_to_end",
+    "llm_pack_sequences",
+    "grouped_quality_zscores",
+    "multimodal_features",
+    "split_assignments",
+    "mix_rebalanced_sources",
+    # r11 freshness-queue head (see COVERAGE.md's generated queue): the
+    # 12 r6 rows left over — text_heavy_hitters, llm_budget_selection,
+    # q1_pricing_summary, window_top2_orders_per_customer,
+    # agg_cube_status_priority, set_ops_customer_segments,
+    # scan_filter_project, q8_market_share, q9_product_type_profit,
+    # q21_suppliers_kept_waiting, join_bucketed_colocated,
+    # join_salted_skew.
 ]
 
 DRIVER_WINDOW = 50
