@@ -421,6 +421,24 @@ def jaccard_prefix_docs(spark, k):
         F.count(F.lit(1)), F.sum("jaccard_sim"))
 
 
+def cdc_chunk_overlap_docs(spark, k):
+    # r10 sub-document near-dup removal: map-only CDC chunking, one
+    # map-side-combined groupBy on the uniform chunk hash + one hash
+    # join back, one per-doc agg. Replicas are text-perturbed so chunk
+    # overlap stays intra-replica: time and shuffle must track corpus
+    # bytes ~linearly.
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k,
+        id_cols=("doc_id",), tag_text_col="text",
+    )
+    per = D.cdc_chunk_overlap(docs, threshold=0.5)
+    return per.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)),
+        F.round(F.avg("share_frac"), 4),
+    )
+
+
 def cluster_exact_join_docs(spark, k):
     # cluster-then-exact-join (r7, the jaccard_prefix_docs mitigation):
     # replicas are TOKEN-salted (every token prefixed with its replica id)
@@ -876,6 +894,7 @@ OPS = {
     "interval_overlap_sessions": interval_overlap_sessions,
     "heavy_hitters_docs": heavy_hitters_docs,
     "jaccard_prefix_docs": jaccard_prefix_docs,
+    "cdc_chunk_overlap_docs": cdc_chunk_overlap_docs,
     "cluster_exact_join_docs": cluster_exact_join_docs,
     "concurrency_sweep_events": concurrency_sweep_events,
     "forward_fill_events": forward_fill_events,
@@ -884,6 +903,7 @@ OPS = {
     "variant_pruned_scan_events": variant_pruned_scan_events,
     "jsonata_descendants_events": jsonata_descendants_events,
     "streaming_dedup_watermark_events": streaming_dedup_watermark_events,
+    "streaming_cdc_apply_events": streaming_cdc_apply_events,
     "streaming_stream_stream_join_events": streaming_stream_stream_join_events,
     "streaming_evicting_bridge_events": streaming_evicting_bridge_events,
     "udtf_sentences_docs": udtf_sentences_docs,

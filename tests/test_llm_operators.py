@@ -1139,3 +1139,63 @@ def test_cdc_clamped_chunks_match_python_recompute(spark):
         # max clamp bound actually holds: recompute chunk LENGTHS
         if "max_len" in kw:
             assert got[2] and len(got[2]) >= 300 // 80
+
+
+def test_ivf_recall_curve_matches_pointwise_probes(spark):
+    """The r10 recall/cost curve must agree with per-width ann_topk_ivf
+    probes (same assignment, same tie-breaks) and be monotone in BOTH
+    recall and candidate count; probing every cell is exact search."""
+    import os
+
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    seeds = [1, 2, 3, 4, 5, 6, 7, 8]
+    curve = {
+        r["nprobe"]: r
+        for r in S.ivf_recall_curve(
+            emb, query_id=0, centroid_ids=seeds, k=10, nprobes=(1, 2, 8)
+        ).collect()
+    }
+    exact = {
+        r["vec_id"]
+        for r in S.cosine_topk(emb, S.query_vector(emb, 0), k=10).collect()
+    }
+    for np_ in (1, 2, 8):
+        got = {
+            r["vec_id"]
+            for r in S.ann_topk_ivf(
+                emb, query_id=0, centroid_ids=seeds, k=10, nprobe=np_
+            ).collect()
+        }
+        assert curve[np_]["n_hits"] == len(got & exact), np_
+    hits = [curve[n]["n_hits"] for n in (1, 2, 8)]
+    cands = [curve[n]["n_candidates"] for n in (1, 2, 8)]
+    assert hits == sorted(hits), hits
+    assert cands == sorted(cands) and cands[0] < cands[-1], cands
+    assert curve[8]["n_hits"] == 10          # all cells probed == exact
+    assert curve[8]["recall"] == 1.0
+
+
+def test_cdc_chunk_overlap_insertion_robust(spark):
+    """THE property cdc_chunk_overlap exists for: a doc that is an
+    earlier doc plus an inserted sentence still shares most of its CDC
+    chunks (boundaries are content-local), so it is flagged — while an
+    unrelated doc is not. A fixed-block scheme would shift every block
+    after the insertion point and miss the overlap."""
+    base = " ".join(f"w{i % 97}token{(i * 7) % 31}" for i in range(400))
+    words = base.split()
+    inserted = " ".join(
+        words[:200] + ["brand", "new", "inserted", "sentence", "here"]
+        + words[200:])
+    unrelated = " ".join(f"z{i % 89}other{(i * 11) % 37}"
+                         for i in range(400))
+    df = spark.createDataFrame(
+        [(1, base), (2, inserted), (3, unrelated)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r
+            for r in D.cdc_chunk_overlap(df, threshold=0.5).collect()}
+    assert rows[1]["shared_chunks"] == 0          # earliest owner
+    assert not rows[1]["is_dup"]
+    assert rows[2]["share_frac"] > 0.5 and rows[2]["is_dup"], rows[2]
+    assert rows[3]["shared_chunks"] == 0 and not rows[3]["is_dup"]
