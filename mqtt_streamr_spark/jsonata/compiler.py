@@ -1798,8 +1798,9 @@ def _transform_location_steps(pat) -> list[tuple[str | None, dict | None]]:
     steps = walk(pat)
     if steps is None:
         raise NotCompilable(
-            "only $, name/wildcard paths, and static boolean predicates "
-            "on name steps compile as transform locations")
+            "only $, name/wildcard paths, and static boolean or literal "
+            "index predicates on name steps compile as transform "
+            "locations")
     return steps
 
 
@@ -1937,6 +1938,18 @@ def _apply_update(col, schema, tnode, ctx, cond=None):
     return out, (T.StructType(out_fields) if all_known else None)
 
 
+def _transform_loc_index(pred):
+    """Static literal numeric predicate -> JSONata index selection
+    (floored, negative from the end), else None."""
+    import math
+
+    if pred["type"] == "number":
+        return math.floor(pred["value"])
+    if pred["type"] == "unary-" and pred["expr"]["type"] == "number":
+        return math.floor(-pred["expr"]["value"])
+    return None
+
+
 def _transform_pred(pred, val, schema, ctx):
     """Compile a transform-location predicate with one candidate match
     as context. Compiled subset: the predicate must STATICALLY be
@@ -1960,11 +1973,24 @@ def _transform_descend(val, dtv, pred, rest, tnode, ctx, cond):
 
     if pred is None:
         return _transform_at(val, dtv, rest, tnode, ctx, cond=cond)
+    idx = _transform_loc_index(pred)
     if isinstance(dtv, T.ArrayType) and isinstance(dtv.elementType,
                                                    T.StructType):
         et = dtv.elementType
         new_et = _transform_at(F.lit(None), et, rest, tnode, ctx,
                                cond=F.lit(True))[1]
+        if idx is not None:
+            # literal INDEX selection (r10): [n] matches the element at
+            # position n, negative from the end, out-of-range = no match
+            tgt = F.lit(idx) if idx >= 0 else F.size(val) + F.lit(idx)
+
+            def one_i(x, i):
+                c = i == tgt
+                c = c if cond is None else (cond & c)
+                return _transform_at(x, et, rest, tnode, ctx, cond=c)[0]
+
+            return F.transform(val, one_i), (
+                T.ArrayType(new_et) if new_et is not None else None)
 
         def one(x):
             c = _transform_pred(pred, x, et, ctx)
@@ -1974,9 +2000,17 @@ def _transform_descend(val, dtv, pred, rest, tnode, ctx, cond):
         return F.transform(val, one), (
             T.ArrayType(new_et) if new_et is not None else None)
     if isinstance(dtv, T.StructType):
+        if idx is not None:
+            # scalar-as-singleton-sequence: [0] and [-1] select the
+            # value itself, any other index is no match
+            if idx in (0, -1):
+                return _transform_at(val, dtv, rest, tnode, ctx, cond=cond)
+            return val, dtv
         c = _transform_pred(pred, val, dtv, ctx)
         c = c if cond is None else (cond & c)
         return _transform_at(val, dtv, rest, tnode, ctx, cond=c)
+    if idx is not None:
+        return val, dtv  # non-object match (scalar / array<scalar>): untouched
     raise NotCompilable(
         "transform-location predicate over a non-object field")
 
@@ -2043,8 +2077,9 @@ def _c_transform_apply(lhs_node, tnode, ctx):
     Compiled subset (everything else -> NotCompilable -> interpreter,
     full semantics): location must be the bare root ``$`` or a path of
     literal names / ``*`` wildcards where a name step may carry one
-    statically-boolean predicate (``items[price>10]`` — r10; computed
-    locations, indexes and numeric predicates fall back); the applied
+    statically-boolean predicate (``items[price>10]``) or one literal
+    index (``items[0]``, floored, negative from the end — r10; computed
+    locations and dynamic numeric predicates fall back); the applied
     value must be a schema-known object (the typed path's message
     root); the update must be a literal object constructor with literal
     string keys; deletes must be a literal string or an array of

@@ -318,6 +318,14 @@ _XFORM_LOCS = {
     "nested[k = 0]": (["'t1'"], ["1"], ["name", "t9"]),
     "*": (["'t1'", "'u'"], ["1", "'x'", "$exists(k)"],
           ["q", "name", "t9"]),
+    # r10: literal index locations (floored, negative from the end,
+    # out-of-range / singleton-rule shapes)
+    "items[0]": (["'p'", "'t1'"], ["p * 10", "q & 'z'"], ["q", "t9"]),
+    "items[-1]": (["'t1'"], ["p > 1", "1"], ["p", "t9"]),
+    "items[1.5]": (["'t1'"], ["1"], ["q", "t9"]),
+    "items[9]": (["'t1'"], ["1"], ["t9"]),
+    "nested[0]": (["'t1'"], ["k * 2"], ["name", "t9"]),
+    "nested[2]": (["'t1'"], ["1"], ["t9"]),
     "*.deep": (["'t1'"], ["$uppercase(leaf)", "1"], ["leaf", "t9"]),
     "nested.*": (["'t1'"], ["1", "leaf & 'x'"], ["leaf", "t9"]),
 }

@@ -1083,6 +1083,17 @@ TRANSFORM_TYPED = [
     "$ ~> |*|{'u': 1}, 'q'|",
     "$ ~> |*.deep|{'u': leaf}|",
     "$ ~> |nested.*|{'u2': 2}|",
+    # r10: literal INDEX locations — floored, negative from the end,
+    # out-of-range no match, singleton rule on struct fields
+    "$ ~> |items[0]|{'first': true}|",
+    "$ ~> |items[-1]|{'last': p}, 'q'|",
+    "$ ~> |items[1.5]|{'x': 1}|",
+    "$ ~> |items[9]|{'x': 1}|",
+    "$ ~> |items[-9]|{'x': 1}|",
+    "$ ~> |nested[0]|{'x': 1}|",
+    "$ ~> |nested[-1]|{'x': 1}|",
+    "$ ~> |nested[2]|{'x': 1}|",
+    "$ ~> |tags[0]|{'x': 1}|",
 ]
 
 
