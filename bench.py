@@ -51,6 +51,30 @@ CALIBRATION_BASELINE = {
 # worker-spawn inflation the ratio is meant to expose.
 PY_SENTINEL_BASELINE_SEC = 0.45
 
+# Disk-commit sentinel (r10): the THIRD independent noise axis. Stateful
+# streaming queries are fsync-bound (offset WAL + commit log + one
+# RocksDB checkpoint per state partition per micro-batch), so host disk
+# latency moves EVERY streaming row while leaving the CPU and
+# Python-worker sentinels at baseline — observed at r10 close: q1 at
+# 1.3x baseline but stream-stream join at 3-10x, with idle CPU and
+# ~11 ms/fsync (vs ~1 ms on a healthy host). This sentinel pins that
+# axis: 30 fsyncs of a 4 KiB file on the same filesystem streaming
+# checkpoints use. calm-host value measured 2026-08-15: ~1 ms/fsync.
+FSYNC_SENTINEL_BASELINE_MS = 1.0
+
+
+def _fsync_sentinel_ms() -> float:
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir()) as f:
+        t0 = time.perf_counter()
+        for _ in range(30):
+            f.seek(0)
+            f.write(b"x" * 4096)
+            f.flush()
+            os.fsync(f.fileno())
+        return round((time.perf_counter() - t0) / 30 * 1000, 3)
+
 
 def _python_worker_sentinel(spark) -> float:
     import pandas as pd  # noqa: F401
@@ -210,9 +234,19 @@ def main() -> None:
         }
     except Exception as exc:  # a broken sentinel must not zero the run
         py_sentinel = {"err": f"{type(exc).__name__}: {exc}"[:120]}
+    try:
+        fs_ms = _fsync_sentinel_ms()
+        fsync_sentinel = {
+            "ms_per_fsync": fs_ms,
+            "baseline_ms": FSYNC_SENTINEL_BASELINE_MS,
+            "ratio": round(fs_ms / FSYNC_SENTINEL_BASELINE_MS, 3),
+        }
+    except Exception as exc:
+        fsync_sentinel = {"err": f"{type(exc).__name__}: {exc}"[:120]}
     calibration = {
         "sentinels": sentinels,
         "python_worker_sentinel": py_sentinel,
+        "fsync_sentinel": fsync_sentinel,
         **(
             {"boot_ratio": round(sum(ratios) / len(ratios), 3)}
             if ratios
