@@ -577,3 +577,37 @@ def cdc_chunk_overlap(df: DataFrame, threshold: float = 0.5,
         .withColumn("is_dup", F.col("share_frac") > F.lit(threshold))
     )
     return per_doc
+
+
+def cdc_boilerplate_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          k: int = 8, divisor: int = 64,
+                          min_len: int | None = None,
+                          max_len: int | None = None) -> DataFrame:
+    """WHERE the boilerplate sits (r10, the span half of
+    :func:`cdc_chunk_overlap`): per doc, the character spans of CDC
+    chunks whose hash already appeared in an EARLIER doc. Returns one
+    row per doc that has any shared span: ``(id_col, n_spans,
+    boiler_chars, first_start, first_end)`` — enough for a cleaning
+    pipeline to excise the repeated region instead of dropping the doc.
+    Same linear shape as cdc_chunk_overlap: map-only span extraction,
+    one groupBy on the uniform chunk hash, one join back, one per-doc
+    aggregation."""
+    from mqtt_streamr_spark.operators.text import cdc_chunk_spans
+
+    spans = df.select(
+        F.col(id_col),
+        F.explode(cdc_chunk_spans(
+            text_col, k=k, divisor=divisor,
+            min_len=min_len, max_len=max_len)).alias("sp"),
+    ).select(id_col, "sp.h", "sp.cstart", "sp.cend")
+    first_owner = spans.groupBy("h").agg(F.min(id_col).alias("first_doc"))
+    shared = spans.join(first_owner, "h").filter(
+        F.col("first_doc") < F.col(id_col))
+    return shared.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("cend") - F.col("cstart")).cast("long")
+        .alias("boiler_chars"),
+        F.min("cstart").alias("first_start"),
+        F.min_by("cend", F.col("cstart")).alias("first_end"),
+    )

@@ -1285,3 +1285,47 @@ def cdc_chunk_lengths(text: Column | str, k: int = 8,
         return let_bound(cuts, lengths)
 
     return let_bound(s, build)
+
+
+def cdc_chunk_spans(text: Column | str, k: int = 8,
+                    divisor: int = 64,
+                    min_len: int | None = None,
+                    max_len: int | None = None) -> Column:
+    """Chunk hash + CHARACTER SPAN per CDC chunk, 1:1 aligned with
+    :func:`cdc_chunk_hashes` (same cuts, same hash):
+    array<struct<h: long, cstart: int, cend: int>> over the normalized
+    text. The spans make chunk-level findings actionable — a
+    boilerplate report can say WHERE the shared bytes sit, not just how
+    many chunks repeat (r10, the span half of the dedup_cdc_* family).
+    Same map-only shape: cuts are already positions, so spans cost one
+    extra struct per chunk, no second scan."""
+    s = F.array_join(tokens(text), " ")
+
+    def md5l(g: Column) -> Column:
+        return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
+    def build(sc: Column) -> Column:
+        cuts = _cdc_cuts(sc, k, divisor, min_len, max_len)
+
+        def spans(cs: Column) -> Column:
+            return F.when(
+                F.size(cs) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(cs) - 1),
+                    lambda j: F.struct(
+                        md5l(sc.substr(
+                            F.element_at(cs, j.cast("int")) + 1,
+                            F.element_at(cs, (j + 1).cast("int"))
+                            - F.element_at(cs, j.cast("int")),
+                        )).alias("h"),
+                        F.element_at(cs, j.cast("int")).alias("cstart"),
+                        F.element_at(cs, (j + 1).cast("int")).alias("cend"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<h: long, cstart: int, cend: int>>"))
+
+        return let_bound(cuts, spans)
+
+    return let_bound(s, build)

@@ -48,6 +48,7 @@ MUST_VERIFY: list[str] = [
     # (b) r10-NEW:
     "jsonata_transform_predicate_typed",  # |items[p>10]|…| compiled, chained
     "dedup_cdc_chunk_overlap",            # CDC sub-document near-dup removal
+    "dedup_cdc_boilerplate_spans",        # WHERE the repeated bytes sit
     "sim_ivf_recall_multiprobe",          # recall/cost curve, nprobe 1/2/4
     # (c) plan changed this round (chained transforms are _let-bound):
     "jsonata_transform_nested_typed",
@@ -98,9 +99,9 @@ MUST_VERIFY: list[str] = [
     "grouped_quality_zscores",
     "multimodal_features",
     "split_assignments",
-    "mix_rebalanced_sources",
     # r11 freshness-queue head (see COVERAGE.md's generated queue): the
-    # 12 r6 rows left over — text_heavy_hitters, llm_budget_selection,
+    # 13 r6 rows left over — mix_rebalanced_sources (displaced by the
+    # late-r10 spans query), text_heavy_hitters, llm_budget_selection,
     # q1_pricing_summary, window_top2_orders_per_customer,
     # agg_cube_status_priority, set_ops_customer_segments,
     # scan_filter_project, q8_market_share, q9_product_type_profit,

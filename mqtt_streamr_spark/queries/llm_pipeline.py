@@ -3335,3 +3335,66 @@ def sim_ivf_recall_multiprobe(spark: SparkSession, sf_dir: str
     return S.ivf_recall_curve(
         emb, query_id=0, centroid_ids=_IVF_SEEDS, k=10, nprobes=(1, 2, 4)
     ).orderBy("nprobe")
+
+
+@query(
+    "dedup_cdc_boilerplate_spans",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source,
+                      array_to_string({_TOKS}, ' ') AS s
+               FROM documents),
+    b AS (SELECT doc_id, source, s, length(s) AS n,
+                 CASE WHEN length(s) >= 8 THEN
+                     list_filter(
+                         generate_series(1, length(s) - 7),
+                         i -> ('0x' || substring(md5(substring(s, i, 8)),
+                               1, 15))::BIGINT % 64 = 0)
+                 ELSE [] END AS bs
+          FROM d),
+    cu AS (SELECT doc_id, source, s,
+                  list_prepend(0, list_sort(list_distinct(
+                      list_append(list_transform(bs, i -> i + 7), n))))
+                  AS cuts
+           FROM b),
+    ch AS (SELECT doc_id, source,
+                  unnest(list_transform(
+                      generate_series(1, len(cuts) - 1),
+                      j -> struct_pack(
+                          h := ('0x' || substring(md5(substring(
+                               s, cuts[j] + 1, cuts[j + 1] - cuts[j])),
+                               1, 15))::BIGINT,
+                          cstart := cuts[j],
+                          cend := cuts[j + 1])), recursive := true)
+           FROM cu),
+    fo AS (SELECT h, min(doc_id) AS first_doc FROM ch GROUP BY h),
+    sh AS (SELECT ch.* FROM ch JOIN fo USING (h)
+           WHERE fo.first_doc < ch.doc_id)
+    SELECT doc_id, source,
+           count(*) AS n_spans,
+           sum(cend - cstart)::BIGINT AS boiler_chars,
+           min(cstart) AS first_start,
+           arg_min(cend, cstart) AS first_end
+    FROM sh GROUP BY doc_id, source
+    ORDER BY boiler_chars DESC, doc_id LIMIT 20
+    """,
+)
+def dedup_cdc_boilerplate_spans(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """The boilerplate-SPAN report (r10, completing VERDICT r9 #5's
+    "survivor + boilerplate-span report"): for the 20 docs carrying the
+    most repeated bytes, WHERE the repeats sit — count of shared CDC
+    spans, total shared characters, and the first shared span's
+    character range — so a cleaning pipeline can excise the repeated
+    region instead of dropping the document. Insertion-robust by
+    construction (CDC boundaries are content-local). Scale shape:
+    operators/dedup.py cdc_boilerplate_spans — map-only span extraction,
+    one uniform-key groupBy + join back, one per-doc agg, TakeOrdered 20."""
+    docs = spread(load(spark, "documents", sf_dir))
+    per = D.cdc_boilerplate_spans(docs)
+    return (
+        per.join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_spans", "boiler_chars",
+                "first_start", "first_end")
+        .orderBy(col("boiler_chars").desc(), "doc_id")
+        .limit(20)
+    )
