@@ -611,3 +611,43 @@ def cdc_boilerplate_spans(df: DataFrame, text_col: str = "text",
         F.min("cstart").alias("first_start"),
         F.min_by("cend", F.col("cstart")).alias("first_end"),
     )
+
+
+def cdc_chunks_against_corpus(batch: DataFrame, corpus: DataFrame,
+                              threshold: float = 0.5,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              k: int = 8, divisor: int = 64,
+                              min_len: int | None = None,
+                              max_len: int | None = None) -> DataFrame:
+    """INCREMENTAL sub-document dedup (r10): flag new-batch docs whose
+    CDC chunks mostly already exist in the CORPUS chunk set — the
+    ingest-gate analog of :func:`cdc_chunk_overlap`, and the
+    insertion-robust sibling of :func:`near_dups_against_corpus`. Per
+    batch doc: (id, n_chunks, corpus_chunks, share_frac, is_dup).
+
+    At scale the corpus side is a PRECOMPUTED, stored DISTINCT-chunk
+    index (one `long` per unique chunk — tiny next to the text); every
+    later ingest pays only for its own batch: map-only chunking, one
+    semi-join of batch chunks against the index on the uniform hash,
+    one per-doc aggregation. Here the index derives from the corpus
+    DataFrame so the oracle can restate it."""
+    from mqtt_streamr_spark.operators.text import cdc_chunk_hashes
+
+    ch = cdc_chunk_hashes(text_col, k=k, divisor=divisor,
+                          min_len=min_len, max_len=max_len)
+    b_chunks = batch.select(F.col(id_col), F.explode(ch).alias("h"))
+    c_index = corpus.select(F.explode(ch).alias("h")).distinct()
+    hits = b_chunks.join(c_index, "h", "left_semi") \
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("corpus_chunks"))
+    per_doc = (
+        b_chunks.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+        .join(hits, id_col, "left")
+        .withColumn("corpus_chunks",
+                    F.coalesce(F.col("corpus_chunks"), F.lit(0)))
+        .withColumn("share_frac",
+                    F.col("corpus_chunks") / F.col("n_chunks"))
+        .withColumn("is_dup", F.col("share_frac") > F.lit(threshold))
+    )
+    return per_doc

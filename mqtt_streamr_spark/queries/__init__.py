@@ -49,6 +49,7 @@ MUST_VERIFY: list[str] = [
     "jsonata_transform_predicate_typed",  # |items[p>10]|…| compiled, chained
     "dedup_cdc_chunk_overlap",            # CDC sub-document near-dup removal
     "dedup_cdc_boilerplate_spans",        # WHERE the repeated bytes sit
+    "dedup_cdc_incremental_ingest",       # batch vs corpus chunk index
     "sim_ivf_recall_multiprobe",          # recall/cost curve, nprobe 1/2/4
     # (c) plan changed this round (chained transforms are _let-bound):
     "jsonata_transform_nested_typed",
@@ -98,10 +99,10 @@ MUST_VERIFY: list[str] = [
     "llm_pack_sequences",
     "grouped_quality_zscores",
     "multimodal_features",
-    "split_assignments",
     # r11 freshness-queue head (see COVERAGE.md's generated queue): the
-    # 13 r6 rows left over — mix_rebalanced_sources (displaced by the
-    # late-r10 spans query), text_heavy_hitters, llm_budget_selection,
+    # 14 r6 rows left over — split_assignments and
+    # mix_rebalanced_sources (displaced by the late-r10 CDC queries),
+    # text_heavy_hitters, llm_budget_selection,
     # q1_pricing_summary, window_top2_orders_per_customer,
     # agg_cube_status_priority, set_ops_customer_segments,
     # scan_filter_project, q8_market_share, q9_product_type_profit,

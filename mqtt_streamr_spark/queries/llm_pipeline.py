@@ -3398,3 +3398,75 @@ def dedup_cdc_boilerplate_spans(spark: SparkSession, sf_dir: str
         .orderBy(col("boiler_chars").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "dedup_cdc_incremental_ingest",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source,
+                      array_to_string({_TOKS}, ' ') AS s
+               FROM documents),
+    b AS (SELECT doc_id, source, s, length(s) AS n,
+                 CASE WHEN length(s) >= 8 THEN
+                     list_filter(
+                         generate_series(1, length(s) - 7),
+                         i -> ('0x' || substring(md5(substring(s, i, 8)),
+                               1, 15))::BIGINT % 64 = 0)
+                 ELSE [] END AS bs
+          FROM d),
+    cu AS (SELECT doc_id, source, s,
+                  list_prepend(0, list_sort(list_distinct(
+                      list_append(list_transform(bs, i -> i + 7), n))))
+                  AS cuts
+           FROM b),
+    ch AS (SELECT doc_id, source,
+                  unnest(list_transform(
+                      generate_series(1, len(cuts) - 1),
+                      j -> ('0x' || substring(md5(substring(
+                            s, cuts[j] + 1, cuts[j + 1] - cuts[j])),
+                            1, 15))::BIGINT)) AS h
+           FROM cu),
+    ci AS (SELECT DISTINCT h FROM ch WHERE doc_id % 5 <> 0),
+    pd AS (SELECT ch.doc_id, ch.source,
+                  count(*) AS n_chunks,
+                  sum(CASE WHEN ci.h IS NULL THEN 0 ELSE 1 END)::BIGINT
+                      AS corpus_chunks
+           FROM ch LEFT JOIN ci USING (h)
+           WHERE ch.doc_id % 5 = 0
+           GROUP BY ch.doc_id, ch.source)
+    SELECT source,
+           count(*) AS n_batch_docs,
+           sum(CASE WHEN corpus_chunks > 0.5 * n_chunks
+               THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+           round(avg(corpus_chunks * 1.0 / n_chunks), 4) AS avg_share,
+           CAST(sum(corpus_chunks) AS BIGINT) AS total_corpus_chunks
+    FROM pd GROUP BY source
+    """,
+)
+def dedup_cdc_incremental_ingest(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Incremental SUB-DOCUMENT dedup at the ingest gate (r10): the 20%
+    "new batch" (doc_id%5=0) chunked and semi-joined against the 80%
+    corpus's DISTINCT-chunk index — the insertion-robust sibling of
+    ``dedup_incremental_ingest`` (shingle-LSH flags whole-doc
+    near-dups; CDC chunks flag copied REGIONS even inside otherwise-new
+    docs). Per-source ingest report. Scale shape
+    (operators/dedup.py cdc_chunks_against_corpus): the corpus side is
+    a stored distinct-hash index (one long per unique chunk), so each
+    ingest pays batch-proportional cost — map-only chunking, one
+    uniform-key semi-join, one per-doc agg."""
+    docs = spread(load(spark, "documents", sf_dir))
+    batch = docs.filter(col("doc_id") % 5 == 0)
+    corpus = docs.filter(col("doc_id") % 5 != 0)
+    per = D.cdc_chunks_against_corpus(batch, corpus, threshold=0.5)
+    return (
+        per.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch_docs"),
+            F.sum(F.when(col("is_dup"), 1).otherwise(0))
+            .cast("long").alias("n_dups"),
+            F.round(F.avg("share_frac"), 4).alias("avg_share"),
+            F.sum("corpus_chunks").alias("total_corpus_chunks"),
+        )
+    )

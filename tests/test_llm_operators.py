@@ -1199,3 +1199,29 @@ def test_cdc_chunk_overlap_insertion_robust(spark):
     assert not rows[1]["is_dup"]
     assert rows[2]["share_frac"] > 0.5 and rows[2]["is_dup"], rows[2]
     assert rows[3]["shared_chunks"] == 0 and not rows[3]["is_dup"]
+
+
+def test_cdc_chunk_spans_align_with_hashes_and_lengths(spark):
+    """cdc_chunk_spans must be 1:1 with cdc_chunk_hashes /
+    cdc_chunk_lengths (same cuts, same hash, span width == length), with
+    contiguous spans starting at 0 — the invariant that makes the
+    boilerplate-span report's ranges trustworthy."""
+    texts = [
+        (1, " ".join(f"w{i % 53}tok{(i * 3) % 17}" for i in range(300))),
+        (2, "short text"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = df.select(
+        "doc_id",
+        T.cdc_chunk_hashes("text").alias("hs"),
+        T.cdc_chunk_lengths("text").alias("ls"),
+        T.cdc_chunk_spans("text").alias("sp"),
+    ).collect()
+    for r in rows:
+        assert [s["h"] for s in r["sp"]] == list(r["hs"])
+        assert [s["cend"] - s["cstart"] for s in r["sp"]] == list(r["ls"])
+        pos = 0
+        for s in r["sp"]:
+            assert s["cstart"] == pos
+            pos = s["cend"]
