@@ -595,3 +595,57 @@ def ivf_recall_curve(df: DataFrame, query_id: int,
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.select("nprobe", "n_candidates", "n_hits", "recall")
+
+
+def lsh_recall_curve(df: DataFrame, query_id: int, k: int = 10,
+                     planes_list: tuple[int, ...] = (4, 6, 8),
+                     max_planes: int = 8, dim: int = 64,
+                     vec_col: str = "embedding", id_col: str = "vec_id"
+                     ) -> DataFrame:
+    """The LSH-bucket analog of :func:`ivf_recall_curve` (r10): recall@k
+    of the hyperplane-bucket probe vs the exact top-k at several plane
+    counts, with the candidate count each width scans. PLANES is the
+    LSH tuning knob (fewer planes = bigger buckets = higher recall,
+    more candidates — the mirror image of IVF's nprobe). Because a
+    p-plane bucket is the PREFIX of the max_planes-plane bucket (planes
+    are indexed 0..n-1), the signature is computed ONCE and every width
+    probes by prefix match — one scan, not one per width. One row per
+    plane count: (planes, n_candidates, n_hits, recall)."""
+    exact = cosine_topk(df, query_vector(df, query_id, vec_col, id_col),
+                        k=k, vec_col=vec_col, id_col=id_col) \
+        .select(id_col)
+    bucketed = df.select(
+        F.col(id_col),
+        l2_normalize(F.col(vec_col)).alias("nv"),
+        lsh_bucket(F.col(vec_col), max_planes, dim).alias("b"),
+    )
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("q_id"), F.col("nv").alias("q_nv"),
+        F.col("b").alias("q_b"))
+    rows = []
+    for p in planes_list:
+        cand = (
+            bucketed.join(
+                F.broadcast(q),
+                F.substring(F.col("b"), 1, p)
+                == F.substring(F.col("q_b"), 1, p))
+            .filter(F.col(id_col) != F.col("q_id"))
+        )
+        topk = (
+            cand.select(
+                F.col(id_col),
+                dot(F.col("nv"), F.col("q_nv")).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+            .limit(k)
+        )
+        hits = topk.join(F.broadcast(exact), id_col).agg(
+            F.lit(p).cast("long").alias("planes"),
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(F.count(F.lit(1)) / float(k), 2).alias("recall"),
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        rows.append(hits.crossJoin(n_cand))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select("planes", "n_candidates", "n_hits", "recall")

@@ -37,9 +37,9 @@ MUST_VERIFY: list[str] = [
     #  (b) r10-NEW queries (driven the round they ship);
     #  (c) queries whose plans changed this round (the chained
     #      transform demo now rides the _let-bound linear chain);
-    #  (d) the stalest greens: every r5 row, then 31 of the 43 r6 rows,
+    #  (d) the stalest greens: every r5 row, then 28 of the 43 r6 rows,
     #      so after r10 no query's last driver-green round is older
-    #      than r6 (the 12 r6 rows left over head the r11 queue).
+    #      than r6 (the 15 r6 rows left over head the r11 queue).
     # Every query rotated OUT was driver-green in r6-r9 and stays
     # hash-checked by tests/test_correctness.py.
     #
@@ -51,6 +51,7 @@ MUST_VERIFY: list[str] = [
     "dedup_cdc_boilerplate_spans",        # WHERE the repeated bytes sit
     "dedup_cdc_incremental_ingest",       # batch vs corpus chunk index
     "sim_ivf_recall_multiprobe",          # recall/cost curve, nprobe 1/2/4
+    "sim_lsh_recall_curve",               # the hyperplane analog, 4/6/8 planes
     # (c) plan changed this round (chained transforms are _let-bound):
     "jsonata_transform_nested_typed",
     # (d) all fourteen r5 rows:
@@ -68,7 +69,7 @@ MUST_VERIFY: list[str] = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q22_global_sales_opportunity",
-    # (d) 31 of the 43 r6 rows (ANN/recall family first — they pair
+    # (d) 28 of the 43 r6 rows (ANN/recall family first — they pair
     # with the new curve row — then streaming/jsonata/text/dedup/tpch):
     "sim_ivf_recall",
     "sim_ann_ivf_multiprobe",
@@ -97,11 +98,11 @@ MUST_VERIFY: list[str] = [
     "sample_stratified_exact",
     "llm_prep_corpus_end_to_end",
     "llm_pack_sequences",
-    "grouped_quality_zscores",
     "multimodal_features",
     # r11 freshness-queue head (see COVERAGE.md's generated queue): the
-    # 14 r6 rows left over — split_assignments and
-    # mix_rebalanced_sources (displaced by the late-r10 CDC queries),
+    # 15 r6 rows left over — grouped_quality_zscores,
+    # split_assignments and mix_rebalanced_sources (displaced by the
+    # late-r10 CDC/recall queries),
     # text_heavy_hitters, llm_budget_selection,
     # q1_pricing_summary, window_top2_orders_per_customer,
     # agg_cube_status_priority, set_ops_customer_segments,

@@ -3470,3 +3470,64 @@ def dedup_cdc_incremental_ingest(spark: SparkSession, sf_dir: str
             F.sum("corpus_chunks").alias("total_corpus_chunks"),
         )
     )
+
+
+def _lsh_recall_block(p: int) -> str:
+    """One plane-count point of the LSH recall/cost oracle (prefix of
+    the 8-plane signature = the p-plane bucket)."""
+    dot_eq = _DOT.format(a="e.nv", b="q0.q_nv")
+    return f"""
+    SELECT {p}::BIGINT AS planes,
+           (SELECT count(*) FROM b e, qb
+            WHERE e.vec_id != 0
+              AND left(e.b8, {p}) = left(qb.q_b8, {p}))::BIGINT
+               AS n_candidates,
+           h.n_hits,
+           round(h.n_hits / 10.0, 2) AS recall
+    FROM (SELECT count(*)::BIGINT AS n_hits
+          FROM exact JOIN (
+              SELECT e.vec_id FROM b e, qb, q0
+              WHERE e.vec_id != 0
+                AND left(e.b8, {p}) = left(qb.q_b8, {p})
+              ORDER BY {dot_eq} DESC, e.vec_id LIMIT 10) lsh
+          USING (vec_id)) h
+    """
+
+
+@query(
+    "sim_lsh_recall_curve",
+    oracle="""
+    WITH b AS (SELECT vec_id, {norm} AS nv, {bucket} AS b8
+               FROM embeddings),
+    q0 AS (SELECT nv AS q_nv FROM b WHERE vec_id = 0),
+    qb AS (SELECT b8 AS q_b8 FROM b WHERE vec_id = 0),
+    exact AS (SELECT e.vec_id FROM b e, q0 WHERE e.vec_id != 0
+              ORDER BY {dot_eq} DESC, e.vec_id LIMIT 10)
+    SELECT * FROM ({blocks}) ORDER BY planes
+    """.format(
+        norm=_norm_sql("embedding"),
+        bucket=_BUCKET_SQL,
+        dot_eq=_DOT.format(a="e.nv", b="q0.q_nv"),
+        blocks=" UNION ALL ".join(
+            _lsh_recall_block(p) for p in (1, 2, 4)),
+    ),
+)
+def sim_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-bucket recall/cost curve (r10, the hyperplane analog of
+    ``sim_ivf_recall_multiprobe``): recall@10 of the bucket probe at 1,
+    2 and 4 planes vs the exact top-10, with the candidate count each
+    width scans. PLANES is the LSH knob (fewer planes = bigger buckets
+    = higher recall at higher cost — the mirror image of IVF nprobe);
+    a p-plane bucket is the PREFIX of the full signature, so the
+    signature computes once and every width probes by prefix match.
+    Plane counts are sized to this synthetic table (near-uniform
+    vectors, ~1k at sf0.01: measured recall 0.8/0.3/0.0 for 254/131/42
+    candidates — 8 planes, the near-dup default, measures 0.0 here,
+    which is exactly what the curve exists to expose); production sizes
+    planes ~ log4(N) and regains recall via multiprobe. At scale the
+    signature is the ingest-time partition column and each width is a
+    partition-pruned scan."""
+    emb = load(spark, "embeddings", sf_dir)
+    return S.lsh_recall_curve(
+        emb, query_id=0, k=10, planes_list=(1, 2, 4)
+    ).orderBy("planes")

@@ -575,7 +575,7 @@ SCALAR_CROSS_OK = {
     "text_heavy_hitters",
     "sim_topk_cosine", "sim_ann_ivf", "sim_ann_ivf_multiprobe",
     "sim_ann_ivf_kmeans", "sim_quantized_topk", "sim_ivf_recall",
-    "sim_ivf_recall_multiprobe",
+    "sim_ivf_recall_multiprobe", "sim_lsh_recall_curve",
     "sim_random_projection_topk",
     "sim_centroid_drift",
     # pagerank: N and dangling-mass scalars ride as 1-row broadcast
