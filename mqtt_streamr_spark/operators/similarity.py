@@ -649,3 +649,77 @@ def lsh_recall_curve(df: DataFrame, query_id: int, k: int = 10,
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.select("planes", "n_candidates", "n_hits", "recall")
+
+
+def _flip_bit(b: Column, i: int, planes: int) -> Column:
+    """The bucket string with bit i (1-based) flipped."""
+    flipped = F.when(F.substring(b, i, 1) == "1", F.lit("0")) \
+        .otherwise(F.lit("1"))
+    return F.concat(F.substring(b, 1, i - 1), flipped,
+                    F.substring(b, i + 1, planes - i))
+
+
+def lsh_probe_buckets(b: Column, planes: int, radius: int = 1) -> Column:
+    """All bucket signatures within Hamming distance <= radius of ``b``
+    (radius 0-2 supported — the practical multiprobe range): the probe
+    set is 1 + planes + C(planes,2) strings, generated statically so
+    the probe stays a plain equi-join key list."""
+    from itertools import combinations
+
+    probes = [b]
+    if radius >= 1:
+        probes += [_flip_bit(b, i, planes) for i in range(1, planes + 1)]
+    if radius >= 2:
+        probes += [_flip_bit(_flip_bit(b, i, planes), j, planes)
+                   for i, j in combinations(range(1, planes + 1), 2)]
+    if radius > 2:
+        raise ValueError("multiprobe radius > 2 not supported")
+    return F.array(*probes)
+
+
+def lsh_multiprobe_recall(df: DataFrame, query_id: int, k: int = 10,
+                          planes: int = 8, radius: int = 1, dim: int = 64,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Multiprobe LSH with its recall readout (r10): probe the query's
+    bucket AND every bucket within Hamming distance ``radius`` — the
+    standard trick that regains recall at PRODUCTION plane counts
+    (planes ~ log4(N) keeps buckets verify-sized but a single probe
+    misses neighbors that fall one hyperplane to the other side; the
+    adjacent buckets are exactly where they land). One row:
+    (planes, radius, n_candidates, n_hits, recall). Scale shape: the
+    bucket is the ingest-time partition column, the probe set is
+    1 + planes (+ C(planes,2)) literal keys — a partition-pruned scan
+    per probe, never a distance scan."""
+    exact = cosine_topk(df, query_vector(df, query_id, vec_col, id_col),
+                        k=k, vec_col=vec_col, id_col=id_col) \
+        .select(id_col)
+    bucketed = df.select(
+        F.col(id_col),
+        l2_normalize(F.col(vec_col)).alias("nv"),
+        lsh_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+    )
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("q_id"), F.col("nv").alias("q_nv"),
+        F.explode(lsh_probe_buckets(F.col("bucket"), planes, radius))
+        .alias("bucket"),
+    )
+    cand = (
+        bucketed.join(F.broadcast(q), "bucket")
+        .filter(F.col(id_col) != F.col("q_id"))
+    )
+    topk = (
+        cand.select(F.col(id_col),
+                    dot(F.col("nv"), F.col("q_nv")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+    hits = topk.join(F.broadcast(exact), id_col).agg(
+        F.lit(planes).cast("long").alias("planes"),
+        F.lit(radius).cast("long").alias("radius"),
+        F.count(F.lit(1)).alias("n_hits"),
+        F.round(F.count(F.lit(1)) / float(k), 2).alias("recall"),
+    )
+    return hits.crossJoin(
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    ).select("planes", "radius", "n_candidates", "n_hits", "recall")

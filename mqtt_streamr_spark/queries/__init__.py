@@ -37,9 +37,9 @@ MUST_VERIFY: list[str] = [
     #  (b) r10-NEW queries (driven the round they ship);
     #  (c) queries whose plans changed this round (the chained
     #      transform demo now rides the _let-bound linear chain);
-    #  (d) the stalest greens: every r5 row, then 28 of the 43 r6 rows,
+    #  (d) the stalest greens: every r5 row, then 27 of the 43 r6 rows,
     #      so after r10 no query's last driver-green round is older
-    #      than r6 (the 15 r6 rows left over head the r11 queue).
+    #      than r6 (the 16 r6 rows left over head the r11 queue).
     # Every query rotated OUT was driver-green in r6-r9 and stays
     # hash-checked by tests/test_correctness.py.
     #
@@ -51,7 +51,8 @@ MUST_VERIFY: list[str] = [
     "dedup_cdc_boilerplate_spans",        # WHERE the repeated bytes sit
     "dedup_cdc_incremental_ingest",       # batch vs corpus chunk index
     "sim_ivf_recall_multiprobe",          # recall/cost curve, nprobe 1/2/4
-    "sim_lsh_recall_curve",               # the hyperplane analog, 4/6/8 planes
+    "sim_lsh_recall_curve",               # the hyperplane analog, 1/2/4 planes
+    "sim_lsh_multiprobe_recall",          # hamming-adjacent probes at 8 planes
     # (c) plan changed this round (chained transforms are _let-bound):
     "jsonata_transform_nested_typed",
     # (d) all fourteen r5 rows:
@@ -69,7 +70,7 @@ MUST_VERIFY: list[str] = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q22_global_sales_opportunity",
-    # (d) 28 of the 43 r6 rows (ANN/recall family first — they pair
+    # (d) 27 of the 43 r6 rows (ANN/recall family first — they pair
     # with the new curve row — then streaming/jsonata/text/dedup/tpch):
     "sim_ivf_recall",
     "sim_ann_ivf_multiprobe",
@@ -98,9 +99,9 @@ MUST_VERIFY: list[str] = [
     "sample_stratified_exact",
     "llm_prep_corpus_end_to_end",
     "llm_pack_sequences",
-    "multimodal_features",
     # r11 freshness-queue head (see COVERAGE.md's generated queue): the
-    # 15 r6 rows left over — grouped_quality_zscores,
+    # 16 r6 rows left over — multimodal_features,
+    # grouped_quality_zscores,
     # split_assignments and mix_rebalanced_sources (displaced by the
     # late-r10 CDC/recall queries),
     # text_heavy_hitters, llm_budget_selection,

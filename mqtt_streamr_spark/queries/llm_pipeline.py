@@ -3531,3 +3531,66 @@ def sim_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_recall_curve(
         emb, query_id=0, k=10, planes_list=(1, 2, 4)
     ).orderBy("planes")
+
+
+def _lsh_multiprobe_block(r: int) -> str:
+    """One radius point of the multiprobe oracle. The probe SET (query
+    bucket + every signature within Hamming distance r) is restated as
+    a direct Hamming-distance predicate — same candidate set."""
+    ham = ("len(list_filter(generate_series(1, 8), "
+           "i -> substr(e.b8, i, 1) <> substr(qb.q_b8, i, 1)))")
+    dot_eq = _DOT.format(a="e.nv", b="q0.q_nv")
+    return f"""
+    SELECT 8::BIGINT AS planes, {r}::BIGINT AS radius,
+           (SELECT count(*) FROM b e, qb
+            WHERE e.vec_id != 0 AND {ham} <= {r})::BIGINT
+               AS n_candidates,
+           h.n_hits,
+           round(h.n_hits / 10.0, 2) AS recall
+    FROM (SELECT count(*)::BIGINT AS n_hits
+          FROM exact JOIN (
+              SELECT e.vec_id FROM b e, qb, q0
+              WHERE e.vec_id != 0 AND {ham} <= {r}
+              ORDER BY {dot_eq} DESC, e.vec_id LIMIT 10) m
+          USING (vec_id)) h
+    """
+
+
+@query(
+    "sim_lsh_multiprobe_recall",
+    oracle="""
+    WITH b AS (SELECT vec_id, {norm} AS nv, {bucket} AS b8
+               FROM embeddings),
+    q0 AS (SELECT nv AS q_nv FROM b WHERE vec_id = 0),
+    qb AS (SELECT b8 AS q_b8 FROM b WHERE vec_id = 0),
+    exact AS (SELECT e.vec_id FROM b e, q0 WHERE e.vec_id != 0
+              ORDER BY {dot_eq} DESC, e.vec_id LIMIT 10)
+    SELECT * FROM ({blocks}) ORDER BY radius
+    """.format(
+        norm=_norm_sql("embedding"),
+        bucket=_BUCKET_SQL,
+        dot_eq=_DOT.format(a="e.nv", b="q0.q_nv"),
+        blocks=" UNION ALL ".join(
+            _lsh_multiprobe_block(r) for r in (0, 1, 2)),
+    ),
+)
+def sim_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Multiprobe LSH recall at PRODUCTION plane count (r10, backing the
+    sim_lsh_recall_curve docstring's claim): at 8 planes — where the
+    single-bucket probe measures recall 0.0 on this table — probing the
+    Hamming-adjacent buckets regains recall without shrinking the
+    signature: measured 0.0 -> 0.1 -> 0.2 for 3 -> 23 -> 83 candidates
+    at radius 0/1/2 (sf0.01). The probe set is 1 + planes + C(planes,2)
+    literal partition keys (operators/similarity.py lsh_probe_buckets),
+    so at scale each radius stays a partition-pruned scan; the oracle
+    restates the set as a Hamming-distance predicate."""
+    emb = load(spark, "embeddings", sf_dir)
+    rows = [
+        S.lsh_multiprobe_recall(emb, query_id=0, k=10, planes=8, radius=r)
+        for r in (0, 1, 2)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("radius")

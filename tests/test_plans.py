@@ -576,6 +576,7 @@ SCALAR_CROSS_OK = {
     "sim_topk_cosine", "sim_ann_ivf", "sim_ann_ivf_multiprobe",
     "sim_ann_ivf_kmeans", "sim_quantized_topk", "sim_ivf_recall",
     "sim_ivf_recall_multiprobe", "sim_lsh_recall_curve",
+    "sim_lsh_multiprobe_recall",
     "sim_random_projection_topk",
     "sim_centroid_drift",
     # pagerank: N and dangling-mass scalars ride as 1-row broadcast
