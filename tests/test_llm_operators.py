@@ -1225,3 +1225,28 @@ def test_cdc_chunk_spans_align_with_hashes_and_lengths(spark):
         for s in r["sp"]:
             assert s["cstart"] == pos
             pos = s["cend"]
+
+
+def test_lsh_probe_buckets_hamming_ball(spark):
+    """lsh_probe_buckets must enumerate exactly the Hamming ball: 1 +
+    planes strings at radius 1, plus C(planes,2) at radius 2, each at
+    the right distance from the base signature — the partition keys the
+    multiprobe scan prunes on."""
+    from itertools import combinations
+
+    df = spark.createDataFrame([("10110101",)], "b string")
+    for radius, expect_n in ((0, 1), (1, 9), (2, 9 + 28)):
+        got = df.select(
+            S.lsh_probe_buckets(F.col("b"), 8, radius).alias("p")
+        ).collect()[0]["p"]
+        assert len(got) == expect_n, (radius, len(got))
+        assert len(set(got)) == expect_n  # all distinct
+        base = "10110101"
+        for s in got:
+            d = sum(a != b for a, b in zip(s, base))
+            assert d <= radius and len(s) == 8, (s, d)
+        # and the ball is complete at radius 1
+        if radius == 1:
+            flips = {base[:i] + ("0" if base[i] == "1" else "1")
+                     + base[i + 1:] for i in range(8)}
+            assert set(got) == flips | {base}
