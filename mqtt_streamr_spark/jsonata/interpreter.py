@@ -789,6 +789,7 @@ def _f_pad(interp, s=UNDEFINED, width=0, char=" "):
     if s is UNDEFINED:
         return UNDEFINED
     require_string(s, "$pad")
+    require_string(char, "$pad")
     width = int(require_number(width, "$pad"))
     if abs(width) <= len(s):
         return s
@@ -814,6 +815,8 @@ def _f_split(interp, s=UNDEFINED, sep=UNDEFINED, limit=UNDEFINED):
     require_string(s, "$split")
     lim = None if limit is UNDEFINED else int(require_number(limit, "$split"))
     rx = _as_regex(sep)
+    if rx is None:
+        require_string(sep, "$split")
     if rx is not None:
         parts = rx.split(s)
         if rx.groups:
@@ -833,6 +836,7 @@ def _f_split(interp, s=UNDEFINED, sep=UNDEFINED, limit=UNDEFINED):
 def _f_join(interp, arr=UNDEFINED, sep=""):
     if arr is UNDEFINED:
         return UNDEFINED
+    require_string(sep, "$join")
     items = [arr] if isinstance(arr, str) else list(iter_items(arr))
     for it in items:
         if not isinstance(it, str):
@@ -886,6 +890,7 @@ def _f_replace(interp, s=UNDEFINED, pat=UNDEFINED, repl=UNDEFINED,
             raise JsonataError("$replace: empty pattern")
         if callable(repl):
             raise JsonataError("$replace: function replacement requires regex")
+        require_string(repl, "$replace")
         if lim is None:
             return s.replace(pat, repl)
         return s.replace(pat, repl, lim)
@@ -898,6 +903,8 @@ def _f_replace(interp, s=UNDEFINED, pat=UNDEFINED, repl=UNDEFINED,
                 raise JsonataError("$replace function must return a string")
             return res
     else:
+        require_string(repl, "$replace")
+
         def subfn(m):
             return _js_replacement(repl, m)
     if lim == 0:

@@ -152,14 +152,19 @@ def cosine_topk(df: DataFrame, query_df: DataFrame, k: int = 10,
         df.select(F.col(id_col), l2_normalize(F.col(vec_col)).alias("nv"))
         .crossJoin(F.broadcast(nq))
     )
+    # Order by the UNROUNDED dot so the k-boundary tie-break matches any
+    # exact-side oracle computed in full precision (r11, ADVICE: rounding
+    # before ordering can flip near-ties at the boundary); round only the
+    # displayed column.
     return (
         joined.filter(F.col(id_col) != F.col("q_id"))
         .select(
             F.col(id_col),
-            F.round(dot(F.col("nv"), F.col("q_nv")), 6).alias("cos_sim"),
+            dot(F.col("nv"), F.col("q_nv")).alias("_dot"),
         )
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .orderBy(F.col("_dot").desc(), F.col(id_col))
         .limit(k)
+        .select(F.col(id_col), F.round(F.col("_dot"), 6).alias("cos_sim"))
     )
 
 
@@ -192,10 +197,11 @@ def ann_topk_lsh(df: DataFrame, query_id: int, k: int = 10,
         .filter(F.col(id_col) != F.col("q_id"))
         .select(
             F.col(id_col),
-            F.round(dot(F.col("nv"), F.col("q_nv")), 6).alias("cos_sim"),
+            dot(F.col("nv"), F.col("q_nv")).alias("_dot"),
         )
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .orderBy(F.col("_dot").desc(), F.col(id_col))
         .limit(k)
+        .select(F.col(id_col), F.round(F.col("_dot"), 6).alias("cos_sim"))
     )
 
 
@@ -257,10 +263,11 @@ def ann_topk_ivf(df: DataFrame, query_id: int, centroid_ids: list[int],
         .filter(F.col(id_col) != F.col("q_id"))
         .select(
             F.col(id_col),
-            F.round(dot(F.col("nv"), F.col("q_nv")), 6).alias("cos_sim"),
+            dot(F.col("nv"), F.col("q_nv")).alias("_dot"),
         )
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .orderBy(F.col("_dot").desc(), F.col(id_col))
         .limit(k)
+        .select(F.col(id_col), F.round(F.col("_dot"), 6).alias("cos_sim"))
     )
 
 
@@ -350,10 +357,11 @@ def ivf_probe_index(spark, index_dir: str, q_vec: list[float],
     return (
         data.select(
             F.col(id_col),
-            F.round(dot(F.col("nv"), q_nv), 6).alias("cos_sim"),
+            dot(F.col("nv"), q_nv).alias("_dot"),
         )
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .orderBy(F.col("_dot").desc(), F.col(id_col))
         .limit(k)
+        .select(F.col(id_col), F.round(F.col("_dot"), 6).alias("cos_sim"))
     )
 
 
@@ -466,10 +474,11 @@ def ann_topk_ivf_trained(df: DataFrame, query_id: int,
         .filter(F.col(id_col) != query_id)
         .select(
             F.col(id_col),
-            F.round(dot(F.col("nv"), F.col("q_nv")), 6).alias("cos_sim"),
+            dot(F.col("nv"), F.col("q_nv")).alias("_dot"),
         )
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .orderBy(F.col("_dot").desc(), F.col(id_col))
         .limit(k)
+        .select(F.col(id_col), F.round(F.col("_dot"), 6).alias("cos_sim"))
     )
 
 

@@ -422,7 +422,7 @@ def _norm_sql(a: str) -> str:
            round({_DOT.format(a='e.nv', b='q.q_nv')}, 6) AS cos_sim
     FROM e, q
     WHERE e.vec_id != 0
-    ORDER BY cos_sim DESC, e.vec_id
+    ORDER BY {_DOT.format(a='e.nv', b='q.q_nv')} DESC, e.vec_id
     LIMIT 10
     """,
 )
@@ -458,7 +458,7 @@ def _rp_sql(a: str, out_dim: int = 8, in_dim: int = 64) -> str:
            round({_DOT.format(a='n.nv', b='q.q_nv')}, 6) AS cos_sim
     FROM n, q
     WHERE n.vec_id != 0
-    ORDER BY cos_sim DESC, n.vec_id
+    ORDER BY {_DOT.format(a='n.nv', b='q.q_nv')} DESC, n.vec_id
     LIMIT 10
     """,
 )
@@ -502,7 +502,7 @@ _BUCKET4_SQL = " || ".join(_coeff_sql(p) for p in range(4))
            round({_DOT.format(a='e.nv', b='q.q_nv')}, 6) AS cos_sim
     FROM b e, q
     WHERE e.bucket = q.q_bucket AND e.vec_id != 0
-    ORDER BY cos_sim DESC, e.vec_id
+    ORDER BY {_DOT.format(a='e.nv', b='q.q_nv')} DESC, e.vec_id
     LIMIT 10
     """,
 )
@@ -589,7 +589,7 @@ _IVF_SEEDS_SQL = ", ".join(str(s) for s in _IVF_SEEDS)
            round({_DOT.format(a='a.nv', b='q.q_nv')}, 6) AS cos_sim
     FROM assigned a, q
     WHERE a.cid = q.q_cid AND a.vec_id != 0
-    ORDER BY cos_sim DESC, a.vec_id
+    ORDER BY {_DOT.format(a='a.nv', b='q.q_nv')} DESC, a.vec_id
     LIMIT 10
     """,
 )
@@ -792,7 +792,7 @@ def sample_stratified_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
            round({_DOT.format(a='a.nv', b='q.q_nv')}, 6) AS cos_sim
     FROM assigned a, q
     WHERE a.cid = q.q_cid AND a.vec_id != 0
-    ORDER BY cos_sim DESC, a.vec_id
+    ORDER BY {_DOT.format(a='a.nv', b='q.q_nv')} DESC, a.vec_id
     LIMIT 10
     """,
 )
@@ -945,7 +945,7 @@ def llm_prep_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 AS (SELECT cid, list_transform(l, x -> x::DOUBLE / sqrt(list_sum(list_transform(generate_series(1, len(l)), i -> l[i]::DOUBLE * l[i]::DOUBLE)))) AS cv FROM (SELECT cid, list(mv ORDER BY pos) AS l FROM m1 GROUP BY cid)),
     af AS (SELECT vec_id, nv, cid FROM (SELECT n.vec_id, n.nv, c.cid, row_number() OVER (PARTITION BY n.vec_id ORDER BY list_sum(list_transform(generate_series(1, len(n.nv)), i -> n.nv[i]::DOUBLE * c.cv[i]::DOUBLE)) DESC, c.cid) AS rn FROM n CROSS JOIN c2 c) WHERE rn = 1),
     q AS (SELECT nv AS q_nv, cid AS q_cid FROM af WHERE vec_id = 0)
-    SELECT a.vec_id, round(list_sum(list_transform(generate_series(1, len(a.nv)), i -> a.nv[i]::DOUBLE * q.q_nv[i]::DOUBLE)), 6) AS cos_sim FROM af a, q WHERE a.cid = q.q_cid AND a.vec_id != 0 ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+    SELECT a.vec_id, round(list_sum(list_transform(generate_series(1, len(a.nv)), i -> a.nv[i]::DOUBLE * q.q_nv[i]::DOUBLE)), 6) AS cos_sim FROM af a, q WHERE a.cid = q.q_cid AND a.vec_id != 0 ORDER BY list_sum(list_transform(generate_series(1, len(a.nv)), i -> a.nv[i]::DOUBLE * q.q_nv[i]::DOUBLE)) DESC, a.vec_id LIMIT 10
     """,
 )
 def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1333,7 +1333,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
            round({_DOT.format(a='a.nv', b='q.q_nv')}, 6) AS cos_sim
     FROM assigned a, qn q
     WHERE a.cid IN (SELECT cid FROM qcells) AND a.vec_id != 0
-    ORDER BY cos_sim DESC, a.vec_id
+    ORDER BY {_DOT.format(a='a.nv', b='q.q_nv')} DESC, a.vec_id
     LIMIT 10
     """,
 )

@@ -158,6 +158,7 @@ class MetricsListener:
                     })
                 holder.progress.append({
                     "batch_id": p.batchId,
+                    "run_id": str(p.runId),
                     "num_input_rows": p.numInputRows,
                     "rows_per_sec": p.processedRowsPerSecond,
                     "batch_ms": (p.durationMs or {}).get("triggerExecution"),
@@ -195,6 +196,36 @@ class MetricsListener:
         window = self.progress[start:end]
         if not window:
             return None
+        return self._summarize(window)
+
+    def run_window_summary(self, start: int, end: int | None = None
+                           ) -> dict | None:
+        """Like :meth:`window_summary`, but attribution-complete under the
+        async listener bus (r11, VERDICT r10 Missing #2): a drain's LAST
+        batch event often arrives after the caller's end-cursor was taken
+        (the query function returns at processAllAvailable; the Python
+        listener delivers the final progress event later), so a plain
+        [start, end) slice clips it onto the NEXT query's window. Instead,
+        collect the run_ids whose FIRST event lands in [start, end) — the
+        first batch of a drain always completes while its query is being
+        awaited — and summarize EVERY event of those runs, wherever it
+        arrived."""
+        first_seen: dict[str, int] = {}
+        for i, p in enumerate(self.progress):
+            rid = p.get("run_id")
+            if rid is not None and rid not in first_seen:
+                first_seen[rid] = i
+        stop = len(self.progress) if end is None else end
+        runs = {rid for rid, i in first_seen.items() if start <= i < stop}
+        if not runs:
+            return None
+        window = [p for p in self.progress if p.get("run_id") in runs]
+        out = self._summarize(window)
+        out["n_runs"] = len(runs)
+        return out
+
+    @staticmethod
+    def _summarize(window: list[dict]) -> dict:
         ops = [s for p in window for s in p.get("state", [])]
         out = {
             "n_batches": len(window),

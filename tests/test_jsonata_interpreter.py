@@ -745,6 +745,11 @@ def test_string_builtins_raise_jsonata_error_on_wrong_type():
         "$pad(7, 3)", "$contains(7, 'x')", "$contains('ab', 7)",
         "$split(7, 'x')", "$substring(7, 1)", "$replace(7, 'a', 'b')",
         "$match(7, /a/)", "$base64encode(7)", "$base64decode(7)",
+        # r11 (ADVICE): SECOND-position string args are s-typed too —
+        # $split's separator, $join's separator, $pad's pad char, and
+        # $replace's replacement (both plain and regex pattern paths)
+        "$split('abc', 7)", "$join(['a','b'], 7)", "$pad('ab', 5, 7)",
+        "$replace('ab', 'a', 7)", "$replace('ab', /a/, 7)",
         # the fuzz-found shape: kind-changing update, then a chained
         # transform's update consumes the now-int field
         "$ ~> |nested|{'name': 7}| ~> |nested|{'t1': $uppercase(name)}|",

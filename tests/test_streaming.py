@@ -886,3 +886,46 @@ def test_metrics_listener_window_summary_attribution():
     assert w1["state_rows_max"] == 9
     # trailing empty window
     assert lst.window_summary(m2) is None
+
+
+def test_metrics_listener_run_window_summary_late_events():
+    """run_window_summary() — the r11 attribution fix (VERDICT r10
+    Missing #2): a drain's final progress event often arrives on the
+    async listener bus AFTER the caller's end-cursor, so the plain
+    [start, end) slice clipped it onto the next query's window
+    (streaming_running_stats reported 1 of its 2 batches). Grouping by
+    run_id — all events of every run whose FIRST event lands in the
+    window — recovers the late batch."""
+    from mqtt_streamr_spark.streaming.stats import MetricsListener
+
+    lst = MetricsListener()
+    m0 = lst.mark()
+    # query A (run "ra"): batch 0 arrives in-window...
+    lst.progress.append({"batch_id": 0, "run_id": "ra",
+                         "num_input_rows": 100_000,
+                         "rows_per_sec": 1.0, "batch_ms": 10})
+    m1 = lst.mark()  # bench marks query B here
+    # ...but A's batch 1 is delivered late, after B's mark
+    lst.progress.append({
+        "batch_id": 1, "run_id": "ra", "num_input_rows": 100_000,
+        "rows_per_sec": 1.0, "batch_ms": 20,
+        "state": [{"op": "stats", "rows_total": 5, "mem_bytes": 1024,
+                   "commit_ms": 7, "n_instances": 1, "n_partitions": 8}],
+    })
+    lst.progress.append({"batch_id": 0, "run_id": "rb",
+                         "num_input_rows": 50,
+                         "rows_per_sec": 1.0, "batch_ms": 5})
+    m2 = lst.mark()
+
+    # the OLD cursor slice clips A to one batch and misattributes the
+    # late one to B — exactly the r10 artifact
+    assert lst.window_summary(m0, m1)["n_batches"] == 1
+
+    # run-grouped: A gets BOTH batches (and its state ops); B only its own
+    wa = lst.run_window_summary(m0, m1)
+    assert wa["n_batches"] == 2 and wa["input_rows"] == 200_000
+    assert wa["n_runs"] == 1 and wa["state_commit_ms"] == 7
+    wb = lst.run_window_summary(m1, m2)
+    assert wb["n_batches"] == 1 and wb["input_rows"] == 50
+    # empty window stays None
+    assert lst.run_window_summary(m2) is None
