@@ -1953,8 +1953,12 @@ def _transform_loc_index(pred):
 def _transform_pred(pred, val, schema, ctx):
     """Compile a transform-location predicate with one candidate match
     as context. Compiled subset: the predicate must STATICALLY be
-    boolean — a numeric result would be JSONata index selection and a
-    variant result could turn numeric at runtime, so both fall back."""
+    boolean — a numeric result would be JSONata index selection
+    (_transform_loc_dynamic handles the context-free numeric case) and
+    a variant result could turn numeric at runtime, so both fall back.
+    Outer ``:=`` bindings reach the predicate through ``ctx.down``'s
+    binding copy (r11, VERDICT r10 Next-round #6 — verified by the
+    differential suite: ``|items[price > $threshold]|`` compiles)."""
     child = ctx.down(root=val, root_kind="object", root_schema=schema)
     ptc = _compile(pred, child)
     if ptc.kind != "boolean":
@@ -1962,6 +1966,29 @@ def _transform_pred(pred, val, schema, ctx):
             "transform-location predicates must be statically boolean "
             "(numeric predicates are index selection)")
     return ptc.col
+
+
+def _transform_loc_dynamic(pred, ctx):
+    """COMPUTED index locations (r11, VERDICT r10 Next-round #6):
+    ``|items[$i]|...|`` where the predicate is context-FREE and
+    statically numeric — e.g. an outer ``:=`` binding or arithmetic
+    over one — compiles to dynamic index selection (floored, negative
+    from the end), mirroring the nav path's computed-index rule
+    (_c_path's index_into). Returns the long index Column, or None when
+    the predicate is not this shape (context-reading or non-numeric —
+    boolean predicates keep the _transform_pred path; genuinely dynamic
+    per-item numeric locations keep falling back to the interpreter)."""
+    if _reads_context(pred):
+        return None
+    try:
+        child = ctx.down(root=ctx.root, root_kind=ctx.root_kind,
+                         root_schema=ctx.root_schema, raw=ctx.raw)
+        ptc = _compile(pred, child)
+    except NotCompilable:
+        return None
+    if ptc.kind != "number":
+        return None
+    return F.floor(ptc.col).cast("long")
 
 
 def _transform_descend(val, dtv, pred, rest, tnode, ctx, cond):
@@ -1974,11 +2001,27 @@ def _transform_descend(val, dtv, pred, rest, tnode, ctx, cond):
     if pred is None:
         return _transform_at(val, dtv, rest, tnode, ctx, cond=cond)
     idx = _transform_loc_index(pred)
+    dyn = None if idx is not None else _transform_loc_dynamic(pred, ctx)
     if isinstance(dtv, T.ArrayType) and isinstance(dtv.elementType,
                                                    T.StructType):
         et = dtv.elementType
         new_et = _transform_at(F.lit(None), et, rest, tnode, ctx,
                                cond=F.lit(True))[1]
+        if dyn is not None:
+            # COMPUTED index selection (r11): [expr] where expr is
+            # context-free numeric (outer bindings/arithmetic) — the
+            # target position resolves at runtime, negative from the
+            # end, out-of-range = no match
+            tgt = F.when(dyn >= 0, dyn).otherwise(
+                F.size(val).cast("long") + dyn)
+
+            def one_d(x, i):
+                c = i.cast("long") == tgt
+                c = c if cond is None else (cond & c)
+                return _transform_at(x, et, rest, tnode, ctx, cond=c)[0]
+
+            return F.transform(val, one_d), (
+                T.ArrayType(new_et) if new_et is not None else None)
         if idx is not None:
             # literal INDEX selection (r10): [n] matches the element at
             # position n, negative from the end, out-of-range = no match
@@ -2000,6 +2043,12 @@ def _transform_descend(val, dtv, pred, rest, tnode, ctx, cond):
         return F.transform(val, one), (
             T.ArrayType(new_et) if new_et is not None else None)
     if isinstance(dtv, T.StructType):
+        if dyn is not None:
+            # scalar-as-singleton-sequence, computed: [0]/[-1] select
+            # the value itself, decided at runtime
+            c = dyn.isin(0, -1)
+            c = c if cond is None else (cond & c)
+            return _transform_at(val, dtv, rest, tnode, ctx, cond=c)
         if idx is not None:
             # scalar-as-singleton-sequence: [0] and [-1] select the
             # value itself, any other index is no match
@@ -2009,7 +2058,7 @@ def _transform_descend(val, dtv, pred, rest, tnode, ctx, cond):
         c = _transform_pred(pred, val, dtv, ctx)
         c = c if cond is None else (cond & c)
         return _transform_at(val, dtv, rest, tnode, ctx, cond=c)
-    if idx is not None:
+    if idx is not None or dyn is not None:
         return val, dtv  # non-object match (scalar / array<scalar>): untouched
     raise NotCompilable(
         "transform-location predicate over a non-object field")

@@ -339,6 +339,22 @@ def _transform(rng: random.Random, d: int) -> str:
     NotCompilable-skipped by design, and the variant backend skips all
     of them (function-value construct)."""
     if rng.randrange(2):
+        if rng.randrange(4) == 0:
+            # r11: COMPUTED locations — outer := bindings reach the
+            # location predicate (boolean) or resolve a runtime index
+            # (numeric, floored, negative from the end); both compile
+            # on the typed backend (_transform_loc_dynamic)
+            i = rng.choice(["0", "1", "-1", "2", "9", "0.9", "-2"])
+            upd = "{" + rng.choice(
+                ["'t1': 1", "'p': p * 10", "'t1': q & 'z'"]) + "}"
+            return rng.choice([
+                f"($i := {i}; $ ~> |items[$i]|{upd}|)",
+                f"($i := {i}; $ ~> |items[$i + 1]|{upd}|)",
+                f"($i := {i}; $ ~> |nested[$i]|{{'t1': 1}}|)",
+                f"($t := {i}; $ ~> |items[p > $t]|{upd}|)",
+                f"($t := {i}; $u := 'a'; "
+                f"$ ~> |items[p > $t and q = $u]|{upd}|)",
+            ])
         loc = rng.choice(sorted(_XFORM_LOCS))
         keys, vals, victims = _XFORM_LOCS[loc]
         pairs = [f"{rng.choice(keys)}: {rng.choice(vals)}"

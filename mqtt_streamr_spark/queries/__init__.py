@@ -29,87 +29,74 @@ from mqtt_streamr_spark.queries.registry import ORACLES, QUERIES
 # completes the provenance sweep: after r8, every registry query will
 # have at least one driver-green CORRECTNESS row.
 MUST_VERIFY: list[str] = [
-    # ROUND-10 ROTATION — freshness policy (verdict r8 #4, consumed per
-    # verdict r9 Next-round #1): the window rotates by LAST-GREEN AGE.
+    # ROUND-11 ROTATION — freshness policy (VERDICT r10 Next-round #3).
     # This round:
-    #  (a) the single never-driver-checked query (shipped late-r9 after
-    #      the window closed) — closes provenance to all-green;
-    #  (b) r10-NEW queries (driven the round they ship);
-    #  (c) queries whose plans changed this round (the chained
-    #      transform demo now rides the _let-bound linear chain);
-    #  (d) the stalest greens: every r5 row, then 27 of the 43 r6 rows,
-    #      so after r10 no query's last driver-green round is older
-    #      than r6 (the 16 r6 rows left over head the r11 queue).
-    # Every query rotated OUT was driver-green in r6-r9 and stays
+    #  (a) r11-NEW queries (driven the round they ship);
+    #  (b) queries whose RESULTS could change this round: every ANN
+    #      top-k now orders by the UNROUNDED dot product (ADVICE r10 —
+    #      k-boundary tie-breaks now match the full-precision oracle
+    #      order), so the whole sim_* top-k/recall family re-verifies;
+    #  (c) the 16 r6-stale rows (the generated queue's head, consumed
+    #      in full — after r11 nothing is staler than r7);
+    #  (d) the 20 alphabetically-first r7 rows (the remaining 27 r7
+    #      rows head the r12 queue).
+    # Every query rotated OUT was driver-green in r7-r10 and stays
     # hash-checked by tests/test_correctness.py.
     #
-    # (a) last provenance gap:
-    "text_cdc_clamped_chunks",
-    # (b) r10-NEW:
-    "jsonata_transform_predicate_typed",  # |items[p>10]|…| compiled, chained
-    "dedup_cdc_chunk_overlap",            # CDC sub-document near-dup removal
-    "dedup_cdc_boilerplate_spans",        # WHERE the repeated bytes sit
-    "dedup_cdc_incremental_ingest",       # batch vs corpus chunk index
-    "sim_ivf_recall_multiprobe",          # recall/cost curve, nprobe 1/2/4
-    "sim_lsh_recall_curve",               # the hyperplane analog, 1/2/4 planes
-    "sim_lsh_multiprobe_recall",          # hamming-adjacent probes at 8 planes
-    # (c) plan changed this round (chained transforms are _let-bound):
-    "jsonata_transform_nested_typed",
-    # (d) all fourteen r5 rows:
-    "events_jsonl_roundtrip",
-    "events_sessionized_stats",
-    "sim_ann_ivf_indexed",
-    "text_bm25_topdocs",
-    "sim_ann_ivf_kmeans",
-    "text_pii_scrub",
-    "text_chunking",
-    "sim_quantized_topk",
-    "q19_disjunctive_filter",
-    "q7_volume_shipping",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity",
-    # (d) 27 of the 43 r6 rows (ANN/recall family first — they pair
-    # with the new curve row — then streaming/jsonata/text/dedup/tpch):
-    "sim_ivf_recall",
-    "sim_ann_ivf_multiprobe",
+    # (a) r11-NEW:
+    "text_excise_boilerplate",      # CDC boilerplate EXCISION survivors
+    "sim_planes_for_recall",        # measured curve drives the LSH knob
+    "jsonata_transform_computed_typed",  # computed |items[$i]| locations
+    # (b) ANN ordering changed (unrounded tie-break, ADVICE r10):
     "sim_topk_cosine",
+    "sim_random_projection_topk",   # also r7-stale
     "sim_ann_lsh_bucket",
-    "sim_semantic_dedup",
-    "events_variant_parse_drop",
-    "events_variant_pruned_scan",
-    "events_success_error_daily",
-    "events_csv_roundtrip",
-    "events_ewma_per_user",
-    "join_asof_purchase_view",
-    "join_range_view_attribution",
-    "join_interval_overlap_sessions",
-    "jsonata_interpreted_fallback",
-    "jsonata_descendants_variant",
-    "jsonata_object_ops_compiled",
-    "text_lang_id",
-    "text_winnowing_fingerprints",
-    "text_gopher_flags",
-    "text_token_entropy",
-    "text_ngram_repetition",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_duplicate_clusters",
-    "sample_stratified_exact",
-    "llm_prep_corpus_end_to_end",
-    "llm_pack_sequences",
-    # r11 freshness-queue head (see COVERAGE.md's generated queue): the
-    # 16 r6 rows left over — multimodal_features,
-    # grouped_quality_zscores,
-    # split_assignments and mix_rebalanced_sources (displaced by the
-    # late-r10 CDC/recall queries),
-    # text_heavy_hitters, llm_budget_selection,
-    # q1_pricing_summary, window_top2_orders_per_customer,
-    # agg_cube_status_priority, set_ops_customer_segments,
-    # scan_filter_project, q8_market_share, q9_product_type_profit,
-    # q21_suppliers_kept_waiting, join_bucketed_colocated,
-    # join_salted_skew.
+    "sim_ann_ivf",
+    "sim_ann_ivf_indexed",
+    "sim_ann_ivf_kmeans",
+    "sim_ann_ivf_multiprobe",
+    "sim_ivf_recall",
+    "sim_ivf_recall_multiprobe",
+    "sim_lsh_recall_curve",
+    "sim_lsh_multiprobe_recall",
+    # (c) all sixteen r6 rows:
+    "grouped_quality_zscores",
+    "multimodal_features",
+    "split_assignments",
+    "mix_rebalanced_sources",
+    "text_heavy_hitters",
+    "llm_budget_selection",
+    "q1_pricing_summary",
+    "window_top2_orders_per_customer",
+    "agg_cube_status_priority",
+    "set_ops_customer_segments",
+    "scan_filter_project",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q21_suppliers_kept_waiting",
+    "join_bucketed_colocated",
+    "join_salted_skew",
+    # (d) the 20 alphabetically-first r7 rows:
+    "agg_distinct_approx_hll",
+    "agg_revenue_concentration",
+    "agg_trimmed_mean_value",
+    "agg_weighted_median_price",
+    "dedup_cluster_exact_join",
+    "dedup_containment_pairs",
+    "dedup_exact_jaccard_prefix",
+    "dedup_incremental_ingest",
+    "dedup_keep_best_quality",
+    "dedup_threshold_sweep",
+    "dq_expectations",
+    "drift_psi_price",
+    "events_sliding_windows",
+    "join_fuzzy_name_match",
+    "layout_zorder_clustering",
+    "merge_upsert_latest",
+    "mix_temperature_sampled",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "profile_join_key_skew",
 ]
 
 DRIVER_WINDOW = 50

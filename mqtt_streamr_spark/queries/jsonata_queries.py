@@ -1018,3 +1018,85 @@ def jsonata_transform_predicate_typed(spark: SparkSession, sf_dir: str
             F.round(F.sum(col("vt") / 2), 2).alias("sum_vt"),
         )
     )
+
+
+@query(
+    "jsonata_transform_computed_typed",
+    oracle="""
+    WITH items AS (
+        SELECT event_type, value AS v, 'a' AS name FROM events
+        UNION ALL
+        SELECT event_type, value * 2 AS v, 'b' AS name FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_items,
+           sum(CASE WHEN name = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_last,
+           round(sum(CASE WHEN name = 'b' THEN v END), 2) AS sum_vlast,
+           sum(CASE WHEN v > 50 THEN 1 ELSE 0 END)::BIGINT AS n_big,
+           round(sum(CASE WHEN v > 50 THEN v * 2 END), 2) AS sum_v2
+    FROM items
+    GROUP BY event_type
+    """,
+)
+def jsonata_transform_computed_typed(spark: SparkSession, sf_dir: str
+                                     ) -> DataFrame:
+    """COMPUTED transform locations COMPILED (r11, VERDICT r10
+    Next-round #6): the location index and the predicate threshold are
+    outer ``:=`` bindings, not literals — ``|items[$i]|`` resolves the
+    target position at runtime (floored, negative from the end;
+    compiler _transform_loc_dynamic) and ``|items[v > $t]|`` reads the
+    bound threshold through the predicate child context — then both
+    stages ride the _let-bound linear chain. Backend-asserted "typed":
+    one Column plan, no interpreter, no Python. Reference semantics:
+    jsonata 1.6.4 path/transform evaluation (bin/mqtt-streamr.js:108,
+    157-159 evaluate arbitrary 1.6.4 expressions). The oracle restates
+    the per-item arithmetic relationally (items a: v=value,
+    b: v=2*value; $i=-1 selects b; $t=50 gates v2). Runs UNSAMPLED."""
+    from mqtt_streamr_spark.streaming.transform import transform_to_json
+
+    ev = load(spark, "events", sf_dir)
+    df = ev.withColumn(
+        "payload",
+        F.to_json(
+            F.struct(
+                "event_id", "event_type", "value",
+                F.array(
+                    F.struct(F.lit("a").alias("name"),
+                             col("value").alias("v")),
+                    F.struct(F.lit("b").alias("name"),
+                             (col("value") * 2).alias("v")),
+                ).alias("items"),
+            )
+        ),
+    )
+    out_col, backend = transform_to_json(
+        "($i := -1; $t := 50;"
+        " $ ~> |items[$i]|{'last': true}|"
+        "   ~> |items[v > $t]|{'v2': v * 2}|)",
+        F.col("payload"),
+        schema="event_id bigint, event_type string, value double, "
+               "items array<struct<name: string, v: double>>",
+    )
+    assert backend == "typed", backend
+    m = df.withColumn(
+        "m",
+        F.from_json(
+            out_col,
+            "event_type string, "
+            "items array<struct<name: string, v: double, "
+            "last: boolean, v2: double>>",
+        ),
+    ).select("m.event_type", F.explode("m.items").alias("it"))
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.when(col("it.last"), 1).otherwise(0))
+            .cast("long").alias("n_last"),
+            F.round(F.sum(F.when(col("it.last"), col("it.v"))), 2)
+            .alias("sum_vlast"),
+            F.sum(F.when(col("it.v2").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_big"),
+            F.round(F.sum("it.v2"), 2).alias("sum_v2"),
+        )
+    )

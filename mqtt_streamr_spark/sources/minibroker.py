@@ -99,9 +99,13 @@ def _mqtt_str(s: str) -> bytes:
 class MiniBroker:
     """Threaded MQTT 3.1.1 broker on an ephemeral port: QoS 0 and QoS 1
     (r7 — PUBACK to qos1 publishers, qos1 delivery with packet ids,
-    per-subscriber un-acked tracking; no retransmit, which MQTT 3.1.1
-    mandates only on reconnect of a persistent session — sessions here
-    are clean)."""
+    per-subscriber un-acked tracking). r11 adds PERSISTENT sessions
+    (spec §3.1.2.4) and the one wire behavior the soak previously could
+    not reach: a client reconnecting with CleanSession=0 gets
+    session-present=1 in CONNACK, its subscriptions back, and every
+    un-PUBACKed QoS-1 delivery RETRANSMITTED with DUP=1 (spec §4.4 —
+    retransmission is mandated exactly on persistent-session
+    reconnect)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -111,13 +115,19 @@ class MiniBroker:
         self.host, self.port = self._srv.getsockname()
         # one entry per registered subscriber connection:
         # (patterns: list of (regex, granted_qos), conn, wlock,
-        #  pending: dict pid -> topic of un-acked qos1 deliveries)
+        #  pending: dict pid -> (topic, payload) of un-acked qos1
+        #  deliveries — payload retained for DUP retransmit)
         self._subs: list[tuple[list, socket.socket, threading.Lock,
                                dict]] = []
+        # persistent sessions (CleanSession=0), by client id: patterns +
+        # pending survive the connection; both objects are SHARED with
+        # the live _subs entry while the client is connected
+        self._sessions: dict[str, dict] = {}
         self._lock = threading.Lock()
         self._pid = 0
         self._closing = False
         self.n_connects = 0
+        self.n_redelivered = 0  # DUP retransmits sent on reconnect
         self.n_qos1_in = 0  # qos1 publishes PUBACKed to publishers
         self._accept_thread = threading.Thread(
             target=self._accept_loop, daemon=True
@@ -125,9 +135,16 @@ class MiniBroker:
         self._accept_thread.start()
 
     def n_unacked(self) -> int:
-        """Outstanding qos1 deliveries awaiting subscriber PUBACKs."""
+        """Outstanding qos1 deliveries awaiting subscriber PUBACKs —
+        live connections plus detached persistent sessions (the pending
+        dict is shared while connected, so dedup by object identity)."""
         with self._lock:
-            return sum(len(p) for *_, p in self._subs)
+            seen: dict[int, dict] = {}
+            for *_, p in self._subs:
+                seen[id(p)] = p
+            for sess in self._sessions.values():
+                seen[id(sess["pending"])] = sess["pending"]
+            return sum(len(p) for p in seen.values())
 
     @property
     def url(self) -> str:
@@ -145,16 +162,67 @@ class MiniBroker:
 
     def _serve(self, conn: socket.socket) -> None:
         patterns: list[tuple[re.Pattern, int]] = []
-        pending: dict[int, str] = {}
+        pending: dict[int, tuple[str, bytes]] = {}
         wlock = threading.Lock()
         registered = False
+        persistent_cid: str | None = None
         try:
-            ptype, _, _ = read_packet(conn)
+            ptype, _, cbody = read_packet(conn)
             if ptype != CONNECT:
                 return
+            # CONNECT body (spec §3.1): proto name, level, flags,
+            # keepalive, client id — we need the CleanSession bit and
+            # the id for persistent-session resume
+            pn = struct.unpack(">H", cbody[:2])[0]
+            i = 2 + pn + 1          # skip proto name + level
+            cflags = cbody[i]
+            i += 1 + 2              # flags + keepalive
+            cl = struct.unpack(">H", cbody[i:i + 2])[0]
+            cid = cbody[i + 2:i + 2 + cl].decode("utf-8")
+            clean = bool(cflags & 0x02)
+            session_present = False
+            resumed = None
             with self._lock:
                 self.n_connects += 1
-            write_packet(conn, CONNACK, 0, b"\x00\x00")  # accepted
+                if clean:
+                    self._sessions.pop(cid, None)
+                elif cid:
+                    persistent_cid = cid
+                    resumed = self._sessions.get(cid)
+                    if resumed is not None:
+                        session_present = True
+                        patterns = resumed["patterns"]
+                        pending = resumed["pending"]
+                    else:
+                        self._sessions[cid] = {
+                            "patterns": patterns, "pending": pending}
+            write_packet(conn, CONNACK, 0,
+                         bytes([1 if session_present else 0]) + b"\x00")
+            if session_present:
+                # resume: subscriptions re-attach without a SUBSCRIBE,
+                # and every un-acked qos1 delivery retransmits with
+                # DUP=1 under its ORIGINAL packet id (spec §4.4)
+                if patterns:
+                    with self._lock:
+                        # drop any STALE entry still carrying this
+                        # session's pending dict (the dead socket's
+                        # serve loop may not have noticed the close
+                        # yet) — otherwise _route double-targets the
+                        # session and queues a pid nobody will ack
+                        self._subs = [s for s in self._subs
+                                      if s[3] is not pending]
+                        self._subs.append((patterns, conn, wlock, pending))
+                    registered = True
+                with self._lock:
+                    redeliver = list(pending.items())
+                for pid, (topic, payload) in redeliver:
+                    with wlock:
+                        write_packet(
+                            conn, PUBLISH, 0x02 | 0x08,
+                            _mqtt_str(topic) + struct.pack(">H", pid)
+                            + payload)
+                    with self._lock:
+                        self.n_redelivered += 1
             while True:
                 ptype, flags, body = read_packet(conn)
                 if ptype == SUBSCRIBE:
@@ -235,7 +303,7 @@ class MiniBroker:
                     with self._lock:
                         self._pid = self._pid % 65535 + 1
                         pid = self._pid
-                        pending[pid] = topic
+                        pending[pid] = (topic, payload)
                     with wlock:
                         write_packet(
                             sock, PUBLISH, 0x02,
@@ -244,6 +312,26 @@ class MiniBroker:
                         )
             except OSError:
                 pass  # subscriber died; its serve loop cleans up
+        # OFFLINE queueing for detached persistent sessions (spec
+        # §3.1.2.4: the server stores QoS-1 messages matching a
+        # disconnected session's subscriptions): assign a pid into the
+        # session's pending dict — the reconnect retransmit path
+        # delivers it. QoS-0 messages for detached sessions are
+        # discarded (the server MAY store them; this double doesn't).
+        with self._lock:
+            connected = {id(p) for *_, p in self._subs}
+            detached = [s for s in self._sessions.values()
+                        if id(s["pending"]) not in connected]
+        for sess in detached:
+            granted = max(
+                (q for p, q in sess["patterns"] if p.match(topic)),
+                default=None,
+            )
+            if granted is None or min(pub_qos, granted) != 1:
+                continue
+            with self._lock:
+                self._pid = self._pid % 65535 + 1
+                sess["pending"][self._pid] = (topic, payload)
 
     def close(self) -> None:
         self._closing = True
@@ -261,11 +349,13 @@ class SocketMqttClient:
     (at-least-once publish)."""
 
     def __init__(self, url: str, topics: list[str], qos: int = 0,
-                 client_id: str | None = None):
+                 client_id: str | None = None,
+                 clean_session: bool = True):
         host, _, port = url.replace("mqtt://", "").partition(":")
         self._addr = (host, int(port or 1883))
         self._topics = topics
         self._qos = min(int(qos), 1)
+        self._clean = bool(clean_session)
         self._client_id = client_id or f"mss-{time.time_ns() % 10**9}"
         self._lock = threading.Lock()
         self._buffer: list[tuple[str, str, datetime]] = []
@@ -278,14 +368,18 @@ class SocketMqttClient:
 
     def _connect(self) -> None:
         s = socket.create_connection(self._addr, timeout=10)
-        # CONNECT: proto "MQTT" level 4, clean session, keepalive 60
-        body = (_mqtt_str("MQTT") + b"\x04" + b"\x02" +
+        # CONNECT: proto "MQTT" level 4, keepalive 60; CleanSession per
+        # construction (clean_session=False + stable client_id = the
+        # persistent-session resume path, spec §3.1.2.4)
+        flags = b"\x02" if self._clean else b"\x00"
+        body = (_mqtt_str("MQTT") + b"\x04" + flags +
                 struct.pack(">H", 60) + _mqtt_str(self._client_id))
         write_packet(s, CONNECT, 0, body)
         ptype, _, ack = read_packet(s)
         if ptype != CONNACK or ack[1] != 0:
             raise ConnectionError(f"CONNACK refused: {ack!r}")
-        if self._topics:
+        self.session_present = bool(ack[0] & 0x01)
+        if self._topics and not self.session_present:
             sub = struct.pack(">H", 1)
             for t in self._topics:
                 sub += _mqtt_str(t) + bytes([self._qos])

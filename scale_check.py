@@ -439,6 +439,23 @@ def cdc_chunk_overlap_docs(spark, k):
     )
 
 
+def cdc_excise_boilerplate_docs(spark, k):
+    # r11 boilerplate excision: same hash-groupBy+join-back shape as
+    # cdc_chunk_overlap_docs, plus the map-stage F.aggregate splice —
+    # the text never shuffles (only span ints do), so shuffle bytes
+    # must stay ~linear in corpus bytes and well below the text size.
+    docs = replicate(
+        spread(load(spark, "documents", SF_DIR)), k,
+        id_cols=("doc_id",), tag_text_col="text",
+    )
+    out = D.cdc_excise_boilerplate(docs)
+    return out.agg(
+        F.count(F.lit(1)),
+        F.sum("excised_chars"),
+        F.sum("clean_chars"),
+    )
+
+
 def cluster_exact_join_docs(spark, k):
     # cluster-then-exact-join (r7, the jaccard_prefix_docs mitigation):
     # replicas are TOKEN-salted (every token prefixed with its replica id)
@@ -895,6 +912,7 @@ OPS = {
     "heavy_hitters_docs": heavy_hitters_docs,
     "jaccard_prefix_docs": jaccard_prefix_docs,
     "cdc_chunk_overlap_docs": cdc_chunk_overlap_docs,
+    "cdc_excise_boilerplate_docs": cdc_excise_boilerplate_docs,
     "cluster_exact_join_docs": cluster_exact_join_docs,
     "concurrency_sweep_events": concurrency_sweep_events,
     "forward_fill_events": forward_fill_events,

@@ -1094,6 +1094,22 @@ TRANSFORM_TYPED = [
     "$ ~> |nested[-1]|{'x': 1}|",
     "$ ~> |nested[2]|{'x': 1}|",
     "$ ~> |tags[0]|{'x': 1}|",
+    # r11: COMPUTED index locations — context-free numeric predicates
+    # (outer := bindings, arithmetic over them) resolve the target
+    # position at runtime: floored, negative from the end, out-of-range
+    # no match, singleton rule on struct fields
+    "($i := 1; $ ~> |items[$i]|{'picked': true}|)",
+    "($i := -1; $ ~> |items[$i]|{'last': p}, 'q'|)",
+    "($i := 9; $ ~> |items[$i]|{'x': 1}|)",
+    "($i := 0.9; $ ~> |items[$i]|{'x': 1}|)",
+    "($i := 0; $ ~> |items[$i + 1]|{'p': p * 10}|)",
+    "($i := 0; $ ~> |nested[$i]|{'x': 1}|)",
+    "($i := 2; $ ~> |nested[$i]|{'x': 1}|)",
+    "($i := 0; $ ~> |tags[$i]|{'x': 1}|)",
+    # r11: outer bindings inside BOOLEAN location predicates (threaded
+    # through ctx.down's binding copy)
+    "($t := 1; $ ~> |items[p > $t]|{'big': true}|)",
+    "($t := 1; $u := 'a'; $ ~> |items[p > $t and q = $u]|{'hit': 1}|)",
 ]
 
 

@@ -1201,6 +1201,71 @@ def test_cdc_chunk_overlap_insertion_robust(spark):
     assert rows[3]["shared_chunks"] == 0 and not rows[3]["is_dup"]
 
 
+def test_planes_for_recall_pick_rules(spark):
+    """planes_for_recall (r11, VERDICT r10 #5): the pick is the LARGEST
+    plane count whose measured mean recall clears the target (cheapest
+    adequate buckets), falling back to the smallest plane count when
+    nothing clears it; the returned curve is monotone in candidate
+    count (more planes = smaller buckets)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pick, curve = S.planes_for_recall(
+        emb, 0.05, query_ids=[0, 31, 142, 333], planes_list=(1, 2, 3))
+    rows = {r["planes"]: r for r in curve.collect()}
+    assert set(rows) == {1, 2, 3}
+    cands = [rows[p]["total_candidates"] for p in (1, 2, 3)]
+    assert cands == sorted(cands, reverse=True), cands
+    meeting = [p for p in (1, 2, 3) if rows[p]["mean_recall"] >= 0.05]
+    assert pick == (max(meeting) if meeting else 1)
+    # an unreachable target falls back to the smallest (highest-recall)
+    pick_hi, _ = S.planes_for_recall(
+        emb, 1.01, query_ids=[0, 31], planes_list=(2, 3))
+    assert pick_hi == 2
+
+
+def test_cdc_excise_boilerplate_splice(spark):
+    """cdc_excise_boilerplate (r11, VERDICT r10 #4): a doc's shared CDC
+    chunks are cut out while its unique content survives verbatim, the
+    first owner keeps its copy intact, untouched docs round-trip, and
+    the splice accounting (orig = clean + excised) balances. Oracle:
+    recompute the expected clean text from the span/first-owner rule
+    driver-side over the same cdc_chunk_spans output."""
+    base = " ".join(f"w{i % 97}token{(i * 7) % 31}" for i in range(400))
+    words = base.split()
+    wrapped = " ".join(
+        ["unique", "preamble", "first"] + words
+        + ["plus", "a", "unique", "tail"])
+    unrelated = " ".join(f"z{i % 89}other{(i * 11) % 37}"
+                         for i in range(400))
+    df = spark.createDataFrame(
+        [(1, base), (2, wrapped), (3, unrelated)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r
+            for r in D.cdc_excise_boilerplate(df).collect()}
+    # first owner and the unrelated doc round-trip untouched
+    assert rows[1]["clean_text"] == base and rows[1]["excised_spans"] == 0
+    assert rows[3]["clean_text"] == unrelated
+    # the wrapper doc lost bytes but kept its unique affixes
+    r2 = rows[2]
+    assert r2["excised_spans"] > 0 and r2["excised_chars"] > 0
+    assert r2["clean_text"].startswith("unique preamble first")
+    assert r2["clean_text"].endswith("plus a unique tail")
+    # accounting balances for every doc
+    for r in rows.values():
+        assert r["orig_chars"] == r["clean_chars"] + r["excised_chars"]
+    # independent recompute of doc 2's clean text from spans+first-owner
+    spans = {r["doc_id"]: r["sp"] for r in df.select(
+        "doc_id", T.cdc_chunk_spans("text").alias("sp")).collect()}
+    owner = {}
+    for did in sorted(spans):
+        for s in spans[did]:
+            owner.setdefault(s["h"], did)
+    s2 = " ".join(wrapped.lower().split())
+    expect = "".join(
+        s2[s["cstart"]:s["cend"]]
+        for s in spans[2] if owner[s["h"]] >= 2)
+    assert r2["clean_text"] == expect
+
+
 def test_cdc_chunk_spans_align_with_hashes_and_lengths(spark):
     """cdc_chunk_spans must be 1:1 with cdc_chunk_hashes /
     cdc_chunk_lengths (same cuts, same hash, span width == length), with
