@@ -767,6 +767,100 @@ def planes_for_recall(df: DataFrame, target_recall: float,
     return pick, curve
 
 
+def ivf_recall_curve_multi(df: DataFrame, query_ids: list[int],
+                           centroid_ids: list[int], k: int = 10,
+                           nprobes: tuple[int, ...] = (1, 2, 4),
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """The multi-query IVF recall/cost curve (r11 — the IVF analog of
+    :func:`lsh_recall_curve_multi`): recall@k vs candidates scanned at
+    several ``nprobe`` settings, averaged over a SAMPLE of query
+    vectors so the curve estimates corpus-level recall. One row per
+    nprobe: ``(nprobe, n_queries, total_candidates, n_hits,
+    mean_recall)``.
+
+    Scale shape: coarse assignment computed ONCE (ingest-time partition
+    column at scale); per-query cell ranking is a Q x K broadcast
+    cross; the (corpus x Q) scored set is built once and every probe
+    width filters it by a broadcast (q_id, cid) cell list — the
+    partition-pruned-scan shape per query. Q stays small."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(df, centroid_ids, vec_col, id_col)
+    qs = assigned.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"), F.col("nv").alias("q_nv"))
+    cents = assigned.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col("cid"), F.col("nv").alias("cv"))
+    wq = Window.partitionBy("q_id").orderBy(
+        F.desc("dq"), F.asc("cid"))
+    qcells = (
+        qs.crossJoin(F.broadcast(cents))
+        .withColumn("dq", dot(F.col("q_nv"), F.col("cv")))
+        .withColumn("rk", F.row_number().over(wq))
+        .select("q_id", "cid", "rk")
+    )
+    scored = (
+        assigned.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col), "cid",
+                dot(F.col("nv"), F.col("q_nv")).alias("d"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("d"), F.asc(id_col))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", id_col)
+    )
+    nq = len(query_ids)
+    rows = []
+    for np_ in nprobes:
+        cells = qcells.filter(F.col("rk") <= np_).select("q_id", "cid")
+        cand = scored.join(F.broadcast(cells), ["q_id", "cid"])
+        topk = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("q_id", id_col)
+        )
+        hits = topk.join(exact, ["q_id", id_col]).agg(
+            F.lit(np_).cast("long").alias("nprobe"),
+            F.lit(nq).cast("long").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(F.count(F.lit(1)) / float(k * nq), 4)
+            .alias("mean_recall"),
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).alias("total_candidates"))
+        rows.append(hits.crossJoin(n_cand))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select("nprobe", "n_queries", "total_candidates",
+                      "n_hits", "mean_recall")
+
+
+def nprobe_for_recall(df: DataFrame, target_recall: float,
+                      centroid_ids: list[int],
+                      query_ids: list[int] | None = None, k: int = 10,
+                      nprobes: tuple[int, ...] = (1, 2, 4),
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> tuple[int, DataFrame]:
+    """Pick the IVF ``nprobe`` knob FROM THE MEASURED CURVE (r11 — the
+    IVF mirror of :func:`planes_for_recall`): recall RISES with nprobe
+    while cost grows ~linearly in probed cells, so the cheapest
+    adequate setting is the SMALLEST nprobe whose measured mean recall
+    clears the target; if none does, fall back to the largest
+    (highest-recall) setting. Returns ``(nprobe, curve_df)``; the pick
+    collects len(nprobes) curve rows (planning metadata)."""
+    if query_ids is None:
+        query_ids = [0, 31, 142, 333]
+    curve = ivf_recall_curve_multi(
+        df, query_ids, centroid_ids, k=k, nprobes=nprobes,
+        vec_col=vec_col, id_col=id_col)
+    rows = {r["nprobe"]: r["mean_recall"] for r in curve.collect()}
+    meeting = [n for n in nprobes if rows.get(n, 0.0) >= target_recall]
+    pick = min(meeting) if meeting else max(nprobes)
+    return pick, curve
+
+
 def _flip_bit(b: Column, i: int, planes: int) -> Column:
     """The bucket string with bit i (1-based) flipped."""
     flipped = F.when(F.substring(b, i, 1) == "1", F.lit("0")) \

@@ -46,6 +46,7 @@ MUST_VERIFY: list[str] = [
     # (a) r11-NEW:
     "text_excise_boilerplate",      # CDC boilerplate EXCISION survivors
     "sim_planes_for_recall",        # measured curve drives the LSH knob
+    "sim_nprobe_for_recall",        # the IVF mirror of the above
     "jsonata_transform_computed_typed",  # computed |items[$i]| locations
     # (b) ANN ordering changed (unrounded tie-break, ADVICE r10):
     "sim_topk_cosine",
@@ -96,7 +97,8 @@ MUST_VERIFY: list[str] = [
     "mix_temperature_sampled",
     "multimodal_frame_sample",
     "multimodal_resize",
-    "profile_join_key_skew",
+    # (profile_join_key_skew displaced by sim_nprobe_for_recall — it
+    # heads the r12 freshness queue)
 ]
 
 DRIVER_WINDOW = 50

@@ -3765,3 +3765,92 @@ def sim_planes_for_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         curve.withColumn("picked", col("planes") == F.lit(pick))
         .orderBy("planes")
     )
+
+
+def _nprobe_pick_block(np_: int, nq: int, k: int) -> str:
+    """One nprobe point of the multi-query IVF recall curve oracle."""
+    return f"""
+    SELECT {np_}::BIGINT AS nprobe, {nq}::BIGINT AS n_queries,
+           (SELECT count(*) FROM sc JOIN qcells qc
+            ON sc.q_id = qc.q_id AND sc.cid = qc.cid
+            WHERE qc.rk <= {np_})::BIGINT AS total_candidates,
+           (SELECT count(*)
+            FROM (SELECT q_id, vec_id FROM (
+                      SELECT sc.q_id, sc.vec_id, row_number() OVER (
+                          PARTITION BY sc.q_id
+                          ORDER BY sc.d DESC, sc.vec_id) AS rn
+                      FROM sc JOIN qcells qc
+                      ON sc.q_id = qc.q_id AND sc.cid = qc.cid
+                      WHERE qc.rk <= {np_})
+                  WHERE rn <= {k}) t
+            JOIN exact USING (q_id, vec_id))::BIGINT AS n_hits
+    """
+
+
+_NPROBE_TARGET = 0.55
+
+
+@query(
+    "sim_nprobe_for_recall",
+    oracle="""
+    WITH n AS (SELECT vec_id, {norm} AS nv FROM embeddings),
+    c AS (SELECT vec_id AS cid, nv AS cv FROM n
+          WHERE vec_id IN ({seeds})),
+    assigned AS (SELECT vec_id, nv, cid FROM (
+        SELECT n.vec_id, n.nv, c.cid, row_number() OVER (
+            PARTITION BY n.vec_id
+            ORDER BY {dot_nc} DESC, c.cid) AS rn
+        FROM n CROSS JOIN c) WHERE rn = 1),
+    qs AS (SELECT vec_id AS q_id, nv AS q_nv FROM n
+           WHERE vec_id IN ({qids})),
+    qcells AS (SELECT qs.q_id, c.cid, row_number() OVER (
+                   PARTITION BY qs.q_id
+                   ORDER BY {dot_qc} DESC, c.cid) AS rk
+               FROM qs CROSS JOIN c),
+    sc AS (SELECT qs.q_id, a.vec_id, a.cid, {dot_aq} AS d
+           FROM assigned a CROSS JOIN qs WHERE a.vec_id != qs.q_id),
+    exact AS (SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY d DESC, vec_id) AS rn
+        FROM sc) WHERE rn <= 10),
+    curve AS (SELECT nprobe, n_queries, total_candidates, n_hits,
+                     round(n_hits / 40.0, 4) AS mean_recall
+              FROM ({blocks})),
+    pick AS (SELECT coalesce(
+                 min(nprobe) FILTER (mean_recall >= {target}),
+                 (SELECT max(nprobe) FROM curve)) AS p
+             FROM curve)
+    SELECT cv.nprobe, cv.n_queries, cv.total_candidates, cv.n_hits,
+           cv.mean_recall, (cv.nprobe = pick.p) AS picked
+    FROM curve cv, pick ORDER BY cv.nprobe
+    """.format(
+        norm=_norm_sql("embedding"),
+        seeds=_IVF_SEEDS_SQL,
+        qids=", ".join(str(q) for q in _PICK_QIDS),
+        dot_nc=_DOT.format(a="n.nv", b="c.cv"),
+        dot_qc=_DOT.format(a="qs.q_nv", b="c.cv"),
+        dot_aq=_DOT.format(a="a.nv", b="qs.q_nv"),
+        target=_NPROBE_TARGET,
+        blocks=" UNION ALL ".join(
+            _nprobe_pick_block(np_, len(_PICK_QIDS), 10)
+            for np_ in (1, 2, 4)),
+    ),
+)
+def sim_nprobe_for_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF mirror of ``sim_planes_for_recall`` (r11): the
+    multi-query recall curve picks ``nprobe`` — recall RISES with
+    probed cells while cost grows ~linearly, so the pick is the
+    SMALLEST nprobe whose measured mean recall clears the target
+    (operators/similarity.py nprobe_for_recall over
+    ivf_recall_curve_multi: one coarse assignment, a QxK broadcast
+    cell ranking, one (corpus x Q) scored set filtered per width by a
+    broadcast cell list — the partition-pruned-scan shape). Output:
+    the evidence curve with the picked row flagged."""
+    emb = load(spark, "embeddings", sf_dir)
+    pick, curve = S.nprobe_for_recall(
+        emb, _NPROBE_TARGET, centroid_ids=_IVF_SEEDS,
+        query_ids=list(_PICK_QIDS), k=10, nprobes=(1, 2, 4))
+    return (
+        curve.withColumn("picked", col("nprobe") == F.lit(pick))
+        .orderBy("nprobe")
+    )

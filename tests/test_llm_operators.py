@@ -1222,6 +1222,33 @@ def test_planes_for_recall_pick_rules(spark):
     assert pick_hi == 2
 
 
+def test_nprobe_for_recall_pick_rules(spark):
+    """nprobe_for_recall (r11, the IVF mirror of planes_for_recall):
+    recall rises with nprobe while candidates grow, so the pick is the
+    SMALLEST nprobe whose measured mean recall clears the target,
+    falling back to the largest when nothing does; the curve is
+    monotone non-decreasing in candidate count AND recall."""
+    from mqtt_streamr_spark.queries.llm_pipeline import _IVF_SEEDS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pick, curve = S.nprobe_for_recall(
+        emb, 0.3, centroid_ids=_IVF_SEEDS,
+        query_ids=[0, 31, 142, 333], nprobes=(1, 2, 4))
+    rows = {r["nprobe"]: r for r in curve.collect()}
+    assert set(rows) == {1, 2, 4}
+    cands = [rows[n]["total_candidates"] for n in (1, 2, 4)]
+    assert cands == sorted(cands), cands
+    recalls = [rows[n]["mean_recall"] for n in (1, 2, 4)]
+    assert recalls == sorted(recalls), recalls
+    meeting = [n for n in (1, 2, 4) if rows[n]["mean_recall"] >= 0.3]
+    assert pick == (min(meeting) if meeting else 4)
+    # unreachable target falls back to the largest (highest-recall)
+    pick_hi, _ = S.nprobe_for_recall(
+        emb, 1.01, centroid_ids=_IVF_SEEDS, query_ids=[0, 31],
+        nprobes=(1, 2))
+    assert pick_hi == 2
+
+
 def test_cdc_excise_boilerplate_splice(spark):
     """cdc_excise_boilerplate (r11, VERDICT r10 #4): a doc's shared CDC
     chunks are cut out while its unique content survives verbatim, the

@@ -577,10 +577,10 @@ SCALAR_CROSS_OK = {
     "sim_ann_ivf_kmeans", "sim_quantized_topk", "sim_ivf_recall",
     "sim_ivf_recall_multiprobe", "sim_lsh_recall_curve",
     "sim_lsh_multiprobe_recall",
-    # r11: the multi-query curve broadcasts the SAMPLED QUERY SET
+    # r11: the multi-query curves broadcast the SAMPLED QUERY SET
     # (4 rows, bounded by len(query_ids)) against the corpus scan —
     # the multi-row analog of the 1-row query-vector cross joins above
-    "sim_planes_for_recall",
+    "sim_planes_for_recall", "sim_nprobe_for_recall",
     "sim_random_projection_topk",
     "sim_centroid_drift",
     # pagerank: N and dangling-mass scalars ride as 1-row broadcast
