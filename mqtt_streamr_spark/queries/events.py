@@ -2012,15 +2012,20 @@ def events_forward_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily resample with forward fill (last observation carried
     forward) — the time-series gap-repair staple (sensor panels, price
     marks, feature snapshots). Per (user, day) keep the LAST reading
-    (row_number over ts DESC, event_id DESC — fully deterministic, no
-    arbitrary-tie max_by), explode each user's [first, last] day span into
-    a spine (sequence() on the 2-column span aggregate — no driver
-    collect), left-join observations, and carry values forward with
-    last(ignorenulls) over the per-user day window. The fill window is
-    partitioned BY USER, so the operator parallelizes across the key
-    space at 100 TB — no global ordered window anywhere; the spine adds
-    at most (days-span) rows per user, metadata-sized relative to the
-    event data that produced it."""
+    (max_by over the struct(ts, event_id) — lexicographic, so fully
+    deterministic, AND partial-aggregatable: the map side combines down
+    to one row per (user, day) BEFORE the exchange, where the previous
+    row_number formulation shuffled every event row). Each observation
+    then emits its own carried range [day, next_obs_day) via lead() +
+    sequence() explode — the r11 rewrite that deletes the old
+    spine-build + spine⋈obs left join + fill window (three exchanges,
+    one of which crossed the broadcast/SMJ threshold mid-sweep and read
+    as 26x shuffle at 16x input): forward fill IS the range each
+    observation owns, so materializing a spine and searching backward
+    with last(ignorenulls) paid two shuffles for information lead()
+    already had. Both windows partition BY USER — no global ordered
+    window; plan = two keyed exchanges + map-side explode + one final
+    partial-agg groupBy."""
     return _forward_fill_from_events(load(spark, "events", sf_dir))
 
 
@@ -2030,34 +2035,35 @@ def _forward_fill_from_events(ev: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     ev = ev.filter(col("value").isNotNull())
-    w_pick = Window.partitionBy("user_id", "day").orderBy(
-        col("ts").desc(), col("event_id").desc())
     obs = (
         ev.withColumn("day", F.to_date("ts"))
-        .withColumn("rn", F.row_number().over(w_pick))
-        .filter(col("rn") == 1)
-        .select("user_id", "day", col("value").alias("obs_value"))
+        .groupBy("user_id", "day")
+        .agg(F.max_by("value", F.struct("ts", "event_id"))
+             .alias("obs_value"))
     )
-    span = obs.groupBy("user_id").agg(
-        F.min("day").alias("lo"), F.max("day").alias("hi"))
-    spine = span.select(
-        "user_id",
-        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
-    )
-    w_fill = Window.partitionBy("user_id").orderBy("day").rowsBetween(
-        Window.unboundedPreceding, 0)
-    filled = spine.join(obs, ["user_id", "day"], "left").withColumn(
-        "filled_value", F.last("obs_value", ignorenulls=True).over(w_fill))
-    return (
-        filled.groupBy("day")
-        .agg(
-            F.sum(F.when(col("obs_value").isNotNull(), 1).otherwise(0))
-            .alias("n_observed"),
-            F.sum(F.when(col("obs_value").isNull(), 1).otherwise(0))
-            .alias("n_carried"),
-            F.round(F.sum("filled_value"), 2).alias("filled_total"),
+    w_user = Window.partitionBy("user_id").orderBy("day")
+    filled = (
+        obs.withColumn(
+            "end_day",
+            F.coalesce(F.date_sub(F.lead("day").over(w_user), 1),
+                       col("day")),
         )
-        .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+        .select(
+            "day", "obs_value",
+            F.explode(F.expr("sequence(day, end_day, interval 1 day)"))
+            .alias("fill_day"),
+        )
+    )
+    return (
+        filled.groupBy("fill_day")
+        .agg(
+            F.sum(F.when(col("fill_day") == col("day"), 1).otherwise(0))
+            .alias("n_observed"),
+            F.sum(F.when(col("fill_day") != col("day"), 1).otherwise(0))
+            .alias("n_carried"),
+            F.round(F.sum("obs_value"), 2).alias("filled_total"),
+        )
+        .select(F.date_format("fill_day", "yyyy-MM-dd").alias("day"),
                 "n_observed", "n_carried", "filled_total")
     )
 
