@@ -482,10 +482,72 @@ def ann_topk_ivf_trained(df: DataFrame, query_id: int,
     )
 
 
+def lsh_bucket_adaptive(df: DataFrame, planes: int, cap: int,
+                        extra: int = 8, dim: int = 64,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Hyperplane LSH blocks with ADAPTIVE DEPTH (r11): bucket by a
+    fixed ``planes``-bit base signature, then re-block every HOT bucket
+    (size > ``cap``) at the FULL ``planes + extra``-bit signature.
+
+    Why: real embedding corpora are CLUSTERED, so flat hyperplane
+    buckets skew — a hyperplane splits a tight cluster only if it
+    happens to cut through it, so hot buckets keep growing with the
+    corpus and the intra-block pair join goes quadratic exactly where
+    the data is dense (measured on the sweep corpus: sum(size^2) grew
+    21.4x at 16x input even with planes growing log4(N)). Re-blocking
+    the hot buckets at full depth bounds pair work to ~cap*N while
+    COLD buckets keep the full recall of the shallow signature.
+    Full-depth (not ceil(log2(size/cap)) bits — measured: computed
+    depth UNDER-splits skewed occupancy, sum(size^2) 530k at 16x where
+    full depth reads 86k with the same extra=8, max block == cap).
+
+    Plan shape at 100 TB: the full (planes+extra)-bit signature is one
+    map-side fold per vector (computed once; every depth is a prefix of
+    it — same prefix family the recall curves probe). Bucket sizes are
+    one partial-aggregated groupBy on the base key; hot buckets are FEW
+    (skew means heavy keys are rare) so the hot-key list rides a
+    broadcast join back — no second full shuffle. Returns
+    ``(id_col, nv, cid)``; shallow and deep blocks are disjoint because
+    a base bucket's members all share its depth.
+
+    Recall note: deepening splits near-dup pairs that straddle
+    sub-blocks — the same tradeoff as raising ``planes``, but applied
+    ONLY where the data is dense enough to need it; in dense regions
+    nearest neighbors are the likeliest rows to share the extra bits.
+    Tune ``extra`` downward (or ``cap`` upward) for recall."""
+    sig = lsh_bucket(F.col(vec_col), planes + extra, dim)
+    base = df.select(
+        F.col(id_col),
+        l2_normalize(F.col(vec_col)).alias("nv"),
+        sig.alias("sig"),
+    )
+    # the sizing pass folds only the `planes` base bits (the prefix
+    # property makes this identical to substring(full_sig, 1, planes))
+    # — no norms, no extra bits: the cheapest possible census scan
+    sizes = df.groupBy(
+        lsh_bucket(F.col(vec_col), planes, dim).alias("b")).count()
+    hot = sizes.filter(F.col("count") > cap).select("b")
+    return (
+        base.join(F.broadcast(hot),
+                  F.substring("sig", 1, planes) == F.col("b"), "left")
+        .select(
+            id_col, "nv",
+            F.expr(
+                f"substring(sig, 1, case when b is null then {planes} "
+                f"else {planes + extra} end)"
+            ).alias("cid"),
+        )
+    )
+
+
 def semantic_dedup(df: DataFrame, centroid_ids: list[int] | None = None,
                    threshold: float = 0.85, vec_col: str = "embedding",
                    id_col: str = "vec_id", blocking: str = "lsh",
-                   planes: int | None = None, dim: int = 64) -> DataFrame:
+                   planes: int | None = None, dim: int = 64,
+                   bucket_cap: int | None = None,
+                   extra_planes: int = 8,
+                   force_shuffle_join: bool = False) -> DataFrame:
     """Semantic deduplication in the SemDeDup shape (Abbas et al. 2023,
     arXiv:2303.09540): block the embedding space, then inside each block
     flag every vector that has a smaller-id neighbor with cosine
@@ -496,10 +558,10 @@ def semantic_dedup(df: DataFrame, centroid_ids: list[int] | None = None,
 
     - ``blocking="lsh"`` (DEFAULT — the scale path): random-hyperplane
       signature buckets. O(planes) per vector, and with planes ~ log4(N)
-      the bucket COUNT grows with the corpus while bucket SIZE stays
-      ~flat, keeping the intra-block pair join linear overall (measured
-      1.7x wall-clock at 16x input in scale_check.py vs ~26x for fixed-K
-      IVF). ``planes=None`` auto-sizes to ~log4(count) via one cheap
+      the bucket COUNT grows with the corpus while MEAN bucket size
+      stays ~flat (the hot tail still skews on clustered corpora — see
+      ``bucket_cap`` below; fixed-K IVF measured ~26x at 16x input).
+      ``planes=None`` auto-sizes to ~log4(count) via one cheap
       count job; pass an explicit ``planes`` to skip the job and keep the
       bucket function N-independent (required for cross-engine oracles).
       Recall per extra plane drops as cos-angle collision probability —
@@ -508,7 +570,11 @@ def semantic_dedup(df: DataFrame, centroid_ids: list[int] | None = None,
       heuristic, use :func:`planes_for_recall` (r11): it reads the
       multi-query recall curve on sampled queries and returns the
       cheapest plane count meeting a recall target — pass its pick
-      here as the explicit ``planes``.
+      here as the explicit ``planes``. On CLUSTERED corpora flat
+      buckets skew (hot buckets keep growing with the corpus); pass
+      ``bucket_cap`` to deepen hot buckets adaptively via
+      :func:`lsh_bucket_adaptive`, bounding pair work to cap*N with a
+      FIXED base ``planes`` — no corpus-size scheduling needed.
     - ``blocking="ivf"``: coarse K-cell assignment against broadcast
       ``centroid_ids`` (ideally ``kmeans_centroids``-trained). Better
       recall per block at small/medium corpus, but the O(N*K) scoring
@@ -526,11 +592,16 @@ def semantic_dedup(df: DataFrame, centroid_ids: list[int] | None = None,
 
             n = df.count()
             planes = max(4, int(math.log(max(n, 2), 4)))
-        assigned = df.select(
-            F.col(id_col),
-            l2_normalize(F.col(vec_col)).alias("nv"),
-            lsh_bucket(F.col(vec_col), planes, dim).alias("cid"),
-        )
+        if bucket_cap is not None:
+            assigned = lsh_bucket_adaptive(
+                df, planes, bucket_cap, extra=extra_planes, dim=dim,
+                vec_col=vec_col, id_col=id_col)
+        else:
+            assigned = df.select(
+                F.col(id_col),
+                l2_normalize(F.col(vec_col)).alias("nv"),
+                lsh_bucket(F.col(vec_col), planes, dim).alias("cid"),
+            )
     elif blocking == "ivf":
         if centroid_ids is None:
             raise ValueError("blocking='ivf' requires centroid_ids")
@@ -541,6 +612,14 @@ def semantic_dedup(df: DataFrame, centroid_ids: list[int] | None = None,
                         F.col("nv").alias("n_a"), "cid")
     b = assigned.select(F.col(id_col).alias("id_b"),
                         F.col("nv").alias("n_b"), "cid")
+    if force_shuffle_join:
+        # pin the block join and the flag join-back to sort-merge — the
+        # strategy AQE picks anyway once the corpus outgrows the
+        # broadcast threshold. For scale MEASUREMENT (scale_check.py):
+        # without the pin, small multiples broadcast (zero shuffle
+        # written) while big ones SMJ, and the shuffle ratio reads the
+        # planner crossover instead of the operator's actual growth.
+        b = b.hint("merge")
     dropped = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -549,6 +628,8 @@ def semantic_dedup(df: DataFrame, centroid_ids: list[int] | None = None,
         .distinct()
         .withColumn("is_dup", F.lit(True))
     )
+    if force_shuffle_join:
+        dropped = dropped.hint("merge")
     return (
         assigned.select(id_col, "cid")
         .join(dropped, id_col, "left")

@@ -1779,9 +1779,10 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup on the SCALE-DEFAULT blocking: LSH
     hyperplane buckets (planes sized to this corpus; at production, planes
-    ~ log4(N) keeps bucket size flat as the corpus grows — measured 1.7x
-    at 16x input in scale_check.py, vs ~26x for fixed-K IVF cells, which
-    remain available via blocking="ivf"). Flags intra-bucket cosine
+    ~ log4(N) keeps MEAN bucket size flat as the corpus grows — the hot
+    tail still skews on clustered data, which sim_semantic_dedup_capped
+    bounds with adaptive depth; fixed-K IVF cells measured ~26x at 16x
+    input and remain available via blocking="ivf"). Flags intra-bucket cosine
     near-duplicates keeping the min-id exemplar; reports per-bucket dedup
     stats (see operators/similarity.semantic_dedup).
     Threshold note: the synthetic corpus has no >=0.85 cosine pairs at the
@@ -1796,6 +1797,64 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(col("is_dup"), 1).otherwise(0)).alias("n_dups"),
         F.sum(F.when(col("is_dup"), 0).otherwise(1)).alias("n_survivors"),
         F.min(F.when(~col("is_dup"), col("vec_id"))).alias("first_survivor"),
+    )
+
+
+@query(
+    "sim_semantic_dedup_capped",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, {_norm_sql('embedding')} AS nv,
+                      {_BUCKET_SQL} AS sig
+               FROM embeddings),
+    hot AS (SELECT substr(sig, 1, 4) AS b FROM s
+            GROUP BY 1 HAVING count(*) > 30),
+    assigned AS (SELECT s.vec_id, s.nv,
+                        CASE WHEN h.b IS NULL THEN substr(s.sig, 1, 4)
+                             ELSE s.sig END AS cid
+                 FROM s LEFT JOIN hot h ON substr(s.sig, 1, 4) = h.b),
+    dup AS (SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE round({_DOT.format(a='a.nv', b='b.nv')}, 6) >= 0.4)
+    SELECT a.cid, length(a.cid)::BIGINT AS depth,
+           count(*) AS n_vectors,
+           sum(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+             AS n_dups,
+           sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_survivors,
+           min(CASE WHEN d.vec_id IS NULL THEN a.vec_id END)
+             AS first_survivor
+    FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    GROUP BY a.cid
+    """,
+)
+def sim_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup under ADAPTIVE bucket depth (r11): flat hyperplane
+    buckets skew on clustered corpora — the sweep measured sum(size^2)
+    growing 21.4x at 16x input even with planes scheduled by log4(N) —
+    so hot base buckets (size > cap) re-block at the full
+    (planes+extra)-bit signature, bounding intra-block pair work to
+    ~cap*N with a FIXED base plane count (no corpus-size scheduling;
+    operators/similarity.lsh_bucket_adaptive). At this SF: planes=4,
+    cap=30, extra=4 — 8 of 16 base buckets deepen (depth column = 8)
+    while the cold half keeps the shallow signature's recall (depth 4).
+    Oracle restates the full signature, the hot-bucket HAVING, the
+    CASE re-block, and the intra-block dup flagging in DuckDB SQL."""
+    emb = spread(load(spark, "embeddings", sf_dir))
+    flagged = S.semantic_dedup(emb, threshold=0.4, blocking="lsh",
+                               planes=4, bucket_cap=30, extra_planes=4)
+    return (
+        flagged.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(col("is_dup"), 1).otherwise(0)).alias("n_dups"),
+            F.sum(F.when(col("is_dup"), 0).otherwise(1))
+            .alias("n_survivors"),
+            F.min(F.when(~col("is_dup"), col("vec_id")))
+            .alias("first_survivor"),
+        )
+        .select("cid", F.length("cid").cast("long").alias("depth"),
+                "n_vectors", "n_dups", "n_survivors", "first_survivor")
     )
 
 

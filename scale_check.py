@@ -235,20 +235,46 @@ def classifier_scoring(spark, k):
 def semantic_dedup_emb(spark, k):
     # semantic near-dup blocking at scale: the block key must (a) cost
     # O(1) per vector and (b) keep block SIZE constant as the corpus
-    # grows. LSH hyperplane buckets deliver both — planes grow by
-    # log4(input ratio), so bucket count grows with the corpus and bucket
-    # size stays ~flat; pair work inside blocks is then linear overall.
+    # grows. Flat LSH with planes growing by log4(input ratio) delivers
+    # (a) but only approximates (b): clustered occupancy skews, so the
+    # hot tail keeps growing (sum(size^2) measured 21.4x at 16x input)
+    # — the capped row below is the fix. force_shuffle_join pins the
+    # block join to SMJ at every multiple; without it the small
+    # multiples broadcast (zero shuffle written) and this row's ratio
+    # read the planner crossover (45.7x in r10) instead of growth.
     # (The IVF-cell variant in semantic_dedup is the small/medium-corpus
     # shape: its coarse assignment costs O(N*K), so K cannot chase N —
-    # measured here earlier: fixed K=8 at 16x input -> ~26x time. The
-    # LSH block is the documented 100 TB path for the blocking stage.)
+    # measured here earlier: fixed K=8 at 16x input -> ~26x time.)
     emb = replicate(
         spread(load(spark, "embeddings", SF_DIR)), k,
         id_cols=("vec_id",), vec_col="embedding",
     )
     planes = {1: 8, 4: 10, 16: 12}[k]
     flagged = S.semantic_dedup(emb, threshold=0.4, blocking="lsh",
-                               planes=planes)
+                               planes=planes, force_shuffle_join=True)
+    return flagged.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)),
+    )
+
+
+def semantic_dedup_capped_emb(spark, k):
+    # r11: the ADAPTIVE-depth answer to the row above — the flat-LSH
+    # schedule (planes ~ log4 input) still read 45.7x shuffle at 16x
+    # because clustered occupancy skews: hot buckets keep growing and
+    # the intra-block pair join goes quadratic where the data is dense
+    # (sum(size^2) measured 21.4x at 16x input). bucket_cap re-blocks
+    # hot base buckets at the full (planes+extra)-bit signature, so the
+    # base plane count stays FIXED across 1x/4x/16x (no corpus-size
+    # scheduling) and pair mass is bounded by ~cap*N (measured 5.0x at
+    # 16x input: 17.3k -> 86.2k sum_sz2, max block == cap).
+    emb = replicate(
+        spread(load(spark, "embeddings", SF_DIR)), k,
+        id_cols=("vec_id",), vec_col="embedding",
+    )
+    flagged = S.semantic_dedup(emb, threshold=0.4, blocking="lsh",
+                               planes=8, bucket_cap=16, extra_planes=8,
+                               force_shuffle_join=True)
     return flagged.agg(
         F.count(F.lit(1)),
         F.sum(F.when(F.col("is_dup"), 1).otherwise(0)),
@@ -901,6 +927,7 @@ OPS = {
     "dup_passage_docs": dup_passage,
     "classifier_scoring_docs": classifier_scoring,
     "semantic_dedup_embeddings": semantic_dedup_emb,
+    "semantic_dedup_capped_embeddings": semantic_dedup_capped_emb,
     "bpe_pairs_docs": bpe_pairs,
     "upsert_events": upsert_events,
     "snapshot_diff_events": snapshot_diff_events,

@@ -1249,6 +1249,54 @@ def test_nprobe_for_recall_pick_rules(spark):
     assert pick_hi == 2
 
 
+def test_lsh_bucket_adaptive_caps_hot_blocks(spark):
+    """lsh_bucket_adaptive (r11): base buckets over the cap re-block at
+    the FULL (planes+extra)-bit signature, cold buckets keep the base
+    key; every deep cid extends its base prefix; the partition stays a
+    partition (row count preserved, every vector in exactly one block);
+    and semantic_dedup(bucket_cap=...) flags exactly the vectors with a
+    smaller-id >= threshold neighbor INSIDE their adaptive block."""
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    planes, cap, extra = 4, 30, 4
+    a = S.lsh_bucket_adaptive(emb, planes, cap, extra=extra)
+    rows = a.select("vec_id", "cid").collect()
+    assert len(rows) == emb.count()
+    by_len = {}
+    for r in rows:
+        by_len.setdefault(len(r["cid"]), []).append(r["cid"])
+    assert set(by_len) == {planes, planes + extra}
+    # deep blocks extend a base bucket that really was hot
+    base_sizes = {}
+    sig = S.lsh_bucket(F.col("embedding"), planes, 64)
+    for r in emb.select(sig.alias("b")).groupBy("b").count().collect():
+        base_sizes[r["b"]] = r["count"]
+    deep_bases = {c[:planes] for c in by_len[planes + extra]}
+    shallow = set(by_len[planes])
+    assert all(base_sizes[b] > cap for b in deep_bases)
+    assert all(base_sizes[b] <= cap for b in shallow)
+    assert deep_bases.isdisjoint(shallow)
+    # flag semantics inside the adaptive blocks
+    flagged = {r["vec_id"]: r for r in S.semantic_dedup(
+        emb, threshold=0.4, blocking="lsh", planes=planes,
+        bucket_cap=cap, extra_planes=extra).collect()}
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+            for r in emb.collect()}
+    cids = {r["vec_id"]: r["cid"] for r in a.collect()}
+    for vid, r in flagged.items():
+        nbrs = [o for o, c in cids.items()
+                if c == cids[vid] and o < vid]
+        va = vecs[vid] / np.linalg.norm(vecs[vid])
+        has = any(
+            round(float(np.dot(va, vecs[o] / np.linalg.norm(vecs[o]))), 6)
+            >= 0.4
+            for o in nbrs)
+        assert r["is_dup"] == has, vid
+
+
 def test_cdc_excise_boilerplate_splice(spark):
     """cdc_excise_boilerplate (r11, VERDICT r10 #4): a doc's shared CDC
     chunks are cut out while its unique content survives verbatim, the
