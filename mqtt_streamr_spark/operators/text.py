@@ -715,23 +715,29 @@ def dup_passage_stats(df, n: int = 5, text_col: str = "text",
 
     Returns (id_col, n_shingles, n_shared, dup_frac[rounded 4dp]).
 
-    Scale shape: shingles are md5-hashed to a narrow uniform key, then the
-    doc frequency is attached with a COUNT WINDOW over that key — one
-    shuffle of the exploded shingles and ONE pass over the text. The
-    earlier agg-then-join-back shape recomputed the whole tokenize/
-    shingle/md5 subtree twice (Catalyst plans the two consumers as two
-    FileScans; no ReusedExchange fires because the agg side prunes to a
-    single column), and at 100 TB the sort-merge join would re-sort both
-    sides on ``sh`` anyway — the window pays that one sort once, on half
-    the compute. Everything stays linear in corpus shingles; hot
-    boilerplate shingles are exactly the rows the signal exists to
-    find."""
+    Scale shape: shingles are xxhash64-hashed to an 8-byte uniform key
+    (r11 — was a 32-char md5 hex string: the exploded shingles are this
+    operator's dominant shuffle, 181 MB at the sweep's 16x point, and
+    the long key cuts bytes/row ~3x and makes the window sort a long
+    compare; 64-bit collisions at corpus scale are ~n^2/2^65 —
+    vanishing, and only ever MERGE two shingle identities, the same
+    accepted tradeoff as every other xxhash64 n-gram key in this
+    package). Doc frequency is attached with a COUNT WINDOW over that
+    key — one shuffle of the exploded shingles and ONE pass over the
+    text. The earlier agg-then-join-back shape recomputed the whole
+    tokenize/shingle/hash subtree twice (Catalyst plans the two
+    consumers as two FileScans; no ReusedExchange fires because the agg
+    side prunes to a single column), and at 100 TB the sort-merge join
+    would re-sort both sides on ``sh`` anyway — the window pays that
+    one sort once, on half the compute. Everything stays linear in
+    corpus shingles; hot boilerplate shingles are exactly the rows the
+    signal exists to find."""
     from pyspark.sql import Window
 
     sh = df.select(
         F.col(id_col),
         F.explode(shingles(text_col, n)).alias("shingle"),
-    ).select(F.col(id_col), F.md5("shingle").alias("sh"))
+    ).select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
     # shingles() dedupes per doc, so count(*) per shingle == doc frequency
     return (
         sh.withColumn(

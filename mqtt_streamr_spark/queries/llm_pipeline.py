@@ -1869,7 +1869,7 @@ _SHINGLES5 = (
     "text_dup_passage_fraction",
     oracle=f"""
     WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, source, md5(unnest({_SHINGLES5})) AS sh FROM d),
+    sh AS (SELECT doc_id, source, unnest({_SHINGLES5}) AS sh FROM d),
     f AS (SELECT sh, count(*) AS doc_freq FROM sh GROUP BY sh),
     per AS (
       SELECT s.doc_id, s.source,
