@@ -48,6 +48,7 @@ MUST_VERIFY: list[str] = [
     "sim_planes_for_recall",        # measured curve drives the LSH knob
     "sim_nprobe_for_recall",        # the IVF mirror of the above
     "sim_semantic_dedup_capped",    # adaptive-depth LSH blocks
+    "join_interval_overlap_counts",  # pair-free overlap counting
     "jsonata_transform_computed_typed",  # computed |items[$i]| locations
     # (b) ANN ordering changed (unrounded tie-break, ADVICE r10):
     "sim_topk_cosine",
@@ -96,9 +97,9 @@ MUST_VERIFY: list[str] = [
     "layout_zorder_clustering",
     "merge_upsert_latest",
     "mix_temperature_sampled",
-    "multimodal_frame_sample",
-    # (multimodal_resize, r7, displaced by sim_semantic_dedup_capped —
-    # it joins profile_join_key_skew at the head of the r12 queue)
+    # (multimodal_frame_sample and multimodal_resize, r7, displaced by
+    # sim_semantic_dedup_capped and join_interval_overlap_counts — they
+    # join profile_join_key_skew at the head of the r12 queue)
     # (profile_join_key_skew displaced by sim_nprobe_for_recall — it
     # heads the r12 freshness queue)
 ]

@@ -994,3 +994,52 @@ def test_fuzz_compiled_matches_interpreter(spark, expr):
         ), (expr, actual, expected)
     else:
         assert actual == expected, (expr, actual, expected)
+
+
+@SLOW
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(-500, 2000)),
+        min_size=0, max_size=40,
+    ),
+)
+def test_interval_overlap_counts_match_naive(spark, ivs):
+    """interval_overlap_counts (r11) == naive per-left overlap counting
+    for arbitrary interval sets: the order-statistics identity
+    #{r.lo < l.hi} - #{r.hi <= l.lo} must agree with the all-pairs
+    predicate, including bin-boundary-touching intervals, TOUCHING
+    half-open intervals ([a,b) then [b,c) — no overlap), zero-overlap
+    lefts (kept, count 0), and degenerate rows (dropped both sides)."""
+    import datetime as dt
+
+    from mqtt_streamr_spark.operators.joins import interval_overlap_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=lo),
+         base + dt.timedelta(seconds=lo + w))
+        for i, (lo, w) in enumerate(ivs)
+    ]
+    left = spark.createDataFrame(
+        rows or [(0, base, base)],
+        "l_id long, l_lo timestamp, l_hi timestamp",
+    )
+    right = left.selectExpr(
+        "l_id + 1000 AS r_id", "l_lo AS r_lo", "l_hi AS r_hi")
+    got = {
+        r["l_id"]: r["n_overlaps"]
+        for r in interval_overlap_counts(
+            left, right, ["l_id"], "l_lo", "l_hi", "r_lo", "r_hi",
+            bin_width_s=600,
+        ).collect()
+    }
+    naive = {
+        a_id: sum(
+            1
+            for (_, b_lo, b_hi) in (rows or [(0, base, base)])
+            if b_lo < b_hi and a_lo < b_hi and b_lo < a_hi
+        )
+        for (a_id, a_lo, a_hi) in (rows or [(0, base, base)])
+        if a_lo < a_hi
+    }
+    assert got == naive
