@@ -1299,10 +1299,12 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast disabled) in tests/test_plans.py. At this test SF Catalyst
     may still pick a broadcast join — also correct, and the result is
     identical either way."""
-    from mqtt_streamr_spark.tables import ensure_bucketed
+    from mqtt_streamr_spark.tables import ensure_bucketed_many
 
-    ot = ensure_bucketed(spark, "orders", "o_orderkey", sf_dir)
-    lt = ensure_bucketed(spark, "lineitem", "l_orderkey", sf_dir)
+    # the two ingests are independent jobs: overlap them (guide §2.6)
+    ot, lt = ensure_bucketed_many(
+        spark, [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+        sf_dir)
     o, li = spark.table(ot), spark.table(lt)
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)

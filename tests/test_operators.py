@@ -294,6 +294,53 @@ def test_ewma_matches_pandas_ewm(spark):
     assert all(abs(a - b) < 1e-9 for a, b in zip(got, want))
 
 
+def test_ewma_final_matches_per_row_variant(spark):
+    """ewma_final_per_key (single mapInPandas pass, r11) must produce
+    exactly the per-key FINAL values of ewma_per_key (per-group
+    applyInPandas) — same float op order, so exact equality, including
+    when a key's rows span multiple Arrow batches (forced by a tiny
+    maxRecordsPerBatch) and when a task holds many keys."""
+    import datetime as dt
+
+    from mqtt_streamr_spark.operators.grouped import (
+        ewma_final_per_key,
+        ewma_per_key,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    for k in range(7):           # several keys per partition
+        for j in range(25):      # spans >1 batch at maxRecordsPerBatch=10
+            rows.append((k, t0 + dt.timedelta(minutes=j), i,
+                         ((i * 37) % 100) / 7.0))
+            i += 1
+    df = spark.createDataFrame(rows, "k long, ts timestamp, id long, v double")
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        got = {
+            r["k"]: (r["n_events"], r["ewma_raw"])
+            for r in ewma_final_per_key(
+                df, "k", "ts", "v", alpha=0.3, order_cols=["id"]
+            ).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+    per_row = ewma_per_key(df, "k", "ts", "v", alpha=0.3, order_cols=["id"])
+    import pyspark.sql.functions as F
+
+    want = {
+        r["k"]: (r["n"], r["fin"])
+        for r in per_row.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("max_by(ewma, struct(ts, id))").alias("fin"),
+        ).collect()
+    }
+    assert got == want  # exact float equality, not approx
+
+
 def test_zorder_key_monotone_per_dimension(spark):
     """Bit-spreading is strictly increasing, so for a fixed other
     dimension the z-key is monotone in each input — the property that
