@@ -1014,3 +1014,102 @@ def lsh_multiprobe_recall(df: DataFrame, query_id: int, k: int = 10,
     return hits.crossJoin(
         cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     ).select("planes", "radius", "n_candidates", "n_hits", "recall")
+
+
+def lsh_probe_buckets_tagged(b: Column, planes: int,
+                             radius: int = 2) -> Column:
+    """:func:`lsh_probe_buckets` with each probe tagged by its Hamming
+    distance from ``b`` — ``array<struct<bucket,ham>>``. The probe
+    strings are pairwise distinct (distinct flip-position sets), so in a
+    bucket equi-join each corpus row matches AT MOST ONE probe and the
+    matched ``ham`` is exactly its Hamming distance to the query bucket
+    (when that distance <= radius)."""
+    from itertools import combinations
+
+    def tag(col: Column, h: int) -> Column:
+        return F.struct(col.alias("bucket"), F.lit(h).alias("ham"))
+
+    probes = [tag(b, 0)]
+    if radius >= 1:
+        probes += [tag(_flip_bit(b, i, planes), 1)
+                   for i in range(1, planes + 1)]
+    if radius >= 2:
+        probes += [tag(_flip_bit(_flip_bit(b, i, planes), j, planes), 2)
+                   for i, j in combinations(range(1, planes + 1), 2)]
+    if radius > 2:
+        raise ValueError("multiprobe radius > 2 not supported")
+    return F.array(*probes)
+
+
+def lsh_multiprobe_recall_curve(df: DataFrame, query_id: int, k: int = 10,
+                                planes: int = 8,
+                                radii: tuple[int, ...] = (0, 1, 2),
+                                dim: int = 64, vec_col: str = "embedding",
+                                id_col: str = "vec_id") -> DataFrame:
+    """Every radius of :func:`lsh_multiprobe_recall` from ONE pass (r11,
+    guide §2.1/§3.4): the per-radius operator re-scans the corpus for
+    the exact top-k AND the bucketed projection on every call, so a
+    3-point curve paid 6 full scans (measured: the unioned 3-call query
+    planned 36 parquet scans / 36 exchanges and benched 6.6 s at sf0.1).
+    Here the exact side and the bucket projection are computed once; the
+    candidate join runs once against the max-radius probe set tagged
+    with each probe's Hamming distance (see
+    :func:`lsh_probe_buckets_tagged` — matches are unique, so ``ham``
+    IS the corpus row's distance), and every requested radius is a
+    ``ham <= r`` filter over that one candidate set: per-radius top-k by
+    windowed rank, counts by groupBy. Row-for-row identical output to
+    the per-radius operator (same unrounded-dot ordering, same ties)."""
+    from pyspark.sql import Window
+
+    exact = cosine_topk(df, query_vector(df, query_id, vec_col, id_col),
+                        k=k, vec_col=vec_col, id_col=id_col) \
+        .select(id_col)
+    bucketed = df.select(
+        F.col(id_col),
+        l2_normalize(F.col(vec_col)).alias("nv"),
+        lsh_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+    )
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("q_id"), F.col("nv").alias("q_nv"),
+        F.explode(
+            lsh_probe_buckets_tagged(F.col("bucket"), planes, max(radii))
+        ).alias("p"),
+    ).select("q_id", "q_nv", F.col("p.bucket").alias("bucket"),
+             F.col("p.ham").alias("ham"))
+    cand = (
+        bucketed.join(F.broadcast(q), "bucket")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(F.col(id_col),
+                dot(F.col("nv"), F.col("q_nv")).alias("_dot"),
+                F.col("ham"))
+    )
+    per_r = cand.select(
+        "*",
+        F.explode(F.array(*[F.lit(r) for r in radii])).alias("radius"),
+    ).filter(F.col("ham") <= F.col("radius"))
+    w = Window.partitionBy("radius").orderBy(F.desc("_dot"), F.asc(id_col))
+    topk = (
+        per_r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("radius", id_col)
+    )
+    hits = topk.join(F.broadcast(exact), id_col).groupBy("radius").agg(
+        F.count(F.lit(1)).alias("n_hits"))
+    ncand = per_r.groupBy("radius").agg(
+        F.count(F.lit(1)).alias("n_candidates"))
+    spine = df.sparkSession.createDataFrame(
+        [(int(r),) for r in radii], "radius int")
+    return (
+        spine.join(ncand, "radius", "left")
+        .join(hits, "radius", "left")
+        .select(
+            F.lit(planes).cast("long").alias("planes"),
+            F.col("radius").cast("long").alias("radius"),
+            F.coalesce("n_candidates", F.lit(0)).cast("long")
+            .alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / float(k), 2
+            ).alias("recall"),
+        )
+    )

@@ -3732,16 +3732,18 @@ def sim_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str
     at radius 0/1/2 (sf0.01). The probe set is 1 + planes + C(planes,2)
     literal partition keys (operators/similarity.py lsh_probe_buckets),
     so at scale each radius stays a partition-pruned scan; the oracle
-    restates the set as a Hamming-distance predicate."""
+    restates the set as a Hamming-distance predicate.
+    r11: the three radii now come from ONE shared pass
+    (similarity.lsh_multiprobe_recall_curve) — the per-radius union
+    re-scanned the corpus for the exact top-k and the bucket projection
+    at every radius (36 parquet scans / 36 exchanges planned; 6.6 s at
+    sf0.1); sharing them and deriving each radius as a ham<=r filter
+    over one tagged candidate join cuts the plan to single scans per
+    role, row-for-row identical output."""
     emb = load(spark, "embeddings", sf_dir)
-    rows = [
-        S.lsh_multiprobe_recall(emb, query_id=0, k=10, planes=8, radius=r)
-        for r in (0, 1, 2)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("radius")
+    return S.lsh_multiprobe_recall_curve(
+        emb, query_id=0, k=10, planes=8, radii=(0, 1, 2)
+    ).orderBy("radius")
 
 
 def _planes_pick_block(p: int, nq: int, k: int) -> str:
@@ -3813,15 +3815,29 @@ def sim_planes_for_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/2/3/4, so the pick is planes=2: NOT the highest-recall setting,
     the cheapest adequate one — exactly the decision semantic_dedup's
     corpus-size heuristic used to guess (operators/similarity.py
-    planes_for_recall; the pick collects len(planes_list) curve rows,
-    index-planning metadata). Output: the evidence curve with the
-    picked row flagged, so the tuning decision is auditable."""
+    planes_for_recall). Output: the evidence curve with the picked row
+    flagged, so the tuning decision is auditable.
+    r11 opt: the demo used the collecting helper, which executes the
+    curve once for the pick and then AGAIN when the returned frame runs
+    (guide §5.1 — no .collect() in query paths); the pick rule
+    (largest planes clearing the target, else the smallest) is now a
+    window aggregate over the 4 curve rows, so the curve computes once
+    and the pick stays in-plan. planes_for_recall (the int-returning
+    library helper) keeps the collect for callers that need the knob
+    value; a unit test pins both to the same rule."""
+    from pyspark.sql import Window
+
     emb = load(spark, "embeddings", sf_dir)
-    pick, curve = S.planes_for_recall(
-        emb, _PICK_TARGET, query_ids=list(_PICK_QIDS),
-        k=10, planes_list=(1, 2, 3, 4))
+    curve = S.lsh_recall_curve_multi(
+        emb, list(_PICK_QIDS), k=10, planes_list=(1, 2, 3, 4))
+    wall = Window.partitionBy()
+    pick = F.coalesce(
+        F.max(F.when(col("mean_recall") >= F.lit(_PICK_TARGET),
+                     col("planes"))).over(wall),
+        F.min(col("planes")).over(wall),
+    )
     return (
-        curve.withColumn("picked", col("planes") == F.lit(pick))
+        curve.withColumn("picked", col("planes") == pick)
         .orderBy("planes")
     )
 
@@ -3904,12 +3920,25 @@ def sim_nprobe_for_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_recall_curve_multi: one coarse assignment, a QxK broadcast
     cell ranking, one (corpus x Q) scored set filtered per width by a
     broadcast cell list — the partition-pruned-scan shape). Output:
-    the evidence curve with the picked row flagged."""
+    the evidence curve with the picked row flagged.
+    r11 opt: same double-execution cut as ``sim_planes_for_recall`` —
+    the pick rule (SMALLEST nprobe clearing the target, else the
+    largest) is a window aggregate over the 3 curve rows instead of a
+    collect-then-rerun; nprobe_for_recall keeps the collecting form
+    for library callers, pinned to this rule by a unit test."""
+    from pyspark.sql import Window
+
     emb = load(spark, "embeddings", sf_dir)
-    pick, curve = S.nprobe_for_recall(
-        emb, _NPROBE_TARGET, centroid_ids=_IVF_SEEDS,
-        query_ids=list(_PICK_QIDS), k=10, nprobes=(1, 2, 4))
+    curve = S.ivf_recall_curve_multi(
+        emb, list(_PICK_QIDS), centroid_ids=list(_IVF_SEEDS),
+        k=10, nprobes=(1, 2, 4))
+    wall = Window.partitionBy()
+    pick = F.coalesce(
+        F.min(F.when(col("mean_recall") >= F.lit(_NPROBE_TARGET),
+                     col("nprobe"))).over(wall),
+        F.max(col("nprobe")).over(wall),
+    )
     return (
-        curve.withColumn("picked", col("nprobe") == F.lit(pick))
+        curve.withColumn("picked", col("nprobe") == pick)
         .orderBy("nprobe")
     )

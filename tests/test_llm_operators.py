@@ -1249,6 +1249,44 @@ def test_nprobe_for_recall_pick_rules(spark):
     assert pick_hi == 2
 
 
+def test_relational_pick_flags_match_collecting_helpers(spark):
+    """The sim_planes_for_recall / sim_nprobe_for_recall demo queries
+    (r11 opt) compute the pick as a window aggregate over the curve
+    instead of collect-then-rerun; the flagged row must be exactly the
+    helper's pick — including the fallback branch when nothing clears
+    the target (both queries run against an sf where recall CAN clear,
+    so force the fallback here with target > 1)."""
+    from pyspark.sql import Window
+
+    from mqtt_streamr_spark.queries.llm_pipeline import _IVF_SEEDS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    wall = Window.partitionBy()
+    for target in (0.05, 1.01):
+        pick, curve = S.planes_for_recall(
+            emb, target, query_ids=[0, 31], planes_list=(1, 2, 3))
+        rel = F.coalesce(
+            F.max(F.when(F.col("mean_recall") >= F.lit(target),
+                         F.col("planes"))).over(wall),
+            F.min(F.col("planes")).over(wall))
+        flagged = {r["planes"] for r in curve.withColumn(
+            "picked", F.col("planes") == rel
+        ).collect() if r["picked"]}
+        assert flagged == {pick}, (target, flagged, pick)
+    for target in (0.3, 1.01):
+        pick, curve = S.nprobe_for_recall(
+            emb, target, centroid_ids=_IVF_SEEDS, query_ids=[0, 31],
+            nprobes=(1, 2, 4))
+        rel = F.coalesce(
+            F.min(F.when(F.col("mean_recall") >= F.lit(target),
+                         F.col("nprobe"))).over(wall),
+            F.max(F.col("nprobe")).over(wall))
+        flagged = {r["nprobe"] for r in curve.withColumn(
+            "picked", F.col("nprobe") == rel
+        ).collect() if r["picked"]}
+        assert flagged == {pick}, (target, flagged, pick)
+
+
 def test_lsh_bucket_adaptive_caps_hot_blocks(spark):
     """lsh_bucket_adaptive (r11): base buckets over the cap re-block at
     the FULL (planes+extra)-bit signature, cold buckets keep the base
@@ -1390,3 +1428,32 @@ def test_lsh_probe_buckets_hamming_ball(spark):
             flips = {base[:i] + ("0" if base[i] == "1" else "1")
                      + base[i + 1:] for i in range(8)}
             assert set(got) == flips | {base}
+
+
+def test_lsh_multiprobe_curve_matches_per_radius(spark):
+    """lsh_multiprobe_recall_curve (r11 single-pass rewrite) must equal
+    the per-radius lsh_multiprobe_recall union row-for-row — same
+    candidate counts, same top-k tie-breaks, same recall — and the
+    tagged probe set must tag every probe with its true Hamming
+    distance (what makes ham<=r equivalent to the per-radius join)."""
+    import os
+
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    per_radius = None
+    for r in (0, 1, 2):
+        d = S.lsh_multiprobe_recall(emb, query_id=0, k=5, planes=6, radius=r)
+        per_radius = d if per_radius is None else per_radius.unionByName(d)
+    want = sorted(map(tuple, per_radius.collect()))
+    got = sorted(map(tuple, S.lsh_multiprobe_recall_curve(
+        emb, query_id=0, k=5, planes=6, radii=(0, 1, 2)).collect()))
+    assert got == want
+    # tag correctness: ham == Hamming distance from the base signature
+    tagged = spark.createDataFrame([("101101",)], "b string").select(
+        F.explode(
+            S.lsh_probe_buckets_tagged(F.col("b"), 6, 2)).alias("p")
+    ).collect()
+    for row in tagged:
+        d = sum(a != b for a, b in zip(row["p"]["bucket"], "101101"))
+        assert d == row["p"]["ham"]
