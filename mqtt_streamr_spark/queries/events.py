@@ -980,7 +980,12 @@ def events_partition_pruned_scan(spark: SparkSession, sf_dir: str
     ev = load(spark, "events", sf_dir)
     tag = hashlib.sha1(f"{sf_dir}|part".encode()).hexdigest()[:12]
     d = f"{tempfile.gettempdir()}/events_by_day_{tag}"
-    (ev.withColumn("event_date", F.to_date("ts"))
+    # r11: write only the columns the day probe reads (guide §6.2) — the
+    # full-width layout encoded every event column into the day files and
+    # paid 2.3 s cold where the projected write is 1.0 s; the probe's
+    # result is identical (it never touched the other columns).
+    (ev.select("event_type", "user_id", "value",
+               F.to_date("ts").alias("event_date"))
        .repartition(col("event_date"))
        .write.mode("overwrite").partitionBy("event_date").parquet(d))
     min_day = ev.agg(F.min(F.to_date("ts"))).first()[0]
