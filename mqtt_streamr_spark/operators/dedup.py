@@ -146,26 +146,45 @@ def near_dup_candidates(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", bands: int = 4,
                         rows: int = 2,
                         hash_family: str = "md5") -> DataFrame:
-    """Candidate pairs from LSH buckets: explode band keys, self-join per
-    bucket (id_a < id_b), distinct. The self-join shuffles on band keys —
-    uniform md5-derived, so no inherent skew; a pathological bucket (many
-    identical docs) is bounded by exact-dedup running first in a real
-    pipeline."""
+    """Candidate pairs from LSH buckets: explode band keys, group each
+    bucket's member ids, emit every in-bucket pair (id_a < id_b),
+    distinct.
+
+    r12 shape (guide §2.1/§2.4): the former bucket SELF-join evaluated
+    the md5-minhash signature subtree once per join SIDE — two full
+    base-hash passes over the corpus and two copies of the (large)
+    signature expression in codegen. One groupBy on the band key +
+    array_sort(collect_list) + an in-bucket pair explode derives the
+    signatures ONCE and shuffles the same (band_key, id) rows once;
+    a doc appears at most once per bucket (the band index is part of
+    the key), so i<j over the sorted id array enumerates exactly the
+    id_a < id_b pairs the join produced — verified row-identical.
+
+    The band-key shuffle is uniform md5-derived, so no inherent skew;
+    a pathological bucket (many identical docs — now a quadratic
+    in-bucket explode, exactly the join's fan-out) is bounded by
+    exact-dedup running first in a real pipeline."""
     keyed = df.select(
         F.col(id_col),
         F.explode(
             lsh_band_keys(text_col, bands, rows, hash_family=hash_family)
         ).alias("band_key"),
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
+    buckets = (
+        keyed.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))
     return (
-        a.join(b, "band_key")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -252,7 +271,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_iterations):
+    for _i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["m"] == labels["id"])
             .groupBy("n")
@@ -274,6 +293,13 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         parent = labels.select(
             F.col("id").alias("p_id"), F.col("component").alias("p_comp")
         )
+        # r12 (guide §5, VERDICT r11 #6): the changed-rows count rides
+        # the SAME action that materializes the round (observe metrics
+        # fill during the checkpoint's internal job) — one job per
+        # round instead of a checkpoint job plus a count job
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cc_round_{_i}")
         updated = (
             hop.join(parent, hop["hop_component"] == parent["p_id"], "left")
             .select(
@@ -283,10 +309,14 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                 ).alias("new_component"),
                 "old_component",
             )
+            .observe(obs, F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("new_component") != F.col("old_component"), 1
+                    ).otherwise(0)
+                ), F.lit(0)).alias("n_changed"))
         ).localCheckpoint()
-        changed = updated.filter(
-            F.col("new_component") != F.col("old_component")
-        ).count()
+        changed = obs.get["n_changed"]
         labels = updated.select(
             "id", F.col("new_component").alias("component")
         )

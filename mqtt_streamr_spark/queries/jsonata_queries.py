@@ -358,24 +358,23 @@ def jsonata_descendants_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema the descendant traversal expands statically to struct
     navigations (no interpreter, stays in codegen) — the same transform
     that jsonata_interpreted_fallback runs schemaless on the slow path
-    (reference: arbitrary --transform, bin/mqtt-streamr.js:158)."""
-    from mqtt_streamr_spark.streaming.transform import transform_to_json
+    (reference: arbitrary --transform, bin/mqtt-streamr.js:158). r12:
+    struct-direct in/out (transform_typed_struct) — the JSON encoding
+    round-trip deleted per guide §4; bit-identical (parity-pinned,
+    oracle-hashed)."""
+    from mqtt_streamr_spark.streaming.transform import transform_typed_struct
 
     ev = load(spark, "events", sf_dir)
-    df = ev.withColumn(
-        "payload",
-        F.to_json(F.struct(
+    out_col, backend = transform_typed_struct(
+        '{"kind": event_type, "k": $sum(**.k)}',
+        F.struct(
             "event_type", F.from_json("props", "k double").alias("props"),
-        )),
-    )
-    out_col, backend = transform_to_json(
-        '{"kind": event_type, "k": $sum(**.k)}', F.col("payload"),
-        mode="auto", schema="event_type string, props struct<k: double>",
+        ),
+        schema="event_type string, props struct<k: double>",
+        out_schema="kind string, k double",
     )
     assert backend == "typed", backend
-    m = df.withColumn(
-        "m", F.from_json(out_col, "kind string, k double")  # parse ONCE
-    )
+    m = ev.withColumn("m", out_col)
     return (
         m.select(col("m.kind").alias("kind"), col("m.k").alias("k"))
         .groupBy("kind")
@@ -531,14 +530,18 @@ def jsonata_groupby_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``items{c: $sum(p)}`` compiles to array_distinct + map_from_entries
     Column work (SURVEY.md §2.4 'Object-constructor grouping' row,
     previously interpreter-only). The per-item key is data-dependent, so
-    real grouping happens per message."""
-    from mqtt_streamr_spark.streaming.transform import transform_to_json
+    real grouping happens per message. r12: struct-direct in/out
+    (transform_typed_struct; the dynamic-key result reads via
+    element_at on the map encoding) — the JSON encoding round-trip
+    deleted per guide §4; bit-identical (parity-pinned,
+    oracle-hashed)."""
+    from mqtt_streamr_spark.streaming.transform import transform_typed_struct
 
     ev = load(spark, "events", sf_dir)
     v = F.coalesce(col("value").cast("double"), F.lit(0.0))
-    df = ev.withColumn(
-        "payload",
-        F.to_json(F.struct(F.array(
+    out_col, backend = transform_typed_struct(
+        "items{c: $sum(p)}",
+        F.struct(F.array(
             F.struct(F.lit("lo").alias("c"), v.alias("p")),
             F.struct(F.lit("hi").alias("c"), (v * 2).alias("p")),
             F.struct(
@@ -546,16 +549,12 @@ def jsonata_groupby_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("c"),
                 F.lit(1.0).alias("p"),
             ),
-        ).alias("items"))),
-    )
-    out_col, backend = transform_to_json(
-        "items{c: $sum(p)}", F.col("payload"),
-        mode="auto", schema="items array<struct<c: string, p: double>>",
+        ).alias("items")),
+        schema="items array<struct<c: string, p: double>>",
+        out_schema="lo double, hi double",
     )
     assert backend == "typed", backend
-    m = df.withColumn(
-        "m", F.from_json(out_col, "lo double, hi double")  # parse ONCE
-    )
+    m = ev.withColumn("m", out_col)
     return (
         m.select(
             col("event_type").alias("kind"),
@@ -839,28 +838,25 @@ def jsonata_transform_operator_typed(spark: SparkSession, sf_dir: str
     schemaless sibling ``jsonata_transform_operator`` runs the same
     construct through the interpreter with full semantics). Runs
     UNSAMPLED over the corpus: the compiled path has no
-    Python-evaluation cost to amortize."""
-    from mqtt_streamr_spark.streaming.transform import transform_to_json
+    Python-evaluation cost to amortize. r12: the message rides as the
+    struct it already is (transform_typed_struct) — the former
+    to_json -> from_json -> transform -> to_json -> from_json encoding
+    round-trip was four Jackson passes per row of pure overhead (guide
+    §4); results are bit-identical (parity-pinned, oracle-hashed)."""
+    from mqtt_streamr_spark.streaming.transform import transform_typed_struct
 
     ev = load(spark, "events", sf_dir)
-    df = ev.withColumn(
-        "payload",
-        F.to_json(F.struct("event_id", "event_type", "value", "props")),
-    )
-    out_col, backend = transform_to_json(
+    out_col, backend = transform_typed_struct(
         "$ ~> |$|{'kind': $uppercase(event_type),"
         "         'dist': $abs(value - 100),"
         "         'high': value > 100}, 'props'|",
-        F.col("payload"),
+        F.struct("event_id", "event_type", "value", "props"),
         schema="event_id bigint, event_type string, value double, "
                "props string",
+        out_schema="kind string, dist double, high boolean, props string",
     )
     assert backend == "typed", backend
-    m = df.withColumn(
-        "m",
-        F.from_json(out_col,
-                    "kind string, dist double, high boolean, props string"),
-    )
+    m = ev.withColumn("m", out_col)
     return (
         m.select("m.kind", "m.dist", "m.high", "m.props")
         .groupBy("kind", "high")
@@ -902,32 +898,26 @@ def jsonata_transform_nested_typed(spark: SparkSession, sf_dir: str
     — the chained second rebuild references every field of the first
     rebuild's CaseWhen-wrapped struct, so the expression tree roughly
     doubles; whole-stage codegen's subexpression elimination recovers
-    part of it. SF-flat compile cost, linear row cost — scale-safe."""
-    from mqtt_streamr_spark.streaming.transform import transform_to_json
+    part of it. SF-flat compile cost, linear row cost — scale-safe.
+    r12: struct-direct in/out (transform_typed_struct) — the JSON
+    encoding round-trip deleted per guide §4; bit-identical
+    (parity-pinned, oracle-hashed)."""
+    from mqtt_streamr_spark.streaming.transform import transform_typed_struct
 
     ev = load(spark, "events", sf_dir)
-    df = ev.withColumn(
-        "payload",
-        F.to_json(
-            F.struct(
-                "event_id", "event_type", "value",
-                F.from_json("props", "k double").alias("props"),
-            )
-        ),
-    )
-    out_col, backend = transform_to_json(
+    out_col, backend = transform_typed_struct(
         "$ ~> |props|{'k2': k * 2, 'big': k > 50}, 'k'|"
         "  ~> |$|{'vt': value * 3}|",
-        F.col("payload"),
+        F.struct(
+            "event_id", "event_type", "value",
+            F.from_json("props", "k double").alias("props"),
+        ),
         schema="event_id bigint, event_type string, value double, "
                "props struct<k: double>",
+        out_schema="props struct<k2: double, big: boolean>, vt double",
     )
     assert backend == "typed", backend
-    m = df.withColumn(
-        "m",
-        F.from_json(out_col,
-                    "props struct<k2: double, big: boolean>, vt double"),
-    )
+    m = ev.withColumn("m", out_col)
     return (
         m.select("m.props.k2", "m.props.big", "m.vt")
         .groupBy(col("big"))
@@ -971,41 +961,33 @@ def jsonata_transform_predicate_typed(spark: SparkSession, sf_dir: str
     bin/mqtt-streamr.js:108,157-159 evaluate arbitrary 1.6.4
     expressions). The oracle restates the per-item arithmetic
     relationally (each event contributes items a: v=value and
-    b: v=2*value). Runs UNSAMPLED over the corpus."""
-    from mqtt_streamr_spark.streaming.transform import transform_to_json
+    b: v=2*value). Runs UNSAMPLED over the corpus. r12: struct-direct
+    in/out (transform_typed_struct) — the JSON encoding round-trip
+    deleted per guide §4; bit-identical (parity-pinned, oracle-hashed)."""
+    from mqtt_streamr_spark.streaming.transform import transform_typed_struct
 
     ev = load(spark, "events", sf_dir)
-    df = ev.withColumn(
-        "payload",
-        F.to_json(
-            F.struct(
-                "event_id", "event_type", "value",
-                F.array(
-                    F.struct(F.lit("a").alias("name"),
-                             col("value").alias("v")),
-                    F.struct(F.lit("b").alias("name"),
-                             (col("value") * 2).alias("v")),
-                ).alias("items"),
-            )
-        ),
-    )
-    out_col, backend = transform_to_json(
+    out_col, backend = transform_typed_struct(
         "$ ~> |items[v > 50]|{'big': true, 'v2': v * 2}, 'name'|"
         "  ~> |$|{'vt': value * 3}|",
-        F.col("payload"),
+        F.struct(
+            "event_id", "event_type", "value",
+            F.array(
+                F.struct(F.lit("a").alias("name"),
+                         col("value").alias("v")),
+                F.struct(F.lit("b").alias("name"),
+                         (col("value") * 2).alias("v")),
+            ).alias("items"),
+        ),
         schema="event_id bigint, event_type string, value double, "
                "items array<struct<name: string, v: double>>",
+        out_schema="event_type string, vt double, "
+                   "items array<struct<name: string, v: double, "
+                   "big: boolean, v2: double>>",
     )
     assert backend == "typed", backend
-    m = df.withColumn(
-        "m",
-        F.from_json(
-            out_col,
-            "event_type string, vt double, "
-            "items array<struct<name: string, v: double, "
-            "big: boolean, v2: double>>",
-        ),
-    ).select("m.event_type", "m.vt", F.explode("m.items").alias("it"))
+    m = ev.withColumn("m", out_col).select(
+        "m.event_type", "m.vt", F.explode("m.items").alias("it"))
     return (
         m.groupBy("event_type")
         .agg(
@@ -1051,42 +1033,35 @@ def jsonata_transform_computed_typed(spark: SparkSession, sf_dir: str
     jsonata 1.6.4 path/transform evaluation (bin/mqtt-streamr.js:108,
     157-159 evaluate arbitrary 1.6.4 expressions). The oracle restates
     the per-item arithmetic relationally (items a: v=value,
-    b: v=2*value; $i=-1 selects b; $t=50 gates v2). Runs UNSAMPLED."""
-    from mqtt_streamr_spark.streaming.transform import transform_to_json
+    b: v=2*value; $i=-1 selects b; $t=50 gates v2). Runs UNSAMPLED.
+    r12: struct-direct in/out (transform_typed_struct) — the JSON
+    encoding round-trip deleted per guide §4; bit-identical
+    (parity-pinned, oracle-hashed)."""
+    from mqtt_streamr_spark.streaming.transform import transform_typed_struct
 
     ev = load(spark, "events", sf_dir)
-    df = ev.withColumn(
-        "payload",
-        F.to_json(
-            F.struct(
-                "event_id", "event_type", "value",
-                F.array(
-                    F.struct(F.lit("a").alias("name"),
-                             col("value").alias("v")),
-                    F.struct(F.lit("b").alias("name"),
-                             (col("value") * 2).alias("v")),
-                ).alias("items"),
-            )
-        ),
-    )
-    out_col, backend = transform_to_json(
+    out_col, backend = transform_typed_struct(
         "($i := -1; $t := 50;"
         " $ ~> |items[$i]|{'last': true}|"
         "   ~> |items[v > $t]|{'v2': v * 2}|)",
-        F.col("payload"),
+        F.struct(
+            "event_id", "event_type", "value",
+            F.array(
+                F.struct(F.lit("a").alias("name"),
+                         col("value").alias("v")),
+                F.struct(F.lit("b").alias("name"),
+                         (col("value") * 2).alias("v")),
+            ).alias("items"),
+        ),
         schema="event_id bigint, event_type string, value double, "
                "items array<struct<name: string, v: double>>",
+        out_schema="event_type string, "
+                   "items array<struct<name: string, v: double, "
+                   "last: boolean, v2: double>>",
     )
     assert backend == "typed", backend
-    m = df.withColumn(
-        "m",
-        F.from_json(
-            out_col,
-            "event_type string, "
-            "items array<struct<name: string, v: double, "
-            "last: boolean, v2: double>>",
-        ),
-    ).select("m.event_type", F.explode("m.items").alias("it"))
+    m = ev.withColumn("m", out_col).select(
+        "m.event_type", F.explode("m.items").alias("it"))
     return (
         m.groupBy("event_type")
         .agg(

@@ -17,6 +17,7 @@ from mqtt_streamr_spark.jsonata import jsonata
 from mqtt_streamr_spark.jsonata.compiler import (
     compile_to_json,
     compile_typed,
+    project_to_schema,
     to_json_string,
 )
 from mqtt_streamr_spark.jsonata.errors import NotCompilable
@@ -86,6 +87,33 @@ def transform_to_json(expr: str, payload_col: Column, *,
             if mode == "compiled":
                 raise
     return _interpreted_udf(expr)(payload_col), "interpreted"
+
+
+def transform_typed_struct(expr: str, source_col: Column, *, schema: str,
+                           out_schema: str) -> tuple[Column, str]:
+    """TYPED transform over an already-STRUCTURED message column, output
+    projected to ``out_schema`` — the struct-direct equivalent of
+
+        out, b = transform_to_json(expr, F.to_json(source_col),
+                                   schema=schema)   # b == "typed"
+        F.from_json(out, out_schema)
+
+    with the two serialize/parse round-trips deleted (guide §4: for a
+    message that starts life as typed columns, to_json -> from_json ->
+    transform -> to_json -> from_json is four Jackson passes per row of
+    pure overhead; Catalyst additionally collapses the transform's
+    ``getField(struct(...))`` navigation into the source columns, so the
+    whole transform runs on the original columns inside codegen). The
+    round-trip is lossless for the supported shapes, so results are
+    bit-identical (pinned by the old-vs-new parity suite); ``source_col``
+    must carry exactly the field types ``schema`` declares.
+
+    Returns ``(column, "typed")``; raises ``NotCompilable`` when the
+    expression needs a fallback backend (those callers keep the JSON
+    surface — the fallbacks are defined over JSON payloads)."""
+    parsed = jsonata(expr)
+    tc = compile_typed(parsed.ast, source_col, schema)
+    return project_to_schema(tc, out_schema), "typed"
 
 
 def _contains_node_type(node, node_type: str) -> bool:

@@ -929,3 +929,92 @@ def test_metrics_listener_run_window_summary_late_events():
     assert wb["n_batches"] == 1 and wb["input_rows"] == 50
     # empty window stays None
     assert lst.run_window_summary(m2) is None
+
+
+def test_transform_typed_struct_matches_json_roundtrip(spark):
+    """transform_typed_struct (r12 struct-direct surface) must produce
+    EXACTLY what the JSON round-trip produced — same values, same NULLs,
+    for every registered *_typed query's (expr, source, schema,
+    out_schema) — on real corpus rows. This pins the optimization's
+    bit-identity claim: deleting to_json -> from_json -> ... -> from_json
+    may not change a single output row."""
+    import pyspark.sql.functions as FN
+    from pyspark.sql.functions import col as C
+
+    from mqtt_streamr_spark.streaming.transform import (
+        transform_to_json,
+        transform_typed_struct,
+    )
+    from mqtt_streamr_spark.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    ev = load(spark, "events", sf)
+    v = FN.coalesce(C("value").cast("double"), FN.lit(0.0))
+    items = FN.array(
+        FN.struct(FN.lit("a").alias("name"), C("value").alias("v")),
+        FN.struct(FN.lit("b").alias("name"), (C("value") * 2).alias("v")),
+    ).alias("items")
+    cases = [
+        # (expr, source struct, message schema, output schema)
+        ("$ ~> |$|{'kind': $uppercase(event_type),"
+         "         'dist': $abs(value - 100),"
+         "         'high': value > 100}, 'props'|",
+         FN.struct("event_id", "event_type", "value", "props"),
+         "event_id bigint, event_type string, value double, props string",
+         "kind string, dist double, high boolean, props string"),
+        ("$ ~> |props|{'k2': k * 2, 'big': k > 50}, 'k'|"
+         "  ~> |$|{'vt': value * 3}|",
+         FN.struct("event_id", "event_type", "value",
+                   FN.from_json("props", "k double").alias("props")),
+         "event_id bigint, event_type string, value double, "
+         "props struct<k: double>",
+         "props struct<k2: double, big: boolean>, vt double"),
+        ("$ ~> |items[v > 50]|{'big': true, 'v2': v * 2}, 'name'|"
+         "  ~> |$|{'vt': value * 3}|",
+         FN.struct("event_id", "event_type", "value", items),
+         "event_id bigint, event_type string, value double, "
+         "items array<struct<name: string, v: double>>",
+         "event_type string, vt double, items array<struct<name: string, "
+         "v: double, big: boolean, v2: double>>"),
+        ("($i := -1; $t := 50;"
+         " $ ~> |items[$i]|{'last': true}|"
+         "   ~> |items[v > $t]|{'v2': v * 2}|)",
+         FN.struct("event_id", "event_type", "value", items),
+         "event_id bigint, event_type string, value double, "
+         "items array<struct<name: string, v: double>>",
+         "event_type string, items array<struct<name: string, v: double, "
+         "last: boolean, v2: double>>"),
+        ("items{c: $sum(p)}",
+         FN.struct(FN.array(
+             FN.struct(FN.lit("lo").alias("c"), v.alias("p")),
+             FN.struct(FN.lit("hi").alias("c"), (v * 2).alias("p")),
+             FN.struct(FN.when(C("user_id") % 2 == 0, "lo")
+                       .otherwise("hi").alias("c"),
+                       FN.lit(1.0).alias("p")),
+         ).alias("items")),
+         "items array<struct<c: string, p: double>>",
+         "lo double, hi double"),
+        ('{"kind": event_type, "k": $sum(**.k)}',
+         FN.struct("event_type",
+                   FN.from_json("props", "k double").alias("props")),
+         "event_type string, props struct<k: double>",
+         "kind string, k double"),
+    ]
+    for expr, src, schema, out_schema in cases:
+        old_json, b_old = transform_to_json(
+            expr, FN.to_json(src), schema=schema)
+        assert b_old == "typed", (expr, b_old)
+        new_col, b_new = transform_typed_struct(
+            expr, src, schema=schema, out_schema=out_schema)
+        assert b_new == "typed", (expr, b_new)
+        both = ev.select(
+            FN.from_json(old_json, out_schema).alias("old"),
+            new_col.alias("new"),
+        )
+        n_total = both.count()
+        n_equal = both.filter(
+            C("old").eqNullSafe(C("new"))).count()
+        assert n_equal == n_total, (
+            expr,
+            both.filter(~C("old").eqNullSafe(C("new"))).head(3),
+        )
