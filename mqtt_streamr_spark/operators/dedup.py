@@ -724,6 +724,13 @@ def cdc_excise_boilerplate(df: DataFrame, text_col: str = "text",
                 lambda acc, c: acc + (c["cend"] - c["cstart"])),
             F.lit(0),
         ).cast("long").alias("excised_chars"),
+        # total chunk count rides the map stage that already holds the
+        # doc row (r12) — callers gating on excised/total no longer pay
+        # a separate chunking pass + join for the denominator
+        F.size(cdc_chunk_spans(
+            text_col, k=k, divisor=divisor,
+            min_len=min_len, max_len=max_len)).cast("long")
+        .alias("n_chunks"),
     ).withColumn(
         "clean_chars", F.length("clean_text").cast("long")
     )
@@ -745,23 +752,30 @@ def cdc_chunks_against_corpus(batch: DataFrame, corpus: DataFrame,
     At scale the corpus side is a PRECOMPUTED, stored DISTINCT-chunk
     index (one `long` per unique chunk — tiny next to the text); every
     later ingest pays only for its own batch: map-only chunking, one
-    semi-join of batch chunks against the index on the uniform hash,
+    hash join of batch chunks against the index on the uniform hash,
     one per-doc aggregation. Here the index derives from the corpus
-    DataFrame so the oracle can restate it."""
+    DataFrame so the oracle can restate it.
+
+    r12 (guide §2.1): total and corpus-hit chunk counts fold into ONE
+    per-doc aggregation over a left join against the distinct index
+    (multiplicity 1, so instance counts are unchanged) — the former
+    semi-join branch re-derived the batch chunking a second time and
+    paid an extra join of the two per-doc frames."""
     from mqtt_streamr_spark.operators.text import cdc_chunk_hashes
 
     ch = cdc_chunk_hashes(text_col, k=k, divisor=divisor,
                           min_len=min_len, max_len=max_len)
     b_chunks = batch.select(F.col(id_col), F.explode(ch).alias("h"))
-    c_index = corpus.select(F.explode(ch).alias("h")).distinct()
-    hits = b_chunks.join(c_index, "h", "left_semi") \
-        .groupBy(id_col).agg(F.count(F.lit(1)).alias("corpus_chunks"))
+    c_index = (corpus.select(F.explode(ch).alias("h")).distinct()
+               .withColumn("__hit", F.lit(1)))
     per_doc = (
-        b_chunks.groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_chunks"))
-        .join(hits, id_col, "left")
-        .withColumn("corpus_chunks",
-                    F.coalesce(F.col("corpus_chunks"), F.lit(0)))
+        b_chunks.join(c_index, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .alias("corpus_chunks"),
+        )
         .withColumn("share_frac",
                     F.col("corpus_chunks") / F.col("n_chunks"))
         .withColumn("is_dup", F.col("share_frac") > F.lit(threshold))

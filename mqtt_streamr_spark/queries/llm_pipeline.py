@@ -3293,7 +3293,14 @@ def dedup_cdc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunking, one map-side-combined groupBy on the uniform chunk hash +
     one AQE-skew-safe hash join back, one groupBy per doc — linear in
     text bytes, never all-pairs; the boilerplate count is one extra
-    keyed aggregation at (source, hash) grain."""
+    keyed aggregation at (source, hash) grain.
+
+    r12 negative result (recorded in OPTIMIZATION_r12.md): a
+    shared-chunk-frame rewrite (boilerplate count aggregated off the
+    first-owner join's output, betting on AQE exchange reuse) measured
+    2.0 -> 5.1 s warm and was REVERTED — the small first-owner side
+    broadcasts, so the probe side has NO exchange to reuse and each
+    consuming branch re-derives the rolling-md5 chunking map-side."""
     docs = spread(load(spark, "documents", sf_dir))
     per_doc = D.cdc_chunk_overlap(docs, threshold=0.5)
     with_src = per_doc.join(docs.select("doc_id", "source"), "doc_id")
@@ -3527,15 +3534,14 @@ def text_excise_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one uniform-key groupBy + join back; the splice is an F.aggregate
     fold in the map stage that already holds the doc row. The survivor
     gate reuses the same cut list (excised = shared chunk instances),
-    so no second chunking pass."""
+    so no second chunking pass. r12: the denominator (n_chunks) now
+    rides the operator's own map stage, deleting this query's separate
+    chunking frame and its join (guide §2.1); only the source label is
+    still joined in (a 2-column scan, no chunking)."""
     docs = spread(load(spark, "documents", sf_dir))
     cleaned = D.cdc_excise_boilerplate(docs)
-    n_chunks = docs.select(
-        "doc_id", "source",
-        F.size(T.cdc_chunk_hashes("text")).cast("long").alias("n_chunks"),
-    )
     return (
-        cleaned.join(n_chunks, "doc_id")
+        cleaned.join(docs.select("doc_id", "source"), "doc_id")
         .filter(col("excised_spans") * 2 <= col("n_chunks"))
         .select(
             "doc_id", "source", "n_chunks", "excised_spans",
