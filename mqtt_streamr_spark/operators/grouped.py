@@ -111,7 +111,11 @@ def ewma_final_per_key(df: DataFrame, key_col: str, ts_col: str,
     path stays identical to the per-row variant).
 
     Contract: ``key_col`` must be non-null (a null key would open a new
-    group per row, since NaN != NaN in the carry comparison); rows for one
+    group per row, since NaN != NaN in the carry comparison, and pandas
+    would coerce an int64 key batch to float64) — ENFORCED by a
+    null-key filter before the shuffle (ADVICE r11: the contract was
+    documented but unenforced; a null-keyed row now drops instead of
+    silently corrupting every group's output). Rows for one
     key land in one partition via hash repartition, and batches within a
     partition arrive in order, so the carry state is exact across batch
     boundaries. Scale shape: one shuffle of the projected columns + a
@@ -152,6 +156,8 @@ def ewma_final_per_key(df: DataFrame, key_col: str, ts_col: str,
     key_type = dict(df.dtypes)[key_col]
     return (
         df.select(*dict.fromkeys(proj))  # project BEFORE the exchange
+        .filter(F.col(key_col).isNotNull())  # enforce the non-null-key
+        #                                      contract (see docstring)
         .repartition(F.col(key_col))
         .sortWithinPartitions(*order)
         .mapInPandas(

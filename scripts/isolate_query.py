@@ -24,11 +24,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # accept both --reps=N and --reps N (ADVICE r11: the space form
+    # crashed on split("=") and leaked the bare N as a query name)
+    argv = sys.argv[1:]
+    args: list[str] = []
     reps = 2
-    for a in sys.argv[1:]:
-        if a.startswith("--reps"):
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--reps":
+            reps = int(argv[i + 1])
+            i += 2
+        elif a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
+            i += 1
+        else:
+            args.append(a)
+            i += 1
     spark = get_spark(app_name="isolate-query")
     spark.sparkContext.setLogLevel("ERROR")
     jvm = spark.sparkContext._jvm

@@ -1255,34 +1255,25 @@ def test_relational_pick_flags_match_collecting_helpers(spark):
     instead of collect-then-rerun; the flagged row must be exactly the
     helper's pick — including the fallback branch when nothing clears
     the target (both queries run against an sf where recall CAN clear,
-    so force the fallback here with target > 1)."""
-    from pyspark.sql import Window
-
+    so force the fallback here with target > 1). ADVICE r11: exercises
+    the PRODUCTION expression (S.recall_pick_flag — the same call the
+    registered queries make), not an inline restatement of the rule."""
     from mqtt_streamr_spark.queries.llm_pipeline import _IVF_SEEDS
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    wall = Window.partitionBy()
     for target in (0.05, 1.01):
         pick, curve = S.planes_for_recall(
             emb, target, query_ids=[0, 31], planes_list=(1, 2, 3))
-        rel = F.coalesce(
-            F.max(F.when(F.col("mean_recall") >= F.lit(target),
-                         F.col("planes"))).over(wall),
-            F.min(F.col("planes")).over(wall))
         flagged = {r["planes"] for r in curve.withColumn(
-            "picked", F.col("planes") == rel
+            "picked", S.recall_pick_flag("planes", target, "largest")
         ).collect() if r["picked"]}
         assert flagged == {pick}, (target, flagged, pick)
     for target in (0.3, 1.01):
         pick, curve = S.nprobe_for_recall(
             emb, target, centroid_ids=_IVF_SEEDS, query_ids=[0, 31],
             nprobes=(1, 2, 4))
-        rel = F.coalesce(
-            F.min(F.when(F.col("mean_recall") >= F.lit(target),
-                         F.col("nprobe"))).over(wall),
-            F.max(F.col("nprobe")).over(wall))
         flagged = {r["nprobe"] for r in curve.withColumn(
-            "picked", F.col("nprobe") == rel
+            "picked", S.recall_pick_flag("nprobe", target, "smallest")
         ).collect() if r["picked"]}
         assert flagged == {pick}, (target, flagged, pick)
 
