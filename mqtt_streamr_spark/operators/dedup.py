@@ -189,22 +189,35 @@ def near_dup_candidates(df: DataFrame, text_col: str = "text",
     )
 
 
-def _verified_pairs(df: DataFrame, set_col: Column, text_col: str,
+def _verified_pairs(df: DataFrame, set_of, text_col: str,
                     id_col: str, threshold: float, bands: int,
                     rows: int, hash_family: str = "md5") -> DataFrame:
     """LSH candidates verified with exact Jaccard >= threshold over
-    ``set_col`` (an array-of-elements representation of each doc). Sets are
-    recomputed only for candidate ids (joined), keeping the verify stage
-    proportional to candidates, not corpus size."""
+    ``set_of(text)`` (an array-of-elements representation of each doc).
+
+    r12 shape (guide §2.3/§3): the TEXT is attached to the (LSH-bounded)
+    candidate pairs and the element sets are computed per PAIR, let-bound
+    so each side's set expression evaluates once. The former shape
+    computed the set arrays for the WHOLE corpus as the build side of
+    each verify join — at scale that shuffles/broadcasts every doc's
+    (large) set array twice even when candidates cover a sliver of the
+    corpus; now verify cost is genuinely proportional to candidates
+    (a doc in k candidate pairs recomputes its set k times — bounded by
+    the LSH candidate count, which is the operator's contract)."""
     cands = near_dup_candidates(df, text_col, id_col, bands, rows,
                                 hash_family)
-    sh = df.select(F.col(id_col).alias("sid"), set_col.alias("sh"))
+    txt = df.select(F.col(id_col), F.col(text_col))
+    joined = (
+        cands.join(txt.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed(text_col, "__text_a"), "id_a")
+        .join(txt.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed(text_col, "__text_b"), "id_b")
+    )
+    sim = _let(set_of(F.col("__text_a")),
+               lambda sa: _let(set_of(F.col("__text_b")),
+                               lambda sb: jaccard(sa, sb)))
     return (
-        cands.join(sh.withColumnRenamed("sid", "id_a")
-                   .withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("sid", "id_b")
-              .withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        joined.withColumn("jaccard_sim", sim)
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
     )
@@ -221,7 +234,7 @@ def near_dup_pairs(df: DataFrame, text_col: str = "text",
     the default for DuckDB-oracle parity. Verification is exact either
     way, so the families differ only in candidate recall — property-tested
     equivalent on the fixture corpus."""
-    return _verified_pairs(df, shingles(text_col, shingle_n), text_col,
+    return _verified_pairs(df, lambda t: shingles(t, shingle_n), text_col,
                            id_col, threshold, bands, rows, hash_family)
 
 
@@ -344,7 +357,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     n-grams catch near-dups that word shingles miss (intra-word edits);
     the candidate stage is shared with the MinHash pipeline so the extra
     cost is only the verify join."""
-    return _verified_pairs(df, char_ngrams(text_col, n), text_col,
+    return _verified_pairs(df, lambda t: char_ngrams(t, n), text_col,
                            id_col, threshold, bands, rows, hash_family)
 
 

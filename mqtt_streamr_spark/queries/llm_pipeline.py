@@ -2427,21 +2427,31 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-over-A signature variant at scale."""
     docs = spread(load(spark, "documents", sf_dir))
     cands = D.near_dup_candidates(docs, "text", "doc_id", 4, 2, "md5")
-    sh = docs.select(col("doc_id").alias("sid"),
-                     D.shingles("text", 3).alias("sh"))
+    txt = docs.select("doc_id", "text")
     # |A∩B| is symmetric: verify each UNORDERED candidate pair once,
     # then emit both directions — half the verify-join work of scoring
-    # (a,b) and (b,a) separately
+    # (a,b) and (b,a) separately. r12 (guide §2.3/§3, same shape as
+    # operators/dedup._verified_pairs): texts join onto the LSH-bounded
+    # candidate pairs and the shingle sets are computed per pair
+    # (let-bound), instead of materializing the whole corpus's shingle
+    # arrays as the build side of both joins.
+    stats = T.let_bound(
+        D.shingles("__text_a", 3),
+        lambda sa: T.let_bound(
+            D.shingles("__text_b", 3),
+            lambda sb: F.struct(
+                F.size(F.array_intersect(sa, sb)).alias("inter"),
+                F.size(sa).alias("n_a"), F.size(sb).alias("n_b"),
+            ),
+        ),
+    )
     scored = (
-        cands.join(sh.withColumnRenamed("sid", "id_a")
-                   .withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("sid", "id_b")
-              .withColumnRenamed("sh", "sh_b"), "id_b")
-        .select(
-            "id_a", "id_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
-            F.size("sh_a").alias("n_a"), F.size("sh_b").alias("n_b"),
-        )
+        cands.join(txt.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("text", "__text_a"), "id_a")
+        .join(txt.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("text", "__text_b"), "id_b")
+        .select("id_a", "id_b", stats.alias("__st"))
+        .select("id_a", "id_b", "__st.inter", "__st.n_a", "__st.n_b")
     )
     directed = scored.select(
         F.explode(
@@ -2498,14 +2508,23 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     family; the sweep is conditional sums over the one verify result."""
     docs = spread(load(spark, "documents", sf_dir))
     cands = D.near_dup_candidates(docs, "text", "doc_id", 4, 2, "md5")
-    sh = docs.select(col("doc_id").alias("sid"),
-                     D.shingles("text", 3).alias("sh"))
+    txt = docs.select("doc_id", "text")
+    # r12: per-pair shingle computation over the candidate-attached
+    # texts (same shape as operators/dedup._verified_pairs) instead of
+    # corpus-wide shingle arrays as both join build sides
+    j = T.let_bound(
+        D.shingles("__text_a", 3),
+        lambda sa: T.let_bound(
+            D.shingles("__text_b", 3),
+            lambda sb: D.jaccard(sa, sb),
+        ),
+    )
     pairs = (
-        cands.join(sh.withColumnRenamed("sid", "id_a")
-                   .withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("sid", "id_b")
-              .withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("j", D.jaccard(col("sh_a"), col("sh_b")))
+        cands.join(txt.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("text", "__text_a"), "id_a")
+        .join(txt.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("text", "__text_b"), "id_b")
+        .withColumn("j", j)
     )
     aggs = [F.count(F.lit(1)).alias("n_candidates")]
     for thr in (50, 60, 70, 80, 90):
