@@ -528,6 +528,7 @@ _REGEX_FUNCS = [
 ]
 
 
+@pytest.mark.slow  # r12 slow tier: corpus/recall sweep
 def test_regex_fidelity_corpus(spark):
     """JS→Java regex fidelity audit (r7, SURVEY hard-part #3): every
     compilable (pattern, function, input) triple agrees between the
@@ -927,6 +928,7 @@ def test_typed_only_descendants_groupby(spark, expr):
         compile_column(expr, F.lit(None))
 
 
+@pytest.mark.slow  # r12 slow tier: corpus/recall sweep
 def test_typed_coverage_is_substantial(spark):
     """Most of the compiled surface must also compile typed — guard against
     the typed path silently regressing to NotCompilable everywhere."""

@@ -263,6 +263,7 @@ def _sf_docs(spark):
     return spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
 
 
+@pytest.mark.slow  # r12 slow tier: corpus/recall sweep
 def test_xxhash_family_pair_recall_equivalent(spark):
     """md5 and xxhash64 MinHash families must find the SAME verified
     near-dup pairs on the fixture corpus: verification is exact Jaccard
@@ -282,6 +283,7 @@ def test_xxhash_family_pair_recall_equivalent(spark):
     assert md5_pairs == xx_pairs
 
 
+@pytest.mark.slow  # r12 slow tier: corpus/recall sweep
 def test_xxhash_family_ngram_recall_equivalent(spark):
     docs = _sf_docs(spark)
     md5_pairs = {

@@ -583,6 +583,9 @@ SCALAR_CROSS_OK = {
     "sim_planes_for_recall", "sim_nprobe_for_recall",
     "sim_random_projection_topk",
     "sim_centroid_drift",
+    # r12: the materialized-index probe now broadcasts the 1-row query
+    # VECTOR frame instead of collect()ing it (VERDICT r11 #9)
+    "sim_ann_ivf_indexed",
     # pagerank: N and dangling-mass scalars ride as 1-row broadcast
     # cross joins inside each iteration (operators/graph.py docstring)
     "graph_pagerank_event_types",

@@ -10,6 +10,12 @@ while each example still covers dozens of random rows.
 
 from __future__ import annotations
 
+import pytest
+
+# slow tier (r12): randomized fuzz — operator correctness is gated by
+# the fast tier's oracle/parity tests; run with `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 import json
 import math
 
