@@ -358,7 +358,15 @@ class StreamingBridge:
                     # batch_id=N partition and OVERWRITES it, so a batch
                     # replayed after a crash lands on the same data instead
                     # of appending duplicates -> effectively-once end-to-end
-                    # (upgrade over the reference's at-most-once, bin:132)
+                    # (upgrade over the reference's at-most-once, bin:132).
+                    # r12 negative result: a REBALANCE-on-stream_id hint
+                    # before this write (guide §6 small-files pattern; the
+                    # dynamic-partition writer emits tasks x streams files
+                    # per batch) measured NEUTRAL-to-worse on the replay
+                    # drain (warm addBatch 4.5 -> 5.5 s) — local file
+                    # commits are cheap and the added shuffle is not.
+                    # Reverted; at cluster scale with object-store commits
+                    # the hint belongs here, gated on a sink-format knob.
                     (valid.select("stream_id", "message", "arrival_ts")
                      .write.mode("overwrite").partitionBy("stream_id")
                      .format(spec.sink_format)
