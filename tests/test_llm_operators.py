@@ -1450,3 +1450,33 @@ def test_lsh_multiprobe_curve_matches_per_radius(spark):
     for row in tagged:
         d = sum(a != b for a, b in zip(row["p"]["bucket"], "101101"))
         assert d == row["p"]["ham"]
+
+
+def test_near_dup_candidates_matches_selfjoin_reference(spark):
+    """The r12 candidate generation (one groupBy(band_key) +
+    array_sort(collect_list) + in-bucket pair explode) must emit exactly
+    the pair set of the shape it replaced — the bucket SELF-join with
+    id_a < id_b + distinct — on real corpus rows."""
+    from mqtt_streamr_spark.operators.dedup import (
+        lsh_band_keys,
+        near_dup_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {(r["id_a"], r["id_b"])
+           for r in near_dup_candidates(docs).collect()}
+    keyed = docs.select(
+        F.col("doc_id"),
+        F.explode(lsh_band_keys("text", 4, 2, hash_family="md5"))
+        .alias("band_key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    ref = {(r["id_a"], r["id_b"]) for r in (
+        a.join(b, "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    ).collect()}
+    assert got == ref
+    assert got, "candidate set must be non-empty on this corpus"
