@@ -3215,35 +3215,41 @@ def text_cdc_clamped_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB, and ``max_chunk_len`` structurally proves the max clamp
     (must be <= 120 for every doc). Same map-only shape as the
     unclamped query: the clamps are folds over the per-doc candidate
-    array, no extra shuffle."""
+    array, no extra shuffle.
+
+    r12: ONE cut derivation instead of three. The hashes frame was
+    re-derived by both consumers (per-doc counts and the per-source
+    distinct, different groupBy keys — no exchange to reuse) and the
+    max-clamp witness derived cuts a third time via cdc_chunk_lengths;
+    each derivation pays the per-character rolling-md5 boundary scan.
+    Now cdc_chunk_spans (hash + span, 1:1 with cdc_chunk_hashes by
+    construction: same cuts, same md5) is computed once; the per-doc
+    stats (n_chunks, max chunk length = cend - cstart) are folded
+    MAP-SIDE from the array before a single posexplode, and the
+    doc-level sums ride the pos==0 row of each doc so one groupBy
+    yields every output column. A chunkless doc emits no rows —
+    exactly the old explode/oracle behavior."""
     docs = spread(load(spark, "documents", sf_dir))
-    ch = docs.select(
-        "doc_id", "source",
-        F.explode(
-            T.cdc_chunk_hashes("text", min_len=24, max_len=120)
-        ).alias("h"),
+    withc = docs.select(
+        "source",
+        T.cdc_chunk_spans("text", min_len=24, max_len=120).alias("cs"),
     )
-    per_doc = ch.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-    )
-    # chunk LENGTHS (1:1 aligned with the hashes by construction) give
-    # the structural max-clamp witness without re-deriving cuts
-    lens = docs.select(
-        "doc_id",
-        F.explode(
-            T.cdc_chunk_lengths("text", min_len=24, max_len=120)
-        ).alias("l"),
-    ).groupBy("doc_id").agg(F.max("l").alias("max_l"))
-    pd_stats = per_doc.join(lens, "doc_id")
-    chunk_stats = ch.groupBy("source").agg(
-        F.countDistinct("h").alias("distinct_chunks"))
+    rows = withc.select(
+        "source",
+        F.size("cs").alias("n_chunks"),
+        F.array_max(
+            F.transform("cs", lambda c: c["cend"] - c["cstart"])
+        ).alias("max_l"),
+        F.posexplode("cs").alias("pos", "c"),
+    ).withColumn("h", F.col("c")["h"]).drop("c")
     return (
-        pd_stats.groupBy("source").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chunks").alias("total_chunks"),
+        rows.groupBy("source").agg(
+            F.count(F.when(F.col("pos") == 0, 1)).alias("n_docs"),
+            F.sum(F.when(F.col("pos") == 0, F.col("n_chunks")))
+            .alias("total_chunks"),
+            F.countDistinct("h").alias("distinct_chunks"),
             F.max("max_l").cast("long").alias("max_chunk_len"),
         )
-        .join(chunk_stats, "source")
         .select("source", "n_docs", "total_chunks",
                 "distinct_chunks", "max_chunk_len")
     )

@@ -1480,3 +1480,47 @@ def test_near_dup_candidates_matches_selfjoin_reference(spark):
     ).collect()}
     assert got == ref
     assert got, "candidate set must be non-empty on this corpus"
+
+
+def test_clamped_chunks_matches_three_frame_reference(spark):
+    """The r12 single-derivation rewrite of text_cdc_clamped_chunks (one
+    cdc_chunk_spans pass, per-doc stats folded map-side, doc-level sums
+    riding the pos==0 row) must emit exactly the rows of the shape it
+    replaced: hashes exploded for per-doc counts + per-source distinct,
+    plus a separate cdc_chunk_lengths frame for the max-clamp witness."""
+    from mqtt_streamr_spark.queries.llm_pipeline import (
+        text_cdc_clamped_chunks,
+    )
+    from mqtt_streamr_spark.tables import load, spread
+
+    sf = "/root/testdata/sf0.01"
+    docs = spread(load(spark, "documents", sf))
+    ch = docs.select(
+        "doc_id", "source",
+        F.explode(
+            T.cdc_chunk_hashes("text", min_len=24, max_len=120)
+        ).alias("h"))
+    per_doc = ch.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_chunks"))
+    lens = docs.select(
+        "doc_id",
+        F.explode(
+            T.cdc_chunk_lengths("text", min_len=24, max_len=120)
+        ).alias("l"),
+    ).groupBy("doc_id").agg(F.max("l").alias("max_l"))
+    chunk_stats = ch.groupBy("source").agg(
+        F.countDistinct("h").alias("distinct_chunks"))
+    ref = (
+        per_doc.join(lens, "doc_id").groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").alias("total_chunks"),
+            F.max("max_l").cast("long").alias("max_chunk_len"))
+        .join(chunk_stats, "source")
+        .select("source", "n_docs", "total_chunks",
+                "distinct_chunks", "max_chunk_len"))
+    got = text_cdc_clamped_chunks(spark, sf)
+    assert got.schema == ref.schema
+    got_rows = sorted(map(tuple, got.collect()))
+    ref_rows = sorted(map(tuple, ref.collect()))
+    assert got_rows == ref_rows
+    assert got_rows, "corpus must produce chunk stats"
