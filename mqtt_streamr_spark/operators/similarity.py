@@ -70,26 +70,59 @@ def hyperplane_coeffs(plane: int, dim: int) -> list[float]:
     return out
 
 
+def _dlit(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest decimal that
+    round-trips, and Spark's `<decimal>D` literal parses with
+    Double.parseDouble (correctly rounded), so the parsed double is
+    bit-identical to ``x``."""
+    r = repr(float(x))
+    return (r.upper() if "e" in r else r) + "D"
+
+
+def _lit_matrix(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal from ONE parsed SQL string (r12):
+    the F.array(*[F.lit(c) ...]) form costs a py4j round-trip per
+    element — ~0.5-1.5 s of driver time per plane/projection matrix at
+    64 dims — while a single F.expr parse is one round-trip and
+    constant-folds to the same literal array."""
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(_dlit(c) for c in r) + ")" for r in rows
+        ) + ")"
+    )
+
+
 def lsh_bucket(vec: Column, planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane signature as a '0'/'1' string of length `planes`.
     Errors loudly on a dim mismatch — zip_with would NULL-pad a longer
-    vector, silently collapsing every row into the all-zeros bucket."""
-    bits = []
+    vector, silently collapsing every row into the all-zeros bucket.
+
+    r12: the coefficient matrix is one `_lit_matrix` literal and the
+    per-plane sign bits ride a `transform` over it instead of
+    ``planes`` independently-built fold expressions — same dot fold
+    (identical float op order, same >= 0 sign rule, same left-to-right
+    bit order via concat_ws of non-null single chars), hundreds fewer
+    py4j round-trips per call (build-time parity pinned by
+    tests/test_llm_operators.py::test_lsh_bucket_matches_per_plane_reference)."""
     vd = _as_double(vec)
-    for p in range(planes):
-        coeffs = F.array(*[F.lit(c) for c in hyperplane_coeffs(p, dim)])
-        d = F.aggregate(
-            F.zip_with(vd, coeffs, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    mat = _lit_matrix([hyperplane_coeffs(p, dim) for p in range(planes)])
+    bits = F.transform(
+        mat,
+        lambda cs: F.when(
+            F.aggregate(
+                F.zip_with(vd, cs, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ) >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
     return F.when(
         F.size(vec) != dim,
         F.raise_error(F.lit(
             f"lsh_bucket: vector length != dim={dim}; pass the right dim"
         )),
-    ).otherwise(F.concat(*bits))
+    ).otherwise(F.concat_ws("", bits))
 
 
 def projection_matrix(out_dim: int, in_dim: int) -> list[list[float]]:
@@ -121,23 +154,25 @@ def reduce_dims(df: DataFrame, out_dim: int = 8, in_dim: int = 64,
     (and shuffle payload) by in_dim/out_dim, with JL-bounded distortion.
     Errors loudly on a dim mismatch (zip_with would otherwise NULL-pad)."""
     vd = _as_double(F.col(vec_col))
-    rows = projection_matrix(out_dim, in_dim)
-    comps = []
-    for j in range(out_dim):
-        coeffs = F.array(*[F.lit(c) for c in rows[j]])
-        comps.append(
-            F.aggregate(
-                F.zip_with(vd, coeffs, lambda x, c: x * c),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
+    # r12: one _lit_matrix literal + transform instead of out_dim
+    # independently-built fold expressions — identical fold per output
+    # dim (same float op order, same array element order), ~500 fewer
+    # py4j round-trips per call.
+    mat = _lit_matrix(projection_matrix(out_dim, in_dim))
+    comps = F.transform(
+        mat,
+        lambda cs: F.aggregate(
+            F.zip_with(vd, cs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
     reduced = F.when(
         F.size(F.col(vec_col)) != in_dim,
         F.raise_error(F.lit(
             f"reduce_dims: vector length != in_dim={in_dim}"
         )),
-    ).otherwise(F.array(*comps))
+    ).otherwise(comps)
     return df.select(F.col(id_col), reduced.alias("reduced"))
 
 
@@ -995,29 +1030,67 @@ def nprobe_for_recall(df: DataFrame, target_recall: float,
 
 
 def _flip_bit(b: Column, i: int, planes: int) -> Column:
-    """The bucket string with bit i (1-based) flipped."""
+    """The bucket string with bit i (1-based) flipped. Reference form —
+    the probe builders below generate the same strings via
+    sequence/transform (one lambda tree instead of one Column tree per
+    probe position); the parity test restates this form."""
     flipped = F.when(F.substring(b, i, 1) == "1", F.lit("0")) \
         .otherwise(F.lit("1"))
     return F.concat(F.substring(b, 1, i - 1), flipped,
                     F.substring(b, i + 1, planes - i))
 
 
+def _flip_char(b: Column, i: Column) -> Column:
+    """'0'<->'1' at 1-based position ``i`` (a Column)."""
+    return F.when(b.substr(i, F.lit(1)) == "1", F.lit("0")) \
+        .otherwise(F.lit("1"))
+
+
+def _flip1(b: Column, i: Column, planes: int) -> Column:
+    """= _flip_bit(b, i, planes) with a Column position: same 3-part
+    concat of substrings, so the produced string is identical."""
+    one = F.lit(1)
+    return F.concat(b.substr(one, i - one), _flip_char(b, i),
+                    b.substr(i + one, F.lit(planes) - i))
+
+
+def _flip2(b: Column, i: Column, j: Column, planes: int) -> Column:
+    """= _flip_bit(_flip_bit(b, i), j) for i < j: the two flipped
+    positions are distinct, so flipping sequentially equals the flat
+    5-part concat with both chars flipped."""
+    one = F.lit(1)
+    return F.concat(b.substr(one, i - one), _flip_char(b, i),
+                    b.substr(i + one, j - i - one), _flip_char(b, j),
+                    b.substr(j + one, F.lit(planes) - j))
+
+
 def lsh_probe_buckets(b: Column, planes: int, radius: int = 1) -> Column:
     """All bucket signatures within Hamming distance <= radius of ``b``
     (radius 0-2 supported — the practical multiprobe range): the probe
     set is 1 + planes + C(planes,2) strings, generated statically so
-    the probe stays a plain equi-join key list."""
-    from itertools import combinations
+    the probe stays a plain equi-join key list.
 
-    probes = [b]
-    if radius >= 1:
-        probes += [_flip_bit(b, i, planes) for i in range(1, planes + 1)]
-    if radius >= 2:
-        probes += [_flip_bit(_flip_bit(b, i, planes), j, planes)
-                   for i, j in combinations(range(1, planes + 1), 2)]
+    r12: the per-position probe strings are generated by ``transform``
+    over ``sequence`` ranges instead of one `_flip_bit` Column tree per
+    position — same strings in the same array order (base, single
+    flips by position, pair flips in (i<j) lex order), ~50x fewer py4j
+    round-trips at planes=8/radius=2."""
     if radius > 2:
         raise ValueError("multiprobe radius > 2 not supported")
-    return F.array(*probes)
+    parts = [F.array(b)]
+    # planes >= 1 guards matter: sequence(1, 0) would DESCEND ([1, 0]),
+    # not come out empty like the old per-position list comprehension
+    if radius >= 1 and planes >= 1:
+        parts.append(F.transform(
+            F.sequence(F.lit(1), F.lit(planes)),
+            lambda i: _flip1(b, i, planes)))
+    if radius >= 2 and planes >= 2:
+        parts.append(F.flatten(F.transform(
+            F.sequence(F.lit(1), F.lit(planes - 1)),
+            lambda i: F.transform(
+                F.sequence(i + F.lit(1), F.lit(planes)),
+                lambda j: _flip2(b, i, j, planes)))))
+    return F.concat(*parts)
 
 
 def lsh_multiprobe_recall(df: DataFrame, query_id: int, k: int = 10,
@@ -1075,22 +1148,30 @@ def lsh_probe_buckets_tagged(b: Column, planes: int,
     strings are pairwise distinct (distinct flip-position sets), so in a
     bucket equi-join each corpus row matches AT MOST ONE probe and the
     matched ``ham`` is exactly its Hamming distance to the query bucket
-    (when that distance <= radius)."""
-    from itertools import combinations
+    (when that distance <= radius).
+
+    r12: same sequence/transform generation as
+    :func:`lsh_probe_buckets` — identical strings, tags and array
+    order, far fewer py4j round-trips."""
+    if radius > 2:
+        raise ValueError("multiprobe radius > 2 not supported")
 
     def tag(col: Column, h: int) -> Column:
         return F.struct(col.alias("bucket"), F.lit(h).alias("ham"))
 
-    probes = [tag(b, 0)]
-    if radius >= 1:
-        probes += [tag(_flip_bit(b, i, planes), 1)
-                   for i in range(1, planes + 1)]
-    if radius >= 2:
-        probes += [tag(_flip_bit(_flip_bit(b, i, planes), j, planes), 2)
-                   for i, j in combinations(range(1, planes + 1), 2)]
-    if radius > 2:
-        raise ValueError("multiprobe radius > 2 not supported")
-    return F.array(*probes)
+    parts = [F.array(tag(b, 0))]
+    # planes >= 1: see lsh_probe_buckets — sequence(1, 0) descends
+    if radius >= 1 and planes >= 1:
+        parts.append(F.transform(
+            F.sequence(F.lit(1), F.lit(planes)),
+            lambda i: tag(_flip1(b, i, planes), 1)))
+    if radius >= 2 and planes >= 2:
+        parts.append(F.flatten(F.transform(
+            F.sequence(F.lit(1), F.lit(planes - 1)),
+            lambda i: F.transform(
+                F.sequence(i + F.lit(1), F.lit(planes)),
+                lambda j: tag(_flip2(b, i, j, planes), 2)))))
+    return F.concat(*parts)
 
 
 def lsh_multiprobe_recall_curve(df: DataFrame, query_id: int, k: int = 10,

@@ -1524,3 +1524,82 @@ def test_clamped_chunks_matches_three_frame_reference(spark):
     ref_rows = sorted(map(tuple, ref.collect()))
     assert got_rows == ref_rows
     assert got_rows, "corpus must produce chunk stats"
+
+
+def test_lsh_bucket_matches_per_plane_reference(spark):
+    """The r12 low-round-trip builders (one _lit_matrix literal +
+    sequence/transform generation) must produce bit-identical values to
+    the per-plane / per-position Column-tree forms they replaced:
+    lsh_bucket (concat of per-plane sign bits), reduce_dims (array of
+    per-dim folds) and both probe builders (_flip_bit chains) — same
+    strings, same doubles, same array order, same schema."""
+    import os
+
+    from itertools import combinations
+
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+
+    def old_lsh_bucket(vec, planes, dim=64):
+        bits = []
+        vd = S._as_double(vec)
+        for p in range(planes):
+            coeffs = F.array(*[F.lit(c)
+                               for c in S.hyperplane_coeffs(p, dim)])
+            d = F.aggregate(F.zip_with(vd, coeffs, lambda x, c: x * c),
+                            F.lit(0.0), lambda acc, v: acc + v)
+            bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    # planes 4 (near_dups/semantic_dedup), 8 (default), 12 (adaptive's
+    # planes + extra deepening)
+    for planes in (4, 8, 12):
+        cmp = emb.select(
+            old_lsh_bucket(F.col("embedding"), planes).alias("o"),
+            S.lsh_bucket(F.col("embedding"), planes, 64).alias("n"))
+        assert cmp.schema["o"].dataType == cmp.schema["n"].dataType
+        assert cmp.filter(~F.col("o").eqNullSafe(F.col("n"))).count() == 0
+
+    def old_reduce_dims(out_dim=8, in_dim=64):
+        vd = S._as_double(F.col("embedding"))
+        rows = S.projection_matrix(out_dim, in_dim)
+        comps = []
+        for j in range(out_dim):
+            coeffs = F.array(*[F.lit(c) for c in rows[j]])
+            comps.append(
+                F.aggregate(F.zip_with(vd, coeffs, lambda x, c: x * c),
+                            F.lit(0.0), lambda acc, v: acc + v))
+        return emb.select(F.col("vec_id"), F.array(*comps).alias("o"))
+
+    j = old_reduce_dims().join(
+        S.reduce_dims(emb).withColumnRenamed("reduced", "n"), "vec_id")
+    assert j.schema["o"].dataType == j.schema["n"].dataType
+    assert j.filter(~F.col("o").eqNullSafe(F.col("n"))).count() == 0
+
+    def old_probes(b, planes, radius, tagged):
+        def tag(col, h):
+            return F.struct(col.alias("bucket"), F.lit(h).alias("ham")) \
+                if tagged else col
+        probes = [tag(b, 0)]
+        if radius >= 1:
+            probes += [tag(S._flip_bit(b, i, planes), 1)
+                       for i in range(1, planes + 1)]
+        if radius >= 2:
+            probes += [
+                tag(S._flip_bit(S._flip_bit(b, i, planes), j2, planes), 2)
+                for i, j2 in combinations(range(1, planes + 1), 2)]
+        return F.array(*probes)
+
+    buck = emb.select(S.lsh_bucket(F.col("embedding"), 8, 64).alias("b"))
+    for radius in (0, 1, 2):
+        for tagged, new_fn in ((False, S.lsh_probe_buckets),
+                               (True, S.lsh_probe_buckets_tagged)):
+            cmp = buck.select(
+                old_probes(F.col("b"), 8, radius, tagged).alias("o"),
+                new_fn(F.col("b"), 8, radius).alias("n"))
+            assert (cmp.schema["o"].dataType == cmp.schema["n"].dataType), \
+                (radius, tagged)
+            assert cmp.filter(
+                ~F.col("o").eqNullSafe(F.col("n"))).count() == 0, \
+                (radius, tagged)
