@@ -35,6 +35,7 @@ in tests/test_jsonata_compiler.py):
 
 from __future__ import annotations
 
+import itertools as _itertools
 import re as _re
 from dataclasses import dataclass, field
 
@@ -1106,6 +1107,158 @@ def _empty_varr() -> Column:
     return F.from_json(F.lit("[]"), "array<variant>")
 
 
+# --- one-parse SQL emission for the descendants walks (r12) -----------------
+#
+# The depth-unrolled ** walks below build ~10 structurally identical levels
+# of Column tree; via the PySpark functions API that is thousands of py4j
+# driver round-trips (~1.5-3 s of pure construction time per expansion,
+# measured — the same driver-constant class as the r12 LSH literal-matrix
+# change). The walk is instead emitted as ONE SQL string (Python string
+# recursion, microseconds) and parsed once by ``F.expr`` (~10 ms). The text
+# reproduces the Catalyst renderer's output for the Column-built tree
+# verbatim (modulo lambda-variable names), which
+# tests/test_jsonata_compiler.py::test_desc_sql_emitters_match_column_builders
+# pins by canonicalized-render equality at depths 1 and 2 — so the analyzed
+# expression, the executed plan, and the results are identical by
+# construction. The Column builders (``*_cols``) remain both as the
+# equivalence reference and as the runtime fallback whenever the inputs
+# cannot be spliced safely:
+#
+# - the ``raw``/``guard`` input Columns are rendered to SQL and must
+#   round-trip (render -> parse -> render is a fixed point), else fallback;
+# - spliced string literals (the match step, the rest JSON path) must be in
+#   a conservative safe charset, else fallback;
+# - any parse error falls back.
+#
+# Lambda-variable names are drawn from a module-global counter with a
+# distinctive prefix, so no emission can capture or shadow variables of an
+# enclosing PySpark-built lambda (named ``x_N``/``y_N``) or of another
+# emission spliced inside it.
+
+_DESC_SAFE_LIT = _re.compile(r"^[A-Za-z0-9_$. \[\]\-]*$")
+_DESC_VAR_COUNTER = _itertools.count()
+
+
+def _desc_fresh_var() -> str:
+    return f"jdv{next(_DESC_VAR_COUNTER)}"
+
+
+def _render_expr_sql(col: Column) -> str:
+    """Catalyst SQL rendering of an (unresolved) Column expression."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    jvm = spark._jvm
+    conv = getattr(
+        getattr(jvm, "org.apache.spark.sql.classic."
+                     "ColumnNodeToExpressionConverter$"), "MODULE$")
+    return conv.apply(col._jc.node()).sql()
+
+
+def _splice_sql(col: Column) -> str | None:
+    """SQL text of ``col`` safe to splice into an emitted expression:
+    render must round-trip through the parser to the identical text (a
+    fixed point — guarantees the splice parses back to the same
+    expression), and must not collide with the emission namespace."""
+    try:
+        txt = _render_expr_sql(col)
+        if "jdv" in txt:
+            return None
+        if _render_expr_sql(F.expr(txt)) != txt:
+            return None
+        return txt
+    except Exception:
+        return None
+
+
+def _depth_msg(max_depth: int) -> str:
+    return (f"jsonata compiled ** exceeded max nesting depth {max_depth}; "
+            f"use the interpreter backend for deeper payloads")
+
+
+_EMPTY_VARR_SQL = "from_json('[]', 'array<variant>')"
+
+
+def _sql_desc_all(n: str, nv: str, d: int, max_depth: int) -> str:
+    """One level of the bare-** walk (``_desc_all_variant_cols``'s
+    ``level``) as SQL text — field-for-field the renderer's output."""
+    e, s, v = _desc_fresh_var(), _desc_fresh_var(), _desc_fresh_var()
+    p, x = _desc_fresh_var(), _desc_fresh_var()
+    ev = _EMPTY_VARR_SQL
+    pairs = (
+        f"coalesce(transform(map_entries(from_json({n}, "
+        f"'map<string, string>')), {e} -> struct({e}['value'] AS s, "
+        f"element_at(try_variant_get({nv}, '$', 'map<string, variant>'), "
+        f"{e}['key']) AS vv)), "
+        f"zip_with(from_json({n}, 'array<string>'), "
+        f"try_variant_get({nv}, '$', 'array<variant>'), "
+        f"({s}, {v}) -> struct({s} AS s, {v} AS vv)))"
+    )
+    c_arr = f"isNotNull(try_variant_get({x}['vv'], '$', 'array<variant>'))"
+    c_obj = (f"isNotNull(try_variant_get({x}['vv'], '$', "
+             f"'map<string, variant>'))")
+    self_part = (f"CASE WHEN or({c_arr}, isNull({x}['vv'])) THEN {ev} "
+                 f"ELSE array({x}['vv']) END")
+    if d == 0:
+        deeper = (f"CASE WHEN isNull(assert_true(coalesce(`!`(or({c_arr}, "
+                  f"{c_obj})), true), '{_depth_msg(max_depth)}')) "
+                  f"THEN {ev} END")
+    else:
+        rec = _sql_desc_all(f"{x}['s']", f"{x}['vv']", d - 1, max_depth)
+        deeper = (f"CASE WHEN or({c_arr}, {c_obj}) THEN {rec} "
+                  f"ELSE {ev} END")
+    body = (f"flatten(transform({p}, {x} -> "
+            f"concat({self_part}, {deeper})))")
+    return (f"element_at(transform(array({pairs}), "
+            f"{p} -> {body}), 1)")
+
+
+def _sql_desc_matches(n: str, nv: str, first: str, rest_path: str | None,
+                      d: int, max_depth: int) -> str:
+    """One level of the ``**.k`` walk (``_desc_matches_variant_cols``'s
+    ``level``) as SQL text — field-for-field the renderer's output,
+    including the triple rendering of the shared match subtree."""
+    e, s, v = _desc_fresh_var(), _desc_fresh_var(), _desc_fresh_var()
+    p, f_, k, x = (_desc_fresh_var(), _desc_fresh_var(),
+                   _desc_fresh_var(), _desc_fresh_var())
+    ev = _EMPTY_VARR_SQL
+    pairs = (
+        f"coalesce(transform(map_entries(from_json({n}, "
+        f"'map<string, string>')), {e} -> struct({e}['key'] AS key, "
+        f"{e}['value'] AS s, "
+        f"element_at(try_variant_get({nv}, '$', 'map<string, variant>'), "
+        f"{e}['key']) AS vv)), "
+        f"zip_with(from_json({n}, 'array<string>'), "
+        f"try_variant_get({nv}, '$', 'array<variant>'), "
+        f"({s}, {v}) -> struct(CAST(NULL AS STRING) AS key, {s} AS s, "
+        f"{v} AS vv)))"
+    )
+    pieces = (f"struct({pairs} AS pairs, isNotNull(from_json({n}, "
+              f"'map<string, string>')) AS is_obj)")
+    m0 = (f"CASE WHEN {p}['is_obj'] THEN get(filter({p}['pairs'], "
+          f"{f_} -> `=`({f_}['key'], '{first}')), 0)['vv'] "
+          f"END")
+    m = (f"try_variant_get({m0}, '{rest_path}', 'variant')"
+         if rest_path else m0)
+    m_arr = (f"CASE WHEN or(isNull({m}), is_variant_null({m})) THEN {ev} "
+             f"ELSE array({m}) END")
+    kids = (f"filter({p}['pairs'], {k} -> or(isNotNull("
+            f"try_variant_get({k}['vv'], '$', 'array<variant>')), "
+            f"isNotNull(try_variant_get({k}['vv'], '$', "
+            f"'map<string, variant>'))))")
+    if d == 0:
+        deeper = (f"CASE WHEN isNull(assert_true(coalesce("
+                  f"`<=`(size({kids}), 0), true), "
+                  f"'{_depth_msg(max_depth)}')) THEN {ev} END")
+    else:
+        rec = _sql_desc_matches(f"{x}['s']", f"{x}['vv']", first, rest_path,
+                                d - 1, max_depth)
+        deeper = f"flatten(transform({kids}, {x} -> {rec}))"
+    body = f"concat({m_arr}, {deeper})"
+    return (f"element_at(transform(array({pieces}), "
+            f"{p} -> {body}), 1)")
+
+
 def _c_desc_variant(lhs_node, is_desc: bool, rhs_steps: list,
                     ctx: Ctx) -> TypedCol:
     """`**.k` / `a.b.**.k` on the VARIANT path (r6): no schema bounds the
@@ -1144,6 +1297,34 @@ def _c_desc_variant(lhs_node, is_desc: bool, rhs_steps: list,
 
 def _desc_matches_variant(raw: Column, root_variant: Column, steps: list,
                           depth: int = VARIANT_DESC_DEPTH) -> Column:
+    """All ``steps`` matches under every descendant — front door. Emits
+    the walk as one parsed SQL string when the inputs splice safely
+    (~10 ms instead of ~1.5-3 s of py4j Column construction, r12 — see
+    the emission section above ``_sql_desc_all``), else falls back to the
+    reference Column builder. Both produce the identical expression
+    (pinned by canonicalized-render equality in tests)."""
+    first = steps[0] if steps else None
+    if not isinstance(first, str):
+        raise NotCompilable("descendant match must start with a name step")
+    rest = steps[1:]
+    rest_path = _json_path(rest) if rest else None
+    if (_DESC_SAFE_LIT.match(first)
+            and (rest_path is None or _DESC_SAFE_LIT.match(rest_path))):
+        n_sql = _splice_sql(raw)
+        nv_sql = _splice_sql(root_variant)
+        if n_sql is not None and nv_sql is not None:
+            try:
+                walk = F.expr(_sql_desc_matches(
+                    n_sql, nv_sql, first, rest_path, depth, depth))
+                return _flatten_variant_seq(walk)
+            except Exception:
+                pass
+    return _desc_matches_variant_cols(raw, root_variant, steps, depth)
+
+
+def _desc_matches_variant_cols(raw: Column, root_variant: Column,
+                               steps: list,
+                               depth: int = VARIANT_DESC_DEPTH) -> Column:
     """All ``steps`` matches under every descendant of the container whose
     raw JSON text is ``raw`` (which must be type-guarded by the caller;
     ``root_variant`` is the same value already parsed — never re-parsed
@@ -1295,6 +1476,22 @@ def _c_desc_all(steps: list | None, ctx: Ctx) -> TypedCol:
 
 def _desc_all_variant(raw: Column, root_variant: Column,
                       depth: int = VARIANT_DESC_DEPTH) -> Column:
+    """All descendant values below the container — front door. One-parse
+    SQL emission when the inputs splice safely (r12, see the emission
+    section above ``_sql_desc_all``), Column-builder fallback otherwise;
+    identical expression either way (render-parity pinned in tests)."""
+    n_sql = _splice_sql(raw)
+    nv_sql = _splice_sql(root_variant)
+    if n_sql is not None and nv_sql is not None:
+        try:
+            return F.expr(_sql_desc_all(n_sql, nv_sql, depth, depth))
+        except Exception:
+            pass
+    return _desc_all_variant_cols(raw, root_variant, depth)
+
+
+def _desc_all_variant_cols(raw: Column, root_variant: Column,
+                           depth: int = VARIANT_DESC_DEPTH) -> Column:
     """All descendant values BELOW the container whose raw JSON text is
     ``raw`` (caller type-guards it), pre-order document order, as
     ``array<variant>``. Same cost discipline as _desc_matches_variant:

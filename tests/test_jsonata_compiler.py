@@ -1128,3 +1128,95 @@ def test_typed_transform_operator(spark, expr):
     assert_same(expected, actual, expr)
     with pytest.raises(NotCompilable):
         compile_column(expr, F.lit(None))
+
+
+# ---- r12: one-parse SQL emission of the descendants walks -------------------
+
+
+def _canon_lambda_vars(txt: str) -> str:
+    """Rename lambda variables (PySpark's x_N/y_N and the emitter's jdvN)
+    by first appearance so structurally identical renders compare equal."""
+    import re
+
+    seen: dict = {}
+
+    def sub(m):
+        k = m.group(0)
+        if k not in seen:
+            seen[k] = f"v{len(seen)}"
+        return seen[k]
+
+    return re.sub(r"\b[xy]_\d+\b|\bjdv\d+\b", sub, txt)
+
+
+def test_desc_sql_emitters_match_column_builders(spark):
+    """The r12 one-parse SQL emitters must produce the EXACT expression the
+    Column builders produce — pinned by canonicalized Catalyst-render
+    equality (modulo lambda-variable names) at depths 1 and 2, for the
+    bare-** walk and the **.k walk with and without a rest path. This is
+    the equivalence proof that lets the front doors skip thousands of
+    py4j construction round-trips per query build."""
+    import mqtt_streamr_spark.jsonata.compiler as C
+
+    for d in (1, 2):
+        old = C._render_expr_sql(
+            C._desc_all_variant_cols(F.col("s_in"), F.col("v_in"), d))
+        new = C._render_expr_sql(
+            F.expr(C._sql_desc_all("s_in", "v_in", d, d)))
+        assert _canon_lambda_vars(old) == _canon_lambda_vars(new), f"all d{d}"
+    for d, steps in ((1, ["k"]), (2, ["k"]), (1, ["k", "a", "b"])):
+        old = C._render_expr_sql(
+            C._desc_matches_variant_cols(F.col("s_in"), F.col("v_in"),
+                                         steps, d))
+        rest = C._json_path(steps[1:]) if steps[1:] else None
+        new = C._render_expr_sql(C._flatten_variant_seq(F.expr(
+            C._sql_desc_matches("s_in", "v_in", steps[0], rest, d, d))))
+        assert _canon_lambda_vars(old) == _canon_lambda_vars(new), \
+            f"matches d{d} {steps}"
+
+
+def test_desc_sql_fast_path_fires_on_query_shapes(spark):
+    """The standard query shapes (plain raw column / get_json_object
+    prefix / the type-guarded when()) must take the fast path — i.e.
+    their input columns splice (render round-trips). If this breaks, the
+    front doors silently fall back and the build-time win is lost."""
+    import mqtt_streamr_spark.jsonata.compiler as C
+
+    for c in (
+        F.col("payload"),
+        F.get_json_object(F.col("payload"), "$.outer"),
+        F.try_parse_json(F.col("payload")),
+        F.try_variant_get(F.try_parse_json(F.col("payload")), "$.outer",
+                          "variant"),
+    ):
+        assert C._splice_sql(c) is not None
+
+
+def test_desc_unsafe_or_failing_inputs_fall_back(spark):
+    """Unsafe spliced literals (quote in a match step) and emitter
+    failures must fall back to the Column builders with identical
+    results — the fast path is an optimization, never a semantics
+    gate."""
+    import json as _json
+
+    import mqtt_streamr_spark.jsonata.compiler as C
+
+    doc = {"we'ird": 1, "b": {"we'ird": 2}}
+    df = spark.createDataFrame([(_json.dumps(doc),)], "payload string")
+    raw = F.col("payload")
+    root = F.try_parse_json(F.col("payload"))
+    # a quoted key fails the safe-charset gate -> Column builder path
+    got = df.select(F.to_json(C._desc_matches_variant(
+        raw, root, ["we'ird"], 3)).alias("r")).collect()[0]["r"]
+    assert _json.loads(got) == [1, 2]
+    # forced emitter failure on the bare walk -> fallback, same result
+    orig = C._sql_desc_all
+    C._sql_desc_all = lambda *a, **k: (_ for _ in ()).throw(RuntimeError())
+    try:
+        got2 = df.select(F.size(C._desc_all_variant(
+            raw, root, 3)).alias("n")).collect()[0]["n"]
+    finally:
+        C._sql_desc_all = orig
+    got3 = df.select(F.size(C._desc_all_variant(
+        raw, root, 3)).alias("n")).collect()[0]["n"]
+    assert got2 == got3 == 3  # 1 (root's we'ird) + b + b's we'ird
