@@ -1766,10 +1766,10 @@ def events_type_cooccurrence_lift(spark: SparkSession, sf_dir: str
     """Association mining over sessions: event-type pair support and
     LIFT (P(ab)/(P(a)P(b)) — >1 means the types co-occur more than
     independence predicts). Sessionize (one user-key shuffle), collapse
-    to distinct (session, type) — so the pair self-join is bounded by
-    types²/session, not events² — then pair counts against broadcast
-    per-type supports. The itemset step of market-basket analysis,
-    session-scoped."""
+    to the per-session sorted type set, then count pair/type/session
+    entries in ONE aggregation pass (r12 — see
+    _cooccurrence_from_sessions). The itemset step of market-basket
+    analysis, session-scoped."""
     from pyspark.sql import Window
 
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1789,28 +1789,75 @@ def events_type_cooccurrence_lift(spark: SparkSession, sf_dir: str
                 wu.rowsBetween(Window.unboundedPreceding, 0)),
         )
     )
-    st = s.select("user_id", "sid", "event_type").distinct()
-    n_sessions = st.select("user_id", "sid").distinct().agg(
-        F.count(F.lit(1)).alias("n_sessions"))
-    sup = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    a = st.select("user_id", "sid", col("event_type").alias("type_a"))
-    b = st.select("user_id", "sid", col("event_type").alias("type_b"))
-    pairs = (
-        a.join(b, ["user_id", "sid"])
-        .filter(col("type_a") < col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+    return _cooccurrence_from_sessions(s)
+
+
+def _cooccurrence_from_sessions(s: DataFrame) -> DataFrame:
+    """Pair support + lift from a sessionized (user_id, sid, event_type)
+    frame.
+
+    r12 shape (guide §2.1/§2.4): the former shape derived the sessionize
+    window FIVE times in one plan — the pair self-join's two sides, the
+    two broadcast per-type supports, and the session count (the
+    before-plan shows 5 Scan→Exchange→Sort→Window subtrees, zero reuse;
+    the two-window sort is re-executed per branch even when AQE reuses
+    the first exchange). Now each session's sorted distinct type set
+    (``sort_array(collect_set)`` — no extra exchange: the user_id window
+    partitioning already clusters the (user_id, sid) groupBy) emits its
+    pair entries (i<j over the sorted array ≡ the join's
+    ``type_a < type_b``: same binary string order), its type entries and
+    one session marker, and ONE groupBy counts all three kinds. The
+    counts frame is metadata-sized by construction (≤ types² + types + 1
+    rows, scale-independent) and is ``localCheckpoint``ed so the three
+    consumers (pairs, the support map, the session count) read the
+    materialized rows instead of re-deriving the window (a pushed-down
+    kind filter would otherwise split the aggregation back into three
+    full derivations). Equivalence with the self-join reference is
+    pinned row-identical (incl. NULL event_type, which never pairs and
+    whose support row was only ever consumed by never-matching
+    equi-joins) by tests/test_operators.py."""
+    g = s.groupBy("user_id", "sid").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"))
+    pair_entries = F.flatten(F.transform(
+        F.col("types"),
+        lambda x, i: F.transform(
+            F.slice(F.col("types"), i + F.lit(2), F.size(F.col("types"))),
+            lambda y: F.struct(F.lit("p").alias("kind"), x.alias("a"),
+                               y.alias("b")),
+        ),
+    ))
+    null_s = F.lit(None).cast("string")
+    type_entries = F.transform(
+        F.col("types"),
+        lambda x: F.struct(F.lit("t").alias("kind"), x.alias("a"),
+                           null_s.alias("b")),
     )
+    session_entry = F.array(F.struct(
+        F.lit("n").alias("kind"), null_s.alias("a"), null_s.alias("b")))
+    counts = (
+        g.select(F.explode(
+            F.concat(pair_entries, type_entries, session_entry)).alias("e"))
+        .groupBy(col("e.kind").alias("kind"), col("e.a").alias("a"),
+                 col("e.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    ).localCheckpoint()
+    pairs = counts.filter(col("kind") == "p").select(
+        col("a").alias("type_a"), col("b").alias("type_b"),
+        col("cnt").alias("n_ab"))
+    sup_map = counts.filter(col("kind") == "t").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("a", "cnt"))).alias("sup"))
+    n_sessions = counts.filter(col("kind") == "n").select(
+        col("cnt").alias("n_sessions"))
     return (
-        pairs.join(F.broadcast(sup.withColumnRenamed("event_type", "type_a")
-                               .withColumnRenamed("n", "n_a")), "type_a")
-        .join(F.broadcast(sup.withColumnRenamed("event_type", "type_b")
-                          .withColumnRenamed("n", "n_b")), "type_b")
+        pairs.crossJoin(F.broadcast(sup_map))
         .crossJoin(F.broadcast(n_sessions))
         .select(
             "type_a", "type_b", "n_ab",
             F.round(col("n_ab") * col("n_sessions")
-                    / (col("n_a") * col("n_b")), 6).alias("lift"),
+                    / (F.element_at("sup", col("type_a"))
+                       * F.element_at("sup", col("type_b"))), 6)
+            .alias("lift"),
         )
     )
 

@@ -399,6 +399,13 @@ def test_mini_broker_qos1_redelivery_on_reconnect():
                                 body[4 + ln:].decode()))
             write_packet(s2, PUBACK, 0, _struct.pack(">H", pid))
         assert sorted(redelivered) == sorted(first)  # same pids+payloads
+        # the counter increments AFTER each socket write, so the last
+        # retransmit can be readable before the broker thread has counted
+        # it — poll like the n_unacked checks (observability counters are
+        # eventually consistent with the wire)
+        deadline = _time.time() + 5
+        while b.n_redelivered != 3 and _time.time() < deadline:
+            _time.sleep(0.05)
         assert b.n_redelivered == 3
         deadline = _time.time() + 5
         while b.n_unacked() and _time.time() < deadline:

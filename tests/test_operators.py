@@ -590,3 +590,70 @@ def test_strict_json_complete_matches_js_json_parse(spark):
         != js_ok(r["payload"])
     ]
     assert not bad, bad
+
+
+def test_cooccurrence_single_pass_matches_self_join_reference(spark):
+    """r12: _cooccurrence_from_sessions (one grouped-entries aggregation +
+    checkpointed metadata-sized counts) must be row-identical to the old
+    five-derivation self-join reference, restated here over the same
+    sessionized frame — including NULL event_type rows (they never pair,
+    and their support row was only consumed by never-matching equi-joins)
+    and sessions whose only type is NULL (they still count toward
+    n_sessions)."""
+    import pyspark.sql.functions as F
+
+    from mqtt_streamr_spark.queries.events import _cooccurrence_from_sessions
+
+    rows = [
+        # user 1, session 0: a/b/c multi-type
+        (1, 0, "a"), (1, 0, "b"), (1, 0, "c"), (1, 0, "a"),
+        # user 1, session 1: repeat pair + a NULL type
+        (1, 1, "a"), (1, 1, "b"), (1, 1, None),
+        # user 2, session 0: single type
+        (2, 0, "b"),
+        # user 2, session 1: NULL-only session (counts toward n_sessions)
+        (2, 1, None),
+        # user 3, session 0: shares pair (a, c)
+        (3, 0, "c"), (3, 0, "a"),
+    ]
+    s = spark.createDataFrame(
+        rows, "user_id int, sid int, event_type string")
+
+    st = s.select("user_id", "sid", "event_type").distinct()
+    n_sessions = st.select("user_id", "sid").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions"))
+    sup = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select("user_id", "sid", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "sid", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "sid"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ref = (
+        pairs.join(F.broadcast(
+            sup.withColumnRenamed("event_type", "type_a")
+            .withColumnRenamed("n", "n_a")), "type_a")
+        .join(F.broadcast(
+            sup.withColumnRenamed("event_type", "type_b")
+            .withColumnRenamed("n", "n_b")), "type_b")
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "type_a", "type_b", "n_ab",
+            F.round(F.col("n_ab") * F.col("n_sessions")
+                    / (F.col("n_a") * F.col("n_b")), 6).alias("lift"),
+        )
+    )
+
+    got = _cooccurrence_from_sessions(s)
+    assert got.schema == ref.schema
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, ref.collect()))
+    # spot-pin the numbers so both shapes failing together can't hide
+    as_map = {(r.type_a, r.type_b): (r.n_ab, float(r.lift))
+              for r in got.collect()}
+    # 5 sessions; a: 3 sessions, b: 3, c: 2; (a,b) in 2, (a,c) in 2
+    assert as_map[("a", "b")] == (2, round(2 * 5 / (3 * 3), 6))
+    assert as_map[("a", "c")] == (2, round(2 * 5 / (3 * 2), 6))
+    assert as_map[("b", "c")] == (1, round(1 * 5 / (3 * 2), 6))
