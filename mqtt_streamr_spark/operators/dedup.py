@@ -266,13 +266,20 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     Raises ``RuntimeError`` if the loop exits without converging —
     silently returning partial labels would let wrong clusters flow into
     keeper selection (the failure mode is undetectable downstream)."""
-    fwd = pairs.select(F.col(src).alias("n"), F.col(dst).alias("m"))
-    edges = fwd.union(
-        pairs.select(F.col(dst).alias("n"), F.col(src).alias("m"))
+    # r12 (guide §2.1): both edge directions ride ONE pass over the pair
+    # rows (2-array explode) — the former union of two projections of
+    # ``pairs`` executed the whole upstream pair-generation plan (e.g.
+    # the LSH pipeline) once per union branch inside the checkpoint job;
+    # same multiset of (n, m) rows either way
+    edges = pairs.select(F.explode(F.array(
+        F.struct(F.col(src).alias("n"), F.col(dst).alias("m")),
+        F.struct(F.col(dst).alias("n"), F.col(src).alias("m")),
+    )).alias("e")).select(
+        F.col("e.n").alias("n"), F.col("e.m").alias("m")
     ).localCheckpoint()  # materialize ONCE: edges are re-joined every
     #                      round, and without this each round would
     #                      re-execute the whole upstream pair-generation
-    #                      plan (e.g. the LSH pipeline) from scratch
+    #                      plan from scratch
     # initial label = min(id, min direct neighbor): this IS the first
     # propagation round, fused into one aggregation (no join needed while
     # every label still equals its id). Dense diameter-2 dup clusters then

@@ -2000,9 +2000,15 @@ def _concurrency_from_events(ev: DataFrame) -> DataFrame:
         .select(col("session_window.start").alias("t0"),
                 col("session_window.end").alias("t1"))
     )
-    deltas = s.select(col("t0").alias("t"), F.lit(1).alias("dd")).unionAll(
-        s.select(col("t1").alias("t"), F.lit(-1).alias("dd"))
-    )
+    # r12 (guide §2.1): one +1/-1 delta row pair per session via a 2-array
+    # explode — the former unionAll of two projections of ``s`` derived
+    # the session-window aggregate once per union branch (the before-plan
+    # shows two MergingSessions subtrees under the Union; same multiset
+    # of rows either way)
+    deltas = s.select(F.explode(F.array(
+        F.struct(col("t0").alias("t"), F.lit(1).alias("dd")),
+        F.struct(col("t1").alias("t"), F.lit(-1).alias("dd")),
+    )).alias("e")).select(col("e.t").alias("t"), col("e.dd").alias("dd"))
     pts = (
         deltas.groupBy("t")
         .agg(F.sum("dd").alias("dd"))

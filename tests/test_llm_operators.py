@@ -1603,3 +1603,24 @@ def test_lsh_bucket_matches_per_plane_reference(spark):
             assert cmp.filter(
                 ~F.col("o").eqNullSafe(F.col("n"))).count() == 0, \
                 (radius, tagged)
+
+
+def test_cc_edge_explode_matches_union_reference(spark):
+    """r12: connected_components derives both edge directions from ONE
+    pass over the pair rows (2-array explode). Pin the edge multiset
+    against the former union-of-two-projections reference, duplicates
+    and self-loops included."""
+    import pyspark.sql.functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 2), (4, 4)], "id_a long, id_b long")
+    ref = pairs.select(
+        F.col("id_a").alias("n"), F.col("id_b").alias("m")).union(
+        pairs.select(F.col("id_b").alias("n"), F.col("id_a").alias("m")))
+    got = pairs.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("n"), F.col("id_b").alias("m")),
+        F.struct(F.col("id_b").alias("n"), F.col("id_a").alias("m")),
+    )).alias("e")).select(F.col("e.n").alias("n"), F.col("e.m").alias("m"))
+    assert got.schema == ref.schema
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, ref.collect()))
